@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-parity ETL operators (SURVEY.md §2), re-expressed as pure,
+  * composable DataFrame transforms. Each transform is a narrow/declarative
+  * operation that Catalyst can push into the scan or fuse into one codegen
+  * stage — the reference applies these eagerly, operator-at-a-time, in
+  * pandas (see citations on each method).
+  */
+object Pipeline {
+
+  /** P1 — case-insensitive keep-list projection, preserving source casing.
+    * Reference: dags/common_helpers/filter_columns.py:9-11 (lowercases both
+    * sides; drops unmatched). Catalyst's ColumnPruning then pushes the
+    * projection into the Parquet scan — the reference prunes after a
+    * full-width read.
+    */
+  def keepColumns(df: DataFrame, keep: Seq[String]): DataFrame = {
+    val wanted = keep.map(_.toLowerCase).toSet
+    val cols = df.columns.filter(c => wanted.contains(c.toLowerCase))
+    df.select(cols.map(col).toIndexedSeq: _*)
+  }
+
+  /** F3 — bool-like string normalization: 'True'→1, 'False'→0, applied only
+    * where a string column holds exactly those literals (pandas
+    * `replace({'True':1,'False':0})` semantics — other values pass through).
+    * Reference: dags/common_helpers/column_transformations.py:13-14.
+    */
+  def normalizeBoolStrings(df: DataFrame): DataFrame = {
+    val out = df.schema.fields.map {
+      case f if f.dataType == StringType =>
+        when(col(f.name) === "True", lit("1"))
+          .when(col(f.name) === "False", lit("0"))
+          .otherwise(col(f.name)).as(f.name)
+      case f => col(f.name)
+    }
+    df.select(out.toIndexedSeq: _*)
+  }
+
+  /** P2 — non-empty-string row filter with reference-faithful null handling:
+    * pandas `df[df[c] != '']` keeps NaN rows (NaN != '' is True), so we keep
+    * nulls too. Reference: dags/evidence_images_processing.py:147-150;
+    * semantics note SURVEY.md §2.2 P2.
+    */
+  def filterNonEmpty(df: DataFrame, c: String): DataFrame =
+    df.filter(col(c) =!= "" || col(c).isNull)
+
+  /** U1 — n-way union-by-name with column drift (missing columns → null).
+    * Reference: dags/common_helpers/concat_dfs.py:11-16 (pd.concat keeps
+    * duplicates, aligns by name, fills NaN). Empty input requires an
+    * explicit schema — the reference returns a schemaless empty frame.
+    */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionAll of zero frames needs an explicit schema")
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** W1 — idempotent keyed append: at-most-once per composite key versus
+    * existing sink state. Reference: INSERT … ON CONFLICT DO NOTHING,
+    * dags/evidence_images_processing.py:153-179. Spark form: dedupe within
+    * the batch, anti-join against the sink's keys (Catalyst prunes the sink
+    * scan to the key columns only). At 100 TB the sink side is bounded by
+    * the incremental window predicate before the anti-join.
+    */
+  def idempotentNewRows(batch: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    batch
+      .dropDuplicates(keys)
+      .join(existing.select(keys.map(col).toIndexedSeq: _*), keys, "left_anti")
+
+  /** W4 — MERGE upsert (matched → update, not matched → insert) as a
+    * full-outer join + coalesce, keyed. Reference MERGE:
+    * dags/learn/postgres_op.py:46-58. `updateCols` are the non-key columns
+    * where the source value wins when present.
+    */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String],
+                  updateCols: Seq[String]): DataFrame = {
+    val t = target.alias("t")
+    val s = source.alias("s")
+    val joined = t.join(s, keys, "full_outer")
+    val srcCols = source.columns.map(_.toLowerCase).toSet
+    val proj =
+      keys.map(col) ++
+        updateCols.map { c =>
+          if (srcCols.contains(c.toLowerCase))
+            coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
+          else col(s"t.$c").as(c)
+        }
+    joined.select(proj.toIndexedSeq: _*)
+  }
+
+  /** F1 — conditional split-to-array: comma-packed string → array; a string
+    * without the delimiter yields a 1-element array (Spark `split` already
+    * matches pandas' conditional exactly).
+    * Reference: dags/evidence_images_processing.py:245-252.
+    */
+  def splitPacked(c: Column, delim: String = ","): Column = split(c, delim)
+
+  /** F2 — per-element URL qualification over the array from F1 via the
+    * `transform` higher-order function (codegen'd — the reference does a
+    * per-row Python loop + row-at-a-time UPDATE writeback).
+    * Reference: dags/evidence_images_processing.py:262-289.
+    */
+  def qualifyUrls(names: Column, urlBase: Column): Column =
+    transform(names, n => concat(urlBase, n))
+}
