@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-time queries over the `events` fixture: the incremental-window
+  * scan semantics of the reference (S1/S3: 15-day lookback, mtime-window
+  * pruning — reference dags/common_helpers/get_dates.py:9-11 and
+  * blob_ingestion.py:18-20, here as event-time predicates), plus the
+  * tumbling-window / sessionization / JSON surface the reference lacks
+  * (flagged superset, SURVEY.md §2.8).
+  *
+  * All event-time arithmetic happens on exact integer nanoseconds
+  * (`ts_ns`) or microsecond-truncated timestamps — no floating point.
+  */
+object EventQueries {
+  private val D = DecimalType(18, 2)
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(D)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- S1/S3: incremental window scan + per-type rollforward -----------
+    "s3_incremental" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("ts") >= lit("2024-01-05 00:00:00").cast(TimestampType) &&
+                col("ts") <  lit("2024-01-10 00:00:00").cast(TimestampType))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    // ---- Tumbling 1-hour window aggregation (window()) --------------------
+    "w_tumbling" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .select(col("window.start").as("bucket_start"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("bucket_start", "event_type")
+    }),
+
+    // ---- Sessionization (gaps-and-islands, 30-minute gap) -----------------
+    "q_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+      val gapNs = 30L * 60 * 1000000000L
+      Tables.events(s, d)
+        .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          ((max(col("ts_ns")) - min(col("ts_ns"))) / lit(1000000000L))
+            .cast("long").as("session_length_s"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // ---- JSON extraction from the props column ----------------------------
+    "f_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
+          col("event_type"))
+        .filter(col("k") > 50)
+        .orderBy("event_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "s3_incremental" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-10 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "w_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) AS TIMESTAMP) AS session_end,
+        |  (epoch_ns(max(ts)) - epoch_ns(min(ts))) // 1000000000
+        |    AS session_length_s
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "f_json" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k,
+        |  event_type
+        |FROM events
+        |WHERE CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) > 50
+        |ORDER BY event_id""".stripMargin)
+}

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated fixture tables (TESTDATA.md).
   *
@@ -23,7 +24,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's Parquet reader
+    * rejects by default; the legacy flag reads it as LongType nanoseconds
+    * since the epoch. We keep the raw nanos (`ts_ns`, exact integer
+    * event-time arithmetic) and derive a microsecond-truncated TimestampType
+    * `ts` — the same truncation DuckDB applies casting TIMESTAMP_NS →
+    * TIMESTAMP, so both engines see identical values.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
