@@ -1,10 +1,229 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Multimodal
 
 /** North-star extension operators (dedup, similarity search, text analysis,
-  * multimodal) — populated as each operator lands. */
+  * multimodal) as declared queries. Oracle-backed wherever the computation
+  * is replicable in DuckDB SQL; sketch-hash-dependent queries (simhash, LSH
+  * top-k) are rows-only here and consistency-tested against brute force in
+  * ScalaTest.
+  */
 object ExtensionQueries {
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Dedup: exact + fingerprint --------------------------------------
+    "dedup_exact" -> ((s, d) => {
+      Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    }),
+    "dedup_fingerprint" -> ((s, d) => {
+      Dedup.withFingerprint(Tables.documents(s, d), "text")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    }),
+
+    // ---- Dedup: MinHash-LSH word-3-gram near-dups (verified exact) -------
+    "dedup_minhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minHashNearDups(docs, "doc_id",
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3),
+        threshold = 0.5, Dedup.LshConfig(numHashes = 64, bandRows = 2))
+        .orderBy("id_1", "id_2")
+    }),
+
+    // ---- Dedup: MinHash-LSH char-4-gram near-dups ------------------------
+    "dedup_ngram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minHashNearDups(docs, "doc_id",
+        TextFunctions.charShingles(col("text"), 8),
+        threshold = 0.6, Dedup.LshConfig(numHashes = 64, bandRows = 4))
+        .orderBy("id_1", "id_2")
+    }),
+
+    // ---- Dedup: SimHash (rows-only; hash not SQL-replicable) -------------
+    "dedup_simhash" -> ((s, d) => {
+      Dedup.simHashNearDups(Tables.documents(s, d), "doc_id",
+        TextFunctions.tokens(col("text")), maxDist = 3)
+        .orderBy("id_1", "id_2")
+    }),
+
+    // ---- Dedup: embedding-cosine near-dups -------------------------------
+    "dedup_embcos" -> ((s, d) => {
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
+        probe = col("vec_id") < 100, threshold = 0.3)
+        .orderBy("id_1", "id_2")
+    }),
+
+    // ---- Similarity: exact brute-force cosine top-k ----------------------
+    "sim_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- Similarity: LSH-bucketed ANN (rows-only; recall vs brute in test)
+    "sim_lsh_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- Text analysis: quality metrics ----------------------------------
+    "text_quality" -> ((s, d) => {
+      TextAnalysis.qualityMetrics(Tables.documents(s, d), "text")
+        .select("doc_id", "n_tokens", "n_distinct_tokens",
+          "type_token_ratio", "avg_token_len", "stopword_ratio")
+        .orderBy("doc_id")
+    }),
+
+    // ---- Text analysis: language-ID confusion matrix ---------------------
+    "text_langid" -> ((s, d) => {
+      TextAnalysis.languageId(Tables.documents(s, d), "text")
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted_lang")
+    }),
+
+    // ---- Text analysis: rolling-hash fingerprint -------------------------
+    "text_fingerprint" -> ((s, d) => {
+      TextAnalysis.fingerprints(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- Multimodal: binary columns + stubbed decode ---------------------
+    "mm_meta" -> ((s, d) => {
+      Multimodal.decodeStub(Multimodal.synthesize(s, Tables.documents(s, d)))
+        .toDF()
+        .select("media_id", "mime", "content_len", "width", "height", "n_frames")
+        .orderBy("media_id")
+    }))
+
+  private val stopList = TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "dedup_fingerprint" ->
+      """SELECT doc_id, sha256(text) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM toks WHERE len(w) >= 3)
+        |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+        |  len(list_intersect(a.g, b.g)) /
+        |    len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.g, b.g)) /
+        |    len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+        |ORDER BY id_1, id_2""".stripMargin,
+
+    "dedup_ngram" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, length(text) - 7),
+        |    i -> text[i : i+7])) AS g
+        |  FROM documents WHERE length(text) >= 8)
+        |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+        |  len(list_intersect(a.g, b.g)) /
+        |    len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.g, b.g)) /
+        |    len(list_distinct(list_concat(a.g, b.g))) >= 0.6
+        |ORDER BY id_1, id_2""".stripMargin,
+
+    "dedup_embcos" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+        |  list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |    AS cosine
+        |FROM e a JOIN e b ON a.vec_id < 100 AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |    >= 0.3
+        |ORDER BY id_1, id_2""".stripMargin,
+
+    "sim_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(qv, e.v) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v)))
+        |      AS score
+        |  FROM q JOIN e ON e.vec_id <> query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, rank, score FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(w) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct_tokens,
+         |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio,
+         |  CAST(length(text) - len(w) + 1 AS DOUBLE) / len(w) AS avg_token_len,
+         |  CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE) / len(w)
+         |    AS stopword_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT lang,
+        |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in'))) AS s_en,
+        |    len(list_filter(w, x -> x IN ('el','la','de','y','que','en'))) AS s_es,
+        |    len(list_filter(w, x -> x IN ('der','die','das','und','zu','ist'))) AS s_de
+        |  FROM t)
+        |SELECT lang,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+        |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted_lang,
+        |  count(*) AS n
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(w, x -> CAST(ascii(x) AS BIGINT) * 131 + length(x))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS mime,
+        |  CAST(64 + doc_id % 128 AS INTEGER) AS content_len,
+        |  CAST(64 + doc_id % 960 AS INTEGER) AS width,
+        |  CAST(64 + doc_id % 540 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30 ELSE 1 END
+        |    AS INTEGER) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin)
 }

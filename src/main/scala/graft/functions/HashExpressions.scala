@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnShim.{column, expression}
+import org.apache.spark.sql.types._
+
+/** Sketch hash functions for near-duplicate detection, as native Catalyst
+  * expressions over token/shingle arrays.
+  *
+  * Hashing strategy: one xxHash64 pass over each element's UTF-8 bytes
+  * (Spark's own `XXH64`), then k cheap splitmix64 finalizer remixes derive
+  * the k MinHash permutations — O(bytes + k) per element instead of
+  * O(k · bytes). Deterministic across JVMs/partitionings by construction.
+  *
+  * North-star extension (dedup); no counterpart in the reference.
+  */
+object SketchHash {
+  final val GOLDEN: Long = -7046029254386353131L // 2^64 / golden ratio
+
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  @inline def mix(z0: Long): Long = {
+    var z = z0 + GOLDEN
+    z = (z ^ (z >>> 30)) * -4658895280553007687L
+    z = (z ^ (z >>> 27)) * -7723592293110705685L
+    z ^ (z >>> 31)
+  }
+
+  @inline def hashUtf8(s: org.apache.spark.unsafe.types.UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+}
+
+/** MinHash signature of an `array<string>` shingle set: for permutation i,
+  * `min over shingles of mix(xxh64(shingle) + i·GOLDEN)`. Empty input yields
+  * a saturated (Long.MaxValue) signature — callers filter empty sets.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val base = SketchHash.hashUtf8(arr.getUTF8String(j), seed)
+        var i = 0
+        var acc = base
+        while (i < numHashes) {
+          val h = SketchHash.mix(acc)
+          if (h < sig(i)) sig(i) = h
+          acc += SketchHash.GOLDEN
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of an `array<string>` token multiset: per-bit vote of each
+  * token's xxh64; bit b of the result is 1 iff the vote sum is positive.
+  */
+case class SimHash64(child: Expression, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = SketchHash.hashUtf8(arr.getUTF8String(j), seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashFunctions {
+  /** Column API: k-permutation MinHash signature of a shingle-set column. */
+  def minhashSignature(shingles: Column, numHashes: Int = 64, seed: Long = 42L): Column =
+    column(MinHashSignature(expression(shingles), numHashes, seed))
+
+  /** Column API: 64-bit SimHash of a token-array column. */
+  def simhash64(tokens: Column, seed: Long = 42L): Column =
+    column(SimHash64(expression(tokens), seed))
+}

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Tokenization / shingling / text-statistics column builders for the
+  * text-analysis and dedup extension surface. All pure built-in Catalyst
+  * expressions (codegen'd, no UDFs); every formula is replicable in ANSI
+  * SQL for the DuckDB oracle.
+  */
+object TextFunctions {
+  private val emptyStrArray = array().cast(ArrayType(StringType))
+
+  /** Whitespace tokenization (fixture texts are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles of a token array; [] when < n tokens.
+    * (The `when` guard matters: Spark's `sequence(1, k)` with k < 1 would
+    * generate a descending sequence, not an empty one.)
+    */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(emptyStrArray)
+
+  /** Distinct character n-gram shingles of a string; [] when shorter than n. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(emptyStrArray)
+
+  /** Exact Jaccard similarity of two set-valued (distinct) array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)) / size(array_union(a, b))
+
+  /** Tokens kept that appear in `vocab` (e.g. a stopword list). */
+  def countIn(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => t.isin(vocab.map(lit): _*)))
+
+  /** Rolling polynomial fingerprint (Karp-Rabin style) over a token array:
+    * left fold of `acc*31 + (ascii(tok)*131 + length(tok))  mod 1e9+7`.
+    * Sequential, integer-exact, replicable via DuckDB `list_reduce`.
+    */
+  def rollingFingerprint(toks: Column): Column = {
+    val MOD = 1000000007L
+    aggregate(
+      toks,
+      lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + (ascii(t).cast(LongType) * lit(131L) + length(t)), lit(MOD)))
+  }
+
+  /** English-ish stopword list used by quality scoring (public knowledge). */
+  val stopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for", "on", "with")
+}

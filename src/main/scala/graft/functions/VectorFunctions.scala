@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnShim.{column, expression}
+import org.apache.spark.sql.types._
+
+/** Vector math over `ArrayType(FloatType|DoubleType)` embedding columns.
+  *
+  * Implemented as native Catalyst expressions with whole-stage codegen
+  * (`doGenCode`) rather than Scala UDFs: the inner loop is a tight primitive
+  * loop over `ArrayData`, no boxing, no serialization. Summation is strictly
+  * sequential in index order so results are bit-deterministic and match a
+  * same-order oracle (DuckDB `list_dot_product` on DOUBLE[]).
+  *
+  * North-star extension surface (similarity search); the reference has no
+  * vector ops — capability added per SURVEY.md §7.2 step 4.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  protected def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @inline protected final def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+}
+
+/** dot(a, b) — sequential double-precision dot product. */
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += elem(a, i, lf) * elem(b, i, rf); i += 1 }
+    dot
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val la = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val ra = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.$la($i) * (double) $b.$ra($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** cosine(a, b) = dot / (sqrt(dot(a,a)) * sqrt(dot(b,b))); null on zero norm. */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = elem(a, i, lf); val y = elem(b, i, rf)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val la = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val ra = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.$la($i);
+         |  double $y = (double) $b.$ra($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorFunctions {
+  /** Column API: sequential-order double dot product of two vector columns. */
+  def dot(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
+  /** Column API: cosine similarity of two vector columns (null on zero norm). */
+  def cosine(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+}

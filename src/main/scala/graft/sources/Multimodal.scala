@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SketchHash
+
+/** Multimodal column support: media as opaque `binary` content plus typed
+  * metadata, with decode / feature-extraction as per-partition imperative
+  * stages over a typed Dataset (genuine per-partition logic — the one place
+  * mapPartitions is the right tool, SURVEY.md §2.9 pref (d)).
+  *
+  * The image/audio codecs are NOT present in this container, so
+  * [[Multimodal.decodeStub]] fakes the decode deterministically — clearly
+  * marked. The Spark-side plumbing is real: binary column synthesis, typed
+  * Encoders, partition-preserving decode, schema of the feature output.
+  */
+object Multimodal {
+
+  /** A media object: opaque bytes + identity. */
+  final case class MediaRecord(media_id: Long, uri: String, mime: String, content: Array[Byte])
+
+  /** Decoded metadata + a content-derived feature. */
+  final case class MediaFeatures(
+      media_id: Long, mime: String, content_len: Int,
+      width: Int, height: Int, n_frames: Int, mean_byte: Double)
+
+  private val mimes = Array("image/jpeg", "audio/wav", "video/mp4")
+
+  /** Deterministic synthetic media table derived from document ids: a
+    * binary `content` column whose bytes come from a splitmix64 stream.
+    * Stands in for `spark.read.format("binaryFile")` over an object store.
+    */
+  def synthesize(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val len = (64 + id % 128).toInt
+      val bytes = new Array[Byte](len)
+      var i = 0
+      while (i < len) {
+        bytes(i) = (SketchHash.mix(id * 131L + i) & 0xff).toByte
+        i += 1
+      }
+      MediaRecord(id, s"media/$id.bin", mimes((id % 3).toInt), bytes)
+    }
+  }
+
+  /** Decode + feature-extract, one partition at a time (batch-amortized the
+    * way a real codec pool would be). STUB: width/height/frame-count are
+    * deterministic functions of the id instead of decoded pixels — the
+    * container has no image/audio libraries; `mean_byte` does touch the
+    * real binary content.
+    */
+  def decodeStub(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // A real implementation would initialize a codec here, once per partition.
+      it.map { r =>
+        var sum = 0L
+        var i = 0
+        while (i < r.content.length) { sum += (r.content(i) & 0xff); i += 1 }
+        MediaFeatures(
+          media_id = r.media_id,
+          mime = r.mime,
+          content_len = r.content.length,
+          width = (64 + r.media_id % 960).toInt,
+          height = (64 + r.media_id % 540).toInt,
+          n_frames = if (r.mime == "video/mp4") (1 + r.media_id % 30).toInt else 1,
+          mean_byte = sum.toDouble / r.content.length)
+      }
+    }
+  }
+}
