@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pipeline
+
+/** Write-side operators (SURVEY.md §2.1 W rows) against Parquet-backed
+  * tables — the file-backed engine's rendition of the reference's Postgres
+  * sinks.
+  */
+object Sinks {
+
+  /** W1/W2 — idempotent keyed append (INSERT … ON CONFLICT DO NOTHING,
+    * reference dags/evidence_images_processing.py:153-179): dedupe the
+    * batch, anti-join against the existing sink's keys, append only new
+    * rows. The sink-side scan is pruned to the key columns by Catalyst;
+    * at 100 TB, bound the sink side further with the incremental-window
+    * predicate (`sinkFilter`), mirroring the reference's 15-day lookback.
+    */
+  def idempotentAppend(
+      spark: SparkSession, batch: DataFrame, path: String, keys: Seq[String],
+      sinkFilter: Option[org.apache.spark.sql.Column] = None): Long = {
+    val exists =
+      try { spark.read.parquet(path); true }
+      catch { case _: Throwable => false }
+    val newRows =
+      if (!exists) batch.dropDuplicates(keys)
+      else {
+        val sink0 = spark.read.parquet(path)
+        val sink = sinkFilter.map(sink0.filter).getOrElse(sink0)
+        Pipeline.idempotentNewRows(batch, sink, keys)
+      }
+    val n = newRows.count()
+    if (n > 0) newRows.write.mode(SaveMode.Append).parquet(path)
+    n
+  }
+
+  /** W3 — keyed UPDATE writeback. Spark has no in-place update: derived
+    * columns are recomputed declaratively and the table rewritten — one
+    * scan + one write instead of the reference's SELECT-all → Python loop →
+    * row-at-a-time executemany UPDATE (dags/evidence_images_processing
+    * .py:230-289).
+    */
+  def overwriteWithDerived(
+      spark: SparkSession, path: String,
+      derive: DataFrame => DataFrame): Unit = {
+    val out = derive(spark.read.parquet(path))
+    // Parquet overwrite of the source path requires materializing first.
+    val tmp = path.stripSuffix("/") + "__rewrite"
+    out.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** Partitioned write — the layout that makes S1-style pruning free for
+    * downstream readers (`year/month/day` paths in the reference's store).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** W6 — table lifecycle DDL against the session catalog. */
+  def createTableIfNotExists(spark: SparkSession, name: String, path: String): Unit =
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $name USING parquet LOCATION '$path'")
+
+  def dropTable(spark: SparkSession, name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+}

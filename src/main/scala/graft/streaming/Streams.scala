@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming renditions of the reference's incremental
+  * semantics (SURVEY.md §2.8): the daily batch + 15-day lookback +
+  * ON CONFLICT dedupe becomes a file-source stream with watermarked
+  * deduplication; the sensor DAGs (S6/S7 polling) become file-source
+  * discovery with `Trigger.AvailableNow`.
+  */
+object Streams {
+
+  /** The events schema as the streaming source sees it (ts read as raw
+    * nanosecond longs — see graft.Tables.events).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos (nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over an events directory; discovery replaces the
+    * reference's blob sensors. `maxFilesPerTrigger` bounds per-batch work.
+    */
+  def eventsStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "events*.parquet")
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Watermarked tumbling-window aggregation per event type. */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("window.start").as("bucket_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Streaming rendition of W1's at-most-once-per-key semantics: keyed
+    * dedupe under a watermark (the reference re-scans 15 days and relies on
+    * ON CONFLICT DO NOTHING; here late duplicates inside the watermark are
+    * dropped in-flight with bounded state).
+    */
+  def dedupeWithWatermark(events: DataFrame, keys: Seq[String],
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keys :+ "ts")
+
+  /** Event-time session windows (30-min gap) per user — the streaming
+    * counterpart of the batch gaps-and-islands `q_sessionize`.
+    */
+  def sessionAggregate(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Drain a streaming DataFrame into an in-memory table synchronously
+    * (AvailableNow — process everything currently discoverable, then stop)
+    * and return the materialized result. Batch-incremental execution, the
+    * exact semantic of the reference's daily scheduled catch-up runs.
+    */
+  def runAvailableNow(spark: SparkSession, stream: DataFrame, name: String,
+                      outputMode: String = "append"): DataFrame = {
+    val q = stream.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("minhash-LSH near-dups equal brute-force exact Jaccard at sf0.001") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val sh = TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3)
+    val lsh = Dedup.minHashNearDups(docs, "doc_id", sh, 0.5,
+        Dedup.LshConfig(numHashes = 64, bandRows = 2))
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+
+    val base = docs.select(col("doc_id").cast("long").as("id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = base.alias("a"); val b = base.alias("b")
+    val brute = a.join(b, col("a.id") < col("b.id"))
+      .withColumn("j", TextFunctions.jaccard(col("a.sh"), col("b.sh")))
+      .filter(col("j") >= 0.5)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+
+    assert(lsh == brute)
+    assert(brute.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
+  test("simhash pigeonhole banding finds all pairs within maxDist (vs brute)") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val toks = TextFunctions.tokens(col("text"))
+    val viaLsh = Dedup.simHashNearDups(docs, "doc_id", toks, maxDist = 3)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    val sigs = docs.select(col("doc_id").cast("long"),
+        graft.functions.HashFunctions.simhash64(toks))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (i, si) <- sigs; (j, sj) <- sigs
+      if i < j && java.lang.Long.bitCount(si ^ sj) <= 3
+    } yield (i, j)).toSet
+    assert(viaLsh == brute)
+  }
+
+  test("embedding near-dups: every reported pair verifies above threshold") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      col("vec_id") < 50, 0.25)
+    val bad = pairs.filter(col("cosine") < 0.25).count()
+    assert(bad == 0)
+    assert(pairs.count() > 0)
+  }
+
+  test("LSH ANN top-k achieves reasonable recall vs brute force") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5,
+        numPlanes = 16, maxBitDiff = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("brute-force top-k ranks by true cosine, ties broken by id") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter(col("vec_id") === 0)
+    val got = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    // manual
+    val rows = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val qv = rows.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val manual = rows.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(qv, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+    assert(got.toSeq == manual.toSeq)
+  }
+}

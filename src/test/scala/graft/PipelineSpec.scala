@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pipeline
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("P1 keep-list projection is case-insensitive and keeps source casing") {
+    val df = Seq((1, "x", 2.0)).toDF("Alpha", "BETA", "gamma")
+    val out = Pipeline.keepColumns(df, Seq("ALPHA", "Gamma", "missing"))
+    assert(out.columns.toSeq == Seq("Alpha", "gamma"))
+  }
+
+  test("P2 non-empty filter drops '' but keeps nulls (pandas semantics)") {
+    val df = Seq(Some("a"), Some(""), None).toDF("c")
+    val out = Pipeline.filterNonEmpty(df, "c").collect().map(_.getAs[String]("c"))
+    assert(out.toSet == Set("a", null))
+  }
+
+  test("F3 bool-string normalization replaces exactly 'True'/'False'") {
+    val df = Seq(("True", "x"), ("False", "True-ish"), ("other", "False"))
+      .toDF("a", "b")
+    val rows = Pipeline.normalizeBoolStrings(df).as[(String, String)].collect().toSet
+    assert(rows == Set(("1", "x"), ("0", "True-ish"), ("other", "0")))
+  }
+
+  test("U1 union-by-name fills drifted columns with null and keeps dups") {
+    val f1 = Seq((1, "a")).toDF("id", "name")
+    val f2 = Seq((1, 5.0)).toDF("id", "score")
+    val out = Pipeline.unionAll(Seq(f1, f2, f1))
+    assert(out.count() == 3)
+    assert(out.columns.toSet == Set("id", "name", "score"))
+    assert(out.filter(col("score").isNull).count() == 2)
+  }
+
+  test("U1 empty-input union requires explicit schema (documented)") {
+    intercept[IllegalArgumentException](Pipeline.unionAll(Seq.empty))
+  }
+
+  test("W1 idempotency law: applying the load twice equals once") {
+    val existing = Seq((1L, 1L, "old")).toDF("k1", "k2", "v")
+    val batch = Seq((1L, 1L, "dup"), (2L, 1L, "new"), (2L, 1L, "batchdup"))
+      .toDF("k1", "k2", "v")
+    val once = Pipeline.idempotentNewRows(batch, existing, Seq("k1", "k2"))
+    assert(once.count() == 1)
+    assert(once.select("k1").as[Long].head() == 2L)
+    // second application against the grown sink adds nothing
+    val sink2 = existing.select("k1", "k2").union(once.select("k1", "k2"))
+    val twice = Pipeline.idempotentNewRows(batch, sink2, Seq("k1", "k2"))
+    assert(twice.count() == 0)
+  }
+
+  test("W4 merge upsert: matched rows update, unmatched insert, rest keep") {
+    val target = Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("k", "name", "bal")
+    val source = Seq((2, 99.0), (3, 30.0)).toDF("k", "bal")
+    val out = Pipeline.mergeUpsert(target, source, Seq("k"), Seq("name", "bal"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getInt(0), r.getAs[Any]("name"), r.getDouble(2))).toSeq ==
+      Seq((1, "a", 10.0), (2, "b", 99.0), (3, null, 30.0)))
+  }
+
+  test("F1 split yields 1-element array when no delimiter (reference exact)") {
+    val df = Seq("a,b", "solo").toDF("s")
+    val out = df.select(Pipeline.splitPacked(col("s")).as("arr"))
+      .as[Seq[String]].collect().toSet
+    assert(out == Set(Seq("a", "b"), Seq("solo")))
+  }
+
+  test("F2 per-element URL qualification via transform HOF") {
+    val df = Seq((Seq("x.jpg", "y.jpg"), "http://b/")).toDF("names", "base")
+    val out = df.select(Pipeline.qualifyUrls(col("names"), col("base")).as("u"))
+      .as[Seq[String]].head()
+    assert(out == Seq("http://b/x.jpg", "http://b/y.jpg"))
+  }
+
+  test("F1/F2 round-trip property: concat_ws o split is identity") {
+    val strings = Seq("a", "a,b", "a,b,c", "x.png", "one,two,three,four")
+    val df = strings.toDF("s")
+      .select(col("s"), concat_ws(",", Pipeline.splitPacked(col("s"))).as("rt"))
+    assert(df.filter(col("s") =!= col("rt")).count() == 0)
+  }
+}

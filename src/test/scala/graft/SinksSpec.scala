@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{IncrementalSource, Multimodal, Sinks}
+
+class SinksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("W1 idempotent append: re-running the same batch appends nothing") {
+    val dir = Files.createTempDirectory("graft-sink").toString + "/t"
+    val batch = Seq((1L, "a"), (2L, "b"), (2L, "b-dup")).toDF("k", "v")
+    val n1 = Sinks.idempotentAppend(spark, batch, dir, Seq("k"))
+    assert(n1 == 2) // in-batch dedupe on key
+    val n2 = Sinks.idempotentAppend(spark, batch, dir, Seq("k"))
+    assert(n2 == 0)
+    val n3 = Sinks.idempotentAppend(spark,
+      Seq((3L, "c")).toDF("k", "v"), dir, Seq("k"))
+    assert(n3 == 1)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("W3 overwrite-with-derived rewrites the table with new columns") {
+    val dir = Files.createTempDirectory("graft-sink").toString + "/t"
+    Seq(("a,b", 1), ("c", 2)).toDF("names", "id")
+      .write.parquet(dir)
+    Sinks.overwriteWithDerived(spark, dir,
+      df => df.withColumn("split", split(col("names"), ",")))
+    val out = spark.read.parquet(dir)
+    assert(out.columns.toSet == Set("names", "id", "split"))
+    assert(out.filter(col("id") === 1).select("split").as[Seq[String]].head()
+      == Seq("a", "b"))
+  }
+
+  test("partitioned write produces prunable layout") {
+    val dir = Files.createTempDirectory("graft-sink").toString + "/t"
+    val df = Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("day", "v")
+    Sinks.writePartitioned(df, dir, Seq("day"))
+    assert(new java.io.File(dir, "day=2024-01-01").exists())
+    val pruned = spark.read.parquet(dir).filter(col("day") === "2024-01-01")
+    assert(pruned.count() == 1)
+  }
+
+  test("fan-out union tags lineage and aligns drifted schemas") {
+    val p1 = Files.createTempDirectory("graft-src").toString + "/a"
+    val p2 = Files.createTempDirectory("graft-src").toString + "/b"
+    Seq((1, "x")).toDF("id", "name").write.parquet(p1)
+    Seq((2, 5.0)).toDF("id", "score").write.parquet(p2)
+    val out = IncrementalSource.fanOutUnion(spark,
+      Seq("uk" -> p1, "de" -> p2), p => spark.read.parquet(p))
+    assert(out.columns.toSet == Set("id", "name", "score", "country_code"))
+    assert(out.count() == 2)
+    assert(out.filter(col("country_code") === "de").select("id").as[Int].head() == 2)
+  }
+
+  test("multimodal decode stub: mean_byte derives from the real binary bytes") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(20)
+    val media = Multimodal.synthesize(spark, docs)
+    val feats = Multimodal.decodeStub(media).collect()
+    val raw = media.collect().map(r => r.media_id -> r.content).toMap
+    feats.foreach { f =>
+      val bytes = raw(f.media_id)
+      assert(f.content_len == bytes.length)
+      val mean = bytes.map(_ & 0xff).sum.toDouble / bytes.length
+      assert(math.abs(f.mean_byte - mean) < 1e-12)
+    }
+    assert(feats.length == 20)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("minhash signature is deterministic and length-k") {
+    val df = Seq(Seq("a b c", "b c d"), Seq("a b c", "b c d")).toDF("sh")
+    val sigs = df.select(HashFunctions.minhashSignature(col("sh"), 32).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0).length == 32)
+  }
+
+  test("minhash estimates Jaccard within statistical error") {
+    // identical sets -> estimate 1; disjoint sets -> estimate ~0
+    val a = (1 to 50).map(i => s"tok$i")
+    val b = (26 to 75).map(i => s"tok$i") // true jaccard = 25/75 = 1/3
+    val df = Seq((a, b)).toDF("a", "b")
+      .select(HashFunctions.minhashSignature(col("a"), 256).as("sa"),
+        HashFunctions.minhashSignature(col("b"), 256).as("sb"))
+    val Array((sa, sb)) = df.as[(Seq[Long], Seq[Long])].collect()
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.length
+    assert(math.abs(est - 1.0 / 3.0) < 0.12, s"estimate $est too far from 1/3")
+  }
+
+  test("simhash: near-identical token sets are closer than disjoint ones") {
+    val base = (1 to 100).map(i => s"w$i")
+    val near = base.drop(2) ++ Seq("x1", "x2")
+    val far = (1 to 100).map(i => s"z$i")
+    val df = Seq((base, near, far)).toDF("a", "b", "c")
+      .select(HashFunctions.simhash64(col("a")).as("ha"),
+        HashFunctions.simhash64(col("b")).as("hb"),
+        HashFunctions.simhash64(col("c")).as("hc"))
+    val Array((ha, hb, hc)) = df.as[(Long, Long, Long)].collect()
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(ha, hb) < ham(ha, hc))
+  }
+
+  test("cosine expression matches manual computation and handles zero norm") {
+    val df = Seq(
+      (Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 0.0f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+    val out = df.collect().map(r => Option(r.get(0)))
+    assert(math.abs(out(0).get.asInstanceOf[Double] - 0.5) < 1e-15)
+    assert(out(1).isEmpty)
+  }
+
+  test("dot/cosine codegen path agrees with interpreted eval") {
+    val vecs = Tables.embeddings(spark, TestSpark.sf).limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val a = vecs.alias("a"); val b = vecs.alias("b")
+    val joined = a.join(b, col("a.vec_id") < col("b.vec_id"))
+    val viaExpr = joined
+      .select(VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .agg(sum("c")).as[Double].head()
+    val rows = vecs.as[(Long, Array[Float])].collect()
+    var manual = 0.0
+    for {
+      (i, va) <- rows; (j, vb) <- rows if i < j
+    } {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var k = 0
+      while (k < va.length) {
+        val x = va(k).toDouble; val y = vb(k).toDouble
+        dot += x * y; na += x * x; nb += y * y; k += 1
+      }
+      manual += dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    assert(math.abs(viaExpr - manual) < 1e-9)
+  }
+
+  test("rolling fingerprint: property — equal token lists iff equal fp (on sample)") {
+    val gen = Gen.listOfN(8, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+    val samples = (0 until 30).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).map(_.mkString(" ")))
+    val df = samples.toDF("t").select(col("t"),
+      TextFunctions.rollingFingerprint(TextFunctions.tokens(col("t"))).as("fp"))
+    val rows = df.as[(String, Long)].collect()
+    for ((a, fa) <- rows; (b, fb) <- rows) {
+      if (a == b) assert(fa == fb)
+      else assert(fa != fb, s"collision between '$a' and '$b'")
+    }
+  }
+
+  test("word shingles: fewer tokens than n yields empty array, not garbage") {
+    val df = Seq("one two", "one two three four").toDF("t")
+      .select(TextFunctions.wordShingles(TextFunctions.tokens(col("t")), 3).as("sh"))
+    val out = df.as[Seq[String]].collect()
+    assert(out(0).isEmpty)
+    assert(out(1) == Seq("one two three", "two three four"))
+  }
+}
