@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{ShingleFunctions, TextFunctions}
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.sources.Multimodal
 
@@ -33,7 +33,7 @@ object ExtensionQueries {
     "dedup_minhash" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.minHashNearDups(docs, "doc_id",
-        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3),
+        ShingleFunctions.wordShingleHashes(TextFunctions.tokens(col("text")), 3),
         threshold = 0.5, Dedup.LshConfig(numHashes = 64, bandRows = 2))
         .orderBy("id_1", "id_2")
     }),
@@ -42,7 +42,7 @@ object ExtensionQueries {
     "dedup_ngram" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.minHashNearDups(docs, "doc_id",
-        TextFunctions.charShingles(col("text"), 8),
+        ShingleFunctions.charShingleHashes(col("text"), 8),
         threshold = 0.6, Dedup.LshConfig(numHashes = 64, bandRows = 4))
         .orderBy("id_1", "id_2")
     }),

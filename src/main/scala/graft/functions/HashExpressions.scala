@@ -41,6 +41,12 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   require(numHashes > 0)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  /** Accepts `array<string>` (hashes the bytes) or `array<long>`
+    * (pre-hashed shingles from [[ShingleHashes]] — just remixed).
+    */
+  private lazy val elemIsLong =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val sig = new Array[Long](numHashes)
@@ -49,7 +55,9 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
-        val base = SketchHash.hashUtf8(arr.getUTF8String(j), seed)
+        val base =
+          if (elemIsLong) SketchHash.mix(arr.getLong(j) ^ seed)
+          else SketchHash.hashUtf8(arr.getUTF8String(j), seed)
         var i = 0
         var acc = base
         while (i < numHashes) {

@@ -29,6 +29,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture should contain near-dup pairs")
   }
 
+  test("hashed-shingle fast path finds the same pairs as string shingles") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val viaStrings = Dedup.minHashNearDups(docs, "doc_id",
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3), 0.5,
+        Dedup.LshConfig(numHashes = 64, bandRows = 2))
+      .select("id_1", "id_2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val viaHashes = Dedup.minHashNearDups(docs, "doc_id",
+        graft.functions.ShingleFunctions.wordShingleHashes(
+          TextFunctions.tokens(col("text")), 3), 0.5,
+        Dedup.LshConfig(numHashes = 64, bandRows = 2))
+      .select("id_1", "id_2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(viaStrings == viaHashes)
+  }
+
   test("simhash pigeonhole banding finds all pairs within maxDist (vs brute)") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val toks = TextFunctions.tokens(col("text"))
