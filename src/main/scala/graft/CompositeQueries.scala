@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Pipeline
+
+/** Remaining SURVEY.md §2 scalar-function rows (F10/F12/F13, J5, cube,
+  * sketch aggregates) and the composite flagship pipeline — the reference's
+  * entire DAG `1_process_evidence_images` as ONE logical plan.
+  */
+object CompositeQueries {
+  private val D = DecimalType(18, 2)
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(D)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- F10 + F12 + F13: timestamp formatting, prefix extraction,
+    //      path basename cleanup ----------------------------------------
+    "f10_f13_strings" -> ((s, d) => {
+      val path = concat(lit("V2/Data/"), col("event_type"), lit("/"),
+        col("event_id").cast(StringType), lit(":f.parquet"))
+      Tables.events(s, d).select(
+        col("event_id"),
+        date_format(col("ts"), "HH:mm:ss").as("event_time"),
+        to_date(col("ts")).as("event_day"),
+        lower(substring(col("event_type"), 1, 3)).as("type_code"),
+        regexp_replace(element_at(split(path, "/"), -1), ":", "").as("basename"))
+        .orderBy("event_id")
+    }),
+
+    // ---- J5: reverse-lookup join against a tiny config map --------------
+    "j5_config_lookup" -> ((s, d) => {
+      import s.implicits._
+      val cfg = Seq(
+        ("BUILDING", "b2b"), ("MACHINERY", "industrial"),
+        ("AUTOMOBILE", "consumer"), ("FURNITURE", "consumer"),
+        ("HOUSEHOLD", "consumer")).toDF("c_mktsegment", "channel")
+      Tables.customer(s, d)
+        .join(broadcast(cfg), Seq("c_mktsegment"), "left")
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+        .orderBy("channel")
+    }),
+
+    // ---- CUBE over two dimensions ----------------------------------------
+    "q_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total_price"))
+        .orderBy("status", "priority")
+    }),
+
+    // ---- Sketch aggregate: HLL approx distinct (rows-only: HLL impls
+    //      differ across engines; accuracy asserted in ScalaTest) ---------
+    "q_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- The reference's flagship DAG as one plan ------------------------
+    // Trace (reference dags/evidence_images_processing.py:298-425):
+    // 20-way fan-out scan → U1 concat → P1 keep-list → F3 dtype normalize →
+    // P2 row filter → W1 idempotent load → F1 split + F2 URL writebacks.
+    // Here: 3 drifting per-"country" frames → unionByName → keepColumns →
+    // normalizeBoolStrings → filterNonEmpty → anti-join vs sink state →
+    // split/transform/element_at derivations — one DataFrame program, no
+    // intermediate materialization (the reference XCom-pickles every step).
+    "pipeline_evidence" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val f1 = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .withColumn("country_code", lit("uk"))
+      val f2 = c.filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey"), col("c_name"))
+        .withColumn("country_code", lit("de"))
+      val f3 = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("country_code", lit("fr"))
+
+      val unioned = Pipeline.unionAll(Seq(f1, f2, f3))
+      val kept = Pipeline.keepColumns(unioned,
+        Seq("C_CUSTKEY", "c_name", "C_AcctBal", "country_code"))
+      val flagged = kept
+        .withColumn("flag",
+          when(col("c_acctbal") > 2500, "True")
+            .when(col("c_acctbal").isNull, lit(null).cast(StringType))
+            .otherwise("False"))
+        .withColumn("name_clean",
+          when(col("c_custkey") % 97 === 0, "").otherwise(col("c_name")))
+      val normalized = Pipeline.normalizeBoolStrings(flagged)
+      val filtered = Pipeline.filterNonEmpty(normalized, "name_clean")
+
+      val sinkKeys = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey"))
+      val fresh = filtered.join(sinkKeys, Seq("c_custkey"), "left_anti")
+
+      val parts = split(col("name_clean"), "#")
+      fresh.select(
+        col("country_code"), col("c_custkey"),
+        element_at(parts, 2).as("name_id"),
+        col("flag"),
+        concat(lit("http://img.example.com/"), element_at(parts, 1)).as("first_url"))
+        .orderBy("c_custkey", "country_code")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "f10_f13_strings" ->
+      """SELECT event_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') AS event_time,
+        |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_day,
+        |  lower(substr(event_type, 1, 3)) AS type_code,
+        |  replace(string_split('V2/Data/' || event_type || '/' ||
+        |    CAST(event_id AS VARCHAR) || ':f.parquet', '/')[-1], ':', '')
+        |    AS basename
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "j5_config_lookup" ->
+      """WITH cfg(c_mktsegment, channel) AS (VALUES
+        |  ('BUILDING','b2b'), ('MACHINERY','industrial'),
+        |  ('AUTOMOBILE','consumer'), ('FURNITURE','consumer'),
+        |  ('HOUSEHOLD','consumer'))
+        |SELECT channel, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer LEFT JOIN cfg USING (c_mktsegment)
+        |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "pipeline_evidence" ->
+      """WITH unioned AS (
+        |  SELECT c_custkey, c_name, c_acctbal, 'uk' AS country_code
+        |    FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, NULL AS c_acctbal, 'de' AS country_code
+        |    FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |  UNION ALL
+        |  SELECT c_custkey, NULL AS c_name, c_acctbal, 'fr' AS country_code
+        |    FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+        |flagged AS (
+        |  SELECT *,
+        |    CASE WHEN c_acctbal > 2500 THEN '1'
+        |         WHEN c_acctbal IS NULL THEN NULL ELSE '0' END AS flag,
+        |    CASE WHEN c_custkey % 97 = 0 THEN '' ELSE c_name END AS name_clean
+        |  FROM unioned),
+        |filtered AS (
+        |  SELECT * FROM flagged WHERE name_clean <> '' OR name_clean IS NULL),
+        |fresh AS (
+        |  SELECT * FROM filtered f WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = f.c_custkey AND o.o_orderstatus = 'F'))
+        |SELECT country_code, c_custkey,
+        |  string_split(name_clean, '#')[2] AS name_id,
+        |  flag,
+        |  'http://img.example.com/' || string_split(name_clean, '#')[1]
+        |    AS first_url
+        |FROM fresh ORDER BY c_custkey, country_code""".stripMargin)
+}

@@ -30,10 +30,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all ++ EventQueries.all ++ ExtensionQueries.all
+    CoreQueries.all ++ EventQueries.all ++ ExtensionQueries.all ++
+      CompositeQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ EventQueries.oracle ++ ExtensionQueries.oracle
+    CoreQueries.oracle ++ EventQueries.oracle ++ ExtensionQueries.oracle ++
+      CompositeQueries.oracle
 }
