@@ -77,6 +77,14 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Similarity: IVF coarse-quantizer ANN (rows-only) ----------------
+    "sim_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- Text analysis: quality metrics ----------------------------------
     "text_quality" -> ((s, d) => {
       TextAnalysis.qualityMetrics(Tables.documents(s, d), "text")

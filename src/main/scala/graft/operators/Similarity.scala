@@ -52,6 +52,55 @@ object Similarity {
       when(VectorFunctions.dot(vec, lit(p)) > 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+    * their nearest centroid (coarse quantizer); each query probes only the
+    * `nprobe` closest centroid cells and exact-reranks inside them. The
+    * assignment is a narrow projection; the probe is an equi-join on
+    * centroid id — a hash-partitioned join at scale, scanning nprobe/nlist
+    * of the corpus per query instead of all of it.
+    *
+    * Centroids here are the first `nlist` corpus vectors by id —
+    * deterministic "sampled" centroids (a k-means refinement would slot in
+    * without changing the plan shape).
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents: Array[(Int, Array[Float])] = corpus
+      .orderBy(col(idCol).asc).limit(nlist)
+      .select(col(vecCol)).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+
+    def cellScores(vec: Column): Column =
+      array(cents.map { case (i, cv) =>
+        struct(VectorFunctions.cosine(vec, typedlit(cv)).as("s"), lit(i).as("cell"))
+      }.toIndexedSeq: _*)
+
+    // corpus side: nearest cell = argmax cosine over centroids
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", array_max(cellScores(col("cv"))).getField("cell"))
+
+    // query side: top-nprobe cells, exploded to (query, cell) probes
+    val probes = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cells",
+        slice(reverse(array_sort(cellScores(col("qv")))), 1, nprobe))
+      .select(col("query_id"), col("qv"),
+        explode(col("cells").getField("cell")).as("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    broadcast(probes)
+      .join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
   /** Approximate top-k: candidates = corpus vectors agreeing with the query
     * signature on ≥ (numPlanes − maxBitDiff) sign bits, exact-reranked by
     * cosine. Bucket-equality (maxBitDiff = 0) makes the join a pure

@@ -79,6 +79,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("IVF ANN top-k achieves reasonable recall vs brute force") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall too low")
+  }
+
+  test("SQL registration: custom expressions callable from spark.sql") {
+    graft.plans.GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |  simhash64(array('a','b')) AS h,
+        |  size(minhash_signature(array('a','b'), 16)) AS k,
+        |  size(word_shingle_hashes(array('a','b','c'), 2)) AS ws,
+        |  size(char_shingle_hashes('abcdef', 3)) AS cs
+        |""".stripMargin).head()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-15)
+    assert(row.getInt(2) == 16)
+    assert(row.getInt(3) == 2)
+    assert(row.getInt(4) == 4)
+  }
+
   test("brute-force top-k ranks by true cosine, ties broken by id") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.filter(col("vec_id") === 0)
