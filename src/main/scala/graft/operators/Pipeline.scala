@@ -70,6 +70,33 @@ object Pipeline {
       .dropDuplicates(keys)
       .join(existing.select(keys.map(col).toIndexedSeq: _*), keys, "left_anti")
 
+  /** W2's error surface as a validation operator: the reference *catches*
+    * STRING_DATA_RIGHT_TRUNCATION from Postgres after the fact
+    * (dags/evidence_images_processing.py:221-228); here over-length values
+    * are reported *before* any write. Returns offending (column, length)
+    * rows; empty result ⇒ safe to load.
+    */
+  def truncationViolations(df: DataFrame, limits: Map[String, Int]): DataFrame = {
+    require(limits.nonEmpty, "no length limits given")
+    val checks = limits.toSeq.map { case (c, n) =>
+      df.filter(length(col(c)) > n)
+        .select(lit(c).as("column"), col(c).cast(StringType).as("value"),
+          length(col(c)).as("length"), lit(n).as("limit"))
+    }
+    checks.reduce(_.union(_))
+  }
+
+  /** U1 with the empty-input edge handled: zero frames yield an empty
+    * DataFrame with the given explicit schema (the reference returns a
+    * schemaless empty frame — SURVEY.md §7.4).
+    */
+  def unionAllOrEmpty(spark: org.apache.spark.sql.SparkSession,
+                      dfs: Seq[DataFrame],
+                      schema: StructType): DataFrame =
+    if (dfs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else unionAll(dfs)
+
   /** W4 — MERGE upsert (matched → update, not matched → insert) as a
     * full-outer join + coalesce, keyed. Reference MERGE:
     * dags/learn/postgres_op.py:46-58. `updateCols` are the non-key columns

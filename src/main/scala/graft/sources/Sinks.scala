@@ -64,6 +64,18 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Bucketed + sorted table write: co-locates join keys so equi-joins
+    * between tables bucketed the same way need NO shuffle exchange — the
+    * 100 TB answer to repeated fact⋈fact joins on the same key.
+    */
+  def writeBucketed(df: DataFrame, table: String,
+                    bucketCols: Seq[String], numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** W6 — table lifecycle DDL against the session catalog. */
   def createTableIfNotExists(spark: SparkSession, name: String, path: String): Unit =
     spark.sql(

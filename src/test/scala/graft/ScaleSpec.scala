@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Pipeline, Skew}
+import graft.sources.Sinks
+
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted join equals plain join exactly") {
+    val li = Tables.lineitem(spark, TestSpark.sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val o = Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, Seq("l_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(li, o, Seq("l_orderkey"), factor = 4)
+      .select("l_orderkey", "l_linenumber", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("key skew profile surfaces the heaviest keys") {
+    val prof = Skew.keySkewProfile(
+      Tables.lineitem(spark, TestSpark.sf), Seq("l_returnflag"), 3)
+      .collect()
+    assert(prof.length == 3)
+    assert(prof.map(_.getAs[Double]("share")).sum > 0.9) // 3 flags dominate
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    Sinks.dropTable(spark, "b_orders"); Sinks.dropTable(spark, "b_lineitem")
+    Sinks.writeBucketed(Tables.orders(spark, TestSpark.sf)
+      .select("o_orderkey", "o_totalprice"), "b_orders", Seq("o_orderkey"), 4)
+    Sinks.writeBucketed(Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "b_lineitem", Seq("o_orderkey"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path so bucketing (not broadcast) is what
+      // eliminates the exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, TestSpark.sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    Sinks.dropTable(spark, "b_orders"); Sinks.dropTable(spark, "b_lineitem")
+  }
+
+  test("W2 truncation guard reports over-length values before write") {
+    val df = Seq(("ok", "shortish"), ("too-long-value-here", "x"))
+      .toDF("a", "b")
+    val bad = Pipeline.truncationViolations(df, Map("a" -> 10, "b" -> 50))
+      .collect()
+    assert(bad.length == 1)
+    assert(bad.head.getAs[String]("column") == "a")
+    assert(bad.head.getAs[Int]("length") > 10)
+  }
+
+  test("empty-input union yields typed empty frame with explicit schema") {
+    val schema = Tables.customer(spark, TestSpark.sf).schema
+    val out = Pipeline.unionAllOrEmpty(spark, Seq.empty, schema)
+    assert(out.count() == 0)
+    assert(out.schema == schema)
+  }
+}
