@@ -47,6 +47,16 @@ object ExtensionQueries {
         .orderBy("id_1", "id_2")
     }),
 
+    // ---- Dedup: canonical assignment over near-dup clusters --------------
+    "dedup_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashNearDups(docs, "doc_id",
+        ShingleFunctions.wordShingleHashes(TextFunctions.tokens(col("text")), 3),
+        threshold = 0.5, Dedup.LshConfig(numHashes = 64, bandRows = 2))
+      Dedup.canonicalAssignments(pairs)
+        .orderBy("id")
+    }),
+
     // ---- Dedup: SimHash (rows-only; hash not SQL-replicable) -------------
     "dedup_simhash" -> ((s, d) => {
       Dedup.simHashNearDups(Tables.documents(s, d), "doc_id",
@@ -155,6 +165,28 @@ object ExtensionQueries {
         |WHERE len(list_intersect(a.g, b.g)) /
         |    len(list_distinct(list_concat(a.g, b.g))) >= 0.6
         |ORDER BY id_1, id_2""".stripMargin,
+
+    "dedup_canonical" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM toks WHERE len(w) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.g, b.g)) /
+        |      len(list_distinct(list_concat(a.g, b.g))) >= 0.5),
+        |e AS (
+        |  SELECT id_1 AS s, id_2 AS t FROM p
+        |  UNION SELECT id_2, id_1 FROM p),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM e UNION SELECT s, s FROM e
+        |  UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
+        |SELECT s AS id, min(t) AS canonical_id FROM reach
+        |GROUP BY s ORDER BY id""".stripMargin,
 
     "dedup_embcos" ->
       """WITH e AS (

@@ -88,6 +88,49 @@ object Dedup {
       .select(col("id_1"), col("id_2"), col("jaccard"))
   }
 
+  /** Resolve near-dup pairs into canonical-document assignments: every doc
+    * in a duplicate cluster maps to the cluster's minimum id (connected
+    * components by iterative min-label propagation over the pair edges).
+    * Returns (id, canonical_id) for every id appearing in `pairs`;
+    * `keepCorpus(df, ...)` then drops non-canonical rows.
+    *
+    * Each iteration is one shuffle (groupBy id over the edge list);
+    * label propagation converges in O(log(longest chain)) iterations —
+    * duplicate clusters are near-cliques in practice, so `maxIters = 5`
+    * covers everything real. A non-converged residue (possible only for
+    * chains longer than 2^maxIters) still yields a valid, deterministic
+    * partition refinement — safe, just less aggressive.
+    */
+  def canonicalAssignments(pairs: DataFrame, maxIters: Int = 5): DataFrame = {
+    // undirected edge list, including self-loops so isolated members keep
+    // themselves as candidates
+    val edges = pairs.select(col("id_1").as("src"), col("id_2").as("dst"))
+      .union(pairs.select(col("id_2").as("src"), col("id_1").as("dst")))
+    var labels = edges.select(col("src").as("id"), col("src").as("label"))
+      .union(edges.select(col("src").as("id"), col("dst").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
+    var i = 1
+    while (i < maxIters) {
+      // pull each neighbor's current label, keep the minimum
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+      labels = labels.union(neighborLabels)
+        .groupBy("id").agg(min("label").as("label"))
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("canonical_id"))
+  }
+
+  /** Drop non-canonical near-duplicates from a corpus given pair output. */
+  def keepCorpus(df: DataFrame, idCol: String, pairs: DataFrame,
+                 maxIters: Int = 5): DataFrame = {
+    val drop = canonicalAssignments(pairs, maxIters)
+      .filter(col("id") =!= col("canonical_id"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Near-duplicate pairs by 64-bit SimHash with Hamming distance ≤ maxDist.
     * Candidate generation by the pigeonhole principle: the 64 bits split
     * into `maxDist + 1` chunks, so any pair within distance maxDist shares

@@ -58,6 +58,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(viaLsh == brute)
   }
 
+  test("canonical assignments resolve transitive chains to the minimum id") {
+    // chain 1-2, 2-3, 3-4 plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_1", "id_2")
+    val got = Dedup.canonicalAssignments(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("keepCorpus drops exactly the non-canonical near-dups") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val pairs = Dedup.minHashNearDups(docs, "doc_id",
+      graft.functions.ShingleFunctions.wordShingleHashes(
+        TextFunctions.tokens(col("text")), 3), 0.5,
+      Dedup.LshConfig(numHashes = 64, bandRows = 2))
+    val kept = Dedup.keepCorpus(docs, "doc_id", pairs)
+    val assigns = Dedup.canonicalAssignments(pairs)
+      .filter(col("id") =!= col("canonical_id")).count()
+    assert(kept.count() == docs.count() - assigns)
+    assert(assigns > 0)
+  }
+
   test("embedding near-dups: every reported pair verifies above threshold") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
