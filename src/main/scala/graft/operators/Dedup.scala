@@ -102,13 +102,17 @@ object Dedup {
     * partition refinement — safe, just less aggressive.
     */
   def canonicalAssignments(pairs: DataFrame, maxIters: Int = 5): DataFrame = {
-    // undirected edge list, including self-loops so isolated members keep
-    // themselves as candidates
+    // Materialize the edge list once (it is tiny relative to the corpus —
+    // one row per near-dup pair) and truncate lineage per iteration:
+    // without this every propagation round re-executes the full upstream
+    // candidate-generation pipeline and the plan doubles per iteration.
     val edges = pairs.select(col("id_1").as("src"), col("id_2").as("dst"))
       .union(pairs.select(col("id_2").as("src"), col("id_1").as("dst")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id"), col("src").as("label"))
       .union(edges.select(col("src").as("id"), col("dst").as("label")))
       .groupBy("id").agg(min("label").as("label"))
+      .localCheckpoint(true)
     var i = 1
     while (i < maxIters) {
       // pull each neighbor's current label, keep the minimum
@@ -117,6 +121,7 @@ object Dedup {
         .select(col("src").as("id"), col("label"))
       labels = labels.union(neighborLabels)
         .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
       i += 1
     }
     labels.select(col("id"), col("label").as("canonical_id"))
