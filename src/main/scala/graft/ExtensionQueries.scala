@@ -191,11 +191,12 @@ object ExtensionQueries {
     "dedup_embcos" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+        |SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_1,
+        |  greatest(a.vec_id, b.vec_id) AS id_2,
         |  list_dot_product(a.v, b.v) /
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
         |    AS cosine
-        |FROM e a JOIN e b ON a.vec_id < 100 AND a.vec_id < b.vec_id
+        |FROM e a JOIN e b ON a.vec_id < 100 AND a.vec_id <> b.vec_id
         |WHERE list_dot_product(a.v, b.v) /
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
         |    >= 0.3

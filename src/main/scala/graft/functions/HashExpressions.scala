@@ -1,11 +1,25 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim.{column, expression}
 import org.apache.spark.sql.types._
+
+/** Shared input validation for token/shingle-array expressions. */
+trait ArrayOfStringsInput { self: UnaryExpression =>
+  protected def allowLongElements: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) if allowLongElements => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>" +
+        (if (allowLongElements) " or array<bigint>" else "") +
+        s" input, got ${other.simpleString}")
+  }
+}
 
 /** Sketch hash functions for near-duplicate detection, as native Catalyst
   * expressions over token/shingle arrays.
@@ -37,8 +51,9 @@ object SketchHash {
   * a saturated (Long.MaxValue) signature — callers filter empty sets.
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ArrayOfStringsInput with CodegenFallback {
   require(numHashes > 0)
+  override protected def allowLongElements: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   /** Accepts `array<string>` (hashes the bytes) or `array<long>`
@@ -79,7 +94,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   * token's xxh64; bit b of the result is 1 iff the vote sum is positive.
   */
 case class SimHash64(child: Expression, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ArrayOfStringsInput with CodegenFallback {
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {

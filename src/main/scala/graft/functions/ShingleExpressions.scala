@@ -34,7 +34,7 @@ object ShingleUtil {
 
 /** Word n-gram shingle hashes of an `array<string>` token column. */
 case class ShingleHashes(child: Expression, n: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ArrayOfStringsInput with CodegenFallback {
   require(n > 0)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -43,19 +43,24 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
     val count = toks.numElements() - n + 1
     if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
     val buf = new Array[Long](count)
+    var out = 0
     var i = 0
     while (i < count) {
       var h = seed
       var j = i
-      while (j < i + n) {
-        val t = toks.getUTF8String(j)
-        h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, h)
+      var valid = true
+      while (valid && j < i + n) {
+        if (toks.isNullAt(j)) valid = false
+        else {
+          val t = toks.getUTF8String(j)
+          h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, h)
+        }
         j += 1
       }
-      buf(i) = h
+      if (valid) { buf(out) = h; out += 1 } // windows touching nulls are skipped
       i += 1
     }
-    ShingleUtil.distinctSorted(buf, count)
+    ShingleUtil.distinctSorted(buf, out)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -70,6 +75,13 @@ case class CharShingleHashes(child: Expression, n: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
   require(n > 0)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${other.simpleString}")
+    }
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]

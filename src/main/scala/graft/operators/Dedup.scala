@@ -54,7 +54,7 @@ object Dedup {
       threshold: Double, cfg: LshConfig = LshConfig()): DataFrame = {
     val bands = cfg.numHashes / cfg.bandRows
     val base = df
-      .select(col(idCol).cast("long").as("id"), shingles.as("sh"))
+      .select(col(idCol).as("id"), shingles.as("sh"))
       .filter(size(col("sh")) > 0)
 
     val banded = base
@@ -101,7 +101,7 @@ object Dedup {
     * chains longer than 2^maxIters) still yields a valid, deterministic
     * partition refinement — safe, just less aggressive.
     */
-  def canonicalAssignments(pairs: DataFrame, maxIters: Int = 5): DataFrame = {
+  def canonicalAssignments(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // Materialize the edge list once (it is tiny relative to the corpus —
     // one row per near-dup pair) and truncate lineage per iteration:
     // without this every propagation round re-executes the full upstream
@@ -113,15 +113,24 @@ object Dedup {
       .union(edges.select(col("src").as("id"), col("dst").as("label")))
       .groupBy("id").agg(min("label").as("label"))
       .localCheckpoint(true)
-    var i = 1
-    while (i < maxIters) {
-      // pull each neighbor's current label, keep the minimum
+    // Propagate to fixpoint: each round pulls neighbor labels; when no
+    // label changes the assignment equals the true transitive closure.
+    // maxIters is a safety bound only (hit means a pathological chain —
+    // the partial result is still a valid refinement).
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("label"))
-      labels = labels.union(neighborLabels)
+      val next = labels.union(neighborLabels)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
+      converged = next.alias("n")
+        .join(labels.alias("p"), col("n.id") === col("p.id"))
+        .filter(col("n.label") =!= col("p.label"))
+        .isEmpty
+      labels = next
       i += 1
     }
     labels.select(col("id"), col("label").as("canonical_id"))
@@ -147,8 +156,10 @@ object Dedup {
       maxDist: Int = 3, seed: Long = 42L): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val base = df.select(col(idCol).cast("long").as("id"),
-      HashFunctions.simhash64(tokens, seed).as("sig"))
+    // empty token sets all hash to sig 0 — a degenerate all-pairs bucket
+    val base = df.filter(size(tokens) > 0)
+      .select(col(idCol).as("id"),
+        HashFunctions.simhash64(tokens, seed).as("sig"))
 
     val chunkCols = (0 until chunks).map { c =>
       shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit((1L << width) - 1))
@@ -169,21 +180,25 @@ object Dedup {
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold between a bounded
-    * probe set and the full corpus. The probe side is broadcast (a
-    * BroadcastNestedLoopJoin with a codegen'd cosine predicate); for
-    * unbounded all-pairs at scale, pre-bucket with
+    * probe set and the full corpus — ALL pairs touching a probe row, with
+    * the pair emitted as (min id, max id) and deduped (a probe row with a
+    * higher id than its match still reports the pair). The probe side is
+    * broadcast (a BroadcastNestedLoopJoin with a codegen'd cosine
+    * predicate); for unbounded all-pairs at scale, pre-bucket with
     * [[Similarity.hyperplaneSignature]] first.
     */
   def embeddingNearDups(
       emb: DataFrame, idCol: String, vecCol: String,
       probe: Column, threshold: Double): DataFrame = {
     val p = emb.filter(probe)
-      .select(col(idCol).cast("long").as("id_1"), col(vecCol).as("v1"))
+      .select(col(idCol).as("pid"), col(vecCol).as("v1"))
     val c = emb
-      .select(col(idCol).cast("long").as("id_2"), col(vecCol).as("v2"))
-    broadcast(p).join(c, col("id_1") < col("id_2"))
+      .select(col(idCol).as("cid"), col(vecCol).as("v2"))
+    broadcast(p).join(c, col("pid") =!= col("cid"))
       .withColumn("cosine", VectorFunctions.cosine(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)
-      .select(col("id_1"), col("id_2"), col("cosine"))
+      .select(least(col("pid"), col("cid")).as("id_1"),
+        greatest(col("pid"), col("cid")).as("id_2"), col("cosine"))
+      .dropDuplicates("id_1", "id_2")
   }
 }

@@ -22,8 +22,8 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = broadcast(q)
       .join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("score", VectorFunctions.cosine(col("qv"), col("cv")))
@@ -79,12 +79,12 @@ object Similarity {
 
     // corpus side: nearest cell = argmax cosine over centroids
     val assigned = corpus
-      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cell", array_max(cellScores(col("cv"))).getField("cell"))
 
     // query side: top-nprobe cells, exploded to (query, cell) probes
     val probes = queries
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cells",
         slice(reverse(array_sort(cellScores(col("qv")))), 1, nprobe))
       .select(col("query_id"), col("qv"),
@@ -110,11 +110,13 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, numPlanes: Int = 16, maxBitDiff: Int = 3, seed: Long = 42L): DataFrame = {
-    val dim = 64 // fixture embedding dimensionality
+    // derive dimensionality from the data — a silent mismatch would bucket
+    // on prefix components (DotProduct loops to min length)
+    val dim = queries.select(size(col(vecCol))).head().getInt(0)
     val planes = hyperplanes(dim, numPlanes, seed)
-    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qsig", hyperplaneSignature(col("qv"), planes))
-    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("csig", hyperplaneSignature(col("cv"), planes))
     val candidates = broadcast(q).join(c,
       col("query_id") =!= col("neighbor_id") &&

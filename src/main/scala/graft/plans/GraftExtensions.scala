@@ -37,28 +37,39 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def arity(es: Seq[Expression], name: String, lo: Int, hi: Int): Unit =
+    if (es.length < lo || es.length > hi)
+      throw new IllegalArgumentException(
+        s"$name expects $lo${if (hi != lo) s"..$hi" else ""} arguments, got ${es.length}")
+
   /** name → builder for every injected function. */
   val all: Map[String, Seq[Expression] => Expression] = Map(
-    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
-    "dot_product" -> (es => DotProduct(es(0), es(1))),
-    "simhash64" -> (es => es.length match {
-      case 1 => SimHash64(es(0), 42L)
-      case _ => SimHash64(es(0), longArg(es(1), "seed"))
-    }),
-    "minhash_signature" -> (es => es.length match {
-      case 1 => MinHashSignature(es(0), 64, 42L)
-      case 2 => MinHashSignature(es(0), intArg(es(1), "numHashes"), 42L)
-      case _ => MinHashSignature(es(0), intArg(es(1), "numHashes"),
-        longArg(es(2), "seed"))
-    }),
-    "word_shingle_hashes" -> (es => es.length match {
-      case 2 => ShingleHashes(es(0), intArg(es(1), "n"), 42L)
-      case _ => ShingleHashes(es(0), intArg(es(1), "n"), longArg(es(2), "seed"))
-    }),
-    "char_shingle_hashes" -> (es => es.length match {
-      case 2 => CharShingleHashes(es(0), intArg(es(1), "n"), 42L)
-      case _ => CharShingleHashes(es(0), intArg(es(1), "n"), longArg(es(2), "seed"))
-    }))
+    "cosine_similarity" -> (es => { arity(es, "cosine_similarity", 2, 2)
+      CosineSimilarity(es(0), es(1)) }),
+    "dot_product" -> (es => { arity(es, "dot_product", 2, 2)
+      DotProduct(es(0), es(1)) }),
+    "simhash64" -> (es => { arity(es, "simhash64", 1, 2)
+      es.length match {
+        case 1 => SimHash64(es(0), 42L)
+        case _ => SimHash64(es(0), longArg(es(1), "seed"))
+      }}),
+    "minhash_signature" -> (es => { arity(es, "minhash_signature", 1, 3)
+      es.length match {
+        case 1 => MinHashSignature(es(0), 64, 42L)
+        case 2 => MinHashSignature(es(0), intArg(es(1), "numHashes"), 42L)
+        case _ => MinHashSignature(es(0), intArg(es(1), "numHashes"),
+          longArg(es(2), "seed"))
+      }}),
+    "word_shingle_hashes" -> (es => { arity(es, "word_shingle_hashes", 2, 3)
+      es.length match {
+        case 2 => ShingleHashes(es(0), intArg(es(1), "n"), 42L)
+        case _ => ShingleHashes(es(0), intArg(es(1), "n"), longArg(es(2), "seed"))
+      }}),
+    "char_shingle_hashes" -> (es => { arity(es, "char_shingle_hashes", 2, 3)
+      es.length match {
+        case 2 => CharShingleHashes(es(0), intArg(es(1), "n"), 42L)
+        case _ => CharShingleHashes(es(0), intArg(es(1), "n"), longArg(es(2), "seed"))
+      }}))
 
   /** Register all functions into an already-running session. */
   def register(spark: SparkSession): Unit =

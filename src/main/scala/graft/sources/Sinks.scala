@@ -21,16 +21,17 @@ object Sinks {
   def idempotentAppend(
       spark: SparkSession, batch: DataFrame, path: String, keys: Seq[String],
       sinkFilter: Option[org.apache.spark.sql.Column] = None): Long = {
-    val exists =
-      try { spark.read.parquet(path); true }
-      catch { case _: Throwable => false }
-    val newRows =
-      if (!exists) batch.dropDuplicates(keys)
-      else {
-        val sink0 = spark.read.parquet(path)
+    val sinkDf =
+      try Some(spark.read.parquet(path))
+      catch { case _: Throwable => None }
+    val newRows = (sinkDf match {
+      case None => batch.dropDuplicates(keys)
+      case Some(sink0) =>
         val sink = sinkFilter.map(sink0.filter).getOrElse(sink0)
         Pipeline.idempotentNewRows(batch, sink, keys)
-      }
+      // materialize once: counting and then writing would otherwise run the
+      // dedupe + anti-join twice
+    }).localCheckpoint(true)
     val n = newRows.count()
     if (n > 0) newRows.write.mode(SaveMode.Append).parquet(path)
     n

@@ -52,13 +52,16 @@ object Streams {
   /** Streaming rendition of W1's at-most-once-per-key semantics: keyed
     * dedupe under a watermark (the reference re-scans 15 days and relies on
     * ON CONFLICT DO NOTHING; here late duplicates inside the watermark are
-    * dropped in-flight with bounded state).
+    * dropped in-flight with bounded state). Per-KEY dedupe: a re-delivered
+    * event with the same business key but a fresh timestamp is still a
+    * duplicate — `dropDuplicatesWithinWatermark` keeps state per key and
+    * expires it at the watermark.
     */
   def dedupeWithWatermark(events: DataFrame, keys: Seq[String],
                           watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates(keys :+ "ts")
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Event-time session windows (30-min gap) per user — the streaming
     * counterpart of the batch gaps-and-islands `q_sessionize`.
