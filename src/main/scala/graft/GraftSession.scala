@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.GraftExtensions
+
+/** Opinionated session factory: the configuration this engine is designed
+  * against (AQE on, shuffle parallelism = cores not 200, UTC session
+  * timezone for oracle parity, custom SQL functions injected). On a real
+  * cluster, pass the master/cores of the deployment; everything else
+  * carries over unchanged.
+  */
+object GraftSession {
+  def create(
+      appName: String = "graft",
+      master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      shufflePartitions: Option[Int] = None,
+      uiEnabled: Boolean = false): SparkSession = {
+    val parts = shufflePartitions.getOrElse(
+      math.max(Runtime.getRuntime.availableProcessors(), 2))
+    val s = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", uiEnabled.toString)
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s
+  }
+}

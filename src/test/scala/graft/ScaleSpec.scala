@@ -52,6 +52,20 @@ class ScaleSpec extends AnyFunSuite {
     Sinks.dropTable(spark, "b_orders"); Sinks.dropTable(spark, "b_lineitem")
   }
 
+  test("date-partitioned layout prunes partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/ev"
+    val ev = Tables.events(spark, TestSpark.sf)
+      .withColumn("event_day", to_date(col("ts")))
+    Sinks.writePartitioned(ev, dir, Seq("event_day"))
+    val pruned = spark.read.parquet(dir)
+      .filter(col("event_day") === "2024-01-02")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("event_day"),
+      s"expected partition filters in scan:\n$scan")
+    val expected = ev.filter(to_date(col("ts")) === "2024-01-02").count()
+    assert(pruned.count() == expected && expected > 0)
+  }
+
   test("W2 truncation guard reports over-length values before write") {
     val df = Seq(("ok", "shortish"), ("too-long-value-here", "x"))
       .toDF("a", "b")
