@@ -10,6 +10,12 @@ import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
   * embedding-cosine). Designed shuffle-first: every candidate-generation
   * step is a hash-partitioned join on a small key (band hash / chunk), never
   * an all-pairs product; exact verification runs only on candidates.
+  *
+  * Techniques are the published standards: MinHash resemblance sketches
+  * (Broder, "On the resemblance and containment of documents", 1997),
+  * LSH banding (Indyk &amp; Motwani 1998; banding analysis as in Mining of
+  * Massive Datasets ch. 3), SimHash (Charikar, STOC 2002) with the
+  * pigeonhole chunk search of Manku et al. (WWW 2007).
   */
 object Dedup {
 

@@ -7,9 +7,13 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
 /** Similarity search over embedding columns (`array<float>`): exact
-  * brute-force top-k as the correctness baseline, and a random-hyperplane
-  * LSH bucketed variant as the scale path (prune candidates with a cheap
-  * signature-bucket join, then exact-rerank only inside buckets).
+  * brute-force top-k as the correctness baseline, and two approximate
+  * scale paths — random-hyperplane LSH buckets (Charikar, STOC 2002) and
+  * IVF coarse quantization (inverted-file probing as in Jégou et al.,
+  * "Product quantization for nearest neighbor search", TPAMI 2011 — here
+  * without the PQ compression stage). Distributed top-k shapes follow the
+  * prune-then-rerank pattern surveyed in the retrieved top-k literature
+  * (PAPERS.md: EDBT 2020 incremental top-k; ICDE 2021 REPOSE).
   */
 object Similarity {
 
