@@ -76,6 +76,80 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** A closed activity burst: ≥ `minEvents` events per user with no
+    * internal gap exceeding the session gap.
+    */
+  final case class Burst(user_id: Long, n_events: Long,
+                         start_ns: Long, end_ns: Long)
+
+  /** Open-burst state carried across micro-batches (public: the state
+    * Encoder's generated code needs accessor visibility). */
+  final case class OpenBurst(startNs: Long, lastNs: Long, n: Long)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState`: per-user
+    * state carries the open burst across micro-batches; a burst closes
+    * (and is emitted if large enough) when the event-time gap exceeds
+    * `gapMinutes`. The one streaming construct the declarative
+    * window/session_window API can't express — arbitrary per-key state
+    * with custom close conditions (SURVEY.md §2.8 at-most-once state row).
+    *
+    * Works identically on a batch Dataset (each key's full history arrives
+    * as one group, state starts empty) — asserted equal to the
+    * gaps-and-islands `q_sessionize` in StreamingSpec.
+    */
+  def burstDetector(events: DataFrame, gapMinutes: Int = 30,
+                    minEvents: Long = 1): org.apache.spark.sql.Dataset[Burst] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapNs = gapMinutes.toLong * 60L * 1000000000L
+    val isStream = events.isStreaming // don't capture the DataFrame in the closure
+
+    def flush(user: Long, open: Option[OpenBurst]): Iterator[Burst] =
+      open.filter(_.n >= minEvents)
+        .map(b => Burst(user, b.n, b.startNs, b.lastNs)).iterator
+
+    val fn: (Long, Iterator[(Long, Long, java.sql.Timestamp)], GroupState[OpenBurst]) => Iterator[Burst] =
+      (user, rows, state) => {
+        if (state.hasTimedOut) {
+          val out = flush(user, state.getOption)
+          state.remove()
+          out
+        } else {
+          val sorted = rows.toArray.sortBy(_._2)
+          var open = state.getOption
+          val closed = Iterator.newBuilder[Burst]
+          sorted.foreach { case (_, ns, _) =>
+            open match {
+              case Some(b) if ns - b.lastNs <= gapNs =>
+                open = Some(b.copy(lastNs = ns, n = b.n + 1))
+              case other =>
+                closed ++= flush(user, other)
+                open = Some(OpenBurst(ns, ns, 1))
+            }
+          }
+          open match {
+            case Some(b) =>
+              state.update(b)
+              if (isStream)
+                state.setTimeoutTimestamp(
+                  (b.lastNs + gapNs) / 1000000L) // ms epoch: close on silence
+            case None => ()
+          }
+          // In batch execution there are no further micro-batches: the open
+          // burst is final, emit it now.
+          if (!isStream) closed ++= flush(user, open)
+          closed.result().iterator
+        }
+      }
+
+    // `ts` must survive the projection: the streaming checker requires the
+    // watermarked event-time column to reach the stateful operator
+    events.select(col("user_id").cast("long"), col("ts_ns").cast("long"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Drain a streaming DataFrame into an in-memory table synchronously
     * (AvailableNow — process everything currently discoverable, then stop)
     * and return the materialized result. Batch-incremental execution, the

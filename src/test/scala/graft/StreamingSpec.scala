@@ -33,6 +33,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == expected)
   }
 
+  test("flatMapGroupsWithState burst detector equals gaps-and-islands batch") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val bursts = Streams.burstDetector(
+        Tables.events(spark, TestSpark.sf), gapMinutes = 30, minEvents = 1)
+      .withColumn("length_s", expr("(end_ns - start_ns) div 1000000000"))
+      .select(col("user_id"), col("n_events"), col("length_s"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val sessions = EventQueries.all("q_sessionize")(spark, TestSpark.sf)
+      .select(col("user_id"), col("n_events"), col("session_length_s").as("length_s"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(bursts == sessions)
+    assert(bursts.nonEmpty)
+  }
+
+  test("burst detector runs in streaming mode with event-time timeouts") {
+    val stream = Streams.eventsStream(spark, TestSpark.sf)
+      .withWatermark("ts", "2 hours")
+    val out = Streams.runAvailableNow(spark,
+      Streams.burstDetector(stream, gapMinutes = 30, minEvents = 2).toDF(),
+      "t_bursts")
+    // closed bursts only (open ones wait for watermark silence); every
+    // emitted burst must also exist in the batch result
+    val batch = Streams.burstDetector(
+        Tables.events(spark, TestSpark.sf), gapMinutes = 30, minEvents = 2)
+      .collect().map(b => (b.user_id, b.n_events, b.start_ns, b.end_ns)).toSet
+    val streamed = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.subsetOf(batch))
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming session windows match batch sessionization session count") {
     val stream = Streams.eventsStream(spark, TestSpark.sf)
     val sessions = Streams.runAvailableNow(spark,
