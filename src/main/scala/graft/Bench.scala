@@ -5,25 +5,22 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every declared query on SPARK_GRAFT_SF_DIR and
   * prints exactly one JSON line. A warmup pass at sf0.001 first exercises
   * each query's codegen + JIT so measured times reflect steady-state
-  * execution, not first-compile overhead.
+  * execution, not first-compile overhead. Queries materialize through the
+  * noop sink (a bare count() lets Catalyst prune the projection work being
+  * measured). Failing queries are reported in an "errors" field rather
+  * than silently timed as near-zero successes.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.create(
+      appName = "graft-bench",
+      master = s"local[$cpus]",
+      shufflePartitions = Some(cpus.toInt))
     spark.sparkContext.setLogLevel("WARN")
 
-    // Full materialization via the noop sink: a bare count() would let
-    // Catalyst prune projection-only work (ColumnPruning/EliminateSorts)
-    // and time a row count of the scan instead of the declared computation.
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -31,19 +28,25 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.foreach { case (_, fn) =>
-        try run(fn, warmDir) catch { case _: Throwable => () }
+        try run(fn, warmDir) catch { case _: Exception => () }
       }
     }
 
+    val errors = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn, sfDir) catch { case _: Throwable => () }
+      try run(fn, sfDir)
+      catch { case e: Exception =>
+        errors += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

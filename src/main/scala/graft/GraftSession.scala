@@ -27,6 +27,10 @@ object GraftSession {
       .config("spark.ui.enabled", uiEnabled.toString)
       .withExtensions(new GraftExtensions)
       .getOrCreate()
+    // getOrCreate may have returned a pre-existing session, in which case
+    // withExtensions was never consulted — register on the live session so
+    // the SQL-function contract holds either way.
+    plans.GraftFunctions.register(s)
     s
   }
 }

@@ -33,10 +33,17 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    withEventTime(load(s, d, "events"))
+  }
+
+  /** Shared ts derivation for batch and streaming event reads: raw nanos →
+    * (`ts_ns`, microsecond-truncated `ts`). One definition so the
+    * stream-equals-batch tests can't drift.
+    */
+  def withEventTime(raw: DataFrame): DataFrame =
+    raw
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for joins whose key distribution is heavy-tailed —
@@ -10,37 +11,44 @@ import org.apache.spark.sql.functions._
   * per-country feeds, where one country dominates volume).
   */
 object Skew {
+  private val SaltCol = "__graft_salt"
 
-  /** Salted equi-join: the skewed (large) side gets a random salt in
-    * [0, factor); the small side is replicated `factor` times with every
-    * salt value, so each hot key fans out over `factor` shuffle partitions.
-    * Result equals `large.join(small, keys)` exactly.
+  /** Salted equi-join: the skewed (large) side gets a salt in [0, factor);
+    * the small side is replicated `factor` times with every salt value, so
+    * each hot key fans out over `factor` shuffle partitions. Result equals
+    * `large.join(small, keys)` exactly.
     *
-    * The salt uses a deterministic per-row hash (not rand()) so replays /
-    * retries produce identical partitioning.
+    * The salt comes from `monotonically_increasing_id()` (partition index +
+    * row position) — per-row entropy independent of row CONTENT, so fully
+    * duplicated hot rows still spread across buckets (a content hash would
+    * send identical rows to one bucket, defeating the mitigation), and
+    * deterministic for a given upstream partitioning.
     */
   def saltedJoin(
       large: DataFrame, small: DataFrame, keys: Seq[String],
       factor: Int = 8): DataFrame = {
     require(factor > 1)
-    val saltCol = pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(factor))
-    val saltedLarge = large.withColumn("__salt", saltCol)
-    val replicated = small.withColumn("__salt",
-      explode(sequence(lit(0), lit(factor - 1)).cast("array<long>")))
+    require(!(large.columns ++ small.columns).contains(SaltCol),
+      s"input already has a $SaltCol column")
+    val saltedLarge = large.withColumn(SaltCol,
+      pmod(monotonically_increasing_id(), lit(factor.toLong)))
+    val replicated = small.withColumn(SaltCol,
+      explode(sequence(lit(0L), lit(factor - 1L))))
     saltedLarge
-      .join(replicated, keys :+ "__salt")
-      .drop("__salt")
+      .join(replicated, keys :+ SaltCol)
+      .drop(SaltCol)
   }
 
   /** Top-n heaviest keys with their share of total rows — the diagnostic
-    * that decides whether salting / AQE skew handling is needed.
+    * that decides whether salting / AQE skew handling is needed. One plan,
+    * one scan: the total comes from a window sum over the (tiny) grouped
+    * result, not a second pass over the data.
     */
-  def keySkewProfile(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame = {
-    val total = df.count().toDouble
+  def keySkewProfile(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame =
     df.groupBy(keys.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("n_rows"))
-      .withColumn("share", col("n_rows") / lit(total))
+      .withColumn("share",
+        col("n_rows") / sum(col("n_rows")).over(Window.partitionBy()))
       .orderBy(col("n_rows").desc)
       .limit(topN)
-  }
 }

@@ -29,13 +29,12 @@ object Streams {
     */
   def eventsStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .option("pathGlobFilter", "events*.parquet")
-      .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    graft.Tables.withEventTime(
+      spark.readStream
+        .schema(eventsSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(dir))
   }
 
   /** Watermarked tumbling-window aggregation per event type. */
@@ -97,10 +96,15 @@ object Streams {
     * as one group, state starts empty) — asserted equal to the
     * gaps-and-islands `q_sessionize` in StreamingSpec.
     */
-  def burstDetector(events: DataFrame, gapMinutes: Int = 30,
-                    minEvents: Long = 1): org.apache.spark.sql.Dataset[Burst] = {
-    import events.sparkSession.implicits._
+  def burstDetector(events0: DataFrame, gapMinutes: Int = 30,
+                    minEvents: Long = 1,
+                    watermark: String = "2 hours"): org.apache.spark.sql.Dataset[Burst] = {
+    import events0.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // event-time timeout requires a watermark in streaming; harmless no-op
+    // in batch — applied here so the natural eventsStream composition works
+    val events = if (events0.isStreaming) events0.withWatermark("ts", watermark)
+                 else events0
     val gapNs = gapMinutes.toLong * 60L * 1000000000L
     val isStream = events.isStreaming // don't capture the DataFrame in the closure
 
@@ -155,8 +159,13 @@ object Streams {
     * and return the materialized result. Batch-incremental execution, the
     * exact semantic of the reference's daily scheduled catch-up runs.
     */
+  /** `outputMode` is deliberately NOT defaulted: under AvailableNow an
+    * aggregation in append mode silently drops every window newer than the
+    * final watermark — the caller must choose ("complete" for finalized
+    * aggregate snapshots, "append" for row streams / closed-state output).
+    */
   def runAvailableNow(spark: SparkSession, stream: DataFrame, name: String,
-                      outputMode: String = "append"): DataFrame = {
+                      outputMode: String): DataFrame = {
     val q = stream.writeStream
       .outputMode(outputMode)
       .format("memory")

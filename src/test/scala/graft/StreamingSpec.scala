@@ -27,7 +27,7 @@ class StreamingSpec extends AnyFunSuite {
     val stream = Streams.eventsStream(spark, TestSpark.sf)
     val doubled = stream.union(stream) // duplicate every event
     val out = Streams.runAvailableNow(spark,
-      Streams.dedupeWithWatermark(doubled, Seq("event_id")), "t_dedupe")
+      Streams.dedupeWithWatermark(doubled, Seq("event_id")), "t_dedupe", "append")
     val n = out.count()
     val expected = Tables.events(spark, TestSpark.sf).count()
     assert(n == expected)
@@ -49,10 +49,9 @@ class StreamingSpec extends AnyFunSuite {
 
   test("burst detector runs in streaming mode with event-time timeouts") {
     val stream = Streams.eventsStream(spark, TestSpark.sf)
-      .withWatermark("ts", "2 hours")
     val out = Streams.runAvailableNow(spark,
       Streams.burstDetector(stream, gapMinutes = 30, minEvents = 2).toDF(),
-      "t_bursts")
+      "t_bursts", "append")
     // closed bursts only (open ones wait for watermark silence); every
     // emitted burst must also exist in the batch result
     val batch = Streams.burstDetector(
