@@ -92,6 +92,27 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHashAggregator: group signature via udaf matches single-doc expression") {
+    import graft.functions.SimHashAggregator
+    spark.udf.register("group_simhash",
+      org.apache.spark.sql.functions.udaf(SimHashAggregator))
+    val docs = Tables.documents(spark, TestSpark.sf)
+    docs.createOrReplaceTempView("t_docs")
+    val grouped = spark.sql(
+      """SELECT source, group_simhash(split(text, ' ')) AS sig
+        |FROM t_docs GROUP BY source ORDER BY source""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    assert(grouped.nonEmpty && grouped.values.toSet.size > 1)
+    // a group of ONE doc must equal the per-row SimHash64 expression
+    val one = docs.filter(col("doc_id") === 0)
+    val viaAgg = spark.sql(
+      """SELECT group_simhash(split(text, ' ')) FROM t_docs WHERE doc_id = 0""")
+      .head().getLong(0)
+    val viaExpr = one.select(
+      HashFunctions.simhash64(split(col("text"), " "))).head().getLong(0)
+    assert(viaAgg == viaExpr)
+  }
+
   test("word shingles: fewer tokens than n yields empty array, not garbage") {
     val df = Seq("one two", "one two three four").toDF("t")
       .select(TextFunctions.wordShingles(TextFunctions.tokens(col("t")), 3).as("sh"))
