@@ -24,6 +24,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("salt spreads a hot key even when its rows are full duplicates") {
+    // regression: a content-derived salt would send identical rows to ONE
+    // bucket, defeating the mitigation entirely
+    val hot = spark.range(10000).select(
+      lit(1L).as("k"), lit("same-payload").as("v"))
+    val salted = hot.repartition(8).withColumn("salt",
+      pmod(monotonically_increasing_id(), lit(8L)))
+    val buckets = salted.select("salt").distinct().count()
+    assert(buckets == 8, s"expected 8 salt buckets for duplicate rows, got $buckets")
+    // and the join still returns every row
+    val small = Seq((1L, "dim")).toDF("k", "d")
+    val out = graft.operators.Skew.saltedJoin(hot, small, Seq("k"), 8)
+    assert(out.count() == 10000)
+  }
+
+  test("GraftSession.create registers SQL functions on a pre-existing session") {
+    // the shared test session was built WITHOUT GraftExtensions;
+    // create() must still make the functions callable via live registration
+    val s = GraftSession.create(master = "local[4]")
+    assert(s eq spark) // getOrCreate returned the existing session
+    val n = s.sql("SELECT size(minhash_signature(array('a','b'), 8)) k")
+      .head().getInt(0)
+    assert(n == 8)
+  }
+
   test("key skew profile surfaces the heaviest keys") {
     val prof = Skew.keySkewProfile(
       Tables.lineitem(spark, TestSpark.sf), Seq("l_returnflag"), 3)
