@@ -58,6 +58,20 @@ object CompositeQueries {
         .orderBy("status", "priority")
     }),
 
+    // ---- GROUPING SETS via the SQL entry path ----------------------------
+    "q_groupsets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+          |  COALESCE(o_orderpriority, 'ALL') AS priority,
+          |  count(1) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+    }),
+
     // ---- Sketch aggregate: HLL approx distinct (rows-only: HLL impls
     //      differ across engines; accuracy asserted in ScalaTest) ---------
     "q_approx_distinct" -> ((s, d) => {
@@ -142,6 +156,16 @@ object CompositeQueries {
         |  count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_groupsets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
 
     "pipeline_evidence" ->
