@@ -159,6 +159,28 @@ object Streams {
     * and return the materialized result. Batch-incremental execution, the
     * exact semantic of the reference's daily scheduled catch-up runs.
     */
+  /** End-to-end exactly-once-per-key delivery into a parquet sink: each
+    * micro-batch goes through the W1 idempotent append (dedupe + anti-join
+    * against sink keys), so replays — whether from checkpoint recovery or
+    * source re-delivery — append nothing. Checkpointing makes the source
+    * offsets durable; the keyed sink makes the write idempotent; together
+    * that is the standard Spark exactly-once recipe.
+    */
+  def streamIdempotentAppend(
+      stream: DataFrame, path: String, keys: Seq[String],
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Sinks.idempotentAppend(
+          batch.sparkSession, batch.toDF(), path, keys)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** `outputMode` is deliberately NOT defaulted: under AvailableNow an
     * aggregation in append mode silently drops every window newer than the
     * final watermark — the caller must choose ("complete" for finalized

@@ -63,6 +63,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("foreachBatch idempotent sink: reruns and re-deliveries append nothing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    val sink = s"$tmp/sink"
+    // run 1: fresh checkpoint, doubled input (same events from two files)
+    val srcDir = s"$tmp/src"
+    new java.io.File(srcDir).mkdirs()
+    val fixture = java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet")
+    java.nio.file.Files.copy(fixture,
+      java.nio.file.Paths.get(s"$srcDir/events_a.parquet"))
+    java.nio.file.Files.copy(fixture,
+      java.nio.file.Paths.get(s"$srcDir/events_b.parquet"))
+    val expected = spark.read.parquet(s"${TestSpark.sf}/events.parquet").count()
+
+    def run(cp: String): Unit = Streams.streamIdempotentAppend(
+      Streams.eventsStream(spark, srcDir, maxFilesPerTrigger = 1),
+      sink, Seq("event_id"), cp)
+
+    run(s"$tmp/cp1")
+    assert(spark.read.parquet(sink).count() == expected,
+      "duplicate deliveries across micro-batches must not append")
+    // run 2: FRESH checkpoint (worst case: full source replay) — still no dupes
+    run(s"$tmp/cp2")
+    assert(spark.read.parquet(sink).count() == expected)
+  }
+
   test("streaming session windows match batch sessionization session count") {
     val stream = Streams.eventsStream(spark, TestSpark.sf)
     val sessions = Streams.runAvailableNow(spark,
