@@ -44,6 +44,26 @@ object SketchHash {
 
   @inline def hashUtf8(s: org.apache.spark.unsafe.types.UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** Accumulate one token hash into a 64-slot SimHash vote vector.
+    * Shared by the per-row expression and the group Aggregator so the two
+    * stay bit-identical by construction.
+    */
+  @inline def voteBits(h: Long, votes: Array[Int]): Unit = {
+    var b = 0
+    while (b < 64) {
+      if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+      b += 1
+    }
+  }
+
+  /** Collapse a vote vector to the final 64-bit SimHash signature. */
+  def votesToSig(votes: Array[Int]): Long = {
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
 }
 
 /** MinHash signature of an `array<string>` shingle set: for permutation i,
@@ -104,19 +124,11 @@ case class SimHash64(child: Expression, seed: Long)
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
-        val h = SketchHash.hashUtf8(arr.getUTF8String(j), seed)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
+        SketchHash.voteBits(SketchHash.hashUtf8(arr.getUTF8String(j), seed), votes)
       }
       j += 1
     }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-    out
+    SketchHash.votesToSig(votes)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

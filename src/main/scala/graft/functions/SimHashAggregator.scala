@@ -20,13 +20,10 @@ object SimHashAggregator extends Aggregator[Seq[String], Array[Int], Long] {
   override def zero: Array[Int] = new Array[Int](64)
 
   override def reduce(votes: Array[Int], tokens: Seq[String]): Array[Int] = {
-    tokens.foreach { t =>
-      val utf8 = org.apache.spark.unsafe.types.UTF8String.fromString(t)
-      val h = SketchHash.hashUtf8(utf8, seed)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+    if (tokens != null) tokens.foreach { t =>
+      if (t != null) {
+        val utf8 = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+        SketchHash.voteBits(SketchHash.hashUtf8(utf8, seed), votes)
       }
     }
     votes
@@ -38,12 +35,7 @@ object SimHashAggregator extends Aggregator[Seq[String], Array[Int], Long] {
     a
   }
 
-  override def finish(votes: Array[Int]): Long = {
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
+  override def finish(votes: Array[Int]): Long = SketchHash.votesToSig(votes)
 
   override def bufferEncoder: Encoder[Array[Int]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()

@@ -42,11 +42,15 @@ abstract class VectorBinaryExpression extends BinaryExpression {
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 }
 
-/** dot(a, b) — sequential double-precision dot product. */
+/** dot(a, b) — sequential double-precision dot product. Null on dimension
+  * mismatch (silently truncating to the shorter vector would score
+  * incomparable vectors as plausible).
+  */
 case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var dot = 0.0; var i = 0
     while (i < n) { dot += elem(a, i, lf) * elem(b, i, rf); i += 1 }
@@ -59,12 +63,16 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.$la($i) * (double) $b.$ra($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $a.$la($i) * (double) $b.$ra($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }
@@ -76,7 +84,8 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
@@ -95,17 +104,21 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.$la($i);
-         |  double $y = (double) $b.$ra($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
-         |}
-         |if ($na == 0.0 || $nb == 0.0) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.$la($i);
+         |    double $y = (double) $b.$ra($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if ($na == 0.0 || $nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

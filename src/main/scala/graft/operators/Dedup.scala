@@ -44,7 +44,13 @@ object Dedup {
       numHashes: Int = 64,
       bandRows: Int = 1,
       seed: Long = 42L,
-      maxBucketSize: Long = 100000L)
+      maxBucketSize: Long = 100000L) {
+    require(bandRows >= 1 && bandRows <= numHashes,
+      s"bandRows=$bandRows must be in [1, numHashes=$numHashes]")
+    require(numHashes % bandRows == 0,
+      s"numHashes=$numHashes must divide evenly into bandRows=$bandRows bands " +
+        "(leftover signature values would silently weaken recall)")
+  }
 
   /** Near-duplicate pairs by MinHash-LSH over a shingle-set column, verified
     * with exact Jaccard ≥ `threshold`. Returns (id_1, id_2, jaccard) with
@@ -100,12 +106,16 @@ object Dedup {
     * Returns (id, canonical_id) for every id appearing in `pairs`;
     * `keepCorpus(df, ...)` then drops non-canonical rows.
     *
-    * Each iteration is one shuffle (groupBy id over the edge list);
-    * label propagation converges in O(log(longest chain)) iterations —
-    * duplicate clusters are near-cliques in practice, so `maxIters = 5`
-    * covers everything real. A non-converged residue (possible only for
-    * chains longer than 2^maxIters) still yields a valid, deterministic
-    * partition refinement — safe, just less aggressive.
+    * Each iteration is one shuffle (groupBy id over the edge list) and
+    * propagates labels one edge-hop, so convergence takes O(cluster
+    * diameter) rounds; the loop stops as soon as a round changes no label
+    * (at which point the result equals the true transitive closure).
+    * Duplicate clusters are near-cliques in practice (diameter ≈ 1–2);
+    * `maxIters` is a safety bound for pathological chains, and a
+    * non-converged residue still yields a valid, deterministic partition
+    * refinement — safe, just less aggressive. The per-round localCheckpoint
+    * blocks are released asynchronously by Spark's ContextCleaner once the
+    * intermediate frames become unreachable.
     */
   def canonicalAssignments(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // Materialize the edge list once (it is tiny relative to the corpus —
@@ -144,7 +154,7 @@ object Dedup {
 
   /** Drop non-canonical near-duplicates from a corpus given pair output. */
   def keepCorpus(df: DataFrame, idCol: String, pairs: DataFrame,
-                 maxIters: Int = 5): DataFrame = {
+                 maxIters: Int = 20): DataFrame = {
     val drop = canonicalAssignments(pairs, maxIters)
       .filter(col("id") =!= col("canonical_id"))
       .select(col("id").as(idCol))
@@ -160,15 +170,21 @@ object Dedup {
   def simHashNearDups(
       df: DataFrame, idCol: String, tokens: Column,
       maxDist: Int = 3, seed: Long = 42L): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 31,
+      s"maxDist=$maxDist out of range [0, 31] (chunks need ≥2 bits each)")
     val chunks = maxDist + 1
     val width = 64 / chunks
+    // width = 64 (maxDist = 0, exact-signature dedup) needs the full mask:
+    // (1L << 64) wraps to 1L in JVM shift semantics and would zero every
+    // chunk value, collapsing the corpus into one bucket
+    val mask = if (width == 64) -1L else (1L << width) - 1
     // empty token sets all hash to sig 0 — a degenerate all-pairs bucket
     val base = df.filter(size(tokens) > 0)
       .select(col(idCol).as("id"),
         HashFunctions.simhash64(tokens, seed).as("sig"))
 
     val chunkCols = (0 until chunks).map { c =>
-      shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit((1L << width) - 1))
+      shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit(mask))
     }
     val chunked = base.select(col("id"), col("sig"),
       posexplode(array(chunkCols: _*)).as(Seq("chunk", "chunkVal")))

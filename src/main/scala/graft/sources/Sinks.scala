@@ -21,14 +21,17 @@ object Sinks {
   def idempotentAppend(
       spark: SparkSession, batch: DataFrame, path: String, keys: Seq[String],
       sinkFilter: Option[org.apache.spark.sql.Column] = None): Long = {
-    val sinkDf =
-      try Some(spark.read.parquet(path))
-      catch { case _: Throwable => None }
-    val newRows = (sinkDf match {
-      case None => batch.dropDuplicates(keys)
-      case Some(sink0) =>
-        val sink = sinkFilter.map(sink0.filter).getOrElse(sink0)
-        Pipeline.idempotentNewRows(batch, sink, keys)
+    // Existence is checked explicitly — catching read errors here would
+    // turn a transient I/O failure into "sink is empty" and append
+    // duplicates, silently breaking the exactly-once guarantee that
+    // Streams.streamIdempotentAppend builds on this method.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newRows = (if (!fs.exists(p)) batch.dropDuplicates(keys)
+    else {
+      val sink0 = spark.read.parquet(path)
+      val sink = sinkFilter.map(sink0.filter).getOrElse(sink0)
+      Pipeline.idempotentNewRows(batch, sink, keys)
       // materialize once: counting and then writing would otherwise run the
       // dedupe + anti-join twice
     }).localCheckpoint(true)
@@ -50,11 +53,16 @@ object Sinks {
     // Parquet overwrite of the source path requires materializing first.
     val tmp = path.stripSuffix("/") + "__rewrite"
     out.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(path))
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    // the PATH's filesystem, not the default one (path may be s3a:// etc.)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.delete(target, true))
+      throw new java.io.IOException(s"failed to delete $path before rewrite")
+    if (!fs.rename(tmpPath, target))
+      throw new java.io.IOException(
+        s"failed to move rewritten table into place: $tmp -> $path " +
+          "(rewritten data is intact at the tmp path)")
   }
 
   /** Partitioned write — the layout that makes S1-style pruning free for
@@ -77,11 +85,17 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
-  /** W6 — table lifecycle DDL against the session catalog. */
-  def createTableIfNotExists(spark: SparkSession, name: String, path: String): Unit =
+  /** W6 — table lifecycle DDL against the session catalog. Identifiers are
+    * backtick-quoted and the location escaped — raw interpolation would let
+    * a quote in a path (or a crafted name) inject into the DDL.
+    */
+  def createTableIfNotExists(spark: SparkSession, name: String, path: String): Unit = {
+    val qName = "`" + name.replace("`", "``") + "`"
+    val qPath = path.replace("'", "\\'")
     spark.sql(
-      s"CREATE TABLE IF NOT EXISTS $name USING parquet LOCATION '$path'")
+      s"CREATE TABLE IF NOT EXISTS $qName USING parquet LOCATION '$qPath'")
+  }
 
   def dropTable(spark: SparkSession, name: String): Unit =
-    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql("DROP TABLE IF EXISTS `" + name.replace("`", "``") + "`")
 }
