@@ -113,6 +113,17 @@ class SketchSpec extends AnyFunSuite {
     assert(viaAgg == viaExpr)
   }
 
+  test("approx_count_distinct stays within its error bound vs exact") {
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val Array((approx, exact)) = li.agg(
+      approx_count_distinct(col("l_partkey")).as("a"),
+      countDistinct(col("l_partkey")).as("e"))
+      .as[(Long, Long)].collect()
+    val relErr = math.abs(approx - exact).toDouble / exact
+    assert(relErr < 0.05, s"HLL rel err $relErr (approx=$approx exact=$exact)")
+  }
+
   test("word shingles: fewer tokens than n yields empty array, not garbage") {
     val df = Seq("one two", "one two three four").toDF("t")
       .select(TextFunctions.wordShingles(TextFunctions.tokens(col("t")), 3).as("sh"))
