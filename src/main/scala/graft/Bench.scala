@@ -33,19 +33,23 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.ListBuffer[String]()
+    // a failed query reports -1 and contributes nothing to the total, so
+    // the headline number reflects successful executions only
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn, sfDir)
-      catch { case e: Exception =>
-        errors += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try { run(fn, sfDir); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Exception =>
+          errors += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

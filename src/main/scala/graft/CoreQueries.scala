@@ -166,8 +166,11 @@ object CoreQueries {
       val o = Tables.orders(s, d)
       val li = Tables.lineitem(s, d)
       li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
-        .filter(to_date(col("o_orderdate")) >= lit("1997-01-01").cast(DateType) &&
-                to_date(col("o_orderdate")) <  lit("1998-01-01").cast(DateType))
+        // raw timestamp bounds (equivalent to the to_date() form in the UTC
+        // session, since to_date truncates) — these push down to the
+        // Parquet scan; a to_date() wrapper would block the pushdown
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+                col("o_orderdate") <  lit("1998-01-01").cast(TimestampType))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           to_date(col("o_orderdate")).as("order_date"),

@@ -38,12 +38,17 @@ object ExtensionQueries {
         .orderBy("id_1", "id_2")
     }),
 
-    // ---- Dedup: MinHash-LSH char-4-gram near-dups ------------------------
+    // ---- Dedup: MinHash-LSH char-8-gram near-dups ------------------------
+    // bandRows=3 over 96 hashes (32 bands): candidate-miss probability for
+    // a pair at exactly the 0.6 threshold is (1-0.6^3)^32 ≈ 4e-4 (vs ~11%
+    // at bandRows=4/16 bands), so the exact-Jaccard verify against the
+    // brute-force oracle can't drop a borderline pair; the char-8 baseline
+    // jaccard ≈ 0.04 keeps candidates ≈ 0.2% of all pairs.
     "dedup_ngram" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.minHashNearDups(docs, "doc_id",
         ShingleFunctions.charShingleHashes(col("text"), 8),
-        threshold = 0.6, Dedup.LshConfig(numHashes = 64, bandRows = 4))
+        threshold = 0.6, Dedup.LshConfig(numHashes = 96, bandRows = 3))
         .orderBy("id_1", "id_2")
     }),
 
@@ -80,10 +85,13 @@ object ExtensionQueries {
     }),
 
     // ---- Similarity: LSH-bucketed ANN (rows-only; recall vs brute in test)
+    // bandBits=4: the fixture embeddings are weakly clustered (top-5
+    // neighbor cosine ≈ 0.25–0.5), so narrow bands hold candidate recall
+    // ≈ 0.9; the bandBits=8 default suits real clustered corpora.
     "sim_lsh_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
-        "vec_id", "embedding", k = 5)
+        "vec_id", "embedding", k = 5, bandBits = 4, numBands = 16)
         .orderBy("query_id", "rank")
     }),
 

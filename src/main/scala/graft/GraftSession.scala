@@ -24,6 +24,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); read as LongType nanos
+      // (see Tables.events). Set once here — not inside query builders.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", uiEnabled.toString)
       .withExtensions(new GraftExtensions)
       .getOrCreate()

@@ -32,7 +32,11 @@ object Tables {
     * TIMESTAMP, so both engines see identical values.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // GraftSession.create sets the flag at session build; sessions created
+    // elsewhere (tests, notebooks) get it here — guarded, so a query
+    // builder never mutates an already-correct session.
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     withEventTime(load(s, d, "events"))
   }
 

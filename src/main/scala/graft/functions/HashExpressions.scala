@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim.{column, expression}
@@ -71,7 +71,7 @@ object SketchHash {
   * a saturated (Long.MaxValue) signature — callers filter empty sets.
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression with ArrayOfStringsInput with CodegenFallback {
+    extends UnaryExpression with ArrayOfStringsInput {
   require(numHashes > 0)
   override protected def allowLongElements: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -106,6 +106,44 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     }
     new GenericArrayData(sig)
   }
+
+  /** Same loop as [[nullSafeEval]], emitted into whole-stage codegen so the
+    * signature stage fuses with the surrounding projection (the mix steps
+    * call the static [[SketchHash]] helpers, keeping the two paths
+    * bit-identical by construction — asserted in SketchSpec).
+    */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sh = "graft.functions.SketchHash"
+    val xxh = classOf[XXH64].getName
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig"); val n = ctx.freshName("n")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val h = ctx.freshName("h")
+      val s = ctx.freshName("s")
+      val baseInit =
+        if (elemIsLong) s"long $acc = $sh.mix($c.getLong($j) ^ ${seed}L);"
+        else
+          s"""org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($j);
+             |long $acc = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);""".stripMargin
+      s"""
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |int $n = $c.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$c.isNullAt($j)) {
+         |    $baseInit
+         |    for (int $i = 0; $i < $numHashes; $i++) {
+         |      long $h = $sh.mix($acc);
+         |      if ($h < $sig[$i]) $sig[$i] = $h;
+         |      $acc += ${SketchHash.GOLDEN}L;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new $gad($sig);
+       """.stripMargin
+    })
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -114,7 +152,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   * token's xxh64; bit b of the result is 1 iff the vote sum is positive.
   */
 case class SimHash64(child: Expression, seed: Long)
-    extends UnaryExpression with ArrayOfStringsInput with CodegenFallback {
+    extends UnaryExpression with ArrayOfStringsInput {
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
@@ -129,6 +167,29 @@ case class SimHash64(child: Expression, seed: Long)
       j += 1
     }
     SketchHash.votesToSig(votes)
+  }
+
+  /** Codegen twin of [[nullSafeEval]] — the vote loop stays in the shared
+    * static helpers so interpreted and generated paths cannot drift.
+    */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sh = "graft.functions.SketchHash"
+    val xxh = classOf[XXH64].getName
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes"); val n = ctx.freshName("n")
+      val j = ctx.freshName("j"); val s = ctx.freshName("s")
+      s"""
+         |int[] $votes = new int[64];
+         |int $n = $c.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$c.isNullAt($j)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($j);
+         |    $sh.voteBits($xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L), $votes);
+         |  }
+         |}
+         |${ev.value} = $sh.votesToSig($votes);
+       """.stripMargin
+    })
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

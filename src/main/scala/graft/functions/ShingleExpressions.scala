@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim.{column, expression}
@@ -34,7 +34,7 @@ object ShingleUtil {
 
 /** Word n-gram shingle hashes of an `array<string>` token column. */
 case class ShingleHashes(child: Expression, n: Int, seed: Long)
-    extends UnaryExpression with ArrayOfStringsInput with CodegenFallback {
+    extends UnaryExpression with ArrayOfStringsInput {
   require(n > 0)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -62,6 +62,44 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
     }
     ShingleUtil.distinctSorted(buf, out)
   }
+
+  /** Codegen twin of [[nullSafeEval]]: the window hash-chain runs inline in
+    * the generated projection; sort + dedupe stays in the shared static
+    * [[ShingleUtil]] so both paths are bit-identical.
+    */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, c => {
+      val count = ctx.freshName("count"); val buf = ctx.freshName("buf")
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val h = ctx.freshName("h")
+      val valid = ctx.freshName("valid"); val t = ctx.freshName("t")
+      s"""
+         |int $count = $c.numElements() - $n + 1;
+         |if ($count <= 0) {
+         |  ${ev.value} = new $gad(new long[0]);
+         |} else {
+         |  long[] $buf = new long[$count];
+         |  int $out = 0;
+         |  for (int $i = 0; $i < $count; $i++) {
+         |    long $h = ${seed}L;
+         |    boolean $valid = true;
+         |    for (int $j = $i; $valid && $j < $i + $n; $j++) {
+         |      if ($c.isNullAt($j)) {
+         |        $valid = false;
+         |      } else {
+         |        org.apache.spark.unsafe.types.UTF8String $t = $c.getUTF8String($j);
+         |        $h = $xxh.hashUnsafeBytes($t.getBaseObject(), $t.getBaseOffset(), $t.numBytes(), $h);
+         |      }
+         |    }
+         |    if ($valid) { $buf[$out++] = $h; }
+         |  }
+         |  ${ev.value} = graft.functions.ShingleUtil.distinctSorted($buf, $out);
+         |}
+       """.stripMargin
+    })
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -72,7 +110,7 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
   * valid (finer-grained) shingling, just not char-aligned.
   */
 case class CharShingleHashes(child: Expression, n: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n > 0)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -96,6 +134,33 @@ case class CharShingleHashes(child: Expression, n: Int, seed: Long)
       i += 1
     }
     ShingleUtil.distinctSorted(buf, count)
+  }
+
+  /** Codegen twin of [[nullSafeEval]] — zero-copy window hashing straight
+    * out of the UTF-8 buffer, inside whole-stage codegen.
+    */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, c => {
+      val count = ctx.freshName("count"); val buf = ctx.freshName("buf")
+      val base = ctx.freshName("base"); val off = ctx.freshName("off")
+      val i = ctx.freshName("i")
+      s"""
+         |int $count = $c.numBytes() - $n + 1;
+         |if ($count <= 0) {
+         |  ${ev.value} = new $gad(new long[0]);
+         |} else {
+         |  long[] $buf = new long[$count];
+         |  Object $base = $c.getBaseObject();
+         |  long $off = $c.getBaseOffset();
+         |  for (int $i = 0; $i < $count; $i++) {
+         |    $buf[$i] = $xxh.hashUnsafeBytes($base, $off + $i, $n, ${seed}L);
+         |  }
+         |  ${ev.value} = graft.functions.ShingleUtil.distinctSorted($buf, $count);
+         |}
+       """.stripMargin
+    })
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

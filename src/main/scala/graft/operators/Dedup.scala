@@ -76,12 +76,16 @@ object Dedup {
           b => xxhash64(b, slice(col("sig"), b * cfg.bandRows + 1, lit(cfg.bandRows)))))
         .as(Seq("band", "bandHash")))
 
-    val pruned = banded
-      .withColumn("bucketSize",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bandHash"))))
-      .filter(col("bucketSize") <= cfg.maxBucketSize)
-      .drop("bucketSize")
+    // Skew guard: drop degenerate buckets (boilerplate shingles) before the
+    // self-join. A partial-agg groupBy + broadcast anti-join of the (rare)
+    // oversized keys — not a window count, which would shuffle AND sort the
+    // full banded set.
+    val oversized = banded
+      .groupBy(col("band"), col("bandHash"))
+      .agg(count(lit(1)).as("bucketSize"))
+      .filter(col("bucketSize") > cfg.maxBucketSize)
+      .select(col("band"), col("bandHash"))
+    val pruned = banded.join(broadcast(oversized), Seq("band", "bandHash"), "left_anti")
 
     val a = pruned.alias("a")
     val b = pruned.alias("b")
@@ -211,9 +215,18 @@ object Dedup {
     */
   def embeddingNearDups(
       emb: DataFrame, idCol: String, vecCol: String,
-      probe: Column, threshold: Double): DataFrame = {
+      probe: Column, threshold: Double, maxProbeRows: Long = 100000L): DataFrame = {
     val p = emb.filter(probe)
       .select(col(idCol).as("pid"), col(vecCol).as("v1"))
+    // The probe side is broadcast whole: an unguarded predicate matching a
+    // large corpus fraction would OOM the driver/executors. The count is one
+    // cheap pre-pass over the pruned probe projection; for unbounded
+    // all-pairs use hyperplane bucketing (Similarity.lshTopK's banding).
+    val probeCount = p.count()
+    require(probeCount <= maxProbeRows,
+      s"embeddingNearDups probe set has $probeCount rows (max $maxProbeRows): " +
+        "the probe side is broadcast — tighten the predicate or pre-bucket " +
+        "with banded hyperplane LSH instead of raising the limit blindly")
     val c = emb
       .select(col(idCol).as("cid"), col(vecCol).as("v2"))
     broadcast(p).join(c, col("pid") =!= col("cid"))

@@ -8,12 +8,17 @@ import graft.functions.VectorFunctions
 
 /** Similarity search over embedding columns (`array<float>`): exact
   * brute-force top-k as the correctness baseline, and two approximate
-  * scale paths — random-hyperplane LSH buckets (Charikar, STOC 2002) and
-  * IVF coarse quantization (inverted-file probing as in Jégou et al.,
-  * "Product quantization for nearest neighbor search", TPAMI 2011 — here
-  * without the PQ compression stage). Distributed top-k shapes follow the
+  * scale paths — banded random-hyperplane LSH (Charikar, STOC 2002; banding
+  * / OR-amplification as in Mining of Massive Datasets ch. 3) and IVF
+  * coarse quantization (inverted-file probing as in Jégou et al., "Product
+  * quantization for nearest neighbor search", TPAMI 2011 — here without the
+  * PQ compression stage). Distributed top-k shapes follow the
   * prune-then-rerank pattern surveyed in the retrieved top-k literature
   * (PAPERS.md: EDBT 2020 incremental top-k; ICDE 2021 REPOSE).
+  *
+  * Candidate generation in both approximate paths is an EQUI-join on a
+  * small key (band signature / cell id) — hash-partitionable at 100 TB —
+  * never a nested-loop predicate join.
   */
 object Similarity {
 
@@ -50,49 +55,134 @@ object Similarity {
 
   /** Sign-bit signature of a vector column against the given hyperplanes,
     * packed into a Long — vectors with small angles agree on most bits.
+    * At most 64 planes fit one Long; JVM shifts wrap at 64, so more would
+    * silently alias plane i onto plane i−64 and corrupt the signature.
     */
-  def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column =
+  def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    require(planes.nonEmpty && planes.length <= 64,
+      s"hyperplaneSignature packs sign bits into a Long: need 1..64 planes, got ${planes.length}")
     planes.zipWithIndex.map { case (p, i) =>
       when(VectorFunctions.dot(vec, lit(p)) > 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** (band, bandSig) rows for a vector column: `numBands` independent
+    * signatures of `bandBits` hyperplanes each. Two vectors collide in band
+    * j with probability p^bandBits (p = 1 − θ/π), and become candidates if
+    * they collide in ANY band — OR-amplification: P = 1 − (1 − p^b)^L.
+    */
+  private def bandedSignatures(
+      df: DataFrame, idOut: String, vecOut: String, idCol: String, vecCol: String,
+      planes: Array[Array[Double]], bandBits: Int, numBands: Int): DataFrame = {
+    val sigs = (0 until numBands).map { b =>
+      hyperplaneSignature(col(vecOut), planes.slice(b * bandBits, (b + 1) * bandBits))
+    }
+    df.select(col(idCol).as(idOut), col(vecCol).as(vecOut))
+      .select(col(idOut), col(vecOut),
+        posexplode(array(sigs: _*)).as(Seq("band", "bandSig")))
+  }
+
+  /** Empty top-k result with the contract schema (query_id, neighbor_id,
+    * rank, score), id types taken from the input frames.
+    */
+  private def emptyTopK(corpus: DataFrame, queries: DataFrame, idCol: String): DataFrame =
+    queries.limit(0).select(col(idCol).as("query_id"))
+      .crossJoin(corpus.limit(0).select(col(idCol).as("neighbor_id")))
+      .withColumn("rank", lit(0))
+      .withColumn("score", lit(0.0))
+
+  /** K-means centroids over a bounded, deterministically-sampled subset of
+    * the corpus, entirely as DataFrame ops (no driver-side vectors):
+    * hash-ordered sample → first `nlist` rows as init → `iters` Lloyd
+    * rounds (assign = broadcast centroid join + max_by; update =
+    * per-component mean via posexplode). Returns (cell: int,
+    * centroid: array&lt;double&gt;). Cells that lose all members keep their
+    * previous centroid so nlist stays stable.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame, vecCol: String,
+      nlist: Int, iters: Int = 2, sampleSize: Int = 4096,
+      seed: Long = 42L): DataFrame = {
+    require(nlist >= 1, s"nlist=$nlist must be >= 1")
+    // Deterministic pseudo-random sample: order by a salted hash of the
+    // vector bytes — independent of input ordering and id clustering.
+    val sample = corpus
+      .select(col(vecCol).as("v"))
+      .withColumn("r", xxhash64(lit(seed), col("v")))
+      .orderBy(col("r").asc)
+      .limit(math.max(sampleSize, nlist))
+      .localCheckpoint(true)
+
+    var cents = sample
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(col("r").asc)) - 1).cast("int"))
+      .filter(col("cell") < nlist)
+      .select(col("cell"), col("v").cast("array<double>").as("centroid"))
+      .localCheckpoint(true)
+
+    var it = 0
+    while (it < iters) {
+      // assign: nearest centroid per sample row (max_by keeps the shuffle at
+      // one row per sample point after map-side partial aggregation)
+      val assigned = sample.crossJoin(broadcast(cents))
+        .withColumn("score", VectorFunctions.cosine(col("v"), col("centroid")))
+        .groupBy(col("r"), col("v"))
+        .agg(max_by(col("cell"), struct(col("score"), (-col("cell")).as("tb"))).as("cell"))
+      // update: component-wise mean per cell
+      val updated = assigned
+        .select(col("cell"), posexplode(col("v").cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).getField("m").as("centroid"))
+      cents = cents.alias("old")
+        .join(updated.alias("nw"), Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("nw.centroid"), col("old.centroid")).as("centroid"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    cents
+  }
 
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
-    * their nearest centroid (coarse quantizer); each query probes only the
-    * `nprobe` closest centroid cells and exact-reranks inside them. The
-    * assignment is a narrow projection; the probe is an equi-join on
-    * centroid id — a hash-partitioned join at scale, scanning nprobe/nlist
-    * of the corpus per query instead of all of it.
-    *
-    * Centroids here are the first `nlist` corpus vectors by id —
-    * deterministic "sampled" centroids (a k-means refinement would slot in
-    * without changing the plan shape).
+    * their nearest k-means centroid (coarse quantizer); each query probes
+    * only the `nprobe` closest centroid cells and exact-reranks inside
+    * them. Centroids live in a small broadcast-joined DataFrame (never
+    * inlined into the plan), assignment is one broadcast join + keyed
+    * aggregation, and the probe is an equi-join on cell id — a
+    * hash-partitioned join at scale, scanning ~nprobe/nlist of the corpus
+    * per query instead of all of it.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents: Array[(Int, Array[Float])] = corpus
-      .orderBy(col(idCol).asc).limit(nlist)
-      .select(col(vecCol)).collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+      k: Int, nlist: Int = 16, nprobe: Int = 4,
+      kmeansIters: Int = 2, sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe=$nprobe must be in [1, nlist=$nlist]")
+    if (queries.isEmpty) return emptyTopK(corpus, queries, idCol)
+    val cents = kmeansCentroids(corpus, vecCol, nlist, kmeansIters, sampleSize, seed)
 
-    def cellScores(vec: Column): Column =
-      array(cents.map { case (i, cv) =>
-        struct(VectorFunctions.cosine(vec, typedlit(cv)).as("s"), lit(i).as("cell"))
-      }.toIndexedSeq: _*)
-
-    // corpus side: nearest cell = argmax cosine over centroids
+    // corpus side: nearest cell per vector. max_by folds the nlist-way
+    // expansion back to one row per vector map-side; ties break to the
+    // lowest cell id for determinism.
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cell", array_max(cellScores(col("cv"))).getField("cell"))
+      .crossJoin(broadcast(cents))
+      .withColumn("score", VectorFunctions.cosine(col("cv"), col("centroid")))
+      .groupBy(col("neighbor_id"))
+      .agg(first(col("cv")).as("cv"),
+        max_by(col("cell"), struct(col("score"), (-col("cell")).as("tb"))).as("cell"))
 
     // query side: top-nprobe cells, exploded to (query, cell) probes
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cell").asc)
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cells",
-        slice(reverse(array_sort(cellScores(col("qv")))), 1, nprobe))
-      .select(col("query_id"), col("qv"),
-        explode(col("cells").getField("cell")).as("cell"))
+      .crossJoin(broadcast(cents))
+      .withColumn("score", VectorFunctions.cosine(col("qv"), col("centroid")))
+      .withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
@@ -105,26 +195,43 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 
-  /** Approximate top-k: candidates = corpus vectors agreeing with the query
-    * signature on ≥ (numPlanes − maxBitDiff) sign bits, exact-reranked by
-    * cosine. Bucket-equality (maxBitDiff = 0) makes the join a pure
-    * hash-partitioned equi-join on the signature — the 100 TB shape; small
-    * maxBitDiff trades shuffle width for recall (multi-probe).
+  /** Approximate top-k via banded hyperplane LSH: `numBands` independent
+    * `bandBits`-plane signatures per vector; a corpus vector is a candidate
+    * for a query iff they share the exact signature in at least one band
+    * (OR-amplification), then candidates are exact-reranked by cosine.
+    *
+    * The candidate join is an EQUI-join on (band, bandSig) — broadcast-hash
+    * here (bounded query set), shuffle-hash/sort-merge when the query side
+    * is large — never a nested-loop scan of the corpus.
+    *
+    * Tuning: candidate recall for a pair at angle θ is 1 − (1 − p^bandBits)
+    * ^numBands with p = 1 − θ/π. Defaults (8 bits × 16 bands) suit
+    * clustered real-world embeddings (neighbor cosine ≳ 0.7); for
+    * weakly-clustered corpora lower `bandBits` (wider buckets, more rerank
+    * work) to hold recall.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, numPlanes: Int = 16, maxBitDiff: Int = 3, seed: Long = 42L): DataFrame = {
+      k: Int, bandBits: Int = 8, numBands: Int = 16, seed: Long = 42L): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 64,
+      s"bandBits=$bandBits must be in [1, 64] (band signature packs into a Long)")
+    require(numBands >= 1, s"numBands=$numBands must be >= 1")
     // derive dimensionality from the data — a silent mismatch would bucket
     // on prefix components (DotProduct loops to min length)
-    val dim = queries.select(size(col(vecCol))).head().getInt(0)
-    val planes = hyperplanes(dim, numPlanes, seed)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qsig", hyperplaneSignature(col("qv"), planes))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("csig", hyperplaneSignature(col("cv"), planes))
-    val candidates = broadcast(q).join(c,
-      col("query_id") =!= col("neighbor_id") &&
-        bit_count(col("qsig").bitwiseXOR(col("csig"))) <= maxBitDiff)
+    val dimRow = queries.select(size(col(vecCol))).limit(1).collect().headOption
+    if (dimRow.isEmpty) return emptyTopK(corpus, queries, idCol)
+    val planes = hyperplanes(dimRow.get.getInt(0), bandBits * numBands, seed)
+
+    val q = bandedSignatures(queries, "query_id", "qv", idCol, vecCol,
+      planes, bandBits, numBands)
+    val c = bandedSignatures(corpus, "neighbor_id", "cv", idCol, vecCol,
+      planes, bandBits, numBands)
+    // a pair can collide in several bands — dedupe before the rerank so
+    // row_number sees each candidate once
+    val candidates = broadcast(q)
+      .join(c, Seq("band", "bandSig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     candidates

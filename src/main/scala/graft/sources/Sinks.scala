@@ -52,17 +52,28 @@ object Sinks {
     val out = derive(spark.read.parquet(path))
     // Parquet overwrite of the source path requires materializing first.
     val tmp = path.stripSuffix("/") + "__rewrite"
+    val old = path.stripSuffix("/") + "__old"
     out.write.mode(SaveMode.Overwrite).parquet(tmp)
     val target = new org.apache.hadoop.fs.Path(path)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val oldPath = new org.apache.hadoop.fs.Path(old)
     // the PATH's filesystem, not the default one (path may be s3a:// etc.)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.delete(target, true))
-      throw new java.io.IOException(s"failed to delete $path before rewrite")
-    if (!fs.rename(tmpPath, target))
+    // Swap via rename-aside, not delete-then-rename: a crash between the
+    // two renames leaves the previous table recoverable at `path__old`
+    // (same filesystem, same prefix), and the no-table window shrinks to
+    // the instant between the renames.
+    fs.delete(oldPath, true) // clear any leftover from a prior crash
+    if (!fs.rename(target, oldPath))
+      throw new java.io.IOException(s"failed to move $path aside to $old")
+    if (!fs.rename(tmpPath, target)) {
+      // best-effort rollback so readers still see the previous table
+      fs.rename(oldPath, target)
       throw new java.io.IOException(
         s"failed to move rewritten table into place: $tmp -> $path " +
-          "(rewritten data is intact at the tmp path)")
+          "(previous table restored; rewritten data intact at the tmp path)")
+    }
+    fs.delete(oldPath, true)
   }
 
   /** Partitioned write — the layout that makes S1-style pruning free for

@@ -28,7 +28,8 @@ object Streams {
     * reference's blob sensors. `maxFilesPerTrigger` bounds per-batch work.
     */
   def eventsStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.Tables.withEventTime(
       spark.readStream
         .schema(eventsSchema)

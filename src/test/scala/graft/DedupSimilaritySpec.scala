@@ -96,22 +96,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val approx = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5,
-        numPlanes = 16, maxBitDiff = 6)
+        bandBits = 4, numBands = 16)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
-  test("IVF ANN top-k achieves reasonable recall vs brute force") {
+  test("LSH ANN top-k returns empty (not an error) for an empty query set") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val out = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 0),
+      "vec_id", "embedding", 5)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("query_id", "neighbor_id", "rank", "score"))
+  }
+
+  test("IVF ANN top-k achieves high recall vs brute force at nlist=64") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
-        nlist = 16, nprobe = 8)
+        nlist = 64, nprobe = 24, kmeansIters = 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.4, s"recall $recall too low")
+    assert(recall >= 0.9, s"recall $recall too low")
   }
 
   test("SQL registration: custom expressions callable from spark.sql") {

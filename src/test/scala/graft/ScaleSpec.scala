@@ -101,6 +101,50 @@ class ScaleSpec extends AnyFunSuite {
     assert(bad.head.getAs[Int]("length") > 10)
   }
 
+  test("lshTopK candidate join is an equi-join, not a nested-loop scan") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val out = graft.operators.Similarity.lshTopK(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5,
+      bandBits = 4, numBands = 16)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate generation must be a hash-partitionable equi-join:\n$plan")
+  }
+
+  test("ivfTopK plan joins broadcast centroids — no nested-loop over corpus pairs") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val out = graft.operators.Similarity.ivfTopK(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    // the only nested-loop allowed is the bounded corpus×centroid cross join
+    // (nlist rows broadcast); the probe join on cell must be a hash join
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("SortMergeJoin"),
+      s"IVF probe should be an equi-join on cell:\n$plan")
+  }
+
+  test("minhash bucket-size guard runs without a window sort over the banded set") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val pairs = graft.operators.Dedup.minHashNearDups(docs, "doc_id",
+      graft.functions.ShingleFunctions.wordShingleHashes(
+        graft.functions.TextFunctions.tokens(col("text")), 3), 0.5,
+      graft.operators.Dedup.LshConfig(numHashes = 64, bandRows = 2))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window"),
+      s"bucket guard should be groupBy + anti-join, not a window:\n$plan")
+  }
+
+  test("embeddingNearDups refuses an oversized broadcast probe set") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.embeddingNearDups(
+        emb, "vec_id", "embedding", col("vec_id") < 100, 0.3,
+        maxProbeRows = 10L)
+    }
+    assert(e.getMessage.contains("probe set"))
+  }
+
   test("empty-input union yields typed empty frame with explicit schema") {
     val schema = Tables.customer(spark, TestSpark.sf).schema
     val out = Pipeline.unionAllOrEmpty(spark, Seq.empty, schema)

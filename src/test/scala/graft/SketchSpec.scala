@@ -113,6 +113,32 @@ class SketchSpec extends AnyFunSuite {
     assert(viaAgg == viaExpr)
   }
 
+  test("sketch expressions: generated code is bit-identical to interpreted eval") {
+    import graft.functions.ShingleFunctions
+    def run(): Seq[org.apache.spark.sql.Row] =
+      Tables.documents(spark, TestSpark.sf).limit(200)
+        .select(col("doc_id"),
+          HashFunctions.minhashSignature(
+            ShingleFunctions.wordShingleHashes(TextFunctions.tokens(col("text")), 3),
+            32).as("mh"),
+          HashFunctions.simhash64(TextFunctions.tokens(col("text"))).as("sh"),
+          ShingleFunctions.charShingleHashes(col("text"), 8).as("cs"))
+        .orderBy("doc_id").collect().toSeq
+    val gen = run()
+    val interp = {
+      val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try run()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", ws)
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    assert(gen == interp)
+    assert(gen.nonEmpty)
+  }
+
   test("approx_count_distinct stays within its error bound vs exact") {
     import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
     val li = Tables.lineitem(spark, TestSpark.sf)
