@@ -109,6 +109,35 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_partkey")
     }),
 
+    // ---- W1 at scale: same contract through the Bloom pre-filter ---------
+    // Same oracle as w1_idempotent — the Bloom probe only reroutes
+    // definitely-new rows around the exact anti-join, never changes output.
+    "w1_idempotent_bloom" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cutoff = lit("1997-01-01").cast(TimestampType)
+      val batch = li.filter(col("l_shipdate") >= cutoff)
+        .select("l_orderkey", "l_partkey").distinct()
+      val sink = li.filter(col("l_shipdate") < cutoff)
+        .select("l_orderkey", "l_partkey")
+      Pipeline.idempotentNewRowsBloom(batch, sink,
+        Seq("l_orderkey", "l_partkey"), expectedSinkKeys = 200000L)
+        .orderBy("l_orderkey", "l_partkey")
+    }),
+
+    // ---- J4: 3-key correlated UPDATE (reference add_image_data.py:65-71,83:
+    // UPDATE ... FROM staging ON 3 matching key columns, SET derived) ------
+    "j4_corr_update" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val staged = li.filter(col("l_returnflag") === "R")
+        .groupBy("l_orderkey", "l_partkey", "l_suppkey")
+        .agg(sum(dec(col("l_quantity"))).as("ret_qty"))
+      li.join(staged, Seq("l_orderkey", "l_partkey", "l_suppkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          coalesce(col("ret_qty"), lit(0)).cast("double").as("returned_qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- W4/J3: MERGE upsert as full-outer join + coalesce ---------------
     "w4_merge" -> ((s, d) => {
       val target = Tables.customer(s, d)
@@ -335,6 +364,27 @@ object CoreQueries {
         |    WHERE e.l_shipdate < TIMESTAMP '1997-01-01'
         |      AND e.l_orderkey = b.l_orderkey AND e.l_partkey = b.l_partkey)
         |ORDER BY l_orderkey, l_partkey""".stripMargin,
+
+    "w1_idempotent_bloom" ->
+      """SELECT DISTINCT l_orderkey, l_partkey FROM lineitem b
+        |WHERE b.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem e
+        |    WHERE e.l_shipdate < TIMESTAMP '1997-01-01'
+        |      AND e.l_orderkey = b.l_orderkey AND e.l_partkey = b.l_partkey)
+        |ORDER BY l_orderkey, l_partkey""".stripMargin,
+
+    "j4_corr_update" ->
+      """WITH staged AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS ret_qty
+        |  FROM lineitem WHERE l_returnflag = 'R'
+        |  GROUP BY 1, 2, 3)
+        |SELECT li.l_orderkey, li.l_linenumber, li.l_partkey, li.l_suppkey,
+        |  CAST(coalesce(s.ret_qty, 0) AS DOUBLE) AS returned_qty
+        |FROM lineitem li LEFT JOIN staged s
+        |  ON li.l_orderkey = s.l_orderkey AND li.l_partkey = s.l_partkey
+        |    AND li.l_suppkey = s.l_suppkey
+        |ORDER BY li.l_orderkey, li.l_linenumber""".stripMargin,
 
     "w4_merge" ->
       """WITH source AS (

@@ -62,10 +62,24 @@ object ExtensionQueries {
         .orderBy("id")
     }),
 
-    // ---- Dedup: SimHash (rows-only; hash not SQL-replicable) -------------
+    // ---- Dedup: SimHash (rows-only; xxh64 not SQL-replicable) ------------
     "dedup_simhash" -> ((s, d) => {
       Dedup.simHashNearDups(Tables.documents(s, d), "doc_id",
         TextFunctions.tokens(col("text")), maxDist = 3)
+        .orderBy("id_1", "id_2")
+    }),
+
+    // ---- Dedup: SimHash over md5-derived token hashes — same pigeonhole
+    // chunk join, but the 60-bit signature is computable in DuckDB SQL, so
+    // this variant is fully oracle-checked (the DuckDB side brute-forces
+    // all pairs; complete recall of the chunk join makes the sets equal) --
+    "dedup_simhash_md5" -> ((s, d) => {
+      val sigs = Tables.documents(s, d)
+        .withColumn("hs", expr(
+          "transform(split(text, ' '), t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
+        .select(col("doc_id").as("id"),
+          graft.functions.HashFunctions.simhashFromHashes(col("hs")).as("sig"))
+      Dedup.simHashNearDupsFromSigs(sigs, maxDist = 3)
         .orderBy("id_1", "id_2")
     }),
 
@@ -128,6 +142,18 @@ object ExtensionQueries {
     // ---- Multimodal: binary columns + stubbed decode ---------------------
     "mm_meta" -> ((s, d) => {
       Multimodal.decodeStub(Multimodal.synthesize(s, Tables.documents(s, d)))
+        .toDF()
+        .select("media_id", "mime", "content_len", "width", "height", "n_frames")
+        .orderBy("media_id")
+    }),
+
+    // ---- Multimodal: REAL binaryFile source over on-disk blobs (same
+    // decode stub, same oracle — content bytes identical by construction) -
+    "mm_binary" -> ((s, d) => {
+      val dir = System.getProperty("java.io.tmpdir") +
+        "/graft_mm_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      Multimodal.ensureFixtureFiles(s, Tables.documents(s, d), dir)
+      Multimodal.decodeStub(Multimodal.readBinaryFiles(s, dir))
         .toDF()
         .select("media_id", "mime", "content_len", "width", "height", "n_frames")
         .orderBy("media_id")
@@ -195,6 +221,23 @@ object ExtensionQueries {
         |  UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
         |SELECT s AS id, min(t) AS canonical_id FROM reach
         |GROUP BY s ORDER BY id""".stripMargin,
+
+    "dedup_simhash_md5" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 59),
+        |      b -> CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+        |           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS sig
+        |  FROM t)
+        |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY id_1, id_2""".stripMargin,
 
     "dedup_embcos" ->
       """WITH e AS (
@@ -264,6 +307,17 @@ object ExtensionQueries {
         |      list_transform(w, x -> CAST(ascii(x) AS BIGINT) * 131 + length(x))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "mm_binary" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS mime,
+        |  CAST(64 + doc_id % 128 AS INTEGER) AS content_len,
+        |  CAST(64 + doc_id % 960 AS INTEGER) AS width,
+        |  CAST(64 + doc_id % 540 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30 ELSE 1 END
+        |    AS INTEGER) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id AS media_id,

@@ -195,6 +195,53 @@ case class SimHash64(child: Expression, seed: Long)
     copy(child = newChild)
 }
 
+/** SimHash votes over PRE-HASHED 64-bit token values (`array<bigint>`):
+  * bit b of the result is 1 iff more element hashes have bit b set than
+  * not. Lets any SQL-computable hash family (e.g. md5-derived longs, which
+  * a DuckDB oracle can replicate) reuse the native vote loop instead of a
+  * per-bit higher-order-function rescan.
+  */
+case class SimHashFromHashes(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) SketchHash.voteBits(arr.getLong(j), votes)
+      j += 1
+    }
+    SketchHash.votesToSig(votes)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sh = "graft.functions.SketchHash"
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes"); val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      s"""
+         |int[] $votes = new int[64];
+         |int $n = $c.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$c.isNullAt($j)) { $sh.voteBits($c.getLong($j), $votes); }
+         |}
+         |${ev.value} = $sh.votesToSig($votes);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** Column API: k-permutation MinHash signature of a shingle-set column. */
   def minhashSignature(shingles: Column, numHashes: Int = 64, seed: Long = 42L): Column =
@@ -203,4 +250,8 @@ object HashFunctions {
   /** Column API: 64-bit SimHash of a token-array column. */
   def simhash64(tokens: Column, seed: Long = 42L): Column =
     column(SimHash64(expression(tokens), seed))
+
+  /** Column API: SimHash votes over pre-hashed 64-bit token values. */
+  def simhashFromHashes(hashes: Column): Column =
+    column(SimHashFromHashes(expression(hashes)))
 }

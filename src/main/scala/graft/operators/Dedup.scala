@@ -173,7 +173,20 @@ object Dedup {
     */
   def simHashNearDups(
       df: DataFrame, idCol: String, tokens: Column,
-      maxDist: Int = 3, seed: Long = 42L): DataFrame = {
+      maxDist: Int = 3, seed: Long = 42L): DataFrame =
+    // empty token sets all hash to sig 0 — a degenerate all-pairs bucket
+    simHashNearDupsFromSigs(
+      df.filter(size(tokens) > 0)
+        .select(col(idCol).as("id"),
+          HashFunctions.simhash64(tokens, seed).as("sig")),
+      maxDist)
+
+  /** Pigeonhole near-dup pairs over PRE-COMPUTED 64-bit signatures
+    * (columns `id`, `sig`) — the [[simHashNearDups]] core, exposed so
+    * signatures from other hash families (e.g. an oracle-replicable
+    * md5-derived SimHash) reuse the same complete-recall chunk join.
+    */
+  def simHashNearDupsFromSigs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 31,
       s"maxDist=$maxDist out of range [0, 31] (chunks need ≥2 bits each)")
     val chunks = maxDist + 1
@@ -182,10 +195,7 @@ object Dedup {
     // (1L << 64) wraps to 1L in JVM shift semantics and would zero every
     // chunk value, collapsing the corpus into one bucket
     val mask = if (width == 64) -1L else (1L << width) - 1
-    // empty token sets all hash to sig 0 — a degenerate all-pairs bucket
-    val base = df.filter(size(tokens) > 0)
-      .select(col(idCol).as("id"),
-        HashFunctions.simhash64(tokens, seed).as("sig"))
+    val base = sigs.select(col("id"), col("sig"))
 
     val chunkCols = (0 until chunks).map { c =>
       shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit(mask))

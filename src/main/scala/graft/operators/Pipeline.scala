@@ -70,6 +70,30 @@ object Pipeline {
       .dropDuplicates(keys)
       .join(existing.select(keys.map(col).toIndexedSeq: _*), keys, "left_anti")
 
+  /** W1 at 100 TB: same result as [[idempotentNewRows]], with a Bloom
+    * filter over the sink's key hashes probed first. Bloom "no" is
+    * definitive (no false negatives), so those rows skip the anti-join
+    * entirely; only the ~fpp false-positive share plus genuine duplicates
+    * shuffle into the exact check — the anti-join's batch side shrinks from
+    * |batch| to ~|dups| + fpp·|batch|. The sink is still scanned once to
+    * build the filter (key columns only, pruned by Catalyst); the filter
+    * itself is a compact bit array shipped to tasks inside the probe
+    * expression.
+    */
+  def idempotentNewRowsBloom(
+      batch: DataFrame, existing: DataFrame, keys: Seq[String],
+      expectedSinkKeys: Long, fpp: Double = 0.01): DataFrame = {
+    def keyHash(df: DataFrame) = xxhash64(keys.map(df(_)).toIndexedSeq: _*)
+    val sinkKeys = existing.select(keys.map(col).toIndexedSeq: _*)
+    val bloom = sinkKeys.stat.bloomFilter(keyHash(sinkKeys), expectedSinkKeys, fpp)
+    val deduped = batch.dropDuplicates(keys)
+    val maybeInSink = graft.functions.BloomFunctions.mightContain(keyHash(deduped), bloom)
+    val definitelyNew = deduped.filter(!maybeInSink)
+    val needExactCheck = deduped.filter(maybeInSink)
+      .join(sinkKeys, keys, "left_anti")
+    definitelyNew.unionByName(needExactCheck)
+  }
+
   /** W2's error surface as a validation operator: the reference *catches*
     * STRING_DATA_RIGHT_TRUNCATION from Postgres after the fact
     * (dags/evidence_images_processing.py:221-228); here over-length values

@@ -53,6 +53,8 @@ object GraftFunctions {
         case 1 => SimHash64(es(0), 42L)
         case _ => SimHash64(es(0), longArg(es(1), "seed"))
       }}),
+    "simhash_from_hashes" -> (es => { arity(es, "simhash_from_hashes", 1, 1)
+      SimHashFromHashes(es(0)) }),
     "minhash_signature" -> (es => { arity(es, "minhash_signature", 1, 3)
       es.length match {
         case 1 => MinHashSignature(es(0), 64, 42L)

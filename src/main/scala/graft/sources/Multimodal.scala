@@ -27,22 +27,72 @@ object Multimodal {
 
   private val mimes = Array("image/jpeg", "audio/wav", "video/mp4")
 
+  /** Deterministic content bytes for a media id (splitmix64 stream) —
+    * shared by [[synthesize]] and the on-disk fixtures of
+    * [[ensureFixtureFiles]] so both source legs carry identical bytes.
+    */
+  def contentBytes(id: Long): Array[Byte] = {
+    val len = (64 + id % 128).toInt
+    val bytes = new Array[Byte](len)
+    var i = 0
+    while (i < len) {
+      bytes(i) = (SketchHash.mix(id * 131L + i) & 0xff).toByte
+      i += 1
+    }
+    bytes
+  }
+
   /** Deterministic synthetic media table derived from document ids: a
     * binary `content` column whose bytes come from a splitmix64 stream.
-    * Stands in for `spark.read.format("binaryFile")` over an object store.
+    * Stands in for `spark.read.format("binaryFile")` over an object store
+    * (see [[readBinaryFiles]] for the real-file leg).
     */
   def synthesize(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     docs.select(col("doc_id").cast("long")).as[Long].map { id =>
-      val len = (64 + id % 128).toInt
-      val bytes = new Array[Byte](len)
-      var i = 0
-      while (i < len) {
-        bytes(i) = (SketchHash.mix(id * 131L + i) & 0xff).toByte
-        i += 1
-      }
-      MediaRecord(id, s"media/$id.bin", mimes((id % 3).toInt), bytes)
+      MediaRecord(id, s"media/$id.bin", mimes((id % 3).toInt), contentBytes(id))
     }
+  }
+
+  /** Write one `media_<id>.bin` fixture file per document id (skipped when
+    * the `_SUCCESS` marker exists) so the binaryFile source leg reads real
+    * bytes off disk. Fixture generation is a bounded driver loop — the
+    * DISTRIBUTED read path is [[readBinaryFiles]]; a production ingest
+    * would land these files from the object store, not generate them.
+    */
+  def ensureFixtureFiles(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+    val marker = new java.io.File(dir, "_SUCCESS")
+    if (marker.exists()) return
+    import spark.implicits._
+    val ids = docs.select(col("doc_id").cast("long")).as[Long].collect()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    ids.foreach { id =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"media_$id.bin"), contentBytes(id))
+    }
+    marker.createNewFile()
+  }
+
+  /** Real binary-file source: `spark.read.format("binaryFile")` over a
+    * directory of media blobs — path, length and content come from the
+    * files themselves; id and mime derive from the blob name exactly as an
+    * object-store ingest would parse its keys.
+    */
+  def readBinaryFiles(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val mimeArr = array(mimes.map(lit).toIndexedSeq: _*)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "media_(\\d+)\\.bin$", 1)
+          .cast("long").as("media_id"),
+        col("path").as("uri"),
+        col("content"))
+      .select(col("media_id"), col("uri"),
+        element_at(mimeArr, (col("media_id") % 3 + 1).cast("int")).as("mime"),
+        col("content"))
+      .as[MediaRecord]
   }
 
   /** Decode + feature-extract, one partition at a time (batch-amortized the

@@ -135,6 +135,47 @@ class ScaleSpec extends AnyFunSuite {
       s"bucket guard should be groupBy + anti-join, not a window:\n$plan")
   }
 
+  test("Bloom pre-join: identical result to plain anti-join, joins fewer rows") {
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val cutoff = lit("1997-01-01").cast(org.apache.spark.sql.types.TimestampType)
+    val batch = li.filter(col("l_shipdate") >= cutoff)
+      .select("l_orderkey", "l_partkey").distinct()
+    val sink = li.filter(col("l_shipdate") < cutoff)
+      .select("l_orderkey", "l_partkey")
+    val keys = Seq("l_orderkey", "l_partkey")
+    val plain = Pipeline.idempotentNewRows(batch, sink, keys)
+      .collect().map(_.toSeq).toSet
+    val bloomed = Pipeline.idempotentNewRowsBloom(batch, sink, keys,
+      expectedSinkKeys = 10000L, fpp = 0.01)
+    assert(bloomed.collect().map(_.toSeq).toSet == plain)
+    // the exact-check branch (bloom said "maybe") must be far smaller than
+    // the batch: only true dups + ~fpp of the new rows survive the probe
+    def keyHash(df: org.apache.spark.sql.DataFrame) =
+      xxhash64(keys.map(df(_)): _*)
+    val bloom = sink.stat.bloomFilter(keyHash(sink), 10000L, 0.01)
+    val deduped = batch.dropDuplicates(keys)
+    val surviving = deduped
+      .filter(graft.functions.BloomFunctions.mightContain(keyHash(deduped), bloom))
+      .count()
+    val trueDups = deduped.join(sink, keys, "left_semi").count()
+    assert(surviving < trueDups + (deduped.count() * 0.05).toLong + 10,
+      s"bloom should prune the anti-join input: $surviving rows survived, $trueDups true dups")
+  }
+
+  test("binaryFile source leg produces the same features as synthesized media") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm").toString
+    graft.sources.Multimodal.ensureFixtureFiles(spark, docs, dir)
+    val viaFiles = graft.sources.Multimodal.decodeStub(
+      graft.sources.Multimodal.readBinaryFiles(spark, dir))
+      .toDF().orderBy("media_id").collect().map(_.toSeq).toSet
+    val viaSynth = graft.sources.Multimodal.decodeStub(
+      graft.sources.Multimodal.synthesize(spark, docs))
+      .toDF().orderBy("media_id").collect().map(_.toSeq).toSet
+    assert(viaFiles == viaSynth)
+    assert(viaFiles.nonEmpty)
+  }
+
   test("embeddingNearDups refuses an oversized broadcast probe set") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val e = intercept[IllegalArgumentException] {
