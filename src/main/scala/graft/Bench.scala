@@ -31,6 +31,11 @@ object Bench {
         try run(fn, warmDir) catch { case _: Exception => () }
       }
     }
+    // one-time fixture materialization (mm_binary's on-disk blobs) runs
+    // outside the timed loop — it is test-data generation, not query work
+    try graft.sources.Multimodal.ensureFixtureFiles(spark,
+      Tables.documents(spark, sfDir), graft.sources.Multimodal.fixtureDir(sfDir))
+    catch { case _: Exception => () }
 
     val errors = scala.collection.mutable.ListBuffer[String]()
     // a failed query reports -1 and contributes nothing to the total, so

@@ -150,8 +150,7 @@ object ExtensionQueries {
     // ---- Multimodal: REAL binaryFile source over on-disk blobs (same
     // decode stub, same oracle — content bytes identical by construction) -
     "mm_binary" -> ((s, d) => {
-      val dir = System.getProperty("java.io.tmpdir") +
-        "/graft_mm_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = Multimodal.fixtureDir(d)
       Multimodal.ensureFixtureFiles(s, Tables.documents(s, d), dir)
       Multimodal.decodeStub(Multimodal.readBinaryFiles(s, dir))
         .toDF()

@@ -40,16 +40,27 @@ object Dedup {
     * fewer candidates. `maxBucketSize` drops degenerate buckets (boilerplate
     * shingles) to bound the worst-case self-join — the skew guard.
     */
+  /** `estMargin` drives the cheap signature-estimate pre-filter between
+    * candidate generation and exact verification: candidates whose
+    * signature-agreement fraction (an unbiased Jaccard estimate, sd =
+    * sqrt(j(1−j)/numHashes)) falls below `threshold − estMargin` are
+    * dropped BEFORE the expensive shingle-array re-join. At the default
+    * 0.25 with 64+ hashes that bound sits ≥10σ above typical baseline
+    * similarity (junk candidates all die) and ≥4σ below an
+    * exactly-at-threshold true pair (miss add ≲3e-5). Set ≥ 1 to disable.
+    */
   final case class LshConfig(
       numHashes: Int = 64,
       bandRows: Int = 1,
       seed: Long = 42L,
-      maxBucketSize: Long = 100000L) {
+      maxBucketSize: Long = 100000L,
+      estMargin: Double = 0.25) {
     require(bandRows >= 1 && bandRows <= numHashes,
       s"bandRows=$bandRows must be in [1, numHashes=$numHashes]")
     require(numHashes % bandRows == 0,
       s"numHashes=$numHashes must divide evenly into bandRows=$bandRows bands " +
         "(leftover signature values would silently weaken recall)")
+    require(estMargin >= 0, s"estMargin=$estMargin must be >= 0")
   }
 
   /** Near-duplicate pairs by MinHash-LSH over a shingle-set column, verified
@@ -69,8 +80,16 @@ object Dedup {
       .select(col(idCol).as("id"), shingles.as("sh"))
       .filter(size(col("sh")) > 0)
 
-    val banded = base
-      .withColumn("sig", HashFunctions.minhashSignature(col("sh"), cfg.numHashes, cfg.seed))
+    // The signature frame is consumed twice (banding, estimate pre-filter)
+    // and costs a full shingle+hash pass over every document — materialize
+    // it once. It is tiny relative to the corpus (numHashes longs per doc;
+    // at a trillion docs you would persist it to disk instead).
+    val sigs = base
+      .select(col("id"),
+        HashFunctions.minhashSignature(col("sh"), cfg.numHashes, cfg.seed).as("sig"))
+      .localCheckpoint(true)
+
+    val banded = sigs
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * cfg.bandRows + 1, lit(cfg.bandRows)))))
@@ -96,7 +115,24 @@ object Dedup {
       .select(col("a.id").as("id_1"), col("b.id").as("id_2"))
       .distinct()
 
-    candidates
+    // Signature-estimate pre-filter: candidate pairs at baseline similarity
+    // (the overwhelming majority with narrow bands) die against the compact
+    // numHashes-long signatures instead of dragging full shingle arrays
+    // through the verify join — the arrays are ~10-100x heavier per row.
+    val estFiltered =
+      if (cfg.estMargin >= 1.0) candidates
+      else candidates
+        .join(sigs.select(col("id").as("id_1"), col("sig").as("sig_1")), "id_1")
+        .join(sigs.select(col("id").as("id_2"), col("sig").as("sig_2")), "id_2")
+        .withColumn("est",
+          aggregate(
+            zip_with(col("sig_1"), col("sig_2"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast("double") / cfg.numHashes)
+        .filter(col("est") >= threshold - cfg.estMargin)
+        .select(col("id_1"), col("id_2"))
+
+    estFiltered
       .join(base.select(col("id").as("id_1"), col("sh").as("sh_1")), "id_1")
       .join(base.select(col("id").as("id_2"), col("sh").as("sh_2")), "id_2")
       .withColumn("jaccard", TextFunctions.jaccard(col("sh_1"), col("sh_2")))

@@ -54,6 +54,13 @@ object Multimodal {
     }
   }
 
+  /** Canonical on-disk fixture directory for a given sf dir — one place so
+    * queries and the bench's untimed materialization pre-pass agree.
+    */
+  def fixtureDir(sfDir: String): String =
+    System.getProperty("java.io.tmpdir") +
+      "/graft_mm_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
   /** Write one `media_<id>.bin` fixture file per document id (skipped when
     * the `_SUCCESS` marker exists) so the binaryFile source leg reads real
     * bytes off disk. Fixture generation is a bounded driver loop — the
