@@ -6,7 +6,9 @@ for each query, run the oracle SQL in DuckDB over the same sf parquet
 tables, read the Spark result parquet, sort columns by name, sort rows,
 and compare values exactly.
 
-Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [query ...]
+(optional query names restrict the compare — e.g. the slow brute-force
+LSH oracles when confirming at sf0.1)
 """
 import json
 import math
@@ -33,12 +35,14 @@ def canon(cols, rows):
     return [cols[i] for i in order], out
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -77,4 +81,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ShingleFunctions, TextFunctions}
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
 import graft.sources.Multimodal
 
 /** North-star extension operators (dedup, similarity search, text analysis,
@@ -115,6 +115,20 @@ object ExtensionQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8)
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- As-of join: per event, the latest prior-or-equal purchase -------
+    // (operator Spark lacks natively; union+window sort-merge shape)
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val left = ev.select("event_id", "user_id", "ts", "event_type")
+      // right side unique per (key, time): max value among same-instant rows
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("pts"))
+        .agg(max(col("value")).as("pval"))
+      AsOfJoin.asOfBackward(left, purchases, Seq("user_id"), "ts", "pts")
+        .select("event_id", "user_id", "event_type", "pts_matched", "pval")
+        .orderBy("event_id")
     }),
 
     // ---- Text analysis: quality metrics ----------------------------------
@@ -269,6 +283,19 @@ object ExtensionQueries {
         |  FROM s)
         |SELECT query_id, neighbor_id, rank, score FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, max(value) AS pval
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.event_type,
+        |  p.pts AS pts_matched, p.pval
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.pts
+        |ORDER BY e.event_id""".stripMargin,
 
     "text_quality" ->
       s"""WITH t AS (
