@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ShingleFunctions, TextFunctions}
-import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, RangeJoin, Similarity, TextAnalysis}
 import graft.sources.Multimodal
 
 /** North-star extension operators (dedup, similarity search, text analysis,
@@ -129,6 +129,23 @@ object ExtensionQueries {
       AsOfJoin.asOfBackward(left, purchases, Seq("user_id"), "ts", "pts")
         .select("event_id", "user_id", "event_type", "pts_matched", "pval")
         .orderBy("event_id")
+    }),
+
+    // ---- Range join: events inside each signup's 1-day window ------------
+    // (bucketized equi-join — no inequality nested loop; see RangeJoin)
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val left = ev.select(col("user_id"), col("ts"), col("value"))
+      val wins = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("window_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 DAY")).as("w_end"))
+      RangeJoin.pointInInterval(left, wins, Seq("user_id"),
+          "ts", "w_start", "w_end", bucketWidth = 86400L)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("window_id")
     }),
 
     // ---- Text analysis: quality metrics ----------------------------------
@@ -296,6 +313,19 @@ object ExtensionQueries {
         |FROM e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts >= p.pts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |w AS (
+        |  SELECT user_id, event_id AS window_id, CAST(ts AS TIMESTAMP) AS ws,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS we
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT w.window_id, count(*) AS n_events,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w JOIN e
+        |  ON e.user_id = w.user_id AND e.ts >= w.ws AND e.ts <= w.we
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_quality" ->
       s"""WITH t AS (

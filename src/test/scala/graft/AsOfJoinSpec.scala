@@ -68,4 +68,33 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("collide"))
   }
+
+  test("range join equals brute-force interval scan; bucket width is semantics-free") {
+    import graft.operators.RangeJoin
+    val ev = Tables.events(spark, TestSpark.sf)
+    val left = ev.select(col("user_id"), col("ts"), col("event_id"))
+    val wins = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("window_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 1 DAY")).as("w_end"))
+    def run(width: Long) = RangeJoin.pointInInterval(
+        left, wins, Seq("user_id"), "ts", "w_start", "w_end", width)
+      .select(col("window_id"), col("event_id"))
+      .as[(Long, Long)].collect().toSet
+    val narrow = run(3600L)
+    val wide = run(7 * 86400L)
+    assert(narrow == wide)
+
+    val ls = left.select(col("user_id"), col("ts").cast("long"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val ws = wins.select(col("user_id"), col("window_id"),
+        col("w_start").cast("long"), col("w_end").cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    val brute = (for {
+      (u, t, eid) <- ls; (wu, wid, s0, e0) <- ws
+      if u == wu && t >= s0 && t <= e0
+    } yield (wid, eid)).toSet
+    assert(narrow == brute)
+    assert(brute.nonEmpty)
+  }
 }
