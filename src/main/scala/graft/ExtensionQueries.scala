@@ -148,6 +148,21 @@ object ExtensionQueries {
         .orderBy("window_id")
     }),
 
+    // ---- Exact grouped percentiles (median + quartiles) ------------------
+    // Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    // interpolation definition (a + f·(b−a) at h = q·(n−1)), so the exact
+    // aggregate hash-matches; approx_percentile stays out of the oracle set.
+    "q_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5D)").as("median_qty"),
+          expr("percentile(l_extendedprice, 0.25D)").as("p25_price"),
+          expr("percentile(l_extendedprice, 0.75D)").as("p75_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- Text analysis: quality metrics ----------------------------------
     "text_quality" -> ((s, d) => {
       TextAnalysis.qualityMetrics(Tables.documents(s, d), "text")
@@ -168,6 +183,25 @@ object ExtensionQueries {
     "text_fingerprint" -> ((s, d) => {
       TextAnalysis.fingerprints(Tables.documents(s, d), "text", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // ---- Text analysis: winnowed fingerprints (Schleimer et al. 2003) ----
+    "text_winnow" -> ((s, d) => {
+      TextAnalysis.winnowedFingerprints(Tables.documents(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"),
+          size(col("fps")).as("n_fp"),
+          element_at(col("fps"), 1).as("fp_min"),
+          element_at(col("fps"), -1).as("fp_max"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Dedup: winnowed-fingerprint overlap pairs -----------------------
+    // df-cut 200: fingerprints in >200 docs are boilerplate (no near-dup
+    // signal, quadratic join cost); the oracle applies the identical cut.
+    "dedup_winnow" -> ((s, d) => {
+      TextAnalysis.winnowNearDups(Tables.documents(s, d), "text", "doc_id",
+          minShared = 50L, maxDocFreq = 200L)
+        .orderBy("id_1", "id_2")
     }),
 
     // ---- Multimodal: binary columns + stubbed decode ---------------------
@@ -353,6 +387,46 @@ object ExtensionQueries {
         |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted_lang,
         |  count(*) AS n
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "text_winnow" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(generate_series(1, length(text) - 7),
+        |    i -> ('0x' || substr(md5(text[i : i+7]), 1, 15))::BIGINT) AS hs
+        |  FROM documents WHERE length(text) >= 11),
+        |fp AS (
+        |  SELECT doc_id, list_sort(list_distinct(list_transform(
+        |    generate_series(1, len(hs) - 3), i -> list_min(hs[i : i+3])))) AS fps
+        |  FROM h)
+        |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp,
+        |  fps[1] AS fp_min, fps[-1] AS fp_max
+        |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "dedup_winnow" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(generate_series(1, length(text) - 7),
+        |    i -> ('0x' || substr(md5(text[i : i+7]), 1, 15))::BIGINT) AS hs
+        |  FROM documents WHERE length(text) >= 11),
+        |fp AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(hs) - 3), i -> list_min(hs[i : i+3]))) AS fps
+        |  FROM h),
+        |e0 AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |df AS (SELECT fp, count(*) AS d FROM e0 GROUP BY 1),
+        |e AS (SELECT e0.doc_id, e0.fp FROM e0 JOIN df USING (fp)
+        |      WHERE df.d <= 200)
+        |SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS n_shared
+        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 50
+        |ORDER BY id_1, id_2""".stripMargin,
 
     "text_fingerprint" ->
       """WITH t AS (

@@ -55,4 +55,68 @@ object TextAnalysis {
     df.select(col(idCol),
       TextFunctions.rollingFingerprint(TextFunctions.tokens(col(textCol)))
         .as("rolling_fp"))
+
+  /** Winnowed document fingerprints (Schleimer, Wilkerson &amp; Aiken,
+    * "Winnowing: local algorithms for document fingerprinting", SIGMOD
+    * 2003): hash every char `k`-gram, then keep the minimum hash of each
+    * sliding window of `w` consecutive hashes. Guarantee: any shared
+    * substring of length ≥ w + k − 1 contributes at least one common
+    * fingerprint; density ≈ 2/(w+1) of the k-gram count.
+    *
+    * The hash family is md5-derived (first 60 bits), deliberately
+    * SQL-replicable so the whole operator — and the overlap join built on
+    * it — is oracle-checked in DuckDB. Returns (id, fps: sorted distinct
+    * array&lt;bigint&gt;); docs shorter than k + w − 1 chars produce no row.
+    * Narrow projection, no shuffle.
+    */
+  def winnowedFingerprints(df: DataFrame, textCol: String, idCol: String,
+                           k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k and w=$w must be >= 1")
+    df.filter(length(col(textCol)) >= k + w - 1)
+      .withColumn("__hs", expr(
+        s"transform(sequence(1, length($textCol) - ${k - 1}), " +
+          s"i -> cast(conv(substring(md5(substring($textCol, i, $k)), 1, 15), 16, 10) as bigint))"))
+      .select(col(idCol).as("id"), expr(
+        s"array_sort(array_distinct(transform(sequence(1, size(__hs) - ${w - 1}), " +
+          s"i -> array_min(slice(__hs, i, $w)))))").as("fps"))
+      // Materialize the sketch at the operator boundary: downstream
+      // consumers reference `fps` repeatedly (explode for the overlap join,
+      // several stat columns), and Catalyst's projection collapse would
+      // otherwise inline the k-gram hash pipeline into each reference —
+      // inside a generator lambda that turns O(len) hashing into O(len²)
+      // per document. The frame is the fingerprint index (≈ 2·len/(w+1)
+      // longs per doc); at petabyte scale persist it to disk instead.
+      .localCheckpoint(true)
+  }
+
+  /** Near-dup pairs by winnowed-fingerprint overlap: explode fingerprints,
+    * equi-join on the fingerprint value, count shared per pair. Shuffle key
+    * is the 64-bit fingerprint — the same sub-quadratic bucketed-join shape
+    * as MinHash banding (a pair is compared once per SHARED fingerprint,
+    * never all-pairs).
+    *
+    * `maxDocFreq` is the skew guard: a boilerplate fingerprint present in
+    * d documents contributes d·(d−1)/2 join rows (measured: one hot
+    * fingerprint in 3.4k of 5k fixture docs ⇒ 5.7M pairs on its own), and
+    * carries no near-dup signal — the classic df-cut on posting lists.
+    * Dropped fingerprints lower `n_shared` for pairs that relied on them,
+    * so the cut is part of the operator's contract (the oracle applies the
+    * identical cut).
+    */
+  def winnowNearDups(df: DataFrame, textCol: String, idCol: String,
+                     minShared: Long, k: Int = 8, w: Int = 4,
+                     maxDocFreq: Long = 1000L): DataFrame = {
+    val f = winnowedFingerprints(df, textCol, idCol, k, w)
+      .select(col("id"), explode(col("fps")).as("fp"))
+    val hot = f.groupBy(col("fp"))
+      .agg(count(lit(1)).as("d"))
+      .filter(col("d") > maxDocFreq)
+      .select(col("fp"))
+    val pruned = f.join(broadcast(hot), Seq("fp"), "left_anti")
+    pruned.alias("a").join(pruned.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_1"), col("b.id").as("id_2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }
