@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ShingleFunctions, TextFunctions}
-import graft.operators.{AsOfJoin, Dedup, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, RangeJoin, Sampling, Similarity, TextAnalysis}
 import graft.sources.Multimodal
 
 /** North-star extension operators (dedup, similarity search, text analysis,
@@ -161,6 +161,29 @@ object ExtensionQueries {
           expr("percentile(l_extendedprice, 0.75D)").as("p75_price"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    }),
+
+    // ---- Deterministic content-hash train/val/test split -----------------
+    // (md5 bucket family — oracle-replicable; Sampling.hashBucket is the
+    // xxhash64 fast path with identical semantics)
+    "q_sample_split" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("split",
+          Sampling.splitLabel(Sampling.md5Bucket(col("text"))))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_distinct"))
+        .orderBy("split")
+    }),
+
+    // ---- Token counting: whitespace + BPE-ish regex segmentation ---------
+    "text_tokens_bpe" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("n_bpe_tokens"))
+        .orderBy("doc_id")
     }),
 
     // ---- Text analysis: quality metrics ----------------------------------
@@ -387,6 +410,23 @@ object ExtensionQueries {
         |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted_lang,
         |  count(*) AS n
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sample_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, count(DISTINCT doc_id) AS n_distinct
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+        |    AS INTEGER) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_percentile" ->
       """SELECT l_returnflag,

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines: the split a
+  * document lands in is a pure function of its CONTENT hash — stable
+  * across runs, partitionings, cluster sizes and engine versions, unlike
+  * `randomSplit` (seed + partition dependent) or sampling by row position.
+  * A document that appears twice lands in the same split twice, which is
+  * what leakage-safe dedup-then-split pipelines want to detect, not hide.
+  *
+  * Two hash families:
+  *  - [[hashBucket]]: xxhash64 — codegen'd, the fast path;
+  *  - [[md5Bucket]]: md5-derived — slower, but replicable in external SQL
+  *    engines (the oracle-checked path, same family as the winnowing /
+  *    simhash md5 variants).
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from xxhash64 of the given columns. */
+  def hashBucket(cols: Seq[Column], buckets: Int = 100, seed: Long = 42L): Column = {
+    require(buckets >= 1, s"buckets=$buckets must be >= 1")
+    pmod(xxhash64((lit(seed) +: cols): _*), lit(buckets.toLong))
+  }
+
+  /** Stable bucket in [0, buckets) from the first 60 bits of md5(content) —
+    * SQL-replicable: `('0x' || substr(md5(x), 1, 15))::BIGINT % buckets`.
+    */
+  def md5Bucket(content: Column, buckets: Int = 100): Column = {
+    require(buckets >= 1, s"buckets=$buckets must be >= 1")
+    conv(substring(md5(content.cast("string")), 1, 15), 16, 10)
+      .cast("long") % buckets
+  }
+
+  /** train/val/test label from a bucket column: [0, trainPct) → train,
+    * [trainPct, trainPct + valPct) → val, rest → test.
+    */
+  def splitLabel(bucket: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+}

@@ -186,6 +186,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("probe set"))
   }
 
+  test("hash split is stable across partitionings and families agree on determinism") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, TestSpark.sf)
+    def labels(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        Sampling.splitLabel(Sampling.hashBucket(Seq(col("text")))).as("s"))
+      .as[(Long, String)].collect().toMap
+    val a = labels(docs)
+    val b = labels(docs.repartition(17))
+    assert(a == b) // content-hash split ignores physical layout
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // identical content -> identical split, regardless of id
+    val twice = Seq((1L, "same text"), (2L, "same text"))
+      .toDF("doc_id", "text")
+    assert(labels(twice).values.toSet.size == 1)
+  }
+
   test("empty-input union yields typed empty frame with explicit schema") {
     val schema = Tables.customer(spark, TestSpark.sf).schema
     val out = Pipeline.unionAllOrEmpty(spark, Seq.empty, schema)
