@@ -186,6 +186,16 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Multimodal: frame sampling (every 10th frame per video) ---------
+    "mm_frames" -> ((s, d) => {
+      Multimodal.frameSample(
+          Multimodal.synthesize(s, Tables.documents(s, d)), everyN = 10)
+        .toDF()
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("media_id")
+    }),
+
     // ---- Text analysis: quality metrics ----------------------------------
     "text_quality" -> ((s, d) => {
       TextAnalysis.qualityMetrics(Tables.documents(s, d), "text")
@@ -477,6 +487,12 @@ object ExtensionQueries {
         |      list_transform(w, x -> CAST(ascii(x) AS BIGINT) * 131 + length(x))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "mm_frames" ->
+      """SELECT doc_id AS media_id,
+        |  ((CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30 ELSE 1 END) - 1)
+        |    // 10 + 1 AS n_sampled
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "mm_binary" ->
       """SELECT doc_id AS media_id,

@@ -102,6 +102,58 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** One sampled frame of a media object. */
+  final case class FrameSample(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Resize to a bounding box, one partition at a time. STUB: no codec in
+    * the container, so the output bytes are a deterministic splitmix stream
+    * sized ∝ targetW·targetH — the Spark-side plumbing (typed Dataset in
+    * and out, partition-preserving mapPartitions, per-partition "codec"
+    * init point) is real and tested.
+    */
+  def resizeStub(ds: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    require(targetW > 0 && targetH > 0, s"bad target box ${targetW}x$targetH")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // real impl: init scaler/codec here, once per partition
+      it.map { r =>
+        val len = math.max(16, (targetW.toLong * targetH / 64L).toInt)
+        val bytes = new Array[Byte](len)
+        var i = 0
+        while (i < len) {
+          bytes(i) = (SketchHash.mix(r.media_id * 977L + i) & 0xff).toByte
+          i += 1
+        }
+        r.copy(uri = r.uri + s"#${targetW}x$targetH", content = bytes)
+      }
+    }
+  }
+
+  /** Sample every `everyN`-th frame of video media (other mimes yield their
+    * single frame 0). STUB: frame bytes are deterministic fakes; frame
+    * COUNT comes from the same stub metadata as [[decodeStub]], and the
+    * flatMap plumbing (one input row → n output rows, typed) is real.
+    */
+  def frameSample(ds: Dataset[MediaRecord], everyN: Int = 10): Dataset[FrameSample] = {
+    require(everyN >= 1, s"everyN=$everyN must be >= 1")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val nFrames =
+          if (r.mime == "video/mp4") (1 + r.media_id % 30).toInt else 1
+        (0 until nFrames by everyN).iterator.map { f =>
+          val bytes = new Array[Byte](32)
+          var i = 0
+          while (i < 32) {
+            bytes(i) = (SketchHash.mix(r.media_id * 31L + f * 7L + i) & 0xff).toByte
+            i += 1
+          }
+          FrameSample(r.media_id, f, bytes)
+        }
+      }
+    }
+  }
+
   /** Decode + feature-extract, one partition at a time (batch-amortized the
     * way a real codec pool would be). STUB: width/height/frame-count are
     * deterministic functions of the id instead of decoded pixels — the

@@ -162,6 +162,27 @@ class ScaleSpec extends AnyFunSuite {
       s"bloom should prune the anti-join input: $surviving rows survived, $trueDups true dups")
   }
 
+  test("multimodal resize/frame-sample plumbing: typed, deterministic, count-correct") {
+    import graft.sources.Multimodal
+    val media = Multimodal.synthesize(spark, Tables.documents(spark, TestSpark.sf))
+    val resized = Multimodal.resizeStub(media, 224, 224)
+    val r1 = resized.collect().map(r => r.media_id -> r.content.toSeq).toMap
+    val r2 = Multimodal.resizeStub(media, 224, 224)
+      .collect().map(r => r.media_id -> r.content.toSeq).toMap
+    assert(r1 == r2) // deterministic across runs
+    assert(r1.values.map(_.length).toSet.size == 1) // box-sized output
+
+    val frames = Multimodal.frameSample(media, everyN = 10).collect()
+    val byId = frames.groupBy(_.media_id)
+    media.collect().foreach { m =>
+      val expected =
+        if (m.mime == "video/mp4") ((1 + m.media_id % 30).toInt - 1) / 10 + 1
+        else 1
+      assert(byId(m.media_id).length == expected, s"media ${m.media_id}")
+      assert(byId(m.media_id).map(_.frame_idx).forall(_ % 10 == 0))
+    }
+  }
+
   test("binaryFile source leg produces the same features as synthesized media") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-mm").toString
