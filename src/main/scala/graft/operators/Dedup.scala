@@ -157,18 +157,31 @@ object Dedup {
     * blocks are released asynchronously by Spark's ContextCleaner once the
     * intermediate frames become unreachable.
     */
-  def canonicalAssignments(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def canonicalAssignments(pairs: DataFrame, maxIters: Int = 20,
+                           reliable: Boolean = false): DataFrame = {
+    // Lineage truncation per round is mandatory (the plan doubles per
+    // iteration otherwise). localCheckpoint keeps blocks in executor
+    // storage — fast, but NOT fault-tolerant: a lost executor kills the
+    // job. On a real cluster pass reliable=true (with
+    // `sc.setCheckpointDir` on durable storage) so a multi-hour fixpoint
+    // survives executor churn at the cost of one HDFS/S3 round-trip per
+    // iteration.
+    def persistStep(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    if (reliable) require(
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true needs sparkContext.setCheckpointDir on durable storage")
     // Materialize the edge list once (it is tiny relative to the corpus —
     // one row per near-dup pair) and truncate lineage per iteration:
     // without this every propagation round re-executes the full upstream
     // candidate-generation pipeline and the plan doubles per iteration.
-    val edges = pairs.select(col("id_1").as("src"), col("id_2").as("dst"))
-      .union(pairs.select(col("id_2").as("src"), col("id_1").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id"), col("src").as("label"))
-      .union(edges.select(col("src").as("id"), col("dst").as("label")))
-      .groupBy("id").agg(min("label").as("label"))
-      .localCheckpoint(true)
+    val edges = persistStep(
+      pairs.select(col("id_1").as("src"), col("id_2").as("dst"))
+        .union(pairs.select(col("id_2").as("src"), col("id_1").as("dst"))))
+    var labels = persistStep(
+      edges.select(col("src").as("id"), col("src").as("label"))
+        .union(edges.select(col("src").as("id"), col("dst").as("label")))
+        .groupBy("id").agg(min("label").as("label")))
     // Propagate to fixpoint: each round pulls neighbor labels; when no
     // label changes the assignment equals the true transitive closure.
     // maxIters is a safety bound only (hit means a pathological chain —
@@ -179,9 +192,9 @@ object Dedup {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("label"))
-      val next = labels.union(neighborLabels)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+      val next = persistStep(
+        labels.union(neighborLabels)
+          .groupBy("id").agg(min("label").as("label")))
       converged = next.alias("n")
         .join(labels.alias("p"), col("n.id") === col("p.id"))
         .filter(col("n.label") =!= col("p.label"))

@@ -68,6 +68,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("canonical assignments with reliable checkpoints match localCheckpoint run") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_1", "id_2")
+    val fast = Dedup.canonicalAssignments(pairs)
+      .as[(Long, Long)].collect().toMap
+    val sc = spark.sparkContext
+    // reliable=true without a checkpoint dir must fail fast, not mid-job
+    assert(sc.getCheckpointDir.isEmpty ||
+      sc.getCheckpointDir.get.nonEmpty) // document current state
+    if (sc.getCheckpointDir.isEmpty) {
+      intercept[IllegalArgumentException] {
+        Dedup.canonicalAssignments(pairs, reliable = true)
+      }
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    }
+    val durable = Dedup.canonicalAssignments(pairs, reliable = true)
+      .as[(Long, Long)].collect().toMap
+    assert(durable == fast)
+  }
+
   test("keepCorpus drops exactly the non-canonical near-dups") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val pairs = Dedup.minHashNearDups(docs, "doc_id",
