@@ -73,19 +73,15 @@ object TextAnalysis {
                            k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k=$k and w=$w must be >= 1")
     df.filter(length(col(textCol)) >= k + w - 1)
-      .withColumn("__hs", expr(
-        s"transform(sequence(1, length($textCol) - ${k - 1}), " +
-          s"i -> cast(conv(substring(md5(substring($textCol, i, $k)), 1, 15), 16, 10) as bigint))"))
-      .select(col(idCol).as("id"), expr(
-        s"array_sort(array_distinct(transform(sequence(1, size(__hs) - ${w - 1}), " +
-          s"i -> array_min(slice(__hs, i, $w)))))").as("fps"))
+      .select(col(idCol).as("id"),
+        graft.functions.WinnowFunctions
+          .winnowedMd5Fingerprints(col(textCol), k, w).as("fps"))
       // Materialize the sketch at the operator boundary: downstream
       // consumers reference `fps` repeatedly (explode for the overlap join,
       // several stat columns), and Catalyst's projection collapse would
-      // otherwise inline the k-gram hash pipeline into each reference —
-      // inside a generator lambda that turns O(len) hashing into O(len²)
-      // per document. The frame is the fingerprint index (≈ 2·len/(w+1)
-      // longs per doc); at petabyte scale persist it to disk instead.
+      // otherwise inline the hash pipeline into each reference. The frame
+      // is the fingerprint index (≈ 2·len/(w+1) longs per doc); at
+      // petabyte scale persist it to disk instead.
       .localCheckpoint(true)
   }
 

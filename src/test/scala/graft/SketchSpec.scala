@@ -139,6 +139,23 @@ class SketchSpec extends AnyFunSuite {
     assert(gen.nonEmpty)
   }
 
+  test("native winnow expression equals the SQL-HOF formulation (oracle family)") {
+    val docs = Tables.documents(spark, TestSpark.sf).filter(length(col("text")) >= 11)
+    val native = docs.select(col("doc_id"),
+        graft.functions.WinnowFunctions.winnowedMd5Fingerprints(col("text"), 8, 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaSql = docs
+      .withColumn("hs", expr(
+        "transform(sequence(1, length(text) - 7), " +
+          "i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) as bigint))"))
+      .select(col("doc_id"), expr(
+        "array_sort(array_distinct(transform(sequence(1, size(hs) - 3), " +
+          "i -> array_min(slice(hs, i, 4)))))").as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == viaSql)
+    assert(native.nonEmpty)
+  }
+
   test("approx_count_distinct stays within its error bound vs exact") {
     import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
     val li = Tables.lineitem(spark, TestSpark.sf)
