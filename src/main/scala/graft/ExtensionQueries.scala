@@ -148,6 +148,42 @@ object ExtensionQueries {
         .orderBy("window_id")
     }),
 
+    // ---- Pivot: wide per-flag quantity sums per linestatus ---------------
+    "q_pivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")))
+        .select(col("l_linestatus"),
+          col("A").cast("double").as("qty_a"),
+          col("N").cast("double").as("qty_n"),
+          col("R").cast("double").as("qty_r"))
+        .orderBy("l_linestatus")
+    }),
+
+    // ---- Unpivot (melt): metrics long-form per lineitem ------------------
+    "q_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    }),
+
+    // ---- Skew-salted join as a declared query (result ≡ plain join) ------
+    "q_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      graft.operators.Skew.saltedJoin(li, o, Seq("l_orderkey"), factor = 8)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- Exact grouped percentiles (median + quartiles) ------------------
     // Spark `percentile` and DuckDB `quantile_cont` share the linear-
     // interpolation definition (a + f·(b−a) at h = q·(n−1)), so the exact
@@ -437,6 +473,32 @@ object ExtensionQueries {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
         |    AS INTEGER) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+        |  CAST(sum(CASE WHEN l_returnflag = 'N'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |    l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT li.l_orderkey, li.l_linenumber, li.l_quantity, o.o_totalprice
+        |FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+        |ORDER BY li.l_orderkey, li.l_linenumber""".stripMargin,
 
     "q_percentile" ->
       """SELECT l_returnflag,
