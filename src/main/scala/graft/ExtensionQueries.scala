@@ -148,6 +148,31 @@ object ExtensionQueries {
         .orderBy("window_id")
     }),
 
+    // ---- Multiset set-ops: EXCEPT ALL / INTERSECT ALL --------------------
+    // (the non-distinct variants preserve duplicate multiplicity — the
+    // deduping EXCEPT/INTERSECT live in CoreQueries q_except/q_intersect)
+    "q_except_all" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val all = li.select(col("l_orderkey"), col("l_returnflag"))
+      val taxed = li.filter(col("l_tax") > 0.0)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      all.exceptAll(taxed)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+    "q_intersect_all" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val a = li.filter(col("l_quantity") >= 25)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val b = li.filter(col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      a.intersectAll(b)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- Pivot: wide per-flag quantity sums per linestatus ---------------
     "q_pivot" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -473,6 +498,23 @@ object ExtensionQueries {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
         |    AS INTEGER) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_except_all" ->
+      """WITH x AS (
+        |  SELECT l_orderkey, l_returnflag FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT l_orderkey, l_returnflag FROM lineitem
+        |  WHERE l_tax > 0.0)
+        |SELECT l_returnflag, count(*) AS n FROM x
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_intersect_all" ->
+      """WITH x AS (
+        |  SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity >= 25
+        |  INTERSECT ALL
+        |  SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_discount > 0.05)
+        |SELECT l_returnflag, count(*) AS n FROM x
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_pivot" ->
       """SELECT l_linestatus,

@@ -70,4 +70,21 @@ class SinksSpec extends AnyFunSuite {
     }
     assert(feats.length == 20)
   }
+
+  test("CSV and JSON source legs round-trip with explicit schemas") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-fmt").toString
+    val df = Tables.customer(spark, TestSpark.sf)
+      .select("c_custkey", "c_name", "c_acctbal")
+    // CSV: header + explicit schema on read (schema inference over a huge
+    // file listing is a scan of its own — never at 100 TB)
+    df.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    val csvBack = spark.read.schema(df.schema)
+      .option("header", "true").csv(s"$base/csv")
+    assert(csvBack.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    // JSON lines
+    df.write.mode("overwrite").json(s"$base/json")
+    val jsonBack = spark.read.schema(df.schema).json(s"$base/json")
+    assert(jsonBack.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
 }
