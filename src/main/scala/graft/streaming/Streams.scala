@@ -182,6 +182,43 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** [[streamIdempotentAppend]]'s relational twin: each micro-batch is
+    * deduped in-batch, anti-joined against the JDBC sink's existing keys
+    * (key-pruned read), and appended — so checkpoint replays and source
+    * re-deliveries insert nothing twice even though plain JDBC INSERT has
+    * no ON CONFLICT. First batch creates the table. This is the
+    * reference's Postgres ON CONFLICT DO NOTHING sink rebuilt as
+    * stream + idempotent write (dags/evidence_images_processing.py:153-179).
+    */
+  def streamIdempotentJdbcAppend(
+      stream: DataFrame, url: String, table: String, keys: Seq[String],
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val df = batch.toDF()
+        val newRows =
+          if (!jdbcTableExists(url, table)) df.dropDuplicates(keys)
+          else graft.operators.Pipeline.idempotentNewRows(
+            df, graft.sources.Jdbc.read(spark, url, table), keys)
+        graft.sources.Jdbc.write(newRows, url, table,
+          org.apache.spark.sql.SaveMode.Append)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def jdbcTableExists(url: String, table: String): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+      try rs.next() finally rs.close()
+    } finally conn.close()
+  }
+
   /** `outputMode` is deliberately NOT defaulted: under AvailableNow an
     * aggregation in append mode silently drops every window newer than the
     * final watermark — the caller must choose ("complete" for finalized
