@@ -42,6 +42,10 @@ def main(sf_dir, out_dir, only=()):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
+        unknown = [q for q in only if q not in oracle]
+        if unknown:  # fail loudly: a typo must not yield "0 pass, 0 fail"
+            print(f"ERROR: not in oracle set: {unknown}")
+            return 1
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):

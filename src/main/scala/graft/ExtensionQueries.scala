@@ -48,7 +48,8 @@ object ExtensionQueries {
       val docs = Tables.documents(s, d)
       Dedup.minHashNearDups(docs, "doc_id",
         ShingleFunctions.charShingleHashes(col("text"), 8),
-        threshold = 0.6, Dedup.LshConfig(numHashes = 96, bandRows = 3))
+        threshold = 0.6,
+        Dedup.LshConfig(numHashes = 96, bandRows = 3, estMargin = 0.25))
         .orderBy("id_1", "id_2")
     }),
 

@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass winnowing (Schleimer, Wilkerson &amp; Aiken, SIGMOD 2003) over
-  * md5-derived byte k-gram hashes.
+  * md5-derived character k-gram hashes.
   *
   * Value semantics are pinned to the SQL-replicable formulation the DuckDB
   * oracle runs — each k-gram's hash equals
@@ -41,16 +41,33 @@ object WinnowHash {
     head >>> 4 // 16 hex chars -> first 15
   }
 
-  /** Sorted distinct per-window (width w) minima of the k-gram hashes of
-    * `s`'s UTF-8 bytes; empty when fewer than w k-grams exist.
+  /** Sorted distinct per-window (width w) minima of the CHARACTER k-gram
+    * hashes of `s`; empty when fewer than w k-grams exist. Grams are
+    * char-aligned (each window hashes the UTF-8 bytes spanning k
+    * characters), matching `md5(substring(text, i, k))` and the DuckDB
+    * oracle's `md5(text[i : i+k-1])` on any input, not just ASCII — a
+    * byte-aligned window would split multibyte characters and diverge.
     */
   def fingerprints(s: UTF8String, k: Int, w: Int): GenericArrayData = {
     val bytes = s.getBytes
-    val nGrams = bytes.length - k + 1
+    // char-start byte offsets (one extra entry = total length)
+    val nChars = s.numChars()
+    val offs = new Array[Int](nChars + 1)
+    var ci = 0; var bi = 0
+    while (ci < nChars) {
+      offs(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      ci += 1
+    }
+    offs(nChars) = bytes.length
+    val nGrams = nChars - k + 1
     if (nGrams < w) return new GenericArrayData(Array.emptyLongArray)
     val hs = new Array[Long](nGrams)
     var i = 0
-    while (i < nGrams) { hs(i) = md5Head60(bytes, i, k); i += 1 }
+    while (i < nGrams) {
+      hs(i) = md5Head60(bytes, offs(i), offs(i + k) - offs(i))
+      i += 1
+    }
     // monotonic deque of candidate-minimum indices, front = current min
     val deque = new Array[Int](nGrams)
     var head = 0; var tail = 0 // [head, tail)

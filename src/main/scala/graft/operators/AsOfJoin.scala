@@ -57,14 +57,23 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = (rightCols :+ "__rt").foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    // Backfill the right row as ONE struct, not column-by-column: an
+    // independent last(col, ignoreNulls) per column would skip a NULL
+    // field of the matched row and pull that field from an OLDER right
+    // row — a torn row mixing two right rows. The struct itself is
+    // non-null for every right row (fields may be null inside), so one
+    // ignoreNulls fill carries the latest right row atomically.
+    val packed = struct((rightCols :+ "__rt").map(col): _*)
+    val filled = unioned.withColumn("__m",
+      last(when(col("__side") === 0, packed), ignoreNulls = true).over(w))
     val matchedOnly =
-      if (joinType == "inner") filled.filter(col("__rt").isNotNull) else filled
-    matchedOnly
+      if (joinType == "inner") filled.filter(col("__m").isNotNull) else filled
+    val unpacked = (rightCols :+ "__rt").foldLeft(matchedOnly) { (df, c) =>
+      df.withColumn(c, col("__m").getField(c))
+    }
+    unpacked
       .filter(col("__side") === 1)
       .withColumnRenamed("__rt", s"${rightTime}_matched")
-      .drop("__t", "__side")
+      .drop("__t", "__side", "__m")
   }
 }

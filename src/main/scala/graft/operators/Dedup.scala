@@ -44,17 +44,19 @@ object Dedup {
     * candidate generation and exact verification: candidates whose
     * signature-agreement fraction (an unbiased Jaccard estimate, sd =
     * sqrt(j(1−j)/numHashes)) falls below `threshold − estMargin` are
-    * dropped BEFORE the expensive shingle-array re-join. At the default
-    * 0.25 with 64+ hashes that bound sits ≥10σ above typical baseline
-    * similarity (junk candidates all die) and ≥4σ below an
-    * exactly-at-threshold true pair (miss add ≲3e-5). Set ≥ 1 to disable.
+    * dropped BEFORE the expensive shingle-array re-join. At 0.25 with 64+
+    * hashes that bound sits ≥10σ above typical baseline similarity (junk
+    * candidates all die) and ≥4σ below an exactly-at-threshold true pair
+    * (miss add ≲3e-5). DISABLED by default (≥ 1): existing callers keep
+    * the every-candidate-exactly-verified contract; opt in where narrow
+    * bands make junk candidates dominate (e.g. char-gram configs).
     */
   final case class LshConfig(
       numHashes: Int = 64,
       bandRows: Int = 1,
       seed: Long = 42L,
       maxBucketSize: Long = 100000L,
-      estMargin: Double = 0.25) {
+      estMargin: Double = 1.0) {
     require(bandRows >= 1 && bandRows <= numHashes,
       s"bandRows=$bandRows must be in [1, numHashes=$numHashes]")
     require(numHashes % bandRows == 0,

@@ -56,9 +56,7 @@ object Jdbc {
             mode: SaveMode = SaveMode.Append,
             numConnections: Int = 8,
             options: Map[String, String] = Map.empty): Unit = {
-    val bounded =
-      if (df.rdd.getNumPartitions > numConnections) df.coalesce(numConnections)
-      else df
-    bounded.write.mode(mode).jdbc(url, table, props(options))
+    // coalesce never raises a partition count, so no pre-check needed
+    df.coalesce(numConnections).write.mode(mode).jdbc(url, table, props(options))
   }
 }

@@ -68,16 +68,26 @@ object Multimodal {
     * would land these files from the object store, not generate them.
     */
   def ensureFixtureFiles(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
-    val marker = new java.io.File(dir, "_SUCCESS")
-    if (marker.exists()) return
     import spark.implicits._
     val ids = docs.select(col("doc_id").cast("long")).as[Long].collect()
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // The marker records the id-set signature, not mere existence:
+    // regenerated test data at the same path (different count or id range)
+    // must rebuild the blobs, or the source leg silently serves stale files.
+    val signature = s"${ids.length}:${if (ids.isEmpty) 0L else ids.min}:${if (ids.isEmpty) 0L else ids.max}"
+    val marker = java.nio.file.Paths.get(dir, "_SUCCESS")
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker)) == signature) return
+    val dirPath = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(dirPath)) { // clear stale blobs
+      val old = java.nio.file.Files.list(dirPath)
+      try old.forEach(p => java.nio.file.Files.delete(p)) finally old.close()
+    }
+    java.nio.file.Files.createDirectories(dirPath)
     ids.foreach { id =>
       java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, s"media_$id.bin"), contentBytes(id))
     }
-    marker.createNewFile()
+    java.nio.file.Files.write(marker, signature.getBytes)
   }
 
   /** Real binary-file source: `spark.read.format("binaryFile")` over a
@@ -89,7 +99,9 @@ object Multimodal {
     import spark.implicits._
     val mimeArr = array(mimes.map(lit).toIndexedSeq: _*)
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.bin")
+      // glob matches exactly the blobs this layout owns — a foreign *.bin
+      // would yield a null media_id and break the non-nullable encoder
+      .option("pathGlobFilter", "media_[0-9]*.bin")
       .load(dir)
       .select(
         regexp_extract(col("path"), "media_(\\d+)\\.bin$", 1)

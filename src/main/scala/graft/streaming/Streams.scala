@@ -197,10 +197,18 @@ object Streams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val df = batch.toDF()
+        // Key-pruned sink read (Catalyst pushes the projection into the
+        // JDBC scan). At large sink sizes bound this further: a sink-side
+        // time-window predicate (the reference's 15-day lookback) or
+        // Jdbc.readPartitioned keeps the per-batch read from growing with
+        // total history.
         val newRows =
-          if (!jdbcTableExists(url, table)) df.dropDuplicates(keys)
+          if (!jdbcTableExists(spark, url, table)) df.dropDuplicates(keys)
           else graft.operators.Pipeline.idempotentNewRows(
-            df, graft.sources.Jdbc.read(spark, url, table), keys)
+            df,
+            graft.sources.Jdbc.read(spark, url, table)
+              .select(keys.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*),
+            keys)
         graft.sources.Jdbc.write(newRows, url, table,
           org.apache.spark.sql.SaveMode.Append)
         ()
@@ -211,13 +219,15 @@ object Streams {
     q.awaitTermination()
   }
 
-  private def jdbcTableExists(url: String, table: String): Boolean = {
-    val conn = java.sql.DriverManager.getConnection(url)
-    try {
-      val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
-      try rs.next() finally rs.close()
-    } finally conn.close()
-  }
+  /** Probe existence through Spark's own JDBC relation (a `WHERE 1=0`
+    * schema query) rather than DriverManager metadata: the dialect handles
+    * identifier case folding (metadata.getTables(toUpperCase) matches only
+    * upper-folding databases like Derby — it would silently report
+    * "missing" on Postgres/MySQL and break the idempotency contract), and
+    * the caller's connection options ride along.
+    */
+  private def jdbcTableExists(spark: SparkSession, url: String, table: String): Boolean =
+    scala.util.Try(graft.sources.Jdbc.read(spark, url, table).schema).isSuccess
 
   /** `outputMode` is deliberately NOT defaulted: under AvailableNow an
     * aggregation in append mode silently drops every window newer than the

@@ -51,6 +51,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(inner.head().getAs[String]("tag") == "b")
   }
 
+  test("matched right row is carried atomically — a NULL field is not backfilled") {
+    // right rows: (t=5, v=1.0), (t=10, v=NULL); left at t=12 must see
+    // (rt=10, v=NULL) — never the torn (rt=10, v=1.0)
+    val l = Seq((1L, 12L)).toDF("k", "t")
+      .withColumn("t", timestamp_micros(col("t")))
+    val r = Seq((1L, 5L, Some(1.0)), (1L, 10L, None))
+      .toDF("k", "rt", "v")
+      .withColumn("rt", timestamp_micros(col("rt")))
+    val out = AsOfJoin.asOfBackward(l, r, Seq("k"), "t", "rt")
+      .select(unix_micros(col("rt_matched")), col("v")).head()
+    assert(out.getLong(0) == 10L)
+    assert(out.isNullAt(1))
+  }
+
   test("exactly-at-time right row matches (>= semantics)") {
     val l = Seq((1L, 10L)).toDF("k", "t")
       .withColumn("t", timestamp_micros(col("t")))

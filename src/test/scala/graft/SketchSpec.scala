@@ -140,7 +140,15 @@ class SketchSpec extends AnyFunSuite {
   }
 
   test("native winnow expression equals the SQL-HOF formulation (oracle family)") {
-    val docs = Tables.documents(spark, TestSpark.sf).filter(length(col("text")) >= 11)
+    val ascii = Tables.documents(spark, TestSpark.sf)
+      .filter(length(col("text")) >= 11).select("doc_id", "text")
+    // non-ASCII coverage: char-aligned grams must match the SQL substring
+    // semantics even when multibyte characters sit inside windows
+    val multibyte = Seq(
+      (100001L, "caférêves über naïve jalapeño coöperate façade émigré"),
+      (100002L, "日本語のテキストと English mixed содержание текста"))
+      .toDF("doc_id", "text")
+    val docs = ascii.unionByName(multibyte)
     val native = docs.select(col("doc_id"),
         graft.functions.WinnowFunctions.winnowedMd5Fingerprints(col("text"), 8, 4).as("fps"))
       .as[(Long, Seq[Long])].collect().toMap
