@@ -219,9 +219,13 @@ object ExtensionQueries {
         .groupBy("l_returnflag")
         .agg(
           expr("percentile(l_quantity, 0.5D)").as("median_qty"),
-          expr("percentile(l_extendedprice, 0.25D)").as("p25_price"),
-          expr("percentile(l_extendedprice, 0.75D)").as("p75_price"),
+          // one aggregation buffer for both price percentiles
+          expr("percentile(l_extendedprice, array(0.25D, 0.75D))").as("pq"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("median_qty"),
+          element_at(col("pq"), 1).as("p25_price"),
+          element_at(col("pq"), 2).as("p75_price"),
+          col("n"))
         .orderBy("l_returnflag")
     }),
 
