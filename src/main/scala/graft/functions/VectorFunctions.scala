@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim.{column, expression}
 import org.apache.spark.sql.types._
 
@@ -127,6 +127,100 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     copy(left = l, right = r)
 }
 
+/** All banded hyperplane-LSH signatures of a vector in ONE pass: band b's
+  * signature packs the sign bits of `bandBits` consecutive plane dot
+  * products into a Long (plane `b·bandBits + i` → bit i). The plane matrix
+  * lives INSIDE the expression (a codegen reference object, row-major
+  * `double[numPlanes·dim]`) — never inlined as per-plane literal arrays, so
+  * the plan string stays O(1) in `numPlanes·dim` and the row cost is one
+  * fused loop instead of `numPlanes` separate expression-tree walks.
+  *
+  * Null when the input vector's dimensionality differs from the planes'
+  * (a prefix signature would silently bucket incomparable vectors
+  * together — same contract as [[DotProduct]]'s null on mismatch).
+  */
+case class HyperplaneSignatures(child: Expression, planes: Array[Double],
+    dim: Int, bandBits: Int) extends UnaryExpression {
+  require(dim >= 1 && bandBits >= 1 && bandBits <= 64 &&
+    planes.length % (dim.toLong * bandBits) == 0 && planes.length > 0,
+    s"planes length ${planes.length} must be a positive multiple of dim=$dim * bandBits=$bandBits (bandBits in [1,64])")
+
+  private val numPlanes: Int = planes.length / dim
+  val numBands: Int = numPlanes / bandBits
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> input, got ${other.simpleString}")
+    }
+
+  private lazy val elemIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val sigs = new Array[Long](numBands)
+    var p = 0
+    while (p < numPlanes) {
+      var acc = 0.0
+      val off = p * dim
+      var j = 0
+      while (j < dim) {
+        val x = if (elemIsFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        acc += x * planes(off + j)
+        j += 1
+      }
+      if (acc > 0.0) sigs(p / bandBits) |= (1L << (p % bandBits))
+      p += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  /** Same plane-major / dim-sequential loop as [[nullSafeEval]] so the two
+    * paths are bit-identical (asserted in SketchSpec).
+    */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    val getter = if (elemIsFloat) "getFloat" else "getDouble"
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, v => {
+      val sigs = ctx.freshName("sigs"); val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc"); val off = ctx.freshName("off")
+      val j = ctx.freshName("j")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $sigs = new long[$numBands];
+         |  for (int $p = 0; $p < $numPlanes; $p++) {
+         |    double $acc = 0.0;
+         |    int $off = $p * $dim;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      $acc += (double) $v.$getter($j) * $planesRef[$off + $j];
+         |    }
+         |    if ($acc > 0.0) $sigs[$p / $bandBits] |= (1L << ($p % $bandBits));
+         |  }
+         |  ${ev.value} = new $gad($sigs);
+         |}
+       """.stripMargin
+    })
+  }
+
+  // keep the plan string bounded: the default case-class toString would not
+  // print the array contents anyway, but be explicit about the shape
+  override def toString: String =
+    s"hyperplane_signatures($child, planes=${numPlanes}x$dim, bandBits=$bandBits)"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API: sequential-order double dot product of two vector columns. */
   def dot(a: Column, b: Column): Column =
@@ -135,4 +229,14 @@ object VectorFunctions {
   /** Column API: cosine similarity of two vector columns (null on zero norm). */
   def cosine(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+
+  /** Column API: all banded hyperplane signatures (array&lt;long&gt;, one Long
+    * per band) of a vector column in one fused pass.
+    */
+  def hyperplaneSignatures(vec: Column, planes: Array[Array[Double]], bandBits: Int): Column = {
+    require(planes.nonEmpty, "need at least one hyperplane")
+    val dim = planes.head.length
+    require(planes.forall(_.length == dim), "all hyperplanes must share one dimensionality")
+    column(HyperplaneSignatures(expression(vec), planes.flatten, dim, bandBits))
+  }
 }

@@ -57,30 +57,29 @@ object Similarity {
     * packed into a Long — vectors with small angles agree on most bits.
     * At most 64 planes fit one Long; JVM shifts wrap at 64, so more would
     * silently alias plane i onto plane i−64 and corrupt the signature.
+    * One-pass codegen'd expression ([[graft.functions.HyperplaneSignatures]])
+    * holding the plane matrix as a reference object — never inlined as
+    * per-plane literal arrays into the plan.
     */
   def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column = {
     require(planes.nonEmpty && planes.length <= 64,
       s"hyperplaneSignature packs sign bits into a Long: need 1..64 planes, got ${planes.length}")
-    planes.zipWithIndex.map { case (p, i) =>
-      when(VectorFunctions.dot(vec, lit(p)) > 0.0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    element_at(VectorFunctions.hyperplaneSignatures(vec, planes, planes.length), 1)
   }
 
   /** (band, bandSig) rows for a vector column: `numBands` independent
     * signatures of `bandBits` hyperplanes each. Two vectors collide in band
     * j with probability p^bandBits (p = 1 − θ/π), and become candidates if
     * they collide in ANY band — OR-amplification: P = 1 − (1 − p^b)^L.
+    * All signatures come from ONE fused expression evaluation per row.
     */
   private def bandedSignatures(
       df: DataFrame, idOut: String, vecOut: String, idCol: String, vecCol: String,
-      planes: Array[Array[Double]], bandBits: Int, numBands: Int): DataFrame = {
-    val sigs = (0 until numBands).map { b =>
-      hyperplaneSignature(col(vecOut), planes.slice(b * bandBits, (b + 1) * bandBits))
-    }
+      planes: Array[Array[Double]], bandBits: Int, numBands: Int): DataFrame =
     df.select(col(idCol).as(idOut), col(vecCol).as(vecOut))
       .select(col(idOut), col(vecOut),
-        posexplode(array(sigs: _*)).as(Seq("band", "bandSig")))
-  }
+        posexplode(VectorFunctions.hyperplaneSignatures(col(vecOut), planes, bandBits))
+          .as(Seq("band", "bandSig")))
 
   /** Empty top-k result with the contract schema (query_id, neighbor_id,
     * rank, score), id types taken from the input frames.

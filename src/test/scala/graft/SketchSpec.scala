@@ -139,6 +139,48 @@ class SketchSpec extends AnyFunSuite {
     assert(gen.nonEmpty)
   }
 
+  test("hyperplane signatures: one-pass expression matches per-plane manual bits, codegen == interpreted") {
+    import graft.operators.Similarity
+    val planes = Similarity.hyperplanes(dim = 64, numPlanes = 4 * 16, seed = 42L)
+    def run(): Seq[(Long, Seq[Long])] =
+      Tables.embeddings(spark, TestSpark.sf).limit(100)
+        .select(col("vec_id"),
+          VectorFunctions.hyperplaneSignatures(col("embedding"), planes, 4).as("sigs"))
+        .orderBy("vec_id").as[(Long, Seq[Long])].collect().toSeq
+    val gen = run()
+    val interp = {
+      val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try run()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", ws)
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    assert(gen == interp)
+    assert(gen.nonEmpty && gen.forall(_._2.length == 16))
+    // manual per-plane sign bits on the driver == the fused expression
+    val vecs = Tables.embeddings(spark, TestSpark.sf).limit(100)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    for ((id, sigs) <- gen; (sig, b) <- sigs.zipWithIndex) {
+      var expected = 0L
+      for (i <- 0 until 4) {
+        val p = planes(b * 4 + i)
+        var dot = 0.0; var j = 0
+        val v = vecs(id)
+        while (j < v.length) { dot += v(j).toDouble * p(j); j += 1 }
+        if (dot > 0.0) expected |= (1L << i)
+      }
+      assert(sig == expected, s"vec $id band $b")
+    }
+    // dimension mismatch -> null, not a prefix signature
+    val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+      .select(VectorFunctions.hyperplaneSignatures(col("embedding"), planes, 4).as("sigs"))
+    assert(bad.collect().head.isNullAt(0))
+  }
+
   test("native winnow expression equals the SQL-HOF formulation (oracle family)") {
     val ascii = Tables.documents(spark, TestSpark.sf)
       .filter(length(col("text")) >= 11).select("doc_id", "text")
