@@ -99,7 +99,8 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- Similarity: LSH-bucketed ANN (rows-only; recall vs brute in test)
+    // ---- Similarity: LSH-bucketed ANN (fully oracle-checked: the seeded
+    // hyperplanes are emitted into the DuckDB SQL — see lshTopKOracle).
     // bandBits=4: the fixture embeddings are weakly clustered (top-5
     // neighbor cosine ≈ 0.25–0.5), so narrow bands hold candidate recall
     // ≈ 0.9; the bandBits=8 default suits real clustered corpora.
@@ -324,6 +325,56 @@ object ExtensionQueries {
 
   private val stopList = TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")
 
+  /** DuckDB oracle for `sim_lsh_topk`: the seeded hyperplanes are
+    * deterministic (`java.util.Random.nextGaussian` is algorithmically
+    * specified), so they are emitted as literal DOUBLE[] VALUES rows and the
+    * WHOLE pipeline — sign-bit band signatures → candidate equi-join on
+    * (band, bandSig) → exact cosine rerank — is replayed in SQL.
+    * `Double.toString` round-trips and DuckDB's cast parses correctly
+    * rounded, so `list_dot_product` on the same operand order reproduces the
+    * Spark dots bit-exactly (same family as the `sim_topk` cosine oracle).
+    * Must mirror the declared query's config: dim=64, bandBits=4,
+    * numBands=16, seed=42, k=5, queries = vec_id < 5.
+    */
+  private def lshTopKOracle: String = {
+    val bandBits = 4
+    val planes = graft.operators.Similarity.hyperplanes(
+      dim = 64, numPlanes = bandBits * 16, seed = 42L)
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"(${i / bandBits}, ${i % bandBits}, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |planes(band, bit, p) AS (VALUES
+       |  $planeRows),
+       |sigs AS (
+       |  SELECT e.vec_id, pl.band,
+       |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+       |      THEN (1::BIGINT << pl.bit) ELSE 0 END) AS BIGINT) AS bsig
+       |  FROM e CROSS JOIN planes pl
+       |  GROUP BY e.vec_id, pl.band),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM sigs q JOIN sigs c
+       |    ON q.band = c.band AND q.bsig = c.bsig AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 5),
+       |s AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+       |      AS score
+       |  FROM cand
+       |  JOIN e a ON a.vec_id = cand.query_id
+       |  JOIN e b ON b.vec_id = cand.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, rank, score FROM r
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -433,6 +484,8 @@ object ExtensionQueries {
         |  FROM s)
         |SELECT query_id, neighbor_id, rank, score FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_lsh_topk" -> lshTopKOracle,
 
     "q_asof_join" ->
       """WITH e AS (
