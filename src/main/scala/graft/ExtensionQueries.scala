@@ -9,9 +9,10 @@ import graft.sources.Multimodal
 
 /** North-star extension operators (dedup, similarity search, text analysis,
   * multimodal) as declared queries. Oracle-backed wherever the computation
-  * is replicable in DuckDB SQL; sketch-hash-dependent queries (simhash, LSH
-  * top-k) are rows-only here and consistency-tested against brute force in
-  * ScalaTest.
+  * is replicable in DuckDB SQL — including hyperplane LSH, whose seeded
+  * planes are emitted into the oracle; only xxh64-based simhash, iterative
+  * k-means IVF and impl-specific HLL stay rows-only, consistency-tested
+  * against brute force in ScalaTest.
   */
 object ExtensionQueries {
 
@@ -306,7 +307,7 @@ object ExtensionQueries {
 
     // ---- Multimodal: binary columns + stubbed decode ---------------------
     "mm_meta" -> ((s, d) => {
-      Multimodal.decodeStub(Multimodal.synthesize(s, Tables.documents(s, d)))
+      Multimodal.decode(Multimodal.synthesize(s, Tables.documents(s, d)))
         .toDF()
         .select("media_id", "mime", "content_len", "width", "height", "n_frames")
         .orderBy("media_id")
@@ -317,7 +318,7 @@ object ExtensionQueries {
     "mm_binary" -> ((s, d) => {
       val dir = Multimodal.fixtureDir(d)
       Multimodal.ensureFixtureFiles(s, Tables.documents(s, d), dir)
-      Multimodal.decodeStub(Multimodal.readBinaryFiles(s, dir))
+      Multimodal.decode(Multimodal.readBinaryFiles(s, dir))
         .toDF()
         .select("media_id", "mime", "content_len", "width", "height", "n_frames")
         .orderBy("media_id")
@@ -656,25 +657,25 @@ object ExtensionQueries {
         |    // 10 + 1 AS n_sampled
         |FROM documents ORDER BY media_id""".stripMargin,
 
-    "mm_binary" ->
-      """SELECT doc_id AS media_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'audio/wav'
-        |       ELSE 'video/mp4' END AS mime,
-        |  CAST(64 + doc_id % 128 AS INTEGER) AS content_len,
-        |  CAST(64 + doc_id % 960 AS INTEGER) AS width,
-        |  CAST(64 + doc_id % 540 AS INTEGER) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30 ELSE 1 END
-        |    AS INTEGER) AS n_frames
-        |FROM documents ORDER BY media_id""".stripMargin,
+    // mm_meta/mm_binary oracle: the fixture GENERATOR embeds these
+    // id-derived values into real BMP/WAVE/AVI headers; the Spark side
+    // recovers them by PARSING the header bytes (MediaFormats.parse), so a
+    // generator/parser disagreement fails the hash compare. Audio has no
+    // image geometry (width/height 0); WAV frame count = dataSize/blockAlign.
+    "mm_binary" -> mmMetaOracle,
+    "mm_meta" -> mmMetaOracle)
 
-    "mm_meta" ->
-      """SELECT doc_id AS media_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'audio/wav'
-        |       ELSE 'video/mp4' END AS mime,
-        |  CAST(64 + doc_id % 128 AS INTEGER) AS content_len,
-        |  CAST(64 + doc_id % 960 AS INTEGER) AS width,
-        |  CAST(64 + doc_id % 540 AS INTEGER) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30 ELSE 1 END
-        |    AS INTEGER) AS n_frames
-        |FROM documents ORDER BY media_id""".stripMargin)
+  private lazy val mmMetaOracle: String =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+      |       ELSE 'video/avi' END AS mime,
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN 96 + doc_id % 128
+      |       ELSE 64 + doc_id % 128 END AS INTEGER) AS content_len,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+      |       ELSE 64 + doc_id % 960 END AS INTEGER) AS width,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+      |       ELSE 64 + doc_id % 540 END AS INTEGER) AS height,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 20 + doc_id % 128
+      |       ELSE 1 + doc_id % 30 END AS INTEGER) AS n_frames
+      |FROM documents ORDER BY media_id""".stripMargin
 }

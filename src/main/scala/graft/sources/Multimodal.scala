@@ -10,10 +10,13 @@ import graft.functions.SketchHash
   * stages over a typed Dataset (genuine per-partition logic — the one place
   * mapPartitions is the right tool, SURVEY.md §2.9 pref (d)).
   *
-  * The image/audio codecs are NOT present in this container, so
-  * [[Multimodal.decodeStub]] fakes the decode deterministically — clearly
-  * marked. The Spark-side plumbing is real: binary column synthesis, typed
-  * Encoders, partition-preserving decode, schema of the feature output.
+  * The fixture blobs are REAL codec-free containers (BMP / RIFF-WAVE /
+  * RIFF-AVI — see [[MediaFormats]]), and [[Multimodal.decode]] extracts
+  * width/height/frame-count by parsing the actual header bytes. Only the
+  * pixel/sample PAYLOAD transforms ([[resizeStub]], the frame BYTES of
+  * [[frameSample]]) remain stubbed — those need image/audio codecs the
+  * container doesn't ship; their Spark-side plumbing (typed Datasets,
+  * partition-preserving map/flatMap, batch shapes) is real and tested.
   */
 object Multimodal {
 
@@ -25,14 +28,10 @@ object Multimodal {
       media_id: Long, mime: String, content_len: Int,
       width: Int, height: Int, n_frames: Int, mean_byte: Double)
 
-  private val mimes = Array("image/jpeg", "audio/wav", "video/mp4")
+  private val mimes = Array("image/bmp", "audio/wav", "video/avi")
 
-  /** Deterministic content bytes for a media id (splitmix64 stream) —
-    * shared by [[synthesize]] and the on-disk fixtures of
-    * [[ensureFixtureFiles]] so both source legs carry identical bytes.
-    */
-  def contentBytes(id: Long): Array[Byte] = {
-    val len = (64 + id % 128).toInt
+  /** Deterministic payload bytes (splitmix64 stream) for a media id. */
+  private def payloadBytes(id: Long, len: Int): Array[Byte] = {
     val bytes = new Array[Byte](len)
     var i = 0
     while (i < len) {
@@ -40,6 +39,25 @@ object Multimodal {
       i += 1
     }
     bytes
+  }
+
+  /** Deterministic content bytes for a media id — a REAL container per
+    * modality (BMP / WAVE / AVI) whose header fields encode the id-derived
+    * geometry, so [[decode]] recovers them by parsing bytes. Shared by
+    * [[synthesize]] and the on-disk fixtures of [[ensureFixtureFiles]] so
+    * both source legs carry identical bytes.
+    */
+  def contentBytes(id: Long): Array[Byte] = (id % 3) match {
+    case 0 => MediaFormats.bmpBytes(
+      width = (64 + id % 960).toInt, height = (64 + id % 540).toInt,
+      payload = payloadBytes(id, (10 + id % 128).toInt)) // total 64 + id%128
+    case 1 => MediaFormats.wavBytes(
+      sampleRate = (8000 + (id % 8) * 1000).toInt,
+      data = payloadBytes(id, (20 + id % 128).toInt))    // total 64 + id%128
+    case _ => MediaFormats.aviBytes(
+      width = (64 + id % 960).toInt, height = (64 + id % 540).toInt,
+      nFrames = (1 + id % 30).toInt,
+      payload = payloadBytes(id, (id % 128).toInt))      // total 96 + id%128
   }
 
   /** Deterministic synthetic media table derived from document ids: a
@@ -73,7 +91,9 @@ object Multimodal {
     // The marker records the id-set signature, not mere existence:
     // regenerated test data at the same path (different count or id range)
     // must rebuild the blobs, or the source leg silently serves stale files.
-    val signature = s"${ids.length}:${if (ids.isEmpty) 0L else ids.min}:${if (ids.isEmpty) 0L else ids.max}"
+    // "v2" = container-format blobs (BMP/WAVE/AVI): a marker bump forces
+    // regeneration over any pre-container fixture tree at the same path
+    val signature = s"v2:${ids.length}:${if (ids.isEmpty) 0L else ids.min}:${if (ids.isEmpty) 0L else ids.max}"
     val marker = java.nio.file.Paths.get(dir, "_SUCCESS")
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker)) == signature) return
@@ -141,19 +161,19 @@ object Multimodal {
     }
   }
 
-  /** Sample every `everyN`-th frame of video media (other mimes yield their
-    * single frame 0). STUB: frame bytes are deterministic fakes; frame
-    * COUNT comes from the same stub metadata as [[decodeStub]], and the
-    * flatMap plumbing (one input row → n output rows, typed) is real.
+  /** Sample every `everyN`-th frame of video media (other modalities yield
+    * their single frame 0). The frame COUNT comes from parsing the AVI
+    * `avih` header in the real bytes; only the frame BYTES are stubbed
+    * deterministic fakes (decoding pixels needs a codec). The flatMap
+    * plumbing (one input row → n output rows, typed) is real.
     */
   def frameSample(ds: Dataset[MediaRecord], everyN: Int = 10): Dataset[FrameSample] = {
     require(everyN >= 1, s"everyN=$everyN must be >= 1")
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.flatMap { r =>
-        val nFrames =
-          if (r.mime == "video/mp4") (1 + r.media_id % 30).toInt else 1
-        (0 until nFrames by everyN).iterator.map { f =>
+        val nFrames = MediaFormats.parseAvi(r.content).map(_.nFrames).getOrElse(1)
+        (0 until math.max(nFrames, 1) by everyN).iterator.map { f =>
           val bytes = new Array[Byte](32)
           var i = 0
           while (i < 32) {
@@ -167,26 +187,29 @@ object Multimodal {
   }
 
   /** Decode + feature-extract, one partition at a time (batch-amortized the
-    * way a real codec pool would be). STUB: width/height/frame-count are
-    * deterministic functions of the id instead of decoded pixels — the
-    * container has no image/audio libraries; `mean_byte` does touch the
-    * real binary content.
+    * way a real codec pool would be). Metadata is REAL: width / height /
+    * frame-count are parsed from the container header bytes
+    * ([[MediaFormats.parse]] dispatches on magic bytes, not the mime hint);
+    * fields a format doesn't carry (image width for audio) are 0.
+    * `mean_byte` touches every content byte.
     */
-  def decodeStub(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def decode(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // A real implementation would initialize a codec here, once per partition.
+      // a codec pool for payload decode would initialize here, once per partition
       it.map { r =>
         var sum = 0L
         var i = 0
         while (i < r.content.length) { sum += (r.content(i) & 0xff); i += 1 }
+        val h = MediaFormats.parse(r.content).getOrElse(
+          MediaFormats.MediaHeader("unknown", -1, -1, -1, -1, -1))
         MediaFeatures(
           media_id = r.media_id,
           mime = r.mime,
           content_len = r.content.length,
-          width = (64 + r.media_id % 960).toInt,
-          height = (64 + r.media_id % 540).toInt,
-          n_frames = if (r.mime == "video/mp4") (1 + r.media_id % 30).toInt else 1,
+          width = math.max(h.width, 0),
+          height = math.max(h.height, 0),
+          n_frames = math.max(h.nFrames, 0),
           mean_byte = sum.toDouble / r.content.length)
       }
     }

@@ -176,21 +176,35 @@ class ScaleSpec extends AnyFunSuite {
     val byId = frames.groupBy(_.media_id)
     media.collect().foreach { m =>
       val expected =
-        if (m.mime == "video/mp4") ((1 + m.media_id % 30).toInt - 1) / 10 + 1
+        if (m.mime == "video/avi") ((1 + m.media_id % 30).toInt - 1) / 10 + 1
         else 1
       assert(byId(m.media_id).length == expected, s"media ${m.media_id}")
       assert(byId(m.media_id).map(_.frame_idx).forall(_ % 10 == 0))
     }
   }
 
+  test("media container headers round-trip: writer fields == parsed fields") {
+    import graft.sources.MediaFormats
+    val hb = MediaFormats.parse(
+      MediaFormats.bmpBytes(123, 456, Array.fill(10)(0x7f.toByte))).get
+    assert(hb.format == "bmp" && hb.width == 123 && hb.height == 456 && hb.nFrames == 1)
+    val hw = MediaFormats.parse(MediaFormats.wavBytes(44100, new Array[Byte](321))).get
+    assert(hw.format == "wav" && hw.sampleRate == 44100 &&
+      hw.nFrames == 321 && hw.channels == 1)
+    val ha = MediaFormats.parse(MediaFormats.aviBytes(640, 480, 17, new Array[Byte](5))).get
+    assert(ha.format == "avi" && ha.width == 640 && ha.height == 480 && ha.nFrames == 17)
+    // garbage is rejected, not misparsed
+    assert(MediaFormats.parse("not a container".getBytes).isEmpty)
+  }
+
   test("binaryFile source leg produces the same features as synthesized media") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-mm").toString
     graft.sources.Multimodal.ensureFixtureFiles(spark, docs, dir)
-    val viaFiles = graft.sources.Multimodal.decodeStub(
+    val viaFiles = graft.sources.Multimodal.decode(
       graft.sources.Multimodal.readBinaryFiles(spark, dir))
       .toDF().orderBy("media_id").collect().map(_.toSeq).toSet
-    val viaSynth = graft.sources.Multimodal.decodeStub(
+    val viaSynth = graft.sources.Multimodal.decode(
       graft.sources.Multimodal.synthesize(spark, docs))
       .toDF().orderBy("media_id").collect().map(_.toSeq).toSet
     assert(viaFiles == viaSynth)

@@ -57,10 +57,10 @@ class SinksSpec extends AnyFunSuite {
     assert(out.filter(col("country_code") === "de").select("id").as[Int].head() == 2)
   }
 
-  test("multimodal decode stub: mean_byte derives from the real binary bytes") {
+  test("multimodal decode: mean_byte derives from the real binary bytes") {
     val docs = Tables.documents(spark, TestSpark.sf).limit(20)
     val media = Multimodal.synthesize(spark, docs)
-    val feats = Multimodal.decodeStub(media).collect()
+    val feats = Multimodal.decode(media).collect()
     val raw = media.collect().map(r => r.media_id -> r.content).toMap
     feats.foreach { f =>
       val bytes = raw(f.media_id)
