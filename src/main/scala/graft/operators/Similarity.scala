@@ -112,11 +112,25 @@ object Similarity {
       .limit(math.max(sampleSize, nlist))
       .localCheckpoint(true)
 
-    var cents = sample
-      .withColumn("cell",
-        (row_number().over(Window.orderBy(col("r").asc)) - 1).cast("int"))
-      .filter(col("cell") < nlist)
-      .select(col("cell"), col("v").cast("array<double>").as("centroid"))
+    // Initial centroids: the nlist hash-smallest sample rows. Rank comes
+    // from zipWithIndex over the hash-sorted bounded sample — no global
+    // Window.orderBy (whose single-partition WindowExec is the warning
+    // shape this module's own scaladoc tells users to avoid).
+    val spark = corpus.sparkSession
+    val seedRows = sample
+      .select(col("r"), col("v").cast("array<double>").as("centroid"))
+      .rdd
+      .sortBy(_.getLong(0))
+      .zipWithIndex()
+      .collect { case (row, idx) if idx < nlist =>
+        org.apache.spark.sql.Row(idx.toInt, row.get(1)) }
+    var cents = spark.createDataFrame(seedRows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("centroid",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType), nullable = false))))
       .localCheckpoint(true)
 
     var it = 0

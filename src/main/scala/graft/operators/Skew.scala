@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for joins whose key distribution is heavy-tailed —
@@ -40,15 +39,23 @@ object Skew {
   }
 
   /** Top-n heaviest keys with their share of total rows — the diagnostic
-    * that decides whether salting / AQE skew handling is needed. One plan,
-    * one scan: the total comes from a window sum over the (tiny) grouped
-    * result, not a second pass over the data.
+    * that decides whether salting / AQE skew handling is needed.
+    *
+    * The total is a separate one-row aggregate broadcast-cross-joined onto
+    * the grouped result — NOT an unpartitioned window sum, which would move
+    * every distinct key group to a single partition (exactly the skew shape
+    * this diagnostic exists to detect). The grouped frame feeds both sides,
+    * so the source is still scanned once.
     */
-  def keySkewProfile(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame =
-    df.groupBy(keys.map(col).toIndexedSeq: _*)
+  def keySkewProfile(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame = {
+    val grouped = df.groupBy(keys.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("n_rows"))
-      .withColumn("share",
-        col("n_rows") / sum(col("n_rows")).over(Window.partitionBy()))
+    val total = grouped.agg(sum(col("n_rows")).as("__graft_total"))
+    grouped
+      .crossJoin(broadcast(total))
+      .withColumn("share", col("n_rows") / col("__graft_total"))
+      .drop("__graft_total")
       .orderBy(col("n_rows").desc)
       .limit(topN)
+  }
 }

@@ -50,9 +50,14 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("key skew profile surfaces the heaviest keys") {
-    val prof = Skew.keySkewProfile(
+    val profDf = Skew.keySkewProfile(
       Tables.lineitem(spark, TestSpark.sf), Seq("l_returnflag"), 3)
-      .collect()
+    // the total must NOT come from an unpartitioned window (single-partition
+    // WindowExec over every distinct key — the exact skew shape this
+    // diagnostic detects); it is a broadcast one-row cross join instead
+    val plan = profDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"skew profile must not use WindowExec:\n$plan")
+    val prof = profDf.collect()
     assert(prof.length == 3)
     assert(prof.map(_.getAs[Double]("share")).sum > 0.9) // 3 flags dominate
   }
