@@ -82,6 +82,53 @@ object CompositeQueries {
         .orderBy("l_returnflag")
     }),
 
+    // ---- Declared CSV source leg: explicit schema (inference would scan
+    //      the whole listing — never at 100 TB), joined to parquet dims ----
+    "q_csv_src" -> ((s, d) => {
+      graft.sources.FixtureSources.ensure()
+      val rates = s.read
+        .option("header", "true")
+        .schema(StructType(Seq(
+          StructField("r_key", LongType),
+          StructField("rate_name", StringType),
+          StructField("multiplier", DoubleType))))
+        .csv(graft.sources.FixtureSources.csvPath)
+      Tables.nation(s, d)
+        .join(Tables.region(s, d),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(rates), col("r_regionkey") === col("r_key"))
+        .groupBy(col("r_name"), col("rate_name"), col("multiplier"))
+        .agg(count(lit(1)).as("n_nations"))
+        // multiplier values are exact binary fractions and counts are small
+        // ints, so the product is exact — safe to hash-compare as DOUBLE
+        .select(col("r_name"), col("rate_name"), col("n_nations"),
+          (col("multiplier") * col("n_nations")).as("adjusted"))
+        .orderBy("r_name")
+    }),
+
+    // ---- Declared JSON source leg: newline-delimited, explicit NESTED
+    //      schema (struct + array), joined to parquet dims ----------------
+    "q_json_src" -> ((s, d) => {
+      graft.sources.FixtureSources.ensure()
+      val tags = s.read
+        .schema(StructType(Seq(
+          StructField("n_key", LongType),
+          StructField("meta", StructType(Seq(
+            StructField("tier", StringType),
+            StructField("weight", DoubleType)))),
+          StructField("tags", ArrayType(StringType)))))
+        .json(graft.sources.FixtureSources.jsonPath)
+      Tables.nation(s, d)
+        .join(broadcast(tags), col("n_nationkey") === col("n_key"))
+        .groupBy(col("meta.tier").as("tier"))
+        // weights are exact multiples of 0.25 — the double sum is exact and
+        // order-independent, so it hash-compares without a DECIMAL detour
+        .agg(count(lit(1)).as("n_nations"),
+          sum(col("meta.weight")).as("total_weight"),
+          max(size(col("tags"))).as("max_tags"))
+        .orderBy("tier")
+    }),
+
     // ---- The reference's flagship DAG as one plan ------------------------
     // Trace (reference dags/evidence_images_processing.py:298-425):
     // 20-way fan-out scan → U1 concat → P1 keep-list → F3 dtype normalize →
@@ -130,6 +177,31 @@ object CompositeQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_csv_src" ->
+      s"""SELECT r.r_name, c.rate_name, count(*) AS n_nations,
+         |  c.multiplier * count(*) AS adjusted
+         |FROM read_csv('${graft.sources.FixtureSources.csvPath}',
+         |    header = true,
+         |    columns = {'r_key': 'BIGINT', 'rate_name': 'VARCHAR',
+         |               'multiplier': 'DOUBLE'}) c
+         |JOIN region r ON r.r_regionkey = c.r_key
+         |JOIN nation n ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r.r_name, c.rate_name, c.multiplier
+         |ORDER BY r.r_name""".stripMargin,
+
+    "q_json_src" ->
+      s"""SELECT t.meta.tier AS tier, count(*) AS n_nations,
+         |  sum(t.meta.weight) AS total_weight,
+         |  CAST(max(len(t.tags)) AS INTEGER) AS max_tags
+         |FROM read_json('${graft.sources.FixtureSources.jsonPath}',
+         |    format = 'newline_delimited',
+         |    columns = {'n_key': 'BIGINT',
+         |               'meta': 'STRUCT(tier VARCHAR, weight DOUBLE)',
+         |               'tags': 'VARCHAR[]'}) t
+         |JOIN nation n ON n.n_nationkey = t.n_key
+         |GROUP BY t.meta.tier
+         |ORDER BY tier""".stripMargin,
+
     "f10_f13_strings" ->
       """SELECT event_id,
         |  strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') AS event_time,
