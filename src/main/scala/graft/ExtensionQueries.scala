@@ -286,6 +286,30 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Text analysis: Gopher-style repetition/quality filter -----------
+    "text_gopher" -> ((s, d) => {
+      TextAnalysis.gopherQuality(Tables.documents(s, d), "text")
+        .select("doc_id", "n_words", "mean_word_len",
+          "dup_2gram_frac", "dup_3gram_frac", "keep_flag")
+        .orderBy("doc_id")
+    }),
+
+    // ---- Text analysis: corpus-level frequent-n-gram heavy hitters -------
+    "text_top_ngrams" -> ((s, d) => {
+      TextAnalysis.topNgrams(Tables.documents(s, d), "text", n = 2, k = 20)
+    }),
+
+    // ---- Sampling: deterministic stratified domain mixing ----------------
+    "q_stratified_sample" -> ((s, d) => {
+      Sampling.stratifiedSample(Tables.documents(s, d),
+          contentCol = col("doc_id"), strataCol = col("source"),
+          ratesPct = Map("src0" -> 75, "src1" -> 50, "src2" -> 25),
+          defaultPct = 10)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     // ---- Text analysis: winnowed fingerprints (Schleimer et al. 2003) ----
     "text_winnow" -> ((s, d) => {
       TextAnalysis.winnowedFingerprints(Tables.documents(s, d), "text", "doc_id")
@@ -650,6 +674,55 @@ object ExtensionQueries {
         |      list_transform(w, x -> CAST(ascii(x) AS BIGINT) * 131 + length(x))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, text, w,
+        |    list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i+1]) AS g2,
+        |    list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS INTEGER) AS n_words,
+        |    CAST(length(text) - len(w) + 1 AS DOUBLE) / len(w) AS mean_word_len,
+        |    CASE WHEN len(g2) > 0
+        |      THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+        |      ELSE 0.0 END AS dup_2gram_frac,
+        |    CASE WHEN len(g3) > 0
+        |      THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+        |      ELSE 0.0 END AS dup_3gram_frac
+        |  FROM g)
+        |SELECT doc_id, n_words, mean_word_len, dup_2gram_frac, dup_3gram_frac,
+        |  CAST(n_words BETWEEN 30 AND 100000
+        |    AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND dup_2gram_frac <= 0.05
+        |    AND dup_3gram_frac <= 0.02 AS INTEGER) AS keep_flag
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_top_ngrams" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS ngram
+        |  FROM t)
+        |SELECT ngram, count(*) AS n FROM g
+        |GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+        |      AS bucket
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept FROM b
+        |WHERE bucket < CASE source WHEN 'src0' THEN 75 WHEN 'src1' THEN 50
+        |  WHEN 'src2' THEN 25 ELSE 10 END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "mm_frames" ->
       """SELECT doc_id AS media_id,

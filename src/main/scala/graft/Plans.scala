@@ -22,7 +22,8 @@ object Plans {
     "dedup_minhash", "dedup_ngram", "sim_topk", "sim_lsh_topk", "sim_ivf_topk",
     "j4_corr_update", "q_asof_join", "pipeline_evidence", "w_tumbling",
     "q_range_join", "dedup_winnow", "q_pivot", "q_salted_join",
-    "q_csv_src", "q_json_src", "mm_binary")
+    "q_csv_src", "q_json_src", "mm_binary",
+    "text_gopher", "text_top_ngrams", "q_stratified_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")

@@ -26,6 +26,16 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(emptyStrArray)
 
+  /** Word n-grams with multiplicity preserved ([[wordShingles]] distincts);
+    * [] when < n tokens. Repetition metrics need duplicate n-grams counted.
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(emptyStrArray)
+
   /** Distinct character n-gram shingles of a string; [] when shorter than n. */
   def charShingles(text: Column, n: Int): Column =
     when(length(text) >= n,

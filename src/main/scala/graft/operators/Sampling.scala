@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting for training pipelines: the split a
@@ -31,6 +31,28 @@ object Sampling {
     require(buckets >= 1, s"buckets=$buckets must be >= 1")
     conv(substring(md5(content.cast("string")), 1, 15), 16, 10)
       .cast("long") % buckets
+  }
+
+  /** Deterministic stratified (domain-mixing) sampler: keep a row iff its
+    * content-hash bucket falls below its stratum's target percentage. This
+    * is how training-data pipelines hit domain-mix targets ("books at 50%,
+    * generic web at 10%") reproducibly — the keep decision is a pure
+    * function of (content, stratum rate): no RNG state, no partition or
+    * cluster-size dependence, and raising a stratum's rate keeps every
+    * previously kept row (buckets below the old threshold stay below the
+    * new one), so incremental re-mixes are monotone. The rate map is
+    * configuration-sized and compiles to a literal CASE chain (same
+    * broadcast-literal pattern as the J5 config lookup); the whole operator
+    * is a map-only filter — zero shuffle at any corpus size.
+    */
+  def stratifiedSample(df: DataFrame, contentCol: Column, strataCol: Column,
+                       ratesPct: Map[String, Int], defaultPct: Int): DataFrame = {
+    require((ratesPct.values.toSeq :+ defaultPct).forall(p => p >= 0 && p <= 100),
+      s"stratum percentages must be in [0, 100]: $ratesPct default=$defaultPct")
+    val pct = ratesPct.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, p)) => when(strataCol === stratum, lit(p)).otherwise(acc)
+    }
+    df.filter(md5Bucket(contentCol) < pct)
   }
 
   /** train/val/test label from a bucket column: [0, trainPct) → train,

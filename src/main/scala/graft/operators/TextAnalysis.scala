@@ -48,6 +48,56 @@ object TextAnalysis {
       when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de"))
   }
 
+  /** Gopher-style repetition/quality signals (Rae et al., "Scaling Language
+    * Models: Methods, Analysis &amp; Insights from Training Gopher", 2021,
+    * appendix A1.1): word-count and mean-word-length bounds plus duplicate
+    * word-n-gram fractions, folded into a composite `keep_flag`. High
+    * duplicate-n-gram fractions mark the degenerate repetition (boilerplate,
+    * scraper loops, decoding artifacts) that survives exact dedup because
+    * the documents differ globally. Narrow per-doc projection — a map-only
+    * pass at any corpus size. Each n-gram array is evaluated a constant
+    * number of times (size + distinct), so projection collapse costs O(len)
+    * per reference, not the O(len²) generator-inlining trap winnowing hits.
+    */
+  def gopherQuality(df: DataFrame, textCol: String,
+                    minWords: Int = 30, maxWords: Int = 100000,
+                    maxDup2: Double = 0.05, maxDup3: Double = 0.02): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    def dupFrac(n: Int): Column = {
+      val g = TextFunctions.wordNgrams(toks, n)
+      when(size(g) > 0,
+        lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
+        .otherwise(lit(0.0))
+    }
+    df.withColumn("n_words", size(toks))
+      .withColumn("mean_word_len",
+        (length(col(textCol)) - size(toks) + 1).cast("double") / size(toks))
+      .withColumn("dup_2gram_frac", dupFrac(2))
+      .withColumn("dup_3gram_frac", dupFrac(3))
+      .withColumn("keep_flag",
+        (col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("dup_2gram_frac") <= maxDup2 &&
+          col("dup_3gram_frac") <= maxDup3).cast("int"))
+  }
+
+  /** Exact corpus-level top-k most frequent word n-grams (heavy hitters for
+    * boilerplate discovery / df-cut threshold picking). Explode → hash
+    * aggregate: map-side partial aggregation means the one shuffle carries
+    * (ngram, partial-count) pairs — vocabulary-sized, not corpus-sized —
+    * and `orderBy.limit` plans as TakeOrdered (per-partition top-k, no
+    * global sort). The (count desc, ngram asc) order is total, so top-k is
+    * deterministic under ties.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(
+        TextFunctions.wordNgrams(TextFunctions.tokens(col(textCol)), n))
+        .as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(k)
+
   /** Rolling polynomial fingerprint per document (content-defined identity
     * that survives reformatting of surrounding fields).
     */
