@@ -63,17 +63,24 @@ object TextAnalysis {
                     minWords: Int = 30, maxWords: Int = 100000,
                     maxDup2: Double = 0.05, maxDup3: Double = 0.02): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    def dupFrac(n: Int): Column = {
-      val g = TextFunctions.wordNgrams(toks, n)
+    // Bind each n-gram array to a column FIRST and compute the fractions
+    // from the bound attribute: a non-trivial expression referenced more
+    // than once inside a single projection is duplicated verbatim in the
+    // plan (there is no common-subexpression sharing across a Project's
+    // output list), so inlining wordNgrams into size()+array_distinct()
+    // would build every gram array multiple times per row.
+    def dupFrac(g: Column): Column =
       when(size(g) > 0,
         lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
         .otherwise(lit(0.0))
-    }
-    df.withColumn("n_words", size(toks))
+    df.withColumn("__g2", TextFunctions.wordNgrams(toks, 2))
+      .withColumn("__g3", TextFunctions.wordNgrams(toks, 3))
+      .withColumn("n_words", size(toks))
       .withColumn("mean_word_len",
         (length(col(textCol)) - size(toks) + 1).cast("double") / size(toks))
-      .withColumn("dup_2gram_frac", dupFrac(2))
-      .withColumn("dup_3gram_frac", dupFrac(3))
+      .withColumn("dup_2gram_frac", dupFrac(col("__g2")))
+      .withColumn("dup_3gram_frac", dupFrac(col("__g3")))
+      .drop("__g2", "__g3")
       .withColumn("keep_flag",
         (col("n_words").between(minWords, maxWords) &&
           col("mean_word_len").between(3.0, 10.0) &&
@@ -152,7 +159,13 @@ object TextAnalysis {
   def winnowNearDups(df: DataFrame, textCol: String, idCol: String,
                      minShared: Long, k: Int = 8, w: Int = 4,
                      maxDocFreq: Long = 1000L): DataFrame = {
+    // A pair needs >= minShared SHARED fingerprints, so a doc with fewer
+    // than minShared fingerprints in total can never appear in the output —
+    // drop it before the explode. Exact (the df-cut below only shrinks
+    // counts further); on short-doc-heavy corpora this removes most of the
+    // exploded posting list.
     val f = winnowedFingerprints(df, textCol, idCol, k, w)
+      .filter(size(col("fps")) >= minShared)
       .select(col("id"), explode(col("fps")).as("fp"))
     val hot = f.groupBy(col("fp"))
       .agg(count(lit(1)).as("d"))
