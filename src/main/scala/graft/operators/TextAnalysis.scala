@@ -63,24 +63,27 @@ object TextAnalysis {
                     minWords: Int = 30, maxWords: Int = 100000,
                     maxDup2: Double = 0.05, maxDup3: Double = 0.02): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    // Bind each n-gram array to a column FIRST and compute the fractions
-    // from the bound attribute: a non-trivial expression referenced more
-    // than once inside a single projection is duplicated verbatim in the
-    // plan (there is no common-subexpression sharing across a Project's
-    // output list), so inlining wordNgrams into size()+array_distinct()
-    // would build every gram array multiple times per row.
-    def dupFrac(g: Column): Column =
-      when(size(g) > 0,
-        lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
+    // The duplicate fraction needs only COUNTS — total windows and distinct
+    // n-grams — so the n-gram strings are never materialized: total falls
+    // out of size(toks) and distinct is the length of the codegen'd sorted-
+    // distinct shingle-hash sketch (one zero-allocation pass per doc, the
+    // same ShingleHashes expression the MinHash path runs). Equating
+    // hash-distinct with string-distinct carries the 2^-64-scale xxh64
+    // collision risk the oracle-checked dedup_minhash query already
+    // accepts; any collision is fixture-deterministic either way.
+    def dupFrac(n: Int): Column = {
+      val total = size(toks) - (n - 1)
+      val distinct = size(graft.functions.ShingleFunctions
+        .wordShingleHashes(toks, n))
+      when(total > 0,
+        lit(1.0) - distinct.cast("double") / total.cast("double"))
         .otherwise(lit(0.0))
-    df.withColumn("__g2", TextFunctions.wordNgrams(toks, 2))
-      .withColumn("__g3", TextFunctions.wordNgrams(toks, 3))
-      .withColumn("n_words", size(toks))
+    }
+    df.withColumn("n_words", size(toks))
       .withColumn("mean_word_len",
         (length(col(textCol)) - size(toks) + 1).cast("double") / size(toks))
-      .withColumn("dup_2gram_frac", dupFrac(col("__g2")))
-      .withColumn("dup_3gram_frac", dupFrac(col("__g3")))
-      .drop("__g2", "__g3")
+      .withColumn("dup_2gram_frac", dupFrac(2))
+      .withColumn("dup_3gram_frac", dupFrac(3))
       .withColumn("keep_flag",
         (col("n_words").between(minWords, maxWords) &&
           col("mean_word_len").between(3.0, 10.0) &&
