@@ -120,6 +120,14 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Similarity: product-quantization ADC ANN (rows-only) ------------
+    "sim_pq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, m = 8, ksub = 16)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- As-of join: per event, the latest prior-or-equal purchase -------
     // (operator Spark lacks natively; union+window sort-merge shape)
     "q_asof_join" -> ((s, d) => {

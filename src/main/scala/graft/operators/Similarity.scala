@@ -208,6 +208,167 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 
+  /** Column of the m subspace slices of a vector: [v[0..dsub), v[dsub..2dsub), …]. */
+  private def subspaceSlices(v: Column, m: Int, dsub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)),
+      j => slice(v, j * dsub + 1, lit(dsub)))
+
+  /** Per-subspace L2 k-means codebooks for product quantization (Jégou,
+    * Douze &amp; Schmid, "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011 §II): the vector is split into `m` subvectors and each
+    * subspace gets its own `ksub`-centroid quantizer. Assignment minimizes
+    * L2 (argmin ‖sv − c‖² ≡ argmax 2·⟨sv,c⟩ − ‖c‖², the ‖sv‖² term is
+    * constant per row) — NOT cosine: code reconstruction must preserve
+    * subvector magnitudes or the recomposed dot products drift.
+    *
+    * All m subspaces train in the SAME Lloyd rounds: the bounded sample is
+    * exploded to (subspace, subvector) rows once and each round is one
+    * equi-join + two aggregations over all subspaces together — `iters`
+    * jobs total, not m·iters. Returns (subspace, cell, centroid, cnorm2);
+    * m·ksub rows — parameter-sized, broadcast at every use.
+    */
+  def pqCodebooks(
+      corpus: DataFrame, vecCol: String, m: Int, ksub: Int,
+      iters: Int = 2, sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
+    require(m >= 1 && ksub >= 1, s"m=$m and ksub=$ksub must be >= 1")
+    val dimRow = corpus.select(size(col(vecCol))).limit(1).collect().headOption
+    require(dimRow.nonEmpty, "pqCodebooks: corpus is empty")
+    val dim = dimRow.get.getInt(0)
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val dsub = dim / m
+
+    // Deterministic bounded sample (hash-ordered, like kmeansCentroids),
+    // exploded once to (subspace, r, sv) sub-vector rows.
+    val sample = corpus
+      .select(col(vecCol).as("v"))
+      .withColumn("r", xxhash64(lit(seed), col("v")))
+      .orderBy(col("r").asc)
+      .limit(math.max(sampleSize, ksub))
+      .select(col("r"),
+        posexplode(subspaceSlices(col("v").cast("array<double>"), m, dsub))
+          .as(Seq("subspace", "sv")))
+      .localCheckpoint(true)
+
+    // Init: per subspace, the ksub hash-smallest sample subvectors. The
+    // window partitions by subspace over the bounded sample — not a global
+    // single-partition window.
+    val iw = Window.partitionBy(col("subspace")).orderBy(col("r").asc)
+    def withNorm(c: DataFrame): DataFrame =
+      c.withColumn("cnorm2", VectorFunctions.dot(col("centroid"), col("centroid")))
+    var books = withNorm(sample
+      .withColumn("rk", row_number().over(iw))
+      .filter(col("rk") <= ksub)
+      .select(col("subspace"), (col("rk") - 1).as("cell"), col("sv").as("centroid")))
+      .localCheckpoint(true)
+
+    var it = 0
+    while (it < iters) {
+      val assigned = sample.join(broadcast(books), Seq("subspace"))
+        .withColumn("score",
+          lit(2.0) * VectorFunctions.dot(col("sv"), col("centroid")) - col("cnorm2"))
+        .groupBy(col("subspace"), col("r"), col("sv"))
+        .agg(max_by(col("cell"), struct(col("score"), (-col("cell")).as("tb"))).as("cell"))
+      val updated = assigned
+        .select(col("subspace"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("subspace"), col("cell"), col("pos")).agg(avg(col("x")).as("mn"))
+        .groupBy(col("subspace"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).getField("mn").as("centroid"))
+      books = withNorm(books.alias("old")
+        .join(updated.alias("nw"), Seq("subspace", "cell"), "left")
+        .select(col("subspace"), col("cell"),
+          coalesce(col("nw.centroid"), col("old.centroid")).as("centroid")))
+        .localCheckpoint(true)
+      it += 1
+    }
+    books
+  }
+
+  /** PQ-encode a corpus: one code (nearest codebook cell) per subspace.
+    * The join is subspace-keyed against the broadcast codebooks; max_by
+    * folds the ksub-way expansion map-side, and the final collect rebuilds
+    * the code array in subspace order. Output (id, codes: array&lt;int&gt;,
+    * norm2: double) — m small ints + one double per vector, the 32×-class
+    * compression that makes a 100 TB corpus cacheable (SCALE.md's PQ memory
+    * model); `norm2` is the reconstructed ‖x‖² used by the ADC scorer.
+    */
+  def pqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, dsub: Int): DataFrame =
+    corpus
+      .select(col(idCol).as("id"),
+        posexplode(subspaceSlices(col(vecCol).cast("array<double>"), m, dsub))
+          .as(Seq("subspace", "sv")))
+      .join(broadcast(codebooks), Seq("subspace"))
+      .withColumn("score",
+        lit(2.0) * VectorFunctions.dot(col("sv"), col("centroid")) - col("cnorm2"))
+      .groupBy(col("id"), col("subspace"))
+      .agg(max_by(struct(col("cell"), col("cnorm2")),
+        struct(col("score"), (-col("cell")).as("tb"))).as("best"))
+      .groupBy(col("id"))
+      .agg(
+        array_sort(collect_list(struct(col("subspace"), col("best.cell").as("cell"))))
+          .getField("cell").as("codes"),
+        sum(col("best.cnorm2")).as("norm2"))
+
+  /** Approximate top-k by asymmetric distance computation over PQ codes
+    * (IVFADC's scoring half, Jégou et al. 2011 §III): per query, a
+    * (subspace, cell) → ⟨q_sub, centroid⟩ lookup table (m·ksub rows,
+    * broadcast); a corpus row's approximate dot is the sum of its m
+    * table hits and its norm comes from the codebook (`norm2`), so scoring
+    * reads CODES only — never the original vectors. The per-pair sum folds
+    * a sorted struct array sequentially (deterministic float order, not a
+    * shuffle-order-dependent SUM). Compose with an IVF cell filter on the
+    * corpus for full IVFADC; alone it is the compressed brute-force scan.
+    */
+  def pqAdcTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
+    val dimRow = queries.select(size(col(vecCol))).limit(1).collect().headOption
+    if (dimRow.isEmpty) return emptyTopK(corpus, queries, idCol)
+    val dim = dimRow.get.getInt(0)
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val dsub = dim / m
+
+    val books = pqCodebooks(corpus, vecCol, m, ksub, iters, sampleSize, seed)
+    val codes = pqEncode(corpus, idCol, vecCol, books, m, dsub)
+
+    // Per-query lookup table + query norm (bounded query set, broadcast).
+    val qtab = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qnorm", sqrt(VectorFunctions.dot(col("qv"), col("qv"))))
+      .select(col("query_id"), col("qnorm"),
+        posexplode(subspaceSlices(col("qv").cast("array<double>"), m, dsub))
+          .as(Seq("subspace", "qsv")))
+      .join(broadcast(books), Seq("subspace"))
+      .select(col("query_id"), col("qnorm"), col("subspace"), col("cell"),
+        VectorFunctions.dot(col("qsv"), col("centroid")).as("qdot"))
+
+    val scored = codes
+      .select(col("id").as("neighbor_id"), col("norm2"),
+        posexplode(col("codes")).as(Seq("subspace", "cell")))
+      .join(broadcast(qtab), Seq("subspace", "cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("subspace"), col("qdot")))),
+          lit(0.0), (acc, x) => acc + x.getField("qdot")).as("adot"),
+        first(col("norm2")).as("norm2"),
+        first(col("qnorm")).as("qnorm"))
+      .withColumn("score",
+        when(col("norm2") > 0.0 && col("qnorm") > 0.0,
+          col("adot") / (col("qnorm") * sqrt(col("norm2"))))
+          .otherwise(lit(0.0)))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
   /** Approximate top-k via banded hyperplane LSH: `numBands` independent
     * `bandBits`-plane signatures per vector; a corpus vector is a candidate
     * for a query iff they share the exact signature in at least one band

@@ -130,6 +130,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("query_id", "neighbor_id", "rank", "score"))
   }
 
+  test("PQ ADC top-k: high recall on clustered vectors, valid codes, deterministic") {
+    // PQ's contract is on clusterable data (real embedding corpora); the
+    // near-uniform fixture is its worst case, so build a clustered one:
+    // 16 well-separated centers, 12 members each, small noise.
+    val rnd = new java.util.Random(7)
+    val dim = 32
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian() * 5.0))
+    val rows = for (c <- centers.indices; i <- 0 until 12) yield
+      (c.toLong * 12 + i,
+        centers(c).map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") % 12 === 0) // one query per cluster
+
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def run() = Similarity.pqAdcTopK(emb, q, "vec_id", "embedding", 5,
+        m = 4, ksub = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = run()
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low on clustered vectors")
+    assert(run() == approx, "PQ pipeline must be deterministic")
+
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding",
+      Similarity.pqCodebooks(emb, "embedding", m = 4, ksub = 16), m = 4, dsub = 8)
+    val bad = codes.filter(size(col("codes")) =!= 4 ||
+      exists(col("codes"), c => c < 0 || c >= 16)).count()
+    assert(bad == 0, "every vector must get 4 codes in [0, 16)")
+  }
+
   test("IVF ANN top-k achieves high recall vs brute force at nlist=64") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.filter(col("vec_id") < 10)
