@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ShingleFunctions, TextFunctions}
-import graft.operators.{AsOfJoin, Dedup, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, CorpusFilters, Dedup, RangeJoin, Sampling, Similarity, TextAnalysis}
 import graft.sources.Multimodal
 
 /** North-star extension operators (dedup, similarity search, text analysis,
@@ -337,6 +337,77 @@ object ExtensionQueries {
         .orderBy("id_1", "id_2")
     }),
 
+    // ---- Dedup: benchmark decontamination (word-5-gram overlap) ----------
+    // benchmark = every 10th doc (stand-in for an eval suite); n=5 because
+    // the fixture vocabulary is tiny — 3-grams collide by chance (426/450
+    // docs hit), 5-grams isolate true leakage (the near-dup docs straddling
+    // the split, 30+ shared grams each vs 0 for everything else).
+    "dedup_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def sh = ShingleFunctions.wordShingleHashes(
+        TextFunctions.tokens(col("text")), 5)
+      Dedup.decontaminate(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", sh,
+          docs.filter(col("doc_id") % 10 === 0), sh)
+        .select(col("id").as("doc_id"), col("n_shared_grams"), col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Corpus filters: C4-style line rules -----------------------------
+    // Fixture texts are single-line, so the query first rebuilds a
+    // deterministic multi-line document (3-token lines, '.' appended when
+    // the raw line length isn't divisible by 3, a lorem/brace noise line on
+    // every 17th doc); the oracle performs the identical construction.
+    "text_c4" -> ((s, d) => {
+      CorpusFilters.c4LineStats(
+          Tables.documents(s, d).withColumn("text2", linedText), "text2", "doc_id")
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept_lines"),
+          col("kept_chars"), col("keep_doc"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Corpus filters: cross-document boilerplate line removal ---------
+    // maxDocFreq=3 is fixture-scaled (line df maxes at 5 at sf0.01); real
+    // corpora use hundreds — the shape, not the constant, is the operator.
+    "text_boilerplate" -> ((s, d) => {
+      CorpusFilters.boilerplateLines(
+          Tables.documents(s, d).withColumn("text2", linedText), "text2", "doc_id",
+          maxDocFreq = 3L)
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_boilerplate"),
+          col("kept_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Text analysis: PII redaction (emails + phones) ------------------
+    // Fixture texts carry no PII, so the query injects deterministic
+    // doc_id-derived addresses/numbers first (oracle does the same); the
+    // redacted text itself is part of the hash-compared output.
+    "text_pii" -> ((s, d) => {
+      TextAnalysis.piiRedact(
+          Tables.documents(s, d).withColumn("text2", piiInjected), "text2")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Sampling: greedy contiguous sequence packing --------------------
+    "q_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      Sampling.packSequences(docs, col("source"), col("doc_id"),
+          col("n_tokens"), budget = 1024L)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("source", "pack_id")
+    }),
+
+    // ---- Text analysis: BM25 relevance against a fixed term set ----------
+    "text_bm25" -> ((s, d) => {
+      TextAnalysis.bm25(Tables.documents(s, d), "text", "doc_id",
+          terms = Seq("spark", "table", "query"))
+        .select(col("id").as("doc_id"), col("bm25"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Multimodal: binary columns + stubbed decode ---------------------
     "mm_meta" -> ((s, d) => {
       Multimodal.decode(Multimodal.synthesize(s, Tables.documents(s, d)))
@@ -357,6 +428,52 @@ object ExtensionQueries {
     }))
 
   private val stopList = TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")
+
+  /** Deterministic multi-line rebuild of the single-line fixture text, for
+    * the line-level corpus filters: 3-token lines, terminal '.' appended
+    * when the raw line's length isn't divisible by 3, and a lorem/brace
+    * noise line on every 17th doc (exercises the C4 blocklist). The
+    * [[linedTextSql]] CTE is the byte-identical DuckDB construction.
+    */
+  private def linedText: org.apache.spark.sql.Column = {
+    val toks = split(col("text"), " ")
+    val raw = when(size(toks) >= 3,
+      transform(sequence(lit(1), floor(size(toks) / lit(3)).cast("int")),
+        i => concat_ws(" ", slice(toks, (i - lit(1)) * lit(3) + lit(1), lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val punct = transform(raw, x =>
+      when(pmod(length(x), lit(3)) =!= 0, concat(x, lit("."))).otherwise(x))
+    val withNoise = when(col("doc_id") % 17 === 0,
+      concat(punct, array(lit("function() { lorem ipsum")))).otherwise(punct)
+    array_join(withNoise, "\n")
+  }
+
+  /** DuckDB CTE producing `ls` = the same line array as [[linedText]]. */
+  private val linedTextSql: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |l0 AS (SELECT doc_id, CASE WHEN len(w) >= 3
+      |         THEN list_transform(generate_series(1, len(w) // 3),
+      |           i -> array_to_string(w[(i-1)*3+1 : (i-1)*3+3], ' '))
+      |         ELSE [] END AS ls FROM toks),
+      |l1 AS (SELECT doc_id, list_transform(ls,
+      |         x -> CASE WHEN length(x) % 3 <> 0 THEN x || '.' ELSE x END) AS ls
+      |       FROM l0),
+      |ld AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0
+      |         THEN list_append(ls, 'function() { lorem ipsum') ELSE ls END AS ls
+      |       FROM l1)""".stripMargin
+
+  /** Deterministic PII injection (emails on every 4th doc, phones on every
+    * 5th) so the redaction operator has real matches; mirrored in SQL.
+    */
+  private def piiInjected: org.apache.spark.sql.Column =
+    concat(col("text"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" reach u"), col("doc_id").cast("string"),
+          lit("@mail.example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call 555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-0199"))).otherwise(lit("")))
 
   /** DuckDB oracle for `sim_lsh_topk`: the seeded hyperplanes are
     * deterministic (`java.util.Random.nextGaussian` is algorithmically
@@ -737,6 +854,113 @@ object ExtensionQueries {
         |  ((CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30 ELSE 1 END) - 1)
         |    // 10 + 1 AS n_sampled
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "dedup_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(w) - 4),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |      || ' ' || w[i+4])) AS g
+        |  FROM toks WHERE len(w) >= 5),
+        |bench AS (SELECT DISTINCT unnest(g) AS gr FROM sh WHERE doc_id % 10 = 0),
+        |cg AS (SELECT doc_id, unnest(g) AS gr FROM sh WHERE doc_id % 10 <> 0),
+        |hits AS (SELECT doc_id, count(*) AS ns FROM cg JOIN bench USING (gr)
+        |         GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(h.ns, 0) AS n_shared_grams,
+        |  CAST(COALESCE(h.ns, 0) >= 1 AS INTEGER) AS contaminated
+        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    "text_c4" ->
+      s"""WITH $linedTextSql,
+         |k AS (
+         |  SELECT doc_id, ls, array_to_string(ls, chr(10)) AS txt,
+         |    list_filter(ls, x -> x[-1] IN ('.', '!', '?', '"')
+         |      AND len(string_split(x, ' ')) >= 3) AS kept
+         |  FROM ld)
+         |SELECT doc_id,
+         |  CAST(len(ls) AS INTEGER) AS n_lines,
+         |  CAST(len(kept) AS INTEGER) AS n_kept_lines,
+         |  CAST(length(array_to_string(kept, chr(10))) AS INTEGER) AS kept_chars,
+         |  CAST(len(kept) >= 5 AND NOT (contains(txt, 'lorem ipsum')
+         |    OR contains(txt, '{')) AS INTEGER) AS keep_doc
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "text_boilerplate" ->
+      s"""WITH $linedTextSql,
+         |e0 AS (SELECT doc_id, unnest(ls) AS line FROM ld),
+         |ed AS (SELECT DISTINCT doc_id, line FROM e0),
+         |f AS (SELECT line, count(*) AS df FROM ed GROUP BY 1),
+         |hot AS (SELECT line FROM f WHERE df > 3)
+         |SELECT e0.doc_id, count(*) AS n_lines,
+         |  sum(CASE WHEN hot.line IS NOT NULL THEN 1 ELSE 0 END) AS n_boilerplate,
+         |  sum(CASE WHEN hot.line IS NULL THEN length(e0.line) ELSE 0 END)
+         |    AS kept_chars
+         |FROM e0 LEFT JOIN hot ON e0.line = hot.line
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_pii" ->
+      """WITH t AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN ' reach u' || doc_id || '@mail.example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |        || '-0199' ELSE '' END AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+        |    AS INTEGER) AS n_phones,
+        |  regexp_replace(regexp_replace(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS nt
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, nt,
+        |    sum(nt) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM t),
+        |p AS (SELECT source,
+        |        CAST(floor((cum - nt) / 1024) AS BIGINT) AS pack_id, nt
+        |      FROM c)
+        |SELECT source, pack_id, count(*) AS n_docs, sum(nt) AS sum_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(len(w)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+        |    CAST(sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN list_contains(w, 'table') THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS df2,
+        |    CAST(sum(CASE WHEN list_contains(w, 'query') THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS df3
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(w, x -> x = 'table')) AS DOUBLE) AS tf2,
+        |    CAST(len(list_filter(w, x -> x = 'query')) AS DOUBLE) AS tf3
+        |  FROM t)
+        |SELECT doc_id,
+        |  ((n - df1 + 0.5) / (df1 + 0.5))
+        |    * ((tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+        |  + ((n - df2 + 0.5) / (df2 + 0.5))
+        |    * ((tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+        |  + ((n - df3 + 0.5) / (df3 + 0.5))
+        |    * ((tf3 * (1.2 + 1.0)) / (tf3 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+        |  AS bm25
+        |FROM s, g ORDER BY doc_id""".stripMargin,
 
     // mm_meta/mm_binary oracle: the fixture GENERATOR embeds these
     // id-derived values into real BMP/WAVE/AVI headers; the Spark side

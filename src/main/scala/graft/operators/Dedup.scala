@@ -297,4 +297,40 @@ object Dedup {
         greatest(col("pid"), col("cid")).as("id_2"), col("cosine"))
       .dropDuplicates("id_1", "id_2")
   }
+
+  /** Benchmark decontamination (the n-gram overlap rule of Brown et al.,
+    * "Language Models are Few-Shot Learners", NeurIPS 2020, appendix C):
+    * flag every corpus document sharing at least `minOverlap` distinct word
+    * n-gram shingles with a benchmark/eval set, so training data can be
+    * purged of test-set leakage before training. `corpusShingles` /
+    * `benchShingles` are set-valued shingle columns over each frame (e.g.
+    * [[graft.functions.ShingleFunctions.wordShingleHashes]], whose sorted
+    * distinct output makes the join count a distinct-gram count for free).
+    *
+    * Scale shape: the benchmark side is eval suites — thousands of
+    * documents, not terabytes — so its DISTINCT gram set is explicitly
+    * broadcast and the corpus side never shuffles exploded grams: the
+    * overlap count is a map-side broadcast-hash join plus one count
+    * aggregation keyed by document id (partial map-side combine). Every
+    * corpus document appears in the output, zero-count rows included, so
+    * the result joins back as a keep/drop mask without a second pass.
+    */
+  def decontaminate(
+      corpus: DataFrame, idCol: String, corpusShingles: Column,
+      benchmark: DataFrame, benchShingles: Column,
+      minOverlap: Long = 1L): DataFrame = {
+    require(minOverlap >= 1L, s"minOverlap=$minOverlap must be >= 1")
+    val bench = benchmark.select(explode(benchShingles).as("g")).distinct()
+    val shared = corpus
+      .select(col(idCol).as("id"), explode(corpusShingles).as("g"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    corpus.select(col(idCol).as("id"))
+      .join(shared, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared_grams"), lit(0L)) >= minOverlap)
+          .cast("int").as("contaminated"))
+  }
 }

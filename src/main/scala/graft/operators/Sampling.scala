@@ -55,6 +55,29 @@ object Sampling {
     df.filter(md5Bucket(contentCol) < pct)
   }
 
+  /** Greedy contiguous sequence packing: within each stratum (shard), rows
+    * in `orderCol` order accumulate token counts, and a row's pack is the
+    * bin its cumulative START offset falls into —
+    * `floor((cumsum − tokens) / budget)`. Every pack except a stratum's
+    * last holds ≥ `budget` tokens (a document may straddle its pack
+    * boundary; the trainer's sequence slicer handles the overflow), and
+    * the assignment is a pure function of (stratum, order, token counts) —
+    * reshuffling partitions cannot move a document between packs.
+    *
+    * Scale shape: ONE window partitioned by the stratum column — there is
+    * deliberately no global-order variant, because a total order over a
+    * 100 TB corpus is a single-partition sort; shard first (source, date,
+    * path prefix), pack within shards in parallel.
+    */
+  def packSequences(df: DataFrame, strataCol: Column, orderCol: Column,
+                    tokenCol: Column, budget: Long): DataFrame = {
+    require(budget >= 1L, s"budget=$budget must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(orderCol)
+    df.withColumn("pack_id",
+      floor((sum(tokenCol).over(w) - tokenCol) / lit(budget)).cast("long"))
+  }
+
   /** train/val/test label from a bucket column: [0, trainPct) → train,
     * [trainPct, trainPct + valPct) → val, rest → test.
     */

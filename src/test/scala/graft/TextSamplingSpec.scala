@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Sampling, TextAnalysis}
+import graft.operators.{CorpusFilters, Dedup, Sampling, TextAnalysis}
+import graft.functions.{ShingleFunctions, TextFunctions}
 
 /** Behavioral properties of the Gopher-style quality filter, the frequent-
   * n-gram heavy hitters, and the deterministic stratified sampler — the
@@ -48,5 +49,100 @@ class TextSamplingSpec extends AnyFunSuite {
     assert(kept(0, 4).isEmpty)
     val all = docs.filter(col("source") === "src0").count()
     assert(kept(100, 4).size == all)
+  }
+
+  test("decontaminate flags exactly the docs sharing a benchmark n-gram") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contains bench 5-gram
+      (2L, "one two three four five six"),         // clean
+      (3L, "tiny doc")                             // too short for 5-grams
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    def sh = ShingleFunctions.wordShingleHashes(TextFunctions.tokens(col("text")), 5)
+    val out = Dedup.decontaminate(corpus, "doc_id", sh, bench, sh)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out(1L) == ((1L, 1)))
+    assert(out(2L) == ((0L, 0)))
+    assert(out(3L) == ((0L, 0)), "short docs must still appear, uncontaminated")
+    assert(out.size == 3)
+  }
+
+  test("c4LineStats keeps punctuated >=3-word lines and blocklists docs") {
+    val df = Seq(
+      (1L, "good line here.\nalso a keeper!\nno\nthird good line.\nline four ok.\nand a fifth one."),
+      (2L, "good line here.\nbut lorem ipsum appears.\nmore lines here.\nfour lines now.\nfive lines total."),
+      (3L, "unpunctuated line\nshort.\nnope")
+    ).toDF("doc_id", "text")
+    val out = CorpusFilters.c4LineStats(df, "text", "doc_id", minKeptLines = 5)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(4)))).toMap
+    assert(out(1L) == ((6, 5, 1)))          // "no" dropped, 5 kept, doc kept
+    assert(out(2L)._3 == 0, "lorem ipsum must blocklist the doc")
+    assert(out(3L) == ((3, 0, 0)))          // no terminal punct / too short
+  }
+
+  test("boilerplateLines drops only lines above the doc-frequency cut") {
+    val df = Seq(
+      (1L, "nav bar\ncontent one"),
+      (2L, "nav bar\ncontent two"),
+      (3L, "nav bar\ncontent three\nnav bar")
+    ).toDF("doc_id", "text")
+    val out = CorpusFilters.boilerplateLines(df, "text", "doc_id", maxDocFreq = 2L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // "nav bar" appears in 3 DISTINCT docs > 2 -> boilerplate (both copies in doc 3)
+    assert(out(1L) == ((2L, 1L, "content one".length.toLong)))
+    assert(out(2L) == ((2L, 1L, "content two".length.toLong)))
+    assert(out(3L) == ((3L, 2L, "content three".length.toLong)))
+  }
+
+  test("packSequences is contiguous, partition-independent, and fills packs") {
+    val df = (1L to 100L).map(i => (i, "s", 10 + (i % 7).toInt))
+      .toDF("doc_id", "source", "n_tokens")
+    def packs(parts: Int) =
+      Sampling.packSequences(df.repartition(parts), col("source"),
+          col("doc_id"), col("n_tokens"), budget = 100L)
+        .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    val p = packs(4)
+    assert(p == packs(9), "pack assignment must not depend on partitioning")
+    // contiguity: pack ids are non-decreasing in doc order, starting at 0
+    val ordered = p.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered.head == 0L)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => b == a || b == a + 1 })
+    // a pack's first doc can start up to maxTok-1 past the bin boundary, so
+    // every non-final pack holds at least budget - maxTok tokens
+    val tok = df.select("doc_id", "n_tokens").as[(Long, Int)].collect().toMap
+    val byPack = p.groupBy(_._2).view.mapValues(_.keys.map(tok(_).toLong).sum)
+    val last = byPack.keys.max
+    val maxTok = tok.values.max.toLong
+    assert(byPack.forall { case (id, sum) => id == last || sum >= 100L - maxTok })
+  }
+
+  test("piiRedact masks emails before phones and counts both") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "call 415-555-0199 or 650-555-0100"),
+      (3L, "clean text only")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(df, "text")
+      .select("doc_id", "n_emails", "n_phones", "redacted")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1, 0, "mail <EMAIL> now")))
+    assert(out(2L) == ((0, 2, "call <PHONE> or <PHONE>")))
+    assert(out(3L) == ((0, 0, "clean text only")))
+  }
+
+  test("bm25 ranks by tf and weights rare terms above common ones") {
+    val df = Seq(
+      (1L, "spark spark spark filler filler"),
+      (2L, "spark filler filler filler filler"),
+      (3L, "table filler filler filler filler"),
+      (4L, "filler filler filler filler filler"),
+      (5L, "filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(df, "text", "doc_id", Seq("spark", "table"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > out(2L), "higher tf must score higher")
+    // 'table' (df=1) must outscore 'spark' (df=2) at equal tf
+    assert(out(3L) > out(2L), "rarer term must carry more weight")
+    assert(out(4L) == 0.0 && out(5L) == 0.0)
   }
 }
