@@ -400,6 +400,18 @@ object ExtensionQueries {
         .orderBy("source", "pack_id")
     }),
 
+    // ---- Layout: Morton (Z-order) clustering key -------------------------
+    // The key itself is the declared/oracle-checked part; ScaleSpec
+    // demonstrates the layout property (tight per-file min/max in both
+    // dimensions after repartitionByRange on the key).
+    "q_zorder" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.functions.LayoutFunctions
+            .zorderKey(col("l_partkey"), col("l_suppkey"), bits = 16).as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- Text analysis: BM25 relevance against a fixed term set ----------
     "text_bm25" -> ((s, d) => {
       TextAnalysis.bm25(Tables.documents(s, d), "text", "doc_id",
@@ -933,6 +945,14 @@ object ExtensionQueries {
         |      FROM c)
         |SELECT source, pack_id, count(*) AS n_docs, sum(nt) AS sum_tokens
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_zorder" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum(list_transform(range(0, 16),
+        |    i -> ((CAST(l_partkey AS BIGINT) >> i) & 1) * (1::BIGINT << (2*i))
+        |       + ((CAST(l_suppkey AS BIGINT) >> i) & 1) * (1::BIGINT << (2*i+1))))
+        |    AS BIGINT) AS zkey
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "text_bm25" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 
 import graft.functions._
 
@@ -55,6 +55,10 @@ object GraftFunctions {
       }}),
     "simhash_from_hashes" -> (es => { arity(es, "simhash_from_hashes", 1, 1)
       SimHashFromHashes(es(0)) }),
+    "zorder_key" -> (es => { arity(es, "zorder_key", 2, 3)
+      val bits = if (es.length == 3) intArg(es(2), "bits") else 16
+      ZOrderKey(Cast(es(0), org.apache.spark.sql.types.LongType),
+        Cast(es(1), org.apache.spark.sql.types.LongType), bits) }),
     "minhash_signature" -> (es => { arity(es, "minhash_signature", 1, 3)
       es.length match {
         case 1 => MinHashSignature(es(0), 64, 42L)

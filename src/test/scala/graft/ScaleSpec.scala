@@ -82,6 +82,35 @@ class ScaleSpec extends AnyFunSuite {
     Sinks.dropTable(spark, "b_orders"); Sinks.dropTable(spark, "b_lineitem")
   }
 
+  test("zorder layout enables file skipping on the SECOND dimension too") {
+    import graft.functions.LayoutFunctions
+    val li = Tables.lineitem(spark, TestSpark.sf).select("l_partkey", "l_suppkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // range-normalize: suppkey (0..9, 4 bits) scaled up to partkey's 8-bit
+    // width — interleave weights bit positions equally (see scaladoc)
+    li.withColumn("zkey",
+        LayoutFunctions.zorderKey(col("l_partkey"), col("l_suppkey") * 16))
+      .repartitionByRange(8, col("zkey")).sortWithinPartitions("zkey")
+      .drop("zkey").write.mode("overwrite").parquet(s"$dir/zorder")
+    li.repartitionByRange(8, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/single")
+    // per-file min/max stats are what row-group/file skipping reads; count
+    // the files a point predicate on l_suppkey would have to open
+    def filesNeeded(path: String, v: Long): (Long, Long) = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("l_suppkey")).cast("long").as("lo"),
+          max(col("l_suppkey")).cast("long").as("hi"))
+      (stats.count(), stats.filter(col("lo") <= v && col("hi") >= v).count())
+    }
+    val (zTotal, zNeeded) = filesNeeded(s"$dir/zorder", 5L)
+    val (sTotal, sNeeded) = filesNeeded(s"$dir/single", 5L)
+    // the partkey-sorted layout smears every suppkey across every file; the
+    // z-ordered layout confines each suppkey band to a subset of files
+    assert(sNeeded == sTotal, s"single-dim control: expected no skipping, $sNeeded/$sTotal")
+    assert(zNeeded < zTotal, s"zorder: expected some file skipped, $zNeeded/$zTotal")
+  }
+
   test("date-partitioned layout prunes partitions at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/ev"
     val ev = Tables.events(spark, TestSpark.sf)

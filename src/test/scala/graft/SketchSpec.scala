@@ -217,6 +217,37 @@ class SketchSpec extends AnyFunSuite {
     assert(relErr < 0.05, s"HLL rel err $relErr (approx=$approx exact=$exact)")
   }
 
+  test("zorder key: codegen == interpreted == reference kernel, SQL-callable") {
+    import graft.functions.{LayoutFunctions, ZOrderUtil}
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L),
+      (65535L, 65535L), (65536L, 1L))
+    val df = pairs.toDF("a", "b")
+    def run(): Seq[Long] =
+      df.select(LayoutFunctions.zorderKey(col("a"), col("b")).as("z"))
+        .as[Long].collect().toSeq
+    val gen = run()
+    val interp = {
+      val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try run()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", ws)
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    assert(gen == interp)
+    assert(gen == pairs.map { case (a, b) => ZOrderUtil.interleave(a, b, 16) })
+    // known values: x at even bits, y at odd; 16-bit saturation; truncation
+    assert(ZOrderUtil.interleave(1L, 0L, 16) == 1L)
+    assert(ZOrderUtil.interleave(0L, 1L, 16) == 2L)
+    assert(ZOrderUtil.interleave(65535L, 65535L, 16) == (1L << 32) - 1)
+    assert(ZOrderUtil.interleave(65536L, 1L, 16) == 2L, "high bits ignored")
+    graft.plans.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT zorder_key(3, 5)").head().getLong(0) ==
+      ZOrderUtil.interleave(3L, 5L, 16))
+  }
+
   test("word shingles: fewer tokens than n yields empty array, not garbage") {
     val df = Seq("one two", "one two three four").toDF("t")
       .select(TextFunctions.wordShingles(TextFunctions.tokens(col("t")), 3).as("sh"))
