@@ -160,6 +160,27 @@ object Streams {
     * and return the materialized result. Batch-incremental execution, the
     * exact semantic of the reference's daily scheduled catch-up runs.
     */
+  /** Stream-stream interval join (the impressions ⋈ conversions class):
+    * each left event matches right events with the same keys whose event
+    * time falls in [left.ts, left.ts + within]. Both sides are watermarked
+    * and the join condition is time-bounded in BOTH directions — that pair
+    * is what lets Spark expire buffered join state; an unbounded
+    * stream-stream inner join would hold both streams forever. State per
+    * key is bounded by (watermark + within) of events, independent of
+    * stream length — the 100 TB/day property.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String, within: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin needs at least one equi-key")
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    l.join(r, keyCond &&
+      col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+      col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"))
+  }
+
   /** End-to-end exactly-once-per-key delivery into a parquet sink: each
     * micro-batch goes through the W1 idempotent append (dedupe + anti-join
     * against sink keys), so replays — whether from checkpoint recovery or

@@ -88,6 +88,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() == expected)
   }
 
+  test("stream-stream interval join equals the batch inequality join") {
+    import spark.implicits._
+    def split(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("sts")),
+      df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts")))
+
+    val (ss, sc) = split(Streams.eventsStream(spark, TestSpark.sf))
+    val got = Streams.runAvailableNow(spark,
+        Streams.intervalJoin(ss, sc, Seq("user_id"), "sts", "cts",
+          within = "1 day", watermark = "2 days")
+          .select("signup_id", "click_id"),
+        "t_ssjoin", "append")
+      .as[(Long, Long)].collect().toSet
+
+    val (bs, bc) = split(Tables.events(spark, TestSpark.sf))
+    val batch = bs.join(bc, bs("user_id") === bc("user_id") &&
+        bc("cts") >= bs("sts") &&
+        bc("cts") <= bs("sts") + org.apache.spark.sql.functions.expr("INTERVAL 1 DAY"))
+      .select("signup_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("streaming session windows match batch sessionization session count") {
     val stream = Streams.eventsStream(spark, TestSpark.sf)
     val sessions = Streams.runAvailableNow(spark,
