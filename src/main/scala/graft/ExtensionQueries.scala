@@ -894,7 +894,9 @@ object ExtensionQueries {
          |SELECT doc_id,
          |  CAST(len(ls) AS INTEGER) AS n_lines,
          |  CAST(len(kept) AS INTEGER) AS n_kept_lines,
-         |  CAST(length(array_to_string(kept, chr(10))) AS INTEGER) AS kept_chars,
+         |  -- DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+         |  CAST(COALESCE(length(array_to_string(kept, chr(10))), 0) AS INTEGER)
+         |    AS kept_chars,
          |  CAST(len(kept) >= 5 AND NOT (contains(txt, 'lorem ipsum')
          |    OR contains(txt, '{')) AS INTEGER) AS keep_doc
          |FROM k ORDER BY doc_id""".stripMargin,

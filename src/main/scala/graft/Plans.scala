@@ -23,7 +23,9 @@ object Plans {
     "j4_corr_update", "q_asof_join", "pipeline_evidence", "w_tumbling",
     "q_range_join", "dedup_winnow", "q_pivot", "q_salted_join",
     "q_csv_src", "q_json_src", "mm_binary",
-    "text_gopher", "text_top_ngrams", "q_stratified_sample")
+    "text_gopher", "text_top_ngrams", "q_stratified_sample",
+    "dedup_decontaminate", "text_c4", "text_boilerplate",
+    "q_pack", "text_bm25", "q_zorder")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
@@ -41,8 +43,10 @@ object Plans {
     sb.append("`HashAggregate` pairs, and no unexpected `Exchange`. The only\n")
     sb.append("`BroadcastNestedLoopJoin`s anywhere are (a) `sim_topk`'s brute-force\n")
     sb.append("query×corpus scan — the exact baseline, deliberately exhaustive —\n")
-    sb.append("and (b) the two bounded corpus×centroid crosses inside `sim_ivf_topk`\n")
-    sb.append("(nlist rows broadcast — the inherent O(N·nlist) IVF assignment).\n\n")
+    sb.append("(b) the two bounded corpus×centroid crosses inside `sim_ivf_topk`\n")
+    sb.append("(nlist rows broadcast — the inherent O(N·nlist) IVF assignment),\n")
+    sb.append("and (c) `text_bm25`'s ONE-row corpus-stats broadcast cross join\n")
+    sb.append("(parameter-sized by construction).\n\n")
 
     headline.foreach { name =>
       val fn = SparkEntry.queries(name)
