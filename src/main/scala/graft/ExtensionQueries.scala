@@ -128,6 +128,15 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Similarity: full IVFADC — IVF routing + PQ-ADC scoring ----------
+    // (rows-only like its two parents: iterative float k-means)
+    "sim_ivfpq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8, m = 8, ksub = 16)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- As-of join: per event, the latest prior-or-equal purchase -------
     // (operator Spark lacks natively; union+window sort-merge shape)
     "q_asof_join" -> ((s, d) => {

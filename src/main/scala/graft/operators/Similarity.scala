@@ -332,23 +332,114 @@ object Similarity {
 
     val books = pqCodebooks(corpus, vecCol, m, ksub, iters, sampleSize, seed)
     val codes = pqEncode(corpus, idCol, vecCol, books, m, dsub)
-
-    // Per-query lookup table + query norm (bounded query set, broadcast).
-    val qtab = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qnorm", sqrt(VectorFunctions.dot(col("qv"), col("qv"))))
-      .select(col("query_id"), col("qnorm"),
-        posexplode(subspaceSlices(col("qv").cast("array<double>"), m, dsub))
-          .as(Seq("subspace", "qsv")))
-      .join(broadcast(books), Seq("subspace"))
-      .select(col("query_id"), col("qnorm"), col("subspace"), col("cell"),
-        VectorFunctions.dot(col("qsv"), col("centroid")).as("qdot"))
+    val qtab = pqQueryTable(queries, idCol, vecCol, books, m, dsub)
 
     val scored = codes
       .select(col("id").as("neighbor_id"), col("norm2"),
         posexplode(col("codes")).as(Seq("subspace", "cell")))
       .join(broadcast(qtab), Seq("subspace", "cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("subspace"), col("qdot")))),
+          lit(0.0), (acc, x) => acc + x.getField("qdot")).as("adot"),
+        first(col("norm2")).as("norm2"),
+        first(col("qnorm")).as("qnorm"))
+      .withColumn("score",
+        when(col("norm2") > 0.0 && col("qnorm") > 0.0,
+          col("adot") / (col("qnorm") * sqrt(col("norm2"))))
+          .otherwise(lit(0.0)))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
+  /** Per-query ADC lookup table: (query_id, qnorm, subspace, cell, qdot)
+    * with one ⟨q_sub, centroid⟩ dot per (subspace, cell) — m·ksub rows per
+    * query, parameter-sized, broadcast at every use.
+    */
+  private def pqQueryTable(
+      queries: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, dsub: Int): DataFrame =
+    queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qnorm", sqrt(VectorFunctions.dot(col("qv"), col("qv"))))
+      .select(col("query_id"), col("qnorm"),
+        posexplode(subspaceSlices(col("qv").cast("array<double>"), m, dsub))
+          .as(Seq("subspace", "qsv")))
+      .join(broadcast(codebooks), Seq("subspace"))
+      .select(col("query_id"), col("qnorm"), col("subspace"), col("cell"),
+        VectorFunctions.dot(col("qsv"), col("centroid")).as("qdot"))
+
+  /** Full IVFADC (Jégou et al. 2011 §IV, the standard billion-scale ANN
+    * architecture): the IVF coarse quantizer routes each query to its
+    * `nprobe` nearest k-means cells, and ONLY the PQ codes stored in those
+    * cells are ADC-scored — per query, ~nprobe/nlist of the corpus is
+    * touched, and what is touched is read as m small ints per vector, not
+    * the raw floats. Raw-vector PQ variant (codes quantize the vectors
+    * themselves, not the cell residuals — faiss's `by_residual=false`):
+    * `nprobe = nlist` degenerates to exactly [[pqAdcTopK]], which the spec
+    * asserts row-for-row.
+    *
+    * Shape at scale: both quantizers train on bounded samples; centroids
+    * and codebooks are parameter-sized broadcasts; the routing filter is
+    * an equi-join of codes against the exploded (query, cell) probe list;
+    * scoring and top-k are keyed aggregations — no stage touches more
+    * than the probed fraction of the corpus after the one-off encode.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      kmeansIters: Int = 2, pqIters: Int = 2,
+      sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe=$nprobe must be in [1, nlist=$nlist]")
+    val dimRow = queries.select(size(col(vecCol))).limit(1).collect().headOption
+    if (dimRow.isEmpty) return emptyTopK(corpus, queries, idCol)
+    val dim = dimRow.get.getInt(0)
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val dsub = dim / m
+
+    val cents = kmeansCentroids(corpus, vecCol, nlist, kmeansIters, sampleSize, seed)
+    // corpus routing: nearest coarse cell per vector (id-keyed, fold the
+    // nlist-way expansion map-side) — renamed ivf_cell so it cannot collide
+    // with the PQ codebook's `cell` column downstream
+    val cellOf = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("score", VectorFunctions.cosine(col("cv"), col("centroid")))
+      .groupBy(col("id"))
+      .agg(max_by(col("cell"), struct(col("score"), (-col("cell")).as("tb")))
+        .as("ivf_cell"))
+
+    val books = pqCodebooks(corpus, vecCol, m, ksub, pqIters, sampleSize, seed)
+    val codes = pqEncode(corpus, idCol, vecCol, books, m, dsub)
+      .join(cellOf, Seq("id"))
+
+    // query routing: top-nprobe coarse cells per query
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cell").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("score", VectorFunctions.cosine(col("qv"), col("centroid")))
+      .withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("cell").as("ivf_cell"))
+
+    val qtab = pqQueryTable(queries, idCol, vecCol, books, m, dsub)
+
+    val scored = codes
+      .join(broadcast(probes), Seq("ivf_cell"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("norm2"),
+        posexplode(col("codes")).as(Seq("subspace", "cell")))
+      .join(broadcast(qtab), Seq("query_id", "subspace", "cell"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(
         aggregate(

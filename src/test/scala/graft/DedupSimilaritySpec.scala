@@ -170,6 +170,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(bad == 0, "every vector must get 4 codes in [0, 16)")
   }
 
+  test("IVFADC: nprobe=nlist degenerates to pqAdcTopK row-for-row; routing keeps cluster precision") {
+    val rnd = new java.util.Random(11)
+    val dim = 32
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian() * 5.0))
+    val rows = for (c <- centers.indices; i <- 0 until 12) yield
+      (c.toLong * 12 + i,
+        centers(c).map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") % 12 === 0)
+
+    // full probe == pure ADC scan (routing filter is a no-op)
+    val full = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 5,
+        nlist = 8, nprobe = 8, m = 4, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val adc = Similarity.pqAdcTopK(emb, q, "vec_id", "embedding", 5,
+        m = 4, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == adc, "nprobe=nlist must equal the unrouted ADC scan")
+
+    // narrow probe: returned neighbors still come from the query's cluster
+    val routed = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 2, m = 4, ksub = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val sameCluster = routed.count { case (qid, n) => qid / 12 == n / 12 }
+    assert(sameCluster.toDouble / routed.size >= 0.9,
+      s"only $sameCluster/${routed.size} IVFADC neighbors share the query's cluster")
+    assert(routed.nonEmpty)
+  }
+
   test("IVF ANN top-k achieves high recall vs brute force at nlist=64") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.filter(col("vec_id") < 10)
