@@ -20,6 +20,7 @@ object Plans {
     "j1_join_filter", "q1_agg", "q_star_join",
     "w1_idempotent", "w1_idempotent_bloom",
     "dedup_minhash", "dedup_ngram", "sim_topk", "sim_lsh_topk", "sim_ivf_topk",
+    "sim_pq_topk", "sim_ivfpq_topk",
     "j4_corr_update", "q_asof_join", "pipeline_evidence", "w_tumbling",
     "q_range_join", "dedup_winnow", "q_pivot", "q_salted_join",
     "q_csv_src", "q_json_src", "mm_binary",
@@ -41,12 +42,12 @@ object Plans {
     sb.append("What to look for: `PushedFilters` and pruned `ReadSchema` on every\n")
     sb.append("scan, `BroadcastHashJoin` for dimension joins, partial/final\n")
     sb.append("`HashAggregate` pairs, and no unexpected `Exchange`. The only\n")
-    sb.append("`BroadcastNestedLoopJoin`s anywhere are (a) `sim_topk`'s brute-force\n")
-    sb.append("query×corpus scan — the exact baseline, deliberately exhaustive —\n")
-    sb.append("(b) the two bounded corpus×centroid crosses inside `sim_ivf_topk`\n")
-    sb.append("(nlist rows broadcast — the inherent O(N·nlist) IVF assignment),\n")
-    sb.append("and (c) `text_bm25`'s ONE-row corpus-stats broadcast cross join\n")
-    sb.append("(parameter-sized by construction).\n\n")
+    sb.append("`BroadcastNestedLoopJoin`s anywhere have a PARAMETER-SIZED broadcast\n")
+    sb.append("side by construction — `sim_topk`'s bounded query set (the exact\n")
+    sb.append("baseline, deliberately exhaustive), the corpus×centroid /\n")
+    sb.append("sample×codebook assignment crosses of the IVF/PQ family (nlist or\n")
+    sb.append("m·ksub rows — the inherent O(N·nlist) quantizer assignment), and\n")
+    sb.append("`text_bm25`'s ONE-row corpus-stats cross. Never corpus×corpus.\n\n")
 
     headline.foreach { name =>
       val fn = SparkEntry.queries(name)
