@@ -221,6 +221,178 @@ case class HyperplaneSignatures(child: Expression, planes: Array[Double],
     copy(child = newChild)
 }
 
+/** PQ-encode a vector in ONE pass: for each of the `m` subspaces, the code
+  * is the codebook cell minimizing L2 distance to the subvector (argmax of
+  * 2·⟨sv,c⟩ − ‖c‖², ties to the lowest cell — the exact max_by semantics of
+  * the former join-based encoder). The codebook lives INSIDE the expression
+  * (codegen reference object, `double[m·ksub·dsub]` row-major) — encoding
+  * is a map-only projection: no explode, no join, no shuffle, which at
+  * corpus scale replaces two corpus-sized shuffles with zero.
+  *
+  * Null when the vector's dimensionality differs from m·dsub (a prefix
+  * encode would silently quantize incomparable vectors).
+  */
+case class PqEncodeCodes(child: Expression, codebook: Array[Double],
+    cnorm2: Array[Double], m: Int, ksub: Int, dsub: Int)
+    extends UnaryExpression {
+  require(m >= 1 && ksub >= 1 && dsub >= 1 &&
+    codebook.length == m * ksub * dsub && cnorm2.length == m * ksub,
+    s"codebook ${codebook.length}/cnorm2 ${cnorm2.length} must be m=$m × ksub=$ksub × dsub=$dsub")
+
+  private val dim = m * dsub
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> input, got ${other.simpleString}")
+    }
+
+  private lazy val elemIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < ksub) {
+        var acc = 0.0
+        val off = (s * ksub + c) * dsub
+        var j = 0
+        while (j < dsub) {
+          val x = if (elemIsFloat) v.getFloat(s * dsub + j).toDouble
+                  else v.getDouble(s * dsub + j)
+          acc += x * codebook(off + j)
+          j += 1
+        }
+        val score = 2.0 * acc - cnorm2(s * ksub + c)
+        if (score > bestScore) { bestScore = score; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Same subspace-major / cell / dim-sequential loop as [[nullSafeEval]]
+    * so the two paths are bit-identical (asserted in SketchSpec).
+    */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bookRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    val normRef = ctx.addReferenceObj("pqCnorm2", cnorm2, "double[]")
+    val getter = if (elemIsFloat) "getFloat" else "getDouble"
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, v => {
+      val codes = ctx.freshName("codes"); val s = ctx.freshName("s")
+      val c = ctx.freshName("c"); val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc"); val off = ctx.freshName("off")
+      val best = ctx.freshName("best"); val bestScore = ctx.freshName("bestScore")
+      val score = ctx.freshName("score")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $codes = new int[$m];
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    int $best = 0;
+         |    double $bestScore = Double.NEGATIVE_INFINITY;
+         |    for (int $c = 0; $c < $ksub; $c++) {
+         |      double $acc = 0.0;
+         |      int $off = ($s * $ksub + $c) * $dsub;
+         |      for (int $j = 0; $j < $dsub; $j++) {
+         |        $acc += (double) $v.$getter($s * $dsub + $j) * $bookRef[$off + $j];
+         |      }
+         |      double $score = 2.0 * $acc - $normRef[$s * $ksub + $c];
+         |      if ($score > $bestScore) { $bestScore = $score; $best = $c; }
+         |    }
+         |    $codes[$s] = $best;
+         |  }
+         |  ${ev.value} = new $gad($codes);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override def toString: String =
+    s"pq_encode($child, codebook=${m}x${ksub}x$dsub)"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Reconstructed squared norm of a PQ-coded vector: Σ_s ‖centroid(s,
+  * codes[s])‖² — an m-element table lookup against the codebook norms held
+  * in the expression. Sequential fixed-order sum (deterministic), null on
+  * a malformed code array.
+  */
+case class PqCodesNorm2(child: Expression, cnorm2: Array[Double],
+    m: Int, ksub: Int) extends UnaryExpression {
+  require(m >= 1 && ksub >= 1 && cnorm2.length == m * ksub,
+    s"cnorm2 ${cnorm2.length} must be m=$m × ksub=$ksub")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<int> input, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[ArrayData]
+    if (codes.numElements() != m) return null
+    var n2 = 0.0
+    var s = 0
+    while (s < m) {
+      val c = codes.getInt(s)
+      if (c < 0 || c >= ksub) return null
+      n2 += cnorm2(s * ksub + c)
+      s += 1
+    }
+    n2
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val normRef = ctx.addReferenceObj("pqCnorm2", cnorm2, "double[]")
+    nullSafeCodeGen(ctx, ev, codes => {
+      val s = ctx.freshName("s"); val c = ctx.freshName("c")
+      val n2 = ctx.freshName("n2"); val bad = ctx.freshName("bad")
+      s"""
+         |if ($codes.numElements() != $m) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $n2 = 0.0;
+         |  boolean $bad = false;
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    int $c = $codes.getInt($s);
+         |    if ($c < 0 || $c >= $ksub) { $bad = true; break; }
+         |    $n2 += $normRef[$s * $ksub + $c];
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $n2; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override def toString: String = s"pq_codes_norm2($child, ${m}x$ksub)"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API: sequential-order double dot product of two vector columns. */
   def dot(a: Column, b: Column): Column =
@@ -239,4 +411,15 @@ object VectorFunctions {
     require(planes.forall(_.length == dim), "all hyperplanes must share one dimensionality")
     column(HyperplaneSignatures(expression(vec), planes.flatten, dim, bandBits))
   }
+
+  /** Column API: PQ codes (array&lt;int&gt;, one cell per subspace) of a
+    * vector column against a flattened row-major codebook.
+    */
+  def pqEncodeCodes(vec: Column, codebook: Array[Double], cnorm2: Array[Double],
+                    m: Int, ksub: Int, dsub: Int): Column =
+    column(PqEncodeCodes(expression(vec), codebook, cnorm2, m, ksub, dsub))
+
+  /** Column API: reconstructed ‖x‖² from a PQ code column. */
+  def pqCodesNorm2(codes: Column, cnorm2: Array[Double], m: Int, ksub: Int): Column =
+    column(PqCodesNorm2(expression(codes), cnorm2, m, ksub))
 }

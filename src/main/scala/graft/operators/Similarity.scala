@@ -283,32 +283,50 @@ object Similarity {
     books
   }
 
-  /** PQ-encode a corpus: one code (nearest codebook cell) per subspace.
-    * The join is subspace-keyed against the broadcast codebooks; max_by
-    * folds the ksub-way expansion map-side, and the final collect rebuilds
-    * the code array in subspace order. Output (id, codes: array&lt;int&gt;,
-    * norm2: double) — m small ints + one double per vector, the 32×-class
-    * compression that makes a 100 TB corpus cacheable (SCALE.md's PQ memory
-    * model); `norm2` is the reconstructed ‖x‖² used by the ADC scorer.
+  /** PQ-encode a corpus: one code (nearest codebook cell) per subspace,
+    * via the one-pass codegen'd [[graft.functions.PqEncodeCodes]]
+    * expression. The trained codebooks are PARAMETER-sized (m·ksub rows),
+    * so they are collected once and held inside the expression — encoding
+    * is a map-only projection with NO shuffle (the former explode → join →
+    * double-aggregate shape shuffled the corpus twice). Output (id, codes:
+    * array&lt;int&gt;, norm2: double) — m small ints + one double per
+    * vector, the 32×-class compression that makes a 100 TB corpus
+    * cacheable (SCALE.md's PQ memory model); `norm2` is the reconstructed
+    * ‖x‖² used by the ADC scorer.
     */
   def pqEncode(
       corpus: DataFrame, idCol: String, vecCol: String,
-      codebooks: DataFrame, m: Int, dsub: Int): DataFrame =
+      codebooks: DataFrame, m: Int, dsub: Int): DataFrame = {
+    // bounded driver-side collect: m·ksub rows of dsub doubles — the same
+    // class of action as the hyperplane matrix (parameters, not data)
+    val rows = codebooks
+      .select(col("subspace").cast("int"), col("cell").cast("int"),
+        col("centroid"), col("cnorm2"))
+      .collect()
+      .sortBy(r => (r.getInt(0), r.getInt(1)))
+    require(rows.nonEmpty, "pqEncode: empty codebooks")
+    val ksub = rows.length / m
+    require(rows.length == m * ksub &&
+      rows.zipWithIndex.forall { case (r, i) =>
+        r.getInt(0) == i / ksub && r.getInt(1) == i % ksub },
+      s"pqEncode: codebooks are not a dense m=$m × ksub=$ksub grid")
+    val book = new Array[Double](m * ksub * dsub)
+    val norms = new Array[Double](m * ksub)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val cent = r.getSeq[Double](2)
+      require(cent.length == dsub,
+        s"pqEncode: centroid ${r.getInt(0)}/${r.getInt(1)} has dim ${cent.length}, want $dsub")
+      var j = 0
+      while (j < dsub) { book(i * dsub + j) = cent(j); j += 1 }
+      norms(i) = r.getDouble(3)
+    }
     corpus
       .select(col(idCol).as("id"),
-        posexplode(subspaceSlices(col(vecCol).cast("array<double>"), m, dsub))
-          .as(Seq("subspace", "sv")))
-      .join(broadcast(codebooks), Seq("subspace"))
-      .withColumn("score",
-        lit(2.0) * VectorFunctions.dot(col("sv"), col("centroid")) - col("cnorm2"))
-      .groupBy(col("id"), col("subspace"))
-      .agg(max_by(struct(col("cell"), col("cnorm2")),
-        struct(col("score"), (-col("cell")).as("tb"))).as("best"))
-      .groupBy(col("id"))
-      .agg(
-        array_sort(collect_list(struct(col("subspace"), col("best.cell").as("cell"))))
-          .getField("cell").as("codes"),
-        sum(col("best.cnorm2")).as("norm2"))
+        VectorFunctions.pqEncodeCodes(col(vecCol), book, norms, m, ksub, dsub)
+          .as("codes"))
+      .select(col("id"), col("codes"),
+        VectorFunctions.pqCodesNorm2(col("codes"), norms, m, ksub).as("norm2"))
+  }
 
   /** Approximate top-k by asymmetric distance computation over PQ codes
     * (IVFADC's scoring half, Jégou et al. 2011 §III): per query, a

@@ -217,6 +217,41 @@ class SketchSpec extends AnyFunSuite {
     assert(relErr < 0.05, s"HLL rel err $relErr (approx=$approx exact=$exact)")
   }
 
+  test("pq encode expression: codegen == interpreted, argmin cell, tie to lowest") {
+    import graft.functions.VectorFunctions
+    // m=2 subspaces, ksub=3, dsub=2; cell norms chosen so scores tie for
+    // the last vector (cells 0 and 1 identical) -> lowest cell must win
+    val book = Array(
+      1.0, 0.0,  0.0, 1.0,  -1.0, 0.0,   // subspace 0
+      2.0, 0.0,  2.0, 0.0,   0.0, 2.0)   // subspace 1 (cells 0,1 identical)
+    val norms = Array(1.0, 1.0, 1.0, 4.0, 4.0, 4.0)
+    val df = Seq(
+      Seq(1.0f, 0.0f, 0.0f, 2.0f),
+      Seq(-3.0f, 0.1f, 2.0f, 0.0f),
+      Seq(0.9f, 0.9f, 1.0f, 1.0f)).toDF("v")
+    def run(): Seq[(Seq[Int], Double)] =
+      df.select(
+          VectorFunctions.pqEncodeCodes(col("v"), book, norms, 2, 3, 2).as("c"))
+        .select(col("c"),
+          VectorFunctions.pqCodesNorm2(col("c"), norms, 2, 3).as("n2"))
+        .as[(Seq[Int], Double)].collect().toSeq
+    val gen = run()
+    val interp = {
+      val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try run()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", ws)
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    assert(gen == interp)
+    assert(gen(0) == ((Seq(0, 2), 5.0)))   // nearest cells, norms 1+4
+    assert(gen(1) == ((Seq(2, 0), 5.0)))
+    assert(gen(2)._1(1) == 0, "identical cells must tie to the lowest id")
+  }
+
   test("zorder key: codegen == interpreted == reference kernel, SQL-callable") {
     import graft.functions.{LayoutFunctions, ZOrderUtil}
     val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L),
