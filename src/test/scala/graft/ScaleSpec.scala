@@ -145,6 +145,16 @@ class ScaleSpec extends AnyFunSuite {
       s"LSH candidate generation must be a hash-partitionable equi-join:\n$plan")
   }
 
+  test("pqEncode plans as a narrow projection — no shuffle, no join") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val books = Similarity.pqCodebooks(emb, "embedding", m = 4, ksub = 8)
+    val plan = Similarity.pqEncode(emb, "vec_id", "embedding", books, 4, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"PQ encode must stay map-only:\n$plan")
+  }
+
   test("ivfTopK plan joins broadcast centroids — no nested-loop over corpus pairs") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val out = graft.operators.Similarity.ivfTopK(
