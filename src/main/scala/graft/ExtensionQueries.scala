@@ -346,6 +346,28 @@ object ExtensionQueries {
         .orderBy("id_1", "id_2")
     }),
 
+    // ---- Text analysis: content-defined chunking (LBFS/Rabin CDC) --------
+    "text_cdc" -> ((s, d) => {
+      TextAnalysis.cdcChunkIndex(Tables.documents(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"),
+          size(col("chunks")).as("n_chunks"),
+          element_at(col("chunks"), 1).getField("len").as("len_1"),
+          element_at(col("chunks"), 1).getField("hash").as("hash_1"),
+          element_at(col("chunks"), -1).getField("hash").as("hash_n"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Dedup: shared content-defined chunks ----------------------------
+    // minShared=3 ≈ one shared ~100-char contiguous run (E[chunk] = 32
+    // chars at maskBits=5); finds the same 21 near-dup pairs as the
+    // winnow overlap at sf0.01 with a sketch 12× smaller (9.9 chunks vs
+    // ~120 fingerprints per doc). df-cut 200 as in dedup_winnow.
+    "dedup_cdc" -> ((s, d) => {
+      TextAnalysis.cdcNearDups(Tables.documents(s, d), "text", "doc_id",
+          minShared = 3L, maxDocFreq = 200L)
+        .orderBy("id_1", "id_2")
+    }),
+
     // ---- Dedup: benchmark decontamination (word-5-gram overlap) ----------
     // benchmark = every 10th doc (stand-in for an eval suite); n=5 because
     // the fixture vocabulary is tiny — 3-grams collide by chance (426/450
@@ -546,7 +568,60 @@ object ExtensionQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Shared DuckDB CTE replicating [[graft.functions.CdcHash.chunks]]
+    * (w=16, maskBits=5) in the direct O(len·w) per-position form: window
+    * hash = fold (a·257 + codepoint) mod 2³¹−1, cut where (h &amp; 31)=0,
+    * spans between consecutive cuts plus the non-empty tail.
+    */
+  private val cdcChunkSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    list_filter(generate_series(16, length(text)),
+      |      i -> (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |              list_transform(generate_series(i - 15, i),
+      |                j -> CAST(ascii(text[j:j]) AS BIGINT))),
+      |            (a, b) -> (a * 257 + b) % 2147483647) & 31) = 0) AS cuts
+      |  FROM documents WHERE length(text) >= 1),
+      |sp AS (
+      |  SELECT doc_id, text,
+      |    list_prepend(CAST(1 AS BIGINT), list_transform(cuts, c -> c + 1)) AS ss,
+      |    list_append(cuts, CAST(n AS BIGINT)) AS es
+      |  FROM c),
+      |ch AS (
+      |  SELECT doc_id, text,
+      |    list_filter(list_transform(generate_series(1, len(es)),
+      |      k -> {'s': ss[k], 'e': es[k]}),
+      |      p -> struct_extract(p, 's') <= struct_extract(p, 'e')) AS spans
+      |  FROM sp)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "text_cdc" ->
+      (cdcChunkSql + "\n" +
+       """SELECT doc_id, CAST(len(spans) AS INTEGER) AS n_chunks,
+        |  CAST(struct_extract(spans[1],'e') - struct_extract(spans[1],'s') + 1
+        |       AS INTEGER) AS len_1,
+        |  ('0x' || substr(md5(text[struct_extract(spans[1],'s') :
+        |     struct_extract(spans[1],'e')]), 1, 15))::BIGINT AS hash_1,
+        |  ('0x' || substr(md5(text[struct_extract(spans[-1],'s') :
+        |     struct_extract(spans[-1],'e')]), 1, 15))::BIGINT AS hash_n
+        |FROM ch ORDER BY doc_id""".stripMargin),
+
+    "dedup_cdc" ->
+      (cdcChunkSql + ",\n" +
+       """e0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(text[struct_extract(p,'s') :
+        |       struct_extract(p,'e')]), 1, 15))::BIGINT AS fp
+        |  FROM ch, unnest(spans) AS t(p)
+        |  WHERE struct_extract(p,'e') - struct_extract(p,'s') + 1 >= 16),
+        |df AS (SELECT fp, count(*) AS d FROM e0 GROUP BY 1),
+        |e AS (SELECT e0.doc_id, e0.fp FROM e0 JOIN df USING (fp)
+        |      WHERE df.d <= 200)
+        |SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS n_shared
+        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY id_1, id_2""".stripMargin),
+
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

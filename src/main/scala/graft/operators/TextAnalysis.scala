@@ -218,6 +218,56 @@ object TextAnalysis {
     * so the cut is part of the operator's contract (the oracle applies the
     * identical cut).
     */
+  /** Content-defined chunk index: (id, chunks: array&lt;struct&lt;start,
+    * len, hash&gt;&gt;) per document — see [[graft.functions.CdcHash]] for
+    * the boundary rule and why chunk fingerprints survive insertions that
+    * shift every downstream offset. Narrow map-only projection; the sketch
+    * is ~len/2^maskBits entries per doc (vs O(len) for shingle families).
+    */
+  def cdcChunkIndex(df: DataFrame, textCol: String, idCol: String,
+                    w: Int = 16, maskBits: Int = 5): DataFrame =
+    df.filter(length(col(textCol)) >= 1)
+      .select(col(idCol).as("id"),
+        graft.functions.ChunkFunctions
+          .cdcChunks(col(textCol), w, maskBits).as("chunks"))
+      // materialized at the operator boundary for the same CollapseProject
+      // reason as winnowedFingerprints: downstream explodes + per-chunk
+      // stats would otherwise each inline the full chunking pass
+      .localCheckpoint(true)
+
+  /** Near-dup / containment pairs by shared content-defined chunks:
+    * explode the chunk index, drop low-entropy chunks shorter than
+    * `minChunkLen` (a chunk shorter than the hash window carries little
+    * content), df-cut boilerplate chunks present in more than `maxDocFreq`
+    * docs (identical skew math to [[winnowNearDups]]), distinct (doc,
+    * hash), then count distinct shared chunk hashes per pair via a
+    * hash-partitioned equi-join on the 64-bit chunk fingerprint.
+    *
+    * Unlike winnow overlap (every shared k-gram window), a shared CDC
+    * chunk certifies a shared contiguous run of ~2^maskBits characters —
+    * `n_shared · E[chunk]` approximates the shared byte volume, which is
+    * the quantity block-level dedup storage systems bill by.
+    */
+  def cdcNearDups(df: DataFrame, textCol: String, idCol: String,
+                  minShared: Long, w: Int = 16, maskBits: Int = 5,
+                  minChunkLen: Int = 16, maxDocFreq: Long = 1000L): DataFrame = {
+    val e0 = cdcChunkIndex(df, textCol, idCol, w, maskBits)
+      .select(col("id"), explode(col("chunks")).as("c"))
+      .filter(col("c.len") >= minChunkLen)
+      .select(col("id"), col("c.hash").as("fp"))
+      .distinct()
+    val hot = e0.groupBy(col("fp"))
+      .agg(count(lit(1)).as("d"))
+      .filter(col("d") > maxDocFreq)
+      .select(col("fp"))
+    val pruned = e0.join(broadcast(hot), Seq("fp"), "left_anti")
+    pruned.alias("a").join(pruned.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_1"), col("b.id").as("id_2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def winnowNearDups(df: DataFrame, textCol: String, idCol: String,
                      minShared: Long, k: Int = 8, w: Int = 4,
                      maxDocFreq: Long = 1000L): DataFrame = {

@@ -283,6 +283,76 @@ class SketchSpec extends AnyFunSuite {
       ZOrderUtil.interleave(3L, 5L, 16))
   }
 
+  test("cdc chunks: spans partition the text, codegen == interpreted, edges") {
+    import graft.functions.ChunkFunctions
+    def run(): Seq[(Long, Seq[(Int, Int, Long)])] =
+      Tables.documents(spark, TestSpark.sf).limit(200)
+        .select(col("doc_id"), ChunkFunctions.cdcChunks(col("text")).as("ch"))
+        .orderBy("doc_id").as[(Long, Seq[(Int, Int, Long)])].collect().toSeq
+    val gen = run()
+    val interp = {
+      val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try run()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", ws)
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    assert(gen == interp)
+    assert(gen.nonEmpty)
+    // spans tile [1, len] contiguously and hashes are the chunk md5-60s
+    val texts = Tables.documents(spark, TestSpark.sf).limit(200)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    for ((id, chunks) <- gen) {
+      val t = texts(id)
+      var pos = 1
+      for ((s, l, h) <- chunks) {
+        assert(s == pos && l >= 1, s"doc $id span ($s,$l) at pos $pos")
+        val sub = t.substring(s - 1, s - 1 + l) // fixture text is ASCII/BMP
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(sub.getBytes("UTF-8"))
+        val hex = md.map("%02x".format(_)).mkString.take(15)
+        assert(h == java.lang.Long.parseLong(hex, 16), s"doc $id hash")
+        pos += l
+      }
+      assert(pos == t.length + 1, s"doc $id spans cover text")
+    }
+    // edge cases: empty -> no chunks; shorter than the window -> one chunk
+    val edges = Seq("", "short", "héllo wörld — ünïcode çhars in the mix")
+      .toDF("text")
+      .select(ChunkFunctions.cdcChunks(col("text")).as("ch"))
+      .as[Seq[(Int, Int, Long)]].collect()
+    assert(edges(0).isEmpty)
+    assert(edges(1) == Seq((1, 5, edges(1).head._3)))
+    assert(edges(2).map(_._2).sum == "héllo wörld — ünïcode çhars in the mix".length)
+  }
+
+  test("cdc chunks: boundaries move with content — prefix edit leaves the tail chunks intact") {
+    import graft.functions.ChunkFunctions
+    val base = Tables.documents(spark, TestSpark.sf)
+      .orderBy("doc_id").limit(8)
+      .select(col("text")).as[String].collect().toSeq
+    val edited = base.map("INSERTED PREFIX EDIT " + _)
+    val df = (base ++ edited).toDF("text")
+      .select(ChunkFunctions.cdcChunks(col("text")).as("ch"))
+      .as[Seq[(Int, Int, Long)]].collect()
+    val (origs, edits) = df.splitAt(base.length)
+    for ((o, e) <- origs.zip(edits)) {
+      val oh = o.map(_._3); val eh = e.map(_._3)
+      // every boundary whose window clears the edited prefix survives, so
+      // the chunk-hash sequences share their whole tail: only the chunks
+      // touching the first post-edit boundary may differ
+      val common = oh.reverse.zip(eh.reverse).takeWhile { case (a, b) => a == b }.length
+      assert(common >= oh.length - 2,
+        s"tail stability violated: ${oh.length} chunks, only $common shared")
+      // a fixed-offset scheme (e.g. every-32-chars) would shift ALL chunks;
+      // sanity-check that most chunk VOLUME is preserved, not just count
+      assert(common >= 1 || oh.length <= 1)
+    }
+  }
+
   test("word shingles: fewer tokens than n yields empty array, not garbage") {
     val df = Seq("one two", "one two three four").toDF("t")
       .select(TextFunctions.wordShingles(TextFunctions.tokens(col("t")), 3).as("sh"))
