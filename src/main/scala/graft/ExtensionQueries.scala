@@ -384,6 +384,29 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Dedup: per-benchmark-doc leakage report -------------------------
+    "dedup_decontaminate_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def sh = ShingleFunctions.wordShingleHashes(
+        TextFunctions.tokens(col("text")), 5)
+      Dedup.decontaminateReport(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", sh,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", sh)
+        .orderBy("bench_id")
+    }),
+
+    // ---- Text analysis: inverted index over word bigrams -----------------
+    // bigram terms because the fixture WORD vocab is 31 tokens (nearly all
+    // in 80% of docs — every posting list would be capped); bigrams give
+    // 916 terms, max df 46. Cap 40 exercises both branches: hot terms keep
+    // df but NULL postings.
+    "text_inverted_index" -> ((s, d) => {
+      TextAnalysis.invertedIndex(Tables.documents(s, d),
+          TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2),
+          "doc_id", maxPostingDf = 40L)
+        .orderBy("token")
+    }),
+
     // ---- Corpus filters: C4-style line rules -----------------------------
     // Fixture texts are single-line, so the query first rebuilds a
     // deterministic multi-line document (3-token lines, '.' appended when
@@ -621,6 +644,38 @@ object ExtensionQueries {
         |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY id_1, id_2""".stripMargin),
+
+    "dedup_decontaminate_report" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(w) - 4),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |      || ' ' || w[i+4])) AS g
+        |  FROM toks WHERE len(w) >= 5),
+        |bench AS (SELECT doc_id AS bench_id, unnest(g) AS gr FROM sh
+        |          WHERE doc_id % 10 = 0),
+        |cg AS (SELECT doc_id, unnest(g) AS gr FROM sh WHERE doc_id % 10 <> 0),
+        |hits AS (SELECT bench_id, count(DISTINCT cg.doc_id) AS nd,
+        |                count(*) AS ng
+        |         FROM cg JOIN bench USING (gr) GROUP BY 1)
+        |SELECT d.doc_id AS bench_id, COALESCE(h.nd, 0) AS n_docs_hit,
+        |  COALESCE(h.ng, 0) AS n_gram_hits
+        |FROM documents d LEFT JOIN hits h ON h.bench_id = d.doc_id
+        |WHERE d.doc_id % 10 = 0 ORDER BY bench_id""".stripMargin,
+
+    "text_inverted_index" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        generate_series(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1]))) AS token
+        |      FROM t),
+        |d AS (SELECT token, count(*) AS df FROM g GROUP BY 1),
+        |p AS (SELECT token, list_sort(list(doc_id)) AS postings
+        |      FROM g GROUP BY 1)
+        |SELECT d.token, d.df,
+        |  CASE WHEN d.df <= 40 THEN p.postings ELSE NULL END AS postings
+        |FROM d JOIN p USING (token) ORDER BY d.token""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

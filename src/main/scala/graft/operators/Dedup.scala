@@ -315,6 +315,38 @@ object Dedup {
     * corpus document appears in the output, zero-count rows included, so
     * the result joins back as a keep/drop mask without a second pass.
     */
+  /** Per-BENCHMARK-doc leakage report — the flip side of
+    * [[decontaminate]]: for each benchmark document, how many corpus
+    * documents share at least one n-gram with it (`n_docs_hit`) and how
+    * many distinct (corpus doc, gram) pairs hit it (`n_gram_hits`).
+    * Zero-hit benchmark rows are preserved so the report enumerates the
+    * whole eval suite. Same scale shape as decontaminate: the benchmark
+    * gram set is broadcast (eval suites are tiny next to the corpus; the
+    * guard there applies here too), the corpus side streams map-only into
+    * the join, and the final aggregation shuffles only matched pairs keyed
+    * by benchmark id.
+    */
+  def decontaminateReport(
+      corpus: DataFrame, idCol: String, corpusShingles: Column,
+      benchmark: DataFrame, benchIdCol: String,
+      benchShingles: Column): DataFrame = {
+    // Both shingle families emit DISTINCT per-doc gram arrays, so the
+    // exploded (id, g) pairs are already distinct — no dedup shuffle here.
+    val bench = benchmark
+      .select(col(benchIdCol).as("bench_id"), explode(benchShingles).as("g"))
+    val hits = corpus
+      .select(col(idCol).as("id"), explode(corpusShingles).as("g"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("id")).as("n_docs_hit"),
+        count(lit(1)).as("n_gram_hits"))
+    benchmark.select(col(benchIdCol).as("bench_id"))
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+        coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"))
+  }
+
   def decontaminate(
       corpus: DataFrame, idCol: String, corpusShingles: Column,
       benchmark: DataFrame, benchShingles: Column,

@@ -218,6 +218,34 @@ object TextAnalysis {
     * so the cut is part of the operator's contract (the oracle applies the
     * identical cut).
     */
+  /** Inverted index (token → posting list) with a document-frequency cap
+    * on posting materialization: every token gets its exact `df`, but the
+    * sorted posting array is only collected for tokens whose df is at most
+    * `maxPostingDf` — beyond that a token is effectively a stopword, its
+    * posting list is O(corpus) large, and `collect_list` on it is the
+    * single-hot-key failure mode of index builds at scale. Capped tokens
+    * keep `postings = NULL` rather than a silently truncated list.
+    *
+    * Shape: one distinct (token, id) shuffle, then one hash aggregation —
+    * df comes from the same aggregation that builds the postings, not a
+    * second pass.
+    */
+  def invertedIndex(df: DataFrame, terms: Column, idCol: String,
+                    maxPostingDf: Long = 10000L): DataFrame = {
+    val pairs = df.select(col(idCol).as("id"),
+      explode(array_distinct(terms)).as("token"))
+    val dfs = pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // stopword tokens (df over the cap) are anti-joined away BEFORE the
+    // collect aggregation ever buffers them — the cut must happen on the
+    // input side, a post-hoc NULL-out would still build the hot lists
+    val hot = dfs.filter(col("df") > maxPostingDf).select(col("token"))
+    val postings = pairs.join(broadcast(hot), Seq("token"), "left_anti")
+      .groupBy(col("token"))
+      .agg(sort_array(collect_list(col("id"))).as("postings"))
+    dfs.join(postings, Seq("token"), "left")
+      .select(col("token"), col("df"), col("postings"))
+  }
+
   /** Content-defined chunk index: (id, chunks: array&lt;struct&lt;start,
     * len, hash&gt;&gt;) per document — see [[graft.functions.CdcHash]] for
     * the boundary rule and why chunk fingerprints survive insertions that

@@ -67,6 +67,42 @@ class TextSamplingSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("decontaminateReport counts leaking corpus docs per benchmark doc") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),  // hits bench 100 twice
+      (2L, "alpha beta gamma delta epsilon"),       // hits bench 100 once
+      (3L, "one two three four five six")           // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (200L, "never seen in the corpus at all")     // zero-hit, must appear
+    ).toDF("doc_id", "text")
+    def sh = ShingleFunctions.wordShingleHashes(TextFunctions.tokens(col("text")), 5)
+    val out = Dedup.decontaminateReport(corpus, "doc_id", sh, bench, "doc_id", sh)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // bench 100 has grams {a b g d e, b g d e z}; doc 1 shares both, doc 2
+    // shares the first -> 2 docs hit, 3 (doc, gram) pairs
+    assert(out(100L) == ((2L, 3L)))
+    assert(out(200L) == ((0L, 0L)))
+    assert(out.size == 2)
+  }
+
+  test("invertedIndex: exact df always, postings only under the cap") {
+    val df = Seq(
+      (1L, "hot rare1"), (2L, "hot rare1"), (3L, "hot rare2"), (4L, "hot hot")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(df,
+        TextFunctions.tokens(col("text")), "doc_id", maxPostingDf = 2L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), Option(r.getSeq[Long](2))))
+      .toMap
+    assert(out("hot") == ((4L, None)), "hot term: exact df, NULL postings")
+    assert(out("rare1") == ((2L, Some(Seq(1L, 2L)))))
+    assert(out("rare2") == ((1L, Some(Seq(3L)))))
+    // repeated token within a doc counts once (doc 4)
+    assert(out.size == 3)
+  }
+
   test("c4LineStats keeps punctuated >=3-word lines and blocklists docs") {
     val df = Seq(
       (1L, "good line here.\nalso a keeper!\nno\nthird good line.\nline four ok.\nand a fifth one."),
