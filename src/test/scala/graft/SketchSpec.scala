@@ -353,6 +353,30 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("nfc normalize: composes combining marks, identity on ASCII, codegen == interpreted") {
+    import graft.functions.NormalizeFunctions
+    val nfd = "cafe\u0301 a\u0301 plain" // NFD-style decomposed
+    val nfc = "caf\u00e9 \u00e1 plain"
+    def run(): Seq[String] =
+      Seq(nfd, "pure ascii stays put", "").toDF("t")
+        .select(NormalizeFunctions.nfcNormalize(col("t")).as("n"))
+        .as[String].collect().toSeq
+    val gen = run()
+    val interp = {
+      val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try run()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", ws)
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    assert(gen == interp)
+    assert(gen == Seq(nfc, "pure ascii stays put", ""))
+    assert(nfd.length == nfc.length + 2, "fixture sanity: composition shrinks")
+  }
+
   test("word shingles: fewer tokens than n yields empty array, not garbage") {
     val df = Seq("one two", "one two three four").toDF("t")
       .select(TextFunctions.wordShingles(TextFunctions.tokens(col("t")), 3).as("sh"))
