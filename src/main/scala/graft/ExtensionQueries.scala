@@ -407,6 +407,36 @@ object ExtensionQueries {
         .orderBy("token")
     }),
 
+    // ---- Text analysis: Unicode NFC canonicalization ---------------------
+    // The fixture text is ASCII (where NFC is the identity), so the query
+    // first DEnormalizes it — every 'a' becomes 'a' + U+0301 combining
+    // acute — and the oracle only hash-matches if composition rebuilds the
+    // precomposed 'á' exactly as utf8proc does: a real NFC check, not an
+    // identity pass.
+    "text_normalize" -> ((s, d) => {
+      val denorm = regexp_replace(col("text"), "a", "a\u0301")
+      val nfc = graft.functions.NormalizeFunctions.nfcNormalize(denorm)
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          length(denorm).as("len_denorm"),
+          length(nfc).as("len_nfc"),
+          conv(substring(md5(nfc), 1, 15), 16, 10).cast("long").as("nfc_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Text analysis: train/val token-distribution drift ---------------
+    // Slices come from the same deterministic md5-bucket split as
+    // q_sample_split, so the report is a pure function of the corpus. The
+    // chi2 term is fixed-order double arithmetic from integer counts —
+    // bit-reproducible in DuckDB when the oracle writes the identical
+    // expression tree (the text_bm25 determinism rule).
+    "q_token_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("split",
+        Sampling.splitLabel(Sampling.md5Bucket(col("text"))))
+      TextAnalysis.tokenDriftReport(docs, "text", "split", "train", "val")
+        .orderBy("token")
+    }),
+
     // ---- Corpus filters: C4-style line rules -----------------------------
     // Fixture texts are single-line, so the query first rebuilds a
     // deterministic multi-line document (3-token lines, '.' appended when
@@ -676,6 +706,45 @@ object ExtensionQueries {
         |SELECT d.token, d.df,
         |  CASE WHEN d.df <= 40 THEN p.postings ELSE NULL END AS postings
         |FROM d JOIN p USING (token) ORDER BY d.token""".stripMargin,
+
+    "text_normalize" ->
+      """WITH dn AS (
+        |  SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS denorm
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(denorm) AS INTEGER) AS len_denorm,
+        |  CAST(length(nfc_normalize(denorm)) AS INTEGER) AS len_nfc,
+        |  ('0x' || substr(md5(nfc_normalize(denorm)), 1, 15))::BIGINT AS nfc_hash
+        |FROM dn ORDER BY doc_id""".stripMargin,
+
+    "q_token_drift" ->
+      """WITH b AS (
+        |  SELECT text,
+        |    CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 90
+        |           THEN 'train'
+        |         WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 95
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |tok AS (SELECT split, unnest(string_split(text, ' ')) AS token
+        |        FROM b WHERE split IN ('train', 'val')),
+        |cnt AS (SELECT token,
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |             CAST(sum(n_b) AS BIGINT) AS tb FROM cnt),
+        |x AS (SELECT token, n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS ca, CAST(n_b AS DOUBLE) AS cb,
+        |    CAST(ta AS DOUBLE) AS tda, CAST(tb AS DOUBLE) AS tdb
+        |  FROM cnt, t)
+        |SELECT token, n_a, n_b,
+        |  (((ca - (((ca + cb) * tda) / (tda + tdb)))
+        |    * (ca - (((ca + cb) * tda) / (tda + tdb))))
+        |   / (((ca + cb) * tda) / (tda + tdb)))
+        |  + (((cb - (((ca + cb) * tdb) / (tda + tdb)))
+        |    * (cb - (((ca + cb) * tdb) / (tda + tdb))))
+        |   / (((ca + cb) * tdb) / (tda + tdb))) AS chi2_term
+        |FROM x ORDER BY token""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

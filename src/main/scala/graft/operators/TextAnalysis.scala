@@ -218,6 +218,43 @@ object TextAnalysis {
     * so the cut is part of the operator's contract (the oracle applies the
     * identical cut).
     */
+  /** Token-distribution drift between two corpus slices (train vs val,
+    * yesterday vs today, source A vs source B): per-token occurrence
+    * counts in each slice plus that token's chi-square contribution
+    * against the pooled expectation. A skewed term surfaces immediately
+    * (large `chi2_term`); the caller sums the column for the global
+    * statistic or sorts by it for a "what changed" report.
+    *
+    * Determinism: the per-token term is a FIXED-ORDER +,×,/ expression
+    * over exact integer counts, so it is IEEE-bit-reproducible across
+    * engines (the text_bm25 trick) — unlike a cross-token sum of doubles,
+    * whose accumulation order shuffles. That is why the operator reports
+    * terms, not the summed statistic.
+    *
+    * Shape: one (slice, token) hash aggregation, a 1-row totals aggregate
+    * broadcast back, then map-only arithmetic — two shuffles total, no
+    * window, no driver loop.
+    */
+  def tokenDriftReport(df: DataFrame, textCol: String, sliceCol: String,
+                       sliceA: String, sliceB: String): DataFrame = {
+    val tok = df
+      .filter(col(sliceCol) === sliceA || col(sliceCol) === sliceB)
+      .select(col(sliceCol).as("slice"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val cnt = tok.groupBy(col("token")).agg(
+      sum(when(col("slice") === sliceA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("slice") === sliceB, 1L).otherwise(0L)).as("n_b"))
+    val totals = cnt.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    val ca = col("n_a").cast("double"); val cb = col("n_b").cast("double")
+    val ta = col("ta").cast("double"); val tb = col("tb").cast("double")
+    val ea = (ca + cb) * ta / (ta + tb)
+    val eb = (ca + cb) * tb / (ta + tb)
+    cnt.crossJoin(broadcast(totals))
+      .select(col("token"), col("n_a"), col("n_b"),
+        ((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb)
+          .as("chi2_term"))
+  }
+
   /** Inverted index (token → posting list) with a document-frequency cap
     * on posting materialization: every token gets its exact `df`, but the
     * sorted posting array is only collected for tokens whose df is at most
