@@ -82,6 +82,24 @@ object CompositeQueries {
         .orderBy("l_returnflag")
     }),
 
+    // ---- Mergeable HLL sketches: partial per day, union across ----------
+    // The pattern that makes approx-distinct work at 100 TB: sketch each
+    // partition (here: event day) INDEPENDENTLY — e.g. in daily ingest
+    // jobs — and answer "distinct users over any day range" by merging
+    // sketch blobs, never rescanning history. Rows-only (DataSketches
+    // binary format is impl-specific); merged ≈ exact asserted in
+    // ScalaTest.
+    "q_hll_union" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val perDay = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      perDay.agg(
+          count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .as("distinct_users_merged"))
+        .select(col("n_days"), col("distinct_users_merged"))
+    }),
+
     // ---- Declared CSV source leg: explicit schema (inference would scan
     //      the whole listing — never at 100 TB), joined to parquet dims ----
     "q_csv_src" -> ((s, d) => {

@@ -484,6 +484,22 @@ object ExtensionQueries {
         .orderBy("source", "pack_id")
     }),
 
+    // ---- Curation: pack assembly (pack -> training sequence) -------------
+    // The assembled text is compared via md5-60 + length, so the oracle
+    // only passes when concatenation content AND order match exactly.
+    "q_pack_assemble" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      val packed = Sampling.packSequences(docs, col("source"), col("doc_id"),
+        col("n_tokens"), budget = 1024L)
+      Sampling.assemblePacks(packed, col("source"), col("doc_id"), col("text"))
+        .select(col("stratum"), col("pack_id"), col("n_docs"),
+          length(col("seq_text")).as("n_chars"),
+          conv(substring(md5(col("seq_text")), 1, 15), 16, 10)
+            .cast("long").as("seq_hash"))
+        .orderBy("stratum", "pack_id")
+    }),
+
     // ---- Layout: Morton (Z-order) clustering key -------------------------
     // The key itself is the declared/oracle-checked part; ScaleSpec
     // demonstrates the layout property (tight per-file min/max in both
@@ -1154,6 +1170,24 @@ object ExtensionQueries {
         |        CAST(floor((cum - nt) / 1024) AS BIGINT) AS pack_id, nt
         |      FROM c)
         |SELECT source, pack_id, count(*) AS n_docs, sum(nt) AS sum_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_pack_assemble" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text, len(string_split(text, ' ')) AS nt
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, text, nt,
+        |    sum(nt) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM t),
+        |p AS (SELECT source, doc_id, text,
+        |        CAST(floor((cum - nt) / 1024) AS BIGINT) AS pack_id
+        |      FROM c)
+        |SELECT source AS stratum, pack_id, count(*) AS n_docs,
+        |  CAST(length(string_agg(text, chr(10) ORDER BY doc_id)) AS INTEGER)
+        |    AS n_chars,
+        |  ('0x' || substr(md5(string_agg(text, chr(10) ORDER BY doc_id)),
+        |     1, 15))::BIGINT AS seq_hash
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_zorder" ->

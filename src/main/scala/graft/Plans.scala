@@ -26,7 +26,10 @@ object Plans {
     "q_csv_src", "q_json_src", "mm_binary",
     "text_gopher", "text_top_ngrams", "q_stratified_sample",
     "dedup_decontaminate", "text_c4", "text_boilerplate",
-    "q_pack", "text_bm25", "q_zorder")
+    "q_pack", "text_bm25", "q_zorder",
+    "text_cdc", "dedup_cdc", "dedup_decontaminate_report",
+    "text_inverted_index", "text_normalize", "q_token_drift",
+    "q_pack_assemble", "q_hll_union")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")

@@ -78,6 +78,26 @@ object Sampling {
       floor((sum(tokenCol).over(w) - tokenCol) / lit(budget)).cast("long"))
   }
 
+  /** Assemble each pack produced by [[packSequences]] into its training
+    * sequence: documents concatenated with `sep` in `orderCol` order.
+    * Group state is bounded by the pack budget (a pack holds ~budget
+    * tokens by construction), so the collect is safe at any corpus size —
+    * unlike a per-key document collect, the aggregation key count GROWS
+    * with the corpus while each group stays O(budget).
+    *
+    * Ordering inside the aggregation uses the a3_fold trick:
+    * `array_sort(collect_list(struct(order, text)))` — deterministic
+    * under any partitioning because the sort runs on the final buffer.
+    */
+  def assemblePacks(packed: DataFrame, strataCol: Column, orderCol: Column,
+                    textCol: Column, sep: String = "\n"): DataFrame =
+    packed.groupBy(strataCol.as("stratum"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(sep,
+          transform(
+            array_sort(collect_list(struct(orderCol.as("o"), textCol.as("t")))),
+            x => x.getField("t"))).as("seq_text"))
+
   /** train/val/test label from a bucket column: [0, trainPct) → train,
     * [trainPct, trainPct + valPct) → val, rest → test.
     */

@@ -271,7 +271,14 @@ object TextAnalysis {
                     maxPostingDf: Long = 10000L): DataFrame = {
     val pairs = df.select(col(idCol).as("id"),
       explode(array_distinct(terms)).as("token"))
+    // dfs is referenced twice (hot set + final join) — materialize the
+    // vocabulary-sized frame once or Catalyst re-runs the corpus explode +
+    // count aggregation for each reference (verified in the plan: three
+    // full scans without this). Vocabulary rows, not corpus rows: for a
+    // 100 TB corpus this is the distinct-term table, which is what any
+    // index build must hold anyway.
     val dfs = pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
     // stopword tokens (df over the cap) are anti-joined away BEFORE the
     // collect aggregation ever buffers them — the cut must happen on the
     // input side, a post-hoc NULL-out would still build the hot lists

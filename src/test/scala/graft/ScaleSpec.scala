@@ -145,6 +145,37 @@ class ScaleSpec extends AnyFunSuite {
       s"LSH candidate generation must be a hash-partitionable equi-join:\n$plan")
   }
 
+  test("cdc overlap join is an equi-join on chunk hashes, not a cross product") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val out = graft.operators.TextAnalysis.cdcNearDups(
+      docs, "text", "doc_id", minShared = 3L, maxDocFreq = 200L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"CDC overlap must stay a hash equi-join:\n$plan")
+  }
+
+  test("inverted index: stopword cut precedes the collect aggregation") {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val out = graft.operators.TextAnalysis.invertedIndex(docs,
+      TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2),
+      "doc_id", maxPostingDf = 40L)
+    val plan = out.queryExecution.executedPlan.toString
+    // the posting-list aggregation's input subtree must contain the
+    // anti-join (hot terms removed before any collect buffer fills)
+    val collectIdx = plan.indexOf("collect_list")
+    val antiIdx = plan.indexOf("LeftAnti", collectIdx)
+    assert(collectIdx >= 0 && antiIdx > collectIdx,
+      s"anti-join must feed collect_list, not follow it:\n$plan")
+    // dfs is eagerly checkpointed at operator build (pass 1); the returned
+    // plan re-reads the corpus only for the postings side (pass 2) — both
+    // hot set and final join hit the checkpoint, so exactly one FileScan
+    // remains (three before the checkpoint was added)
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans <= 1, s"expected 1 corpus scan in the plan, saw $scans:\n$plan")
+  }
+
   test("pqEncode plans as a narrow projection — no shuffle, no join") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, TestSpark.sf)

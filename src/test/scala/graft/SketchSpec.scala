@@ -217,6 +217,24 @@ class SketchSpec extends AnyFunSuite {
     assert(relErr < 0.05, s"HLL rel err $relErr (approx=$approx exact=$exact)")
   }
 
+  test("hll sketch union: per-day partials merge to the one-pass estimate") {
+    import org.apache.spark.sql.functions.{countDistinct, hll_sketch_agg, hll_sketch_estimate, hll_union_agg, to_date}
+    val ev = Tables.events(spark, TestSpark.sf)
+    val merged = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))))
+      .head().getLong(0)
+    val onePass = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+      .head().getLong(0)
+    val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+    // mergeability: unioning per-partition sketches loses (almost) nothing
+    // vs sketching the whole stream once
+    assert(math.abs(merged - onePass).toDouble / exact < 0.01,
+      s"merged=$merged onePass=$onePass")
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged=$merged exact=$exact")
+  }
+
   test("pq encode expression: codegen == interpreted, argmin cell, tie to lowest") {
     import graft.functions.VectorFunctions
     // m=2 subspaces, ksub=3, dsub=2; cell norms chosen so scores tie for
