@@ -54,6 +54,22 @@ object ExtensionQueries {
         .orderBy("id_1", "id_2")
     }),
 
+    // ---- Dedup: incremental (new batch vs corpus index) ------------------
+    // every 10th doc plays the freshly ingested batch; the other 90% are
+    // the standing corpus. Same recall math as dedup_minhash; the oracle
+    // is the exact new x corpus Jaccard cross-check.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def sh = ShingleFunctions.wordShingleHashes(
+        TextFunctions.tokens(col("text")), 3)
+      Dedup.minHashNearDupsAgainst(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", sh, sh, threshold = 0.5,
+          Dedup.LshConfig(numHashes = 64, bandRows = 2))
+        .orderBy("id_new", "id_corpus")
+    }),
+
     // ---- Dedup: canonical assignment over near-dup clusters --------------
     "dedup_canonical" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -769,6 +785,22 @@ object ExtensionQueries {
     "dedup_fingerprint" ->
       """SELECT doc_id, sha256(text) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM toks WHERE len(w) >= 3)
+        |SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+        |  len(list_intersect(n.g, c.g)) /
+        |    len(list_distinct(list_concat(n.g, c.g))) AS jaccard
+        |FROM sh n JOIN sh c ON n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |WHERE len(list_intersect(n.g, c.g)) /
+        |    len(list_distinct(list_concat(n.g, c.g))) >= 0.5
+        |ORDER BY id_new, id_corpus""".stripMargin,
 
     "dedup_minhash" ->
       """WITH toks AS (

@@ -29,7 +29,7 @@ object Plans {
     "q_pack", "text_bm25", "q_zorder",
     "text_cdc", "dedup_cdc", "dedup_decontaminate_report",
     "text_inverted_index", "text_normalize", "q_token_drift",
-    "q_pack_assemble", "q_hll_union")
+    "q_pack_assemble", "q_hll_union", "dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")

@@ -159,6 +159,78 @@ object Dedup {
     * blocks are released asynchronously by Spark's ContextCleaner once the
     * intermediate frames become unreachable.
     */
+  /** Incremental near-dup check: probe a NEW batch against the existing
+    * corpus without ever pairing the corpus with itself — the operation a
+    * running 100 TB pipeline actually performs on every ingest. Join cost
+    * is |newBatch| × bucket-mates, not |corpus|²; the corpus side's
+    * signature/banding frames are exactly what a production deployment
+    * would precompute once and persist alongside the corpus.
+    *
+    * Same algebra as [[minHashNearDups]] (banded signature equi-join →
+    * signature-estimate pre-filter → exact-Jaccard verify), with the skew
+    * guard counting bucket sizes on the CORPUS side only — the index side
+    * drives join fan-out, and dropping its rows from a hot bucket kills
+    * every pair that bucket would have produced.
+    *
+    * Returns (id_new, id_corpus, jaccard), exact above `threshold` for
+    * every pair the banding recalls (miss probability (1−t^r)^bands, same
+    * as the symmetric operator).
+    */
+  def minHashNearDupsAgainst(
+      corpus: DataFrame, newBatch: DataFrame, idCol: String,
+      corpusShingles: Column, newShingles: Column,
+      threshold: Double, cfg: LshConfig = LshConfig()): DataFrame = {
+    val bands = cfg.numHashes / cfg.bandRows
+    def prep(df: DataFrame, shingles: Column) = {
+      val base = df.select(col(idCol).as("id"), shingles.as("sh"))
+        .filter(size(col("sh")) > 0)
+      val sigs = base.select(col("id"),
+          HashFunctions.minhashSignature(col("sh"), cfg.numHashes, cfg.seed).as("sig"))
+        .localCheckpoint(true)
+      val banded = sigs.select(col("id"), posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(b, slice(col("sig"), b * cfg.bandRows + 1, lit(cfg.bandRows)))))
+          .as(Seq("band", "bandHash")))
+      (base, sigs, banded)
+    }
+    val (cBase, cSigs, cBanded) = prep(corpus, corpusShingles)
+    val (nBase, nSigs, nBanded) = prep(newBatch, newShingles)
+
+    val oversized = cBanded
+      .groupBy(col("band"), col("bandHash"))
+      .agg(count(lit(1)).as("bucketSize"))
+      .filter(col("bucketSize") > cfg.maxBucketSize)
+      .select(col("band"), col("bandHash"))
+    val cPruned = cBanded.join(broadcast(oversized), Seq("band", "bandHash"), "left_anti")
+
+    val candidates = nBanded.alias("n").join(cPruned.alias("c"),
+        col("n.band") === col("c.band") &&
+        col("n.bandHash") === col("c.bandHash") &&
+        col("n.id") =!= col("c.id"))
+      .select(col("n.id").as("id_new"), col("c.id").as("id_corpus"))
+      .distinct()
+
+    val estFiltered =
+      if (cfg.estMargin >= 1.0) candidates
+      else candidates
+        .join(nSigs.select(col("id").as("id_new"), col("sig").as("sig_1")), "id_new")
+        .join(cSigs.select(col("id").as("id_corpus"), col("sig").as("sig_2")), "id_corpus")
+        .withColumn("est",
+          aggregate(
+            zip_with(col("sig_1"), col("sig_2"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast("double") / cfg.numHashes)
+        .filter(col("est") >= threshold - cfg.estMargin)
+        .select(col("id_new"), col("id_corpus"))
+
+    estFiltered
+      .join(nBase.select(col("id").as("id_new"), col("sh").as("sh_1")), "id_new")
+      .join(cBase.select(col("id").as("id_corpus"), col("sh").as("sh_2")), "id_corpus")
+      .withColumn("jaccard", TextFunctions.jaccard(col("sh_1"), col("sh_2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_corpus"), col("jaccard"))
+  }
+
   def canonicalAssignments(pairs: DataFrame, maxIters: Int = 20,
                            reliable: Boolean = false): DataFrame = {
     // Lineage truncation per round is mandatory (the plan doubles per

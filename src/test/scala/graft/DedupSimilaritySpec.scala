@@ -29,6 +29,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture should contain near-dup pairs")
   }
 
+  test("incremental minhash probe equals the symmetric result restricted to new x corpus") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    def sh = graft.functions.ShingleFunctions.wordShingleHashes(
+      TextFunctions.tokens(col("text")), 3)
+    val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+    val inc = Dedup.minHashNearDupsAgainst(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", sh, sh, 0.5, cfg)
+      .select("id_new", "id_corpus", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // symmetric over everything, keep only pairs straddling the split,
+    // re-oriented as (new, corpus)
+    val sym = Dedup.minHashNearDups(docs, "doc_id", sh, 0.5, cfg)
+      .select("id_1", "id_2", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .collect {
+        case (a, b, j) if a % 10 == 0 && b % 10 != 0 => (a, b, j)
+        case (a, b, j) if b % 10 == 0 && a % 10 != 0 => (b, a, j)
+      }.toSet
+    assert(inc == sym)
+    assert(inc.nonEmpty, "fixture should contain cross-split near-dups")
+  }
+
   test("hashed-shingle fast path finds the same pairs as string shingles") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val viaStrings = Dedup.minHashNearDups(docs, "doc_id",
