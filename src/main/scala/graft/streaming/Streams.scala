@@ -203,6 +203,56 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming corpus ingest with dedup-at-the-door: every micro-batch is
+    * (1) exact-deduped in-batch on the id, (2) collapsed to canonical
+    * representatives of its own near-dup clusters, (3) anti-joined
+    * against the sink's existing ids (checkpoint-replay safety), (4)
+    * probed against the standing corpus with the asymmetric banded
+    * MinHash join ([[graft.operators.Dedup.minHashNearDupsAgainst]]) so
+    * near-dups of anything already ingested are dropped — and only then
+    * appended. This is the end-to-end "curation pipeline as a stream"
+    * composition: per-trigger cost scales with batch size × bucket
+    * mates, never with corpus².
+    *
+    * Re-running with a fresh checkpoint (full source re-delivery) appends
+    * nothing: exact replays die at (3), and near-dup replays die at (4).
+    */
+  def streamDedupIngest(
+      stream: DataFrame, path: String, idCol: String,
+      shingles: org.apache.spark.sql.Column, threshold: Double,
+      cfg: graft.operators.Dedup.LshConfig,
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions.col
+        val spark = batch.sparkSession
+        val inBatch = batch.toDF().dropDuplicates(idCol)
+        val selfPairs = graft.operators.Dedup.minHashNearDups(
+          inBatch, idCol, shingles, threshold, cfg)
+        val canonical = graft.operators.Dedup.keepCorpus(
+          inBatch, idCol, selfPairs)
+        val sinkExists = new java.io.File(path).exists()
+        val novel =
+          if (!sinkExists) canonical
+          else {
+            val corpus = spark.read.parquet(path)
+            val fresh = graft.operators.Pipeline.idempotentNewRows(
+              canonical, corpus.select(col(idCol)), Seq(idCol))
+            val nearDups = graft.operators.Dedup.minHashNearDupsAgainst(
+                corpus, fresh, idCol, shingles, shingles, threshold, cfg)
+              .select(org.apache.spark.sql.functions.col("id_new").as(idCol))
+              .distinct()
+            fresh.join(nearDups, Seq(idCol), "left_anti")
+          }
+        novel.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** [[streamIdempotentAppend]]'s relational twin: each micro-batch is
     * deduped in-batch, anti-joined against the JDBC sink's existing keys
     * (key-pruned read), and appended — so checkpoint replays and source

@@ -88,6 +88,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() == expected)
   }
 
+  test("streaming dedup ingest: corpus stays near-dup-free, re-delivery appends nothing") {
+    import graft.functions.{ShingleFunctions, TextFunctions}
+    import graft.operators.Dedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-ingest")
+    val srcDir = s"$tmp/src"; val sink = s"$tmp/corpus"
+    new java.io.File(srcDir).mkdirs()
+    // two micro-batches: fixture docs split by id parity (the fixture
+    // contains near-dup pairs within and across the halves)
+    val docs = Tables.documents(spark, TestSpark.sf)
+    // the file-stream source does not recurse into directory outputs —
+    // stage each half and drop the single part-file into srcDir
+    def writeOne(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(out))
+    }
+    writeOne(docs.filter(col("doc_id") % 2 === 0), s"$srcDir/a.parquet")
+    writeOne(docs.filter(col("doc_id") % 2 === 1), s"$srcDir/b.parquet")
+    def sh = ShingleFunctions.wordShingleHashes(TextFunctions.tokens(col("text")), 3)
+    val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+    def run(cp: String): Unit = graft.streaming.Streams.streamDedupIngest(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      sink, "doc_id", sh, 0.5, cfg, cp)
+
+    run(s"$tmp/cp1")
+    val corpus = spark.read.parquet(sink)
+    val n1 = corpus.count()
+    assert(n1 > 0)
+    // core contract: nothing in the ingested corpus near-dups anything else
+    val residual = Dedup.minHashNearDups(corpus, "doc_id", sh, 0.5, cfg)
+    assert(residual.isEmpty, "ingested corpus must be near-dup-free")
+    // nothing unique was dropped: every missing doc has a >=t twin in the
+    // original fixture (it was dropped as SOMEONE's near-dup)
+    val droppedIds = docs.select("doc_id")
+      .except(corpus.select("doc_id")).as[Long].collect().toSet
+    if (droppedIds.nonEmpty) {
+      val base = docs.select(col("doc_id").as("id"), sh.as("s"))
+        .filter(size(col("s")) > 0)
+      val withTwin = base.alias("a").join(base.alias("b"),
+          col("a.id") =!= col("b.id") &&
+          TextFunctions.jaccard(col("a.s"), col("b.s")) >= 0.5)
+        .select(col("a.id")).distinct().as[Long].collect().toSet
+      assert(droppedIds.subsetOf(withTwin),
+        s"dropped unique docs: ${droppedIds -- withTwin}")
+    }
+    // worst-case re-delivery: fresh checkpoint, full source replay
+    run(s"$tmp/cp2")
+    assert(spark.read.parquet(sink).count() == n1,
+      "re-delivered batches must not append exact or near duplicates")
+  }
+
   test("stream-stream interval join equals the batch inequality join") {
     import spark.implicits._
     def split(df: org.apache.spark.sql.DataFrame) = (
