@@ -277,6 +277,35 @@ object ExtensionQueries {
         .orderBy("split")
     }),
 
+    // ---- Sampling: deterministic global training-shuffle order -----------
+    // rank = position in the md5-keyed epoch shuffle, computed with zero
+    // global sorts (bucket prefix-sum; see Sampling.orderedRank). The
+    // oracle's row_number() OVER (ORDER BY ...) is the semantic spec the
+    // distributed plan must reproduce exactly.
+    "q_global_rank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("k", Sampling.md5OrderKey(col("text")))
+      Sampling.orderedRank(docs, lit(0), col("k"), col("doc_id"),
+          out = "shuffle_rank")
+        .select(col("doc_id"), col("shuffle_rank"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Sampling: per-source document cap (domain balancing) ------------
+    // Common Crawl-style curation: no source contributes more than `cap`
+    // docs, and WHICH docs survive is the md5-order prefix — deterministic,
+    // partition-independent, and stable as the corpus grows (a kept doc
+    // stays kept unless hash-earlier docs arrive in its source).
+    "q_source_cap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("k", Sampling.md5OrderKey(col("text")))
+      Sampling.orderedRank(docs, col("source"), col("k"), col("doc_id"),
+          out = "cap_rank")
+        .filter(col("cap_rank") <= 100)
+        .select(col("doc_id"), col("source"), col("cap_rank"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Token counting: whitespace + BPE-ish regex segmentation ---------
     "text_tokens_bpe" -> ((s, d) => {
       Tables.documents(s, d)
@@ -967,6 +996,23 @@ object ExtensionQueries {
         |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n_docs, count(DISTINCT doc_id) AS n_distinct
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_global_rank" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY ('0x' || substr(md5(text), 1, 15))::BIGINT, doc_id)
+        |    AS BIGINT) AS shuffle_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5(text), 1, 15))::BIGINT, doc_id)
+        |      AS BIGINT) AS cap_rank
+        |  FROM documents)
+        |SELECT doc_id, source, cap_rank FROM r
+        |WHERE cap_rank <= 100 ORDER BY doc_id""".stripMargin,
 
     "text_tokens_bpe" ->
       """SELECT doc_id,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting for training pipelines: the split a
@@ -31,6 +32,80 @@ object Sampling {
     require(buckets >= 1, s"buckets=$buckets must be >= 1")
     conv(substring(md5(content.cast("string")), 1, 15), 16, 10)
       .cast("long") % buckets
+  }
+
+  /** Raw 60-bit md5 order key in [0, 2^60) — the sort key for deterministic
+    * training-shuffle order ([[orderedRank]]). SQL-replicable:
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+    */
+  def md5OrderKey(content: Column): Column =
+    conv(substring(md5(content.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic global (or per-stratum) rank by a uniform hash key —
+    * the "reproducible epoch shuffle" primitive: rank every example by
+    * `hash(seed, content)` and you have a training order that is a pure
+    * function of the corpus, independent of partitioning, cluster size and
+    * engine version.
+    *
+    * A naive `row_number().over(Window.orderBy(key))` is a SINGLE-PARTITION
+    * sort — the one shape that cannot survive 100 TB. This computes the
+    * same rank with no global window:
+    *
+    *  1. range-bucket the key space (`key >> (keyBits − log2 nBuckets)` is
+    *     monotone in the key, so bucket order == key order);
+    *  2. count rows per (stratum, bucket) — one partial-agg shuffle of
+    *     counts, ≤ strata × nBuckets rows total;
+    *  3. exclusive prefix-sum of the counts in bucket order — an indexed
+    *     fold over each stratum's BOUNDED (bucket, count) list (≤ nBuckets
+    *     entries, O(nBuckets²) adds), never a window over the data;
+    *  4. rank = bucket offset + row_number within (stratum, bucket) — a
+    *     window whose partitions are 1/nBuckets of a stratum each, so a
+    *     hot stratum spreads over nBuckets sort partitions.
+    *
+    * `orderCol` must be uniform in [0, 2^keyBits) ([[md5OrderKey]] gives
+    * keyBits = 60 by construction); `tieBreak` makes the rank total when
+    * distinct rows share a key (duplicate content). The offsets frame is
+    * broadcast — strata × nBuckets rows; for extreme stratum cardinality
+    * drop the hint and the join degrades to a small shuffle, still never a
+    * global sort.
+    */
+  def orderedRank(df: DataFrame, strataCol: Column, orderCol: Column,
+                  tieBreak: Column, nBuckets: Int = 1024, keyBits: Int = 60,
+                  out: String = "stratum_rank"): DataFrame = {
+    require(nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets=$nBuckets must be a power of two")
+    require(keyBits >= 1 && keyBits <= 62, s"keyBits=$keyBits out of [1, 62]")
+    require((1L << keyBits) >= nBuckets,
+      s"key space 2^$keyBits smaller than nBuckets=$nBuckets")
+    // bucket = top log2(nBuckets) bits of the key — integer shift, not
+    // double division (a double mantissa cannot hold 60-bit keys exactly)
+    val shift = keyBits - java.lang.Long.numberOfTrailingZeros(nBuckets.toLong)
+    val bucketed = df
+      .withColumn("__ork", orderCol)
+      .withColumn("__os", strataCol)
+      .withColumn("__ob", shiftright(col("__ork"), shift).cast("long"))
+    val counts = bucketed.groupBy(col("__os"), col("__ob"))
+      .agg(count(lit(1)).as("__oc"))
+    // Exclusive prefix sum over the bounded aggregate: collect each
+    // stratum's ≤ nBuckets (bucket, count) pairs and compute offsets with
+    // an indexed-slice fold — group state is O(nBuckets), and unlike a
+    // window ordered only by bucket this never plants an unpartitioned
+    // WindowExec when the stratum is a constant (the global-rank case).
+    val offsets = counts
+      .groupBy(col("__os"))
+      .agg(array_sort(collect_list(struct(col("__ob").as("b"), col("__oc").as("c"))))
+        .as("__obs"))
+      .select(col("__os"),
+        explode(transform(col("__obs"), (x, i) => struct(
+          x.getField("b").as("__ob"),
+          aggregate(slice(col("__obs"), lit(1), i), lit(0L),
+            (a, y) => a + y.getField("c")).as("__ooff")))).as("__oe"))
+      .select(col("__os"), col("__oe.__ob"), col("__oe.__ooff"))
+    val wInBucket = Window.partitionBy(col("__os"), col("__ob"))
+      .orderBy(col("__ork").asc, tieBreak.asc)
+    bucketed.join(broadcast(offsets), Seq("__os", "__ob"))
+      .withColumn(out, col("__ooff") + row_number().over(wInBucket))
+      .drop("__os", "__ob", "__ork", "__ooff")
   }
 
   /** Deterministic stratified (domain-mixing) sampler: keep a row iff its

@@ -181,4 +181,42 @@ class TextSamplingSpec extends AnyFunSuite {
     assert(out(3L) > out(2L), "rarer term must carry more weight")
     assert(out(4L) == 0.0 && out(5L) == 0.0)
   }
+
+  test("orderedRank equals a global row_number and survives repartitioning") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .withColumn("k", Sampling.md5OrderKey(col("text")))
+    def ranks(parts: Int): Map[Long, Long] =
+      Sampling.orderedRank(docs.repartition(parts), lit(0), col("k"),
+          col("doc_id"), out = "r")
+        .select("doc_id", "r").as[(Long, Long)].collect().toMap
+    // semantic spec: the single-partition global window (fine on fixtures)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("k").asc, col("doc_id").asc)
+    val expected = docs
+      .withColumn("r", row_number().over(w).cast("long"))
+      .select("doc_id", "r").as[(Long, Long)].collect().toMap
+    val got = ranks(4)
+    assert(got == expected, "bucketed rank must equal the global row_number")
+    assert(ranks(7) == got, "rank must not depend on partitioning")
+  }
+
+  test("orderedRank per-stratum ranks are dense prefixes within each stratum") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .withColumn("k", Sampling.md5OrderKey(col("text")))
+    val ranked = Sampling.orderedRank(docs, col("source"), col("k"),
+        col("doc_id"), out = "r")
+    val bySource = ranked.select("source", "r").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    bySource.foreach { case (src, rs) =>
+      assert(rs == (1L to rs.length).toSeq,
+        s"stratum $src ranks must be exactly 1..n, got head=${rs.take(5)}")
+    }
+    // the data-side window is partitioned by (stratum, bucket) — never the
+    // single-partition global-sort shape
+    val winExecs = ranked.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(winExecs.forall(_.partitionSpec.nonEmpty),
+      "no WindowExec may run with an empty partition spec")
+  }
 }
