@@ -482,6 +482,18 @@ object ExtensionQueries {
         .orderBy("token")
     }),
 
+    // ---- Text analysis: per-doc term rarity vs corpus document frequency -
+    // bigram terms for the same vocabulary reason as text_inverted_index
+    // (31 unigrams would make every df huge; 916 bigrams spread 1..46).
+    "text_rarity" -> ((s, d) => {
+      TextAnalysis.tokenRarity(Tables.documents(s, d),
+          TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2),
+          "doc_id", rareDf = 2L)
+        .select(col("id").as("doc_id"), col("n_terms"), col("min_term_df"),
+          col("max_term_df"), col("n_rare_terms"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Corpus filters: C4-style line rules -----------------------------
     // Fixture texts are single-line, so the query first rebuilds a
     // deterministic multi-line document (3-token lines, '.' appended when
@@ -996,6 +1008,23 @@ object ExtensionQueries {
         |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n_docs, count(DISTINCT doc_id) AS n_distinct
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_rarity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        generate_series(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1]))) AS token
+        |      FROM t),
+        |d AS (SELECT token, count(*) AS df FROM g GROUP BY 1),
+        |s AS (SELECT doc_id, count(*) AS n_terms, min(df) AS min_term_df,
+        |             max(df) AS max_term_df,
+        |             CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS n_rare_terms
+        |      FROM g JOIN d USING (token) GROUP BY 1)
+        |SELECT doc.doc_id, COALESCE(s.n_terms, 0) AS n_terms, s.min_term_df,
+        |  s.max_term_df, COALESCE(s.n_rare_terms, 0) AS n_rare_terms
+        |FROM documents doc LEFT JOIN s ON s.doc_id = doc.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
 
     "q_global_rank" ->
       """SELECT doc_id,

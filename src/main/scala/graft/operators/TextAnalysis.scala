@@ -290,6 +290,39 @@ object TextAnalysis {
       .select(col("token"), col("df"), col("postings"))
   }
 
+  /** Per-document term-rarity statistics from corpus-wide document
+    * frequencies: how many distinct terms the doc carries, the min/max df
+    * among them, and how many are "rare" (df ≤ `rareDf`) — the
+    * integer-exact core of rarity-based quality scoring (a doc made of
+    * corpus-rare terms is either specialist gold or gibberish; either way
+    * a pipeline wants it surfaced). All aggregates are integer min/max/
+    * count — order-independent under any partitioning.
+    *
+    * Scale shape: one explode + term-keyed count (the df table is
+    * vocabulary-sized — the same table an index build must hold), one
+    * shuffle join of (id, term) pairs back on term, one per-doc aggregate.
+    * Docs with no terms survive via the final left join with zero counts.
+    */
+  def tokenRarity(df: DataFrame, terms: Column, idCol: String,
+                  rareDf: Long = 2L): DataFrame = {
+    require(rareDf >= 1L, s"rareDf=$rareDf must be >= 1")
+    val pairs = df.select(col(idCol).as("id"),
+      explode(array_distinct(terms)).as("token"))
+    val dfs = pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = pairs.join(dfs, Seq("token"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms"),
+        min(col("df")).as("min_term_df"),
+        max(col("df")).as("max_term_df"),
+        sum(when(col("df") <= rareDf, 1L).otherwise(0L)).as("n_rare_terms"))
+    df.select(col(idCol).as("id"))
+      .join(stats, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        col("min_term_df"), col("max_term_df"),
+        coalesce(col("n_rare_terms"), lit(0L)).as("n_rare_terms"))
+  }
+
   /** Content-defined chunk index: (id, chunks: array&lt;struct&lt;start,
     * len, hash&gt;&gt;) per document — see [[graft.functions.CdcHash]] for
     * the boundary rule and why chunk fingerprints survive insertions that

@@ -182,6 +182,20 @@ class TextSamplingSpec extends AnyFunSuite {
     assert(out(4L) == 0.0 && out(5L) == 0.0)
   }
 
+  test("tokenRarity counts exact dfs and keeps term-less docs at zero") {
+    val df = Seq((1L, "a b c"), (2L, "a b x"), (3L, "z")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenRarity(df,
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2),
+        "doc_id", rareDf = 1L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getLong(4)))).toMap
+    // doc1 bigrams: "a b" (df 2), "b c" (df 1) → min 1, max 2, one rare
+    assert(out(1L) == ((2L, Some(1L), Some(2L), 1L)))
+    // doc3 has no bigram: zero counts, null min/max
+    assert(out(3L) == ((0L, None, None, 0L)))
+  }
+
   test("orderedRank equals a global row_number and survives repartitioning") {
     val docs = Tables.documents(spark, TestSpark.sf)
       .withColumn("k", Sampling.md5OrderKey(col("text")))
