@@ -33,6 +33,24 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // ---- Sliding event-time RANGE frame: per-user trailing 1-hour stats --
+    // The frame is a time interval, not a row count — ordered by exact
+    // integer nanoseconds so frame membership is never a float/precision
+    // question, and RANGE peers (same-instant events) see each other
+    // symmetrically in both engines. One shuffle on user_id; frame
+    // evaluation is a within-partition sliding aggregate.
+    "q_window_range" -> ((s, d) => {
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+        .rangeBetween(-hourNs, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("n_trailing_1h", count(lit(1)).over(w))
+        .withColumn("sum_trailing_1h",
+          sum(dec(col("value"))).over(w).cast("double"))
+        .select("event_id", "user_id", "n_trailing_1h", "sum_trailing_1h")
+        .orderBy("event_id")
+    }),
+
     // ---- Tumbling 1-hour window aggregation (window()) --------------------
     "w_tumbling" -> ((s, d) => {
       Tables.events(s, d)
@@ -84,6 +102,16 @@ object EventQueries {
         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
         |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-10 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_trailing_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS sum_trailing_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "w_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start,
