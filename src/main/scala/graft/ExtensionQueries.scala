@@ -108,6 +108,19 @@ object ExtensionQueries {
         .orderBy("id_1", "id_2")
     }),
 
+    // ---- Dedup: semantic (SemDeDup-style, LSH-bucketed + cosine verify) --
+    // Fixture embeddings are weakly clustered (max pair cosine ≈ 0.51), so
+    // the query runs threshold 0.4 with bandBits=6 (~65% band recall at
+    // the threshold, ~78% of unrelated pairs pruned); the 8-bit default
+    // suits real corpora where dups sit at cosine ≥ 0.8 (recall ≥ 0.99).
+    // The oracle replays the seeded hyperplane pipeline AND the recursive
+    // closure, so the full id → canonical map is hash-checked.
+    "dedup_semantic" -> ((s, d) => {
+      Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4, bandBits = 6, numBands = 16)
+        .orderBy("id")
+    }),
+
     // ---- Similarity: exact brute-force cosine top-k ----------------------
     "sim_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -694,6 +707,59 @@ object ExtensionQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB oracle for `dedup_semantic`: same seeded-hyperplane replay as
+    * [[lshTopKOracle]] (bandBits=6, numBands=16, dim=64, seed=42), then the
+    * skew-guard bucket filter, the exact-cosine verify at 0.4, and the
+    * recursive-CTE connected-components closure (the dedup_canonical
+    * pattern) down to the full id → canonical map.
+    */
+  private def semanticDedupOracle: String = {
+    val bandBits = 6
+    val planes = graft.operators.Similarity.hyperplanes(
+      dim = 64, numPlanes = bandBits * 16, seed = 42L)
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"(${i / bandBits}, ${i % bandBits}, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |planes(band, bit, p) AS (VALUES
+       |  $planeRows),
+       |sigs AS (
+       |  SELECT e.vec_id, pl.band,
+       |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+       |      THEN (1::BIGINT << pl.bit) ELSE 0 END) AS BIGINT) AS bsig
+       |  FROM e CROSS JOIN planes pl
+       |  GROUP BY e.vec_id, pl.band),
+       |ok AS (
+       |  SELECT band, bsig FROM sigs
+       |  GROUP BY band, bsig HAVING count(*) <= 100000),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+       |  FROM sigs a
+       |  JOIN ok ON ok.band = a.band AND ok.bsig = a.bsig
+       |  JOIN sigs b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id),
+       |p AS (
+       |  SELECT id_1, id_2 FROM cand
+       |  JOIN e a ON a.vec_id = cand.id_1
+       |  JOIN e b ON b.vec_id = cand.id_2
+       |  WHERE list_dot_product(a.v, b.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+       |    >= 0.4),
+       |ed AS (SELECT id_1 AS s, id_2 AS t FROM p
+       |       UNION SELECT id_2, id_1 FROM p),
+       |reach(s, t) AS (
+       |  SELECT s, t FROM ed UNION SELECT s, s FROM ed
+       |  UNION SELECT r.s, ed.t FROM reach r JOIN ed ON r.t = ed.s),
+       |cn AS (SELECT s AS id, min(t) AS canonical_id FROM reach GROUP BY s)
+       |SELECT e.vec_id AS id,
+       |  COALESCE(cn.canonical_id, e.vec_id) AS canonical_id,
+       |  CAST(COALESCE(cn.canonical_id, e.vec_id) = e.vec_id AS INTEGER)
+       |    AS is_canonical
+       |FROM e LEFT JOIN cn ON cn.id = e.vec_id
+       |ORDER BY id""".stripMargin
+  }
+
   /** Shared DuckDB CTE replicating [[graft.functions.CdcHash.chunks]]
     * (w=16, maskBits=5) in the direct O(len·w) per-position form: window
     * hash = fold (a·257 + codepoint) mod 2³¹−1, cut where (h &amp; 31)=0,
@@ -945,6 +1011,8 @@ object ExtensionQueries {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "sim_lsh_topk" -> lshTopKOracle,
+
+    "dedup_semantic" -> semanticDedupOracle,
 
     "q_asof_join" ->
       """WITH e AS (

@@ -370,6 +370,87 @@ object Dedup {
       .dropDuplicates("id_1", "id_2")
   }
 
+  /** Semantic near-duplicate pairs over an embedding column — the
+    * SemDeDup idea (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): cluster the
+    * embedding space cheaply, then verify exact cosine only within
+    * clusters. Here the clustering is banded random-hyperplane LSH
+    * (deterministic seeded planes, the same family as
+    * [[Similarity.lshTopK]]) rather than k-means, which keeps the whole
+    * pipeline replicable in external SQL: candidates come from an
+    * EQUI-join on (band, bandSig) — hash-partitionable at 100 TB, never an
+    * all-pairs product — and only candidates pay the exact-cosine verify.
+    *
+    * Banding math: vectors at angle θ agree on one plane with
+    * p = 1 − θ/π, collide in a band of `bandBits` planes with p^bandBits,
+    * and become candidates if ANY of `numBands` bands collides —
+    * P = 1 − (1 − p^bandBits)^numBands. The skew guard drops degenerate
+    * buckets (e.g. zero vectors all signing identically) the same way the
+    * MinHash path does: partial-agg count + broadcast anti-join.
+    *
+    * Returns verified (id_1, id_2, cosine) with id_1 &lt; id_2.
+    */
+  def semanticNearDups(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bandBits: Int = 8, numBands: Int = 16, seed: Long = 42L,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // bounded driver action: a 1-row dim probe (same pattern as lshTopK)
+    val dimRow = base.select(size(col("v"))).limit(1).collect().headOption
+    dimRow match {
+      case None =>
+        base.limit(0).select(col("id").as("id_1"), col("id").as("id_2"),
+          lit(0.0).as("cosine"))
+      case Some(row) =>
+        val dim = row.getInt(0)
+        val planes = Similarity.hyperplanes(dim, bandBits * numBands, seed)
+        val banded = base.select(col("id"),
+          posexplode(VectorFunctions.hyperplaneSignatures(col("v"), planes, bandBits))
+            .as(Seq("band", "bandSig")))
+        val oversized = banded.groupBy(col("band"), col("bandSig"))
+          .agg(count(lit(1)).as("bucketSize"))
+          .filter(col("bucketSize") > maxBucketSize)
+          .select(col("band"), col("bandSig"))
+        val pruned = banded
+          .join(broadcast(oversized), Seq("band", "bandSig"), "left_anti")
+        val candidates = pruned.alias("a").join(pruned.alias("b"),
+            col("a.band") === col("b.band") &&
+            col("a.bandSig") === col("b.bandSig") &&
+            col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_1"), col("b.id").as("id_2"))
+          .distinct()
+        candidates
+          .join(base.select(col("id").as("id_1"), col("v").as("v1")), "id_1")
+          .join(base.select(col("id").as("id_2"), col("v").as("v2")), "id_2")
+          .withColumn("cosine", VectorFunctions.cosine(col("v1"), col("v2")))
+          .filter(col("cosine") >= threshold)
+          .select(col("id_1"), col("id_2"), col("cosine"))
+    }
+  }
+
+  /** Full semantic dedup map: EVERY embedding row mapped to its semantic
+    * cluster's canonical (minimum) id — singletons map to themselves, and
+    * `is_canonical` is the keep mask (`filter is_canonical = 1` is the
+    * deduplicated corpus). Composition of [[semanticNearDups]] and
+    * [[canonicalAssignments]]; the final left join is id-keyed and the
+    * canonical map is one row per member of a dup cluster (tiny next to
+    * the corpus).
+    */
+  def semanticDedup(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bandBits: Int = 8, numBands: Int = 16, seed: Long = 42L,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    val pairs = semanticNearDups(emb, idCol, vecCol, threshold,
+      bandBits, numBands, seed, maxBucketSize)
+    val canon = canonicalAssignments(pairs)
+    emb.select(col(idCol).as("id"))
+      .join(canon, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("canonical_id"), col("id")).as("canonical_id"))
+      .withColumn("is_canonical",
+        (col("canonical_id") === col("id")).cast("int"))
+  }
+
   /** Benchmark decontamination (the n-gram overlap rule of Brown et al.,
     * "Language Models are Few-Shot Learners", NeurIPS 2020, appendix C):
     * flag every corpus document sharing at least `minOverlap` distinct word

@@ -271,4 +271,57 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
     assert(got.toSeq == manual.toSeq)
   }
+
+  test("semanticNearDups pairs are a verified subset of brute force with high recall on clustered dups") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val pairs = Dedup.semanticNearDups(emb, "vec_id", "embedding",
+        threshold = 0.4, bandBits = 6, numBands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty, "fixture has 0.4+ pairs; banding must recall some")
+    // every reported pair is exact-verified and ordered
+    pairs.foreach { case (a, b, c) =>
+      assert(a < b && c >= 0.4, s"bad pair ($a,$b,$c)")
+    }
+    // subset of brute force (cosine via the same codegen'd expression)
+    val brute = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        probe = lit(true), threshold = 0.4)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(pairs.forall(p => brute.contains((p._1, p._2))),
+      "LSH-recalled pairs must all be true pairs")
+    // clustered near-dups (synthetic cosine ≈ 1) are recalled ~always
+    val base = emb.limit(5).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val dups = base.map { case (id, v) => (id + 1000000L, v.map(x => x * 2.0f)) }
+    val withDups = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect() ++ dups
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(withDups.toSeq.map(t => org.apache.spark.sql.Row(t._1, t._2.toSeq)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+    val found = Dedup.semanticNearDups(df, "vec_id", "embedding",
+        threshold = 0.9, bandBits = 8, numBands = 16)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    base.foreach { case (id, _) =>
+      assert(found.contains((id, id + 1000000L)),
+        s"scaled duplicate of $id (cosine 1) must be recalled at 8x16 banding")
+    }
+  }
+
+  test("semanticDedup maps every row, canonical ids are component minima") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.4, bandBits = 6, numBands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length == emb.count(), "every embedding row must be mapped")
+    out.foreach { case (id, canon, isCanon) =>
+      assert(canon <= id, s"canonical $canon must be <= member $id")
+      assert((isCanon == 1) == (canon == id))
+    }
+    // canonical rows map to themselves
+    val canonSet = out.map(_._2).toSet
+    val selfMap = out.filter(t => canonSet.contains(t._1)).map(t => t._1 -> t._2).toMap
+    canonSet.foreach(c => assert(selfMap(c) == c, s"canonical $c must map to itself"))
+  }
 }
