@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ShingleFunctions, TextFunctions}
-import graft.operators.{AsOfJoin, CorpusFilters, Dedup, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, CorpusFilters, Dedup, RangeJoin, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.sources.Multimodal
 
 /** North-star extension operators (dedup, similarity search, text analysis,
@@ -495,6 +495,26 @@ object ExtensionQueries {
         .orderBy("token")
     }),
 
+    // ---- Sketch: Count-Min heavy hitters over bigram occurrences ---------
+    // w=256 << 916 distinct bigrams, so collisions are real and the min
+    // over d=4 rows is doing actual work; est >= exact for every key is
+    // the CMS guarantee the spec asserts, and the oracle replays the full
+    // Carter-Wegman bucket math so estimates hash-match exactly. The exact
+    // count column exists to EXPOSE the sketch error — a production
+    // pipeline queries only the sketch.
+    "q_heavy_hitters" -> ((s, d) => {
+      val occ = Tables.documents(s, d).select(
+        explode(TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), 2))
+          .as("token"))
+      val cms = Sketches.cmsBuild(occ, col("token"))
+      val est = Sketches.cmsEstimate(cms, occ.distinct(), col("token"))
+      val exact = occ.groupBy("token").agg(count(lit(1)).as("exact_count"))
+      est.join(exact, col("key") === col("token"))
+        .select(col("token"), col("est_count"), col("exact_count"))
+        .orderBy(col("est_count").desc, col("token").asc)
+        .limit(20)
+    }),
+
     // ---- Text analysis: per-doc term rarity vs corpus document frequency -
     // bigram terms for the same vocabulary reason as text_inverted_index
     // (31 unigrams would make every df huge; 916 bigrams spread 1..46).
@@ -760,6 +780,39 @@ object ExtensionQueries {
        |ORDER BY id""".stripMargin
   }
 
+  /** DuckDB oracle for `q_heavy_hitters`: the sketch's (a_r, b_r) row
+    * params are deterministic from the seed and emitted as literals, so the
+    * whole Carter–Wegman bucket computation, the d×w count matrix, the
+    * min-over-rows estimate and the top-20 cut are replayed exactly.
+    */
+  private def heavyHittersOracle: String = {
+    val hrRows = graft.operators.Sketches.cmsRowParams(4, 42L).zipWithIndex
+      .map { case ((a, b), r) => s"($r, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    s"""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+       |        i -> w[i] || ' ' || w[i+1])) AS token FROM t),
+       |hr(r, a, b) AS (VALUES $hrRows),
+       |bk AS (SELECT hr.r,
+       |    ((hr.a * (('0x' || substr(md5(g.token), 1, 15))::BIGINT % 2147483647)
+       |      + hr.b) % 2147483647) % 256 AS bucket
+       |  FROM g CROSS JOIN hr),
+       |cms AS (SELECT r, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+       |keys AS (SELECT DISTINCT token FROM g),
+       |kb AS (SELECT keys.token, hr.r,
+       |    ((hr.a * (('0x' || substr(md5(keys.token), 1, 15))::BIGINT % 2147483647)
+       |      + hr.b) % 2147483647) % 256 AS bucket
+       |  FROM keys CROSS JOIN hr),
+       |est AS (SELECT kb.token, min(COALESCE(cms.cnt, 0)) AS est_count
+       |        FROM kb LEFT JOIN cms ON cms.r = kb.r AND cms.bucket = kb.bucket
+       |        GROUP BY 1),
+       |ex AS (SELECT token, count(*) AS exact_count FROM g GROUP BY 1)
+       |SELECT est.token, CAST(est.est_count AS BIGINT) AS est_count,
+       |  ex.exact_count
+       |FROM est JOIN ex USING (token)
+       |ORDER BY est_count DESC, token LIMIT 20""".stripMargin
+  }
+
   /** Shared DuckDB CTE replicating [[graft.functions.CdcHash.chunks]]
     * (w=16, maskBits=5) in the direct O(len·w) per-position form: window
     * hash = fold (a·257 + codepoint) mod 2³¹−1, cut where (h &amp; 31)=0,
@@ -1013,6 +1066,8 @@ object ExtensionQueries {
     "sim_lsh_topk" -> lshTopKOracle,
 
     "dedup_semantic" -> semanticDedupOracle,
+
+    "q_heavy_hitters" -> heavyHittersOracle,
 
     "q_asof_join" ->
       """WITH e AS (

@@ -402,4 +402,37 @@ class SketchSpec extends AnyFunSuite {
     assert(out(0).isEmpty)
     assert(out(1) == Seq("one two three", "two three four"))
   }
+
+  test("count-min sketch: est >= exact for every key, exact for heavy hitters with spread w") {
+    import graft.operators.Sketches
+    // zipfish counts: key k appears k times, 1..60 (1830 occurrences)
+    val occ = (1 to 60).flatMap(k => Seq.fill(k)(s"key$k")).toDF("k")
+    val exact = occ.groupBy("k").count().as[(String, Long)].collect().toMap
+    val cms = Sketches.cmsBuild(occ, col("k"), d = 4, w = 256)
+    val est = Sketches.cmsEstimate(cms, occ.distinct(), col("k"), d = 4, w = 256)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS must never underestimate: $k est=${est(k)} exact=$n")
+    }
+    // total sketch mass per row equals the stream length
+    val rowMass = cms.groupBy("row").agg(sum("cnt").as("m"))
+      .as[(Int, Long)].collect().toMap
+    assert(rowMass.values.forall(_ == 1830L))
+  }
+
+  test("count-min sketch: shard sketches merge to the whole-corpus sketch") {
+    import graft.operators.Sketches
+    val occ = (1 to 40).flatMap(k => Seq.fill(k)(s"t$k")).toDF("k")
+    val whole = Sketches.cmsBuild(occ, col("k"))
+      .as[(Int, Long, Long)].collect().toSet
+    val left = Sketches.cmsBuild(occ.filter(length(col("k")) <= 2), col("k"))
+    val right = Sketches.cmsBuild(occ.filter(length(col("k")) > 2), col("k"))
+    val merged = Sketches.cmsMerge(left, right)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole, "merged shard sketches must equal the one-pass sketch")
+    // and the sketch itself is partition-independent
+    val reparted = Sketches.cmsBuild(occ.repartition(7), col("k"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(reparted == whole)
+  }
 }
