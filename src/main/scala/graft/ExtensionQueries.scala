@@ -121,6 +121,19 @@ object ExtensionQueries {
         .orderBy("id")
     }),
 
+    // ---- Dedup: incremental semantic probe (new batch vs corpus) ---------
+    // every 10th vector plays the freshly embedded batch; the corpus-side
+    // banded signatures are what a deployment precomputes. Same plane
+    // config as dedup_semantic, so the oracle replays both sides.
+    "dedup_semantic_incr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.semanticNearDupsAgainst(
+          emb.filter(col("vec_id") % 10 =!= 0),
+          emb.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", threshold = 0.4, bandBits = 6, numBands = 16)
+        .orderBy("id_new", "id_corpus")
+    }),
+
     // ---- Similarity: exact brute-force cosine top-k ----------------------
     "sim_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -813,6 +826,52 @@ object ExtensionQueries {
        |ORDER BY est_count DESC, token LIMIT 20""".stripMargin
   }
 
+  /** DuckDB oracle for `dedup_semantic_incr`: same plane replay as
+    * [[semanticDedupOracle]], with new = vec_id % 10 = 0 probing corpus =
+    * the rest; the skew guard counts corpus-side buckets only, mirroring
+    * the operator.
+    */
+  private def semanticIncrOracle: String = {
+    val bandBits = 6
+    val planes = graft.operators.Similarity.hyperplanes(
+      dim = 64, numPlanes = bandBits * 16, seed = 42L)
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"(${i / bandBits}, ${i % bandBits}, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |planes(band, bit, p) AS (VALUES
+       |  $planeRows),
+       |sigs AS (
+       |  SELECT e.vec_id, pl.band,
+       |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+       |      THEN (1::BIGINT << pl.bit) ELSE 0 END) AS BIGINT) AS bsig
+       |  FROM e CROSS JOIN planes pl
+       |  GROUP BY e.vec_id, pl.band),
+       |ns AS (SELECT * FROM sigs WHERE vec_id % 10 = 0),
+       |cs AS (SELECT * FROM sigs WHERE vec_id % 10 <> 0),
+       |ok AS (
+       |  SELECT band, bsig FROM cs
+       |  GROUP BY band, bsig HAVING count(*) <= 100000),
+       |cand AS (
+       |  SELECT DISTINCT n.vec_id AS id_new, c.vec_id AS id_corpus
+       |  FROM ns n
+       |  JOIN cs c ON n.band = c.band AND n.bsig = c.bsig
+       |    AND n.vec_id <> c.vec_id
+       |  JOIN ok ON ok.band = c.band AND ok.bsig = c.bsig)
+       |SELECT id_new, id_corpus,
+       |  list_dot_product(a.v, b.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+       |    AS cosine
+       |FROM cand
+       |JOIN e a ON a.vec_id = cand.id_new
+       |JOIN e b ON b.vec_id = cand.id_corpus
+       |WHERE list_dot_product(a.v, b.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+       |    >= 0.4
+       |ORDER BY id_new, id_corpus""".stripMargin
+  }
+
   /** Shared DuckDB CTE replicating [[graft.functions.CdcHash.chunks]]
     * (w=16, maskBits=5) in the direct O(len·w) per-position form: window
     * hash = fold (a·257 + codepoint) mod 2³¹−1, cut where (h &amp; 31)=0,
@@ -1068,6 +1127,8 @@ object ExtensionQueries {
     "dedup_semantic" -> semanticDedupOracle,
 
     "q_heavy_hitters" -> heavyHittersOracle,
+
+    "dedup_semantic_incr" -> semanticIncrOracle,
 
     "q_asof_join" ->
       """WITH e AS (

@@ -428,6 +428,57 @@ object Dedup {
     }
   }
 
+  /** Incremental semantic near-dup probe: a NEW batch of embeddings
+    * checked against the standing corpus without ever pairing the corpus
+    * with itself — the embedding-space analog of
+    * [[minHashNearDupsAgainst]], and the operation a running ingest
+    * pipeline performs on every batch. The corpus side's banded signature
+    * frame is what a deployment would precompute and persist alongside the
+    * corpus embeddings; join cost is |new| × bucket-mates.
+    *
+    * Same banding and skew guard as [[semanticNearDups]] (guard counts the
+    * CORPUS side — it drives the fan-out); returns verified
+    * (id_new, id_corpus, cosine).
+    */
+  def semanticNearDupsAgainst(
+      corpus: DataFrame, newBatch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bandBits: Int = 8, numBands: Int = 16,
+      seed: Long = 42L, maxBucketSize: Long = 100000L): DataFrame = {
+    val cBase = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val nBase = newBatch.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val dimRow = nBase.select(size(col("v"))).limit(1).collect().headOption
+    dimRow match {
+      case None =>
+        nBase.limit(0).select(col("id").as("id_new"), col("id").as("id_corpus"),
+          lit(0.0).as("cosine"))
+      case Some(row) =>
+        val dim = row.getInt(0)
+        val planes = Similarity.hyperplanes(dim, bandBits * numBands, seed)
+        def banded(df: DataFrame) = df.select(col("id"),
+          posexplode(VectorFunctions.hyperplaneSignatures(col("v"), planes, bandBits))
+            .as(Seq("band", "bandSig")))
+        val cBanded = banded(cBase)
+        val oversized = cBanded.groupBy(col("band"), col("bandSig"))
+          .agg(count(lit(1)).as("bucketSize"))
+          .filter(col("bucketSize") > maxBucketSize)
+          .select(col("band"), col("bandSig"))
+        val cPruned = cBanded
+          .join(broadcast(oversized), Seq("band", "bandSig"), "left_anti")
+        val candidates = banded(nBase).alias("n").join(cPruned.alias("c"),
+            col("n.band") === col("c.band") &&
+            col("n.bandSig") === col("c.bandSig") &&
+            col("n.id") =!= col("c.id"))
+          .select(col("n.id").as("id_new"), col("c.id").as("id_corpus"))
+          .distinct()
+        candidates
+          .join(nBase.select(col("id").as("id_new"), col("v").as("v1")), "id_new")
+          .join(cBase.select(col("id").as("id_corpus"), col("v").as("v2")), "id_corpus")
+          .withColumn("cosine", VectorFunctions.cosine(col("v1"), col("v2")))
+          .filter(col("cosine") >= threshold)
+          .select(col("id_new"), col("id_corpus"), col("cosine"))
+    }
+  }
+
   /** Full semantic dedup map: EVERY embedding row mapped to its semantic
     * cluster's canonical (minimum) id — singletons map to themselves, and
     * `is_canonical` is the keep mask (`filter is_canonical = 1` is the

@@ -309,6 +309,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental semantic probe equals symmetric pairs restricted to new x corpus") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val incr = Dedup.semanticNearDupsAgainst(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", threshold = 0.4, bandBits = 6, numBands = 16)
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
+    val sym = Dedup.semanticNearDups(emb, "vec_id", "embedding",
+        threshold = 0.4, bandBits = 6, numBands = 16)
+      .select("id_1", "id_2").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (n, c) => n % 10 == 0 && c % 10 != 0 }.toSet
+    assert(incr == sym,
+      "probe-vs-corpus must find exactly the symmetric cross pairs")
+  }
+
   test("semanticDedup maps every row, canonical ids are component minima") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
