@@ -50,6 +50,11 @@ object Sketches {
     * occurrence): d buckets per occurrence via posexplode, then a
     * partial-agg count keyed by (row, bucket). Result is ≤ d×w rows —
     * broadcastable by construction — regardless of corpus size.
+    *
+    * The same plan runs unchanged as a Structured Streaming aggregation in
+    * Complete mode (`items` = a readStream frame): aggregation state is
+    * bounded by d×w however long the stream runs — see StreamingSpec's
+    * stream-equals-batch test.
     */
   def cmsBuild(items: DataFrame, keyCol: Column,
                d: Int = 4, w: Int = 256, seed: Long = 42L): DataFrame = {

@@ -8,6 +8,23 @@ import graft.streaming.Streams
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("count-min sketch builds as a streaming aggregation, equal to batch") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // the sketch plan (posexplode -> groupBy count) runs unchanged on a
+    // readStream frame: state is bounded by d x w rows regardless of how
+    // long the stream runs, so Complete mode is safe forever
+    val stream = Streams.eventsStream(spark, TestSpark.sf, maxFilesPerTrigger = 1)
+    val got = Streams.runAvailableNow(spark,
+        Sketches.cmsBuild(stream, col("event_type")), "cms_stream", "complete")
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = Sketches.cmsBuild(
+        Tables.events(spark, TestSpark.sf), col("event_type"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == batch, "streaming sketch must equal the one-pass batch sketch")
+    assert(got.nonEmpty)
+  }
+
   test("AvailableNow streaming tumbling agg equals the batch computation") {
     val stream = Streams.eventsStream(spark, TestSpark.sf)
     // complete mode so the memory sink holds final per-window rows even
