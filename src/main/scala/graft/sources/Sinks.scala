@@ -76,6 +76,41 @@ object Sinks {
     fs.delete(oldPath, true)
   }
 
+  /** Small-file compaction: rewrite a parquet table into
+    * ceil(totalBytes / targetBytes) evenly-sized files. Micro-batch sinks
+    * ([[graft.streaming.Streams.streamIdempotentAppend]]) accrete one file
+    * per trigger; at 100 TB a table fragmented into millions of tiny files
+    * pays listing, open and tiny-row-group costs on every read, so
+    * compaction is a standing maintenance operation, not a nicety. Uses
+    * `repartition(n)` (round-robin shuffle) rather than `coalesce(n)` so
+    * output files are evenly sized no matter how skewed the input files
+    * are, and the same rename-aside atomic swap as [[overwriteWithDerived]]
+    * so readers never observe a missing table and a crash leaves the
+    * previous table recoverable at `path__old`.
+    *
+    * The driver-side directory listing is the operator's essential job
+    * (compaction IS a file-metadata decision) and is bounded by one
+    * table's file count. Already-compact tables (file count ≤ target) are
+    * left untouched. Returns (filesBefore, filesAfter).
+    */
+  def compactFiles(spark: SparkSession, path: String,
+                   targetBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetBytes >= 1L, s"targetBytes=$targetBytes must be >= 1")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles()
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    if (before.length <= nOut) (before.length, before.length)
+    else {
+      overwriteWithDerived(spark, path, _.repartition(nOut))
+      (before.length, dataFiles().length)
+    }
+  }
+
   /** Partitioned write — the layout that makes S1-style pruning free for
     * downstream readers (`year/month/day` paths in the reference's store).
     */

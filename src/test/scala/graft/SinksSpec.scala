@@ -87,4 +87,22 @@ class SinksSpec extends AnyFunSuite {
     val jsonBack = spark.read.schema(df.schema).json(s"$base/json")
     assert(jsonBack.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
+
+  test("compactFiles merges fragmented tables, preserves data, no-ops when compact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val path = s"$dir/frag"
+    val docs = Tables.documents(spark, TestSpark.sf)
+    docs.repartition(20).write.parquet(path) // 20 tiny files
+    val expected = docs.collect().map(_.toSeq).toSet
+    val (before, after) = graft.sources.Sinks.compactFiles(spark, path,
+      targetBytes = 1L << 30)
+    assert(before == 20 && after < before,
+      s"expected fewer files after compaction, got $before -> $after")
+    assert(spark.read.parquet(path).collect().map(_.toSeq).toSet == expected,
+      "compaction must not change table contents")
+    // second run: already compact, untouched
+    val (b2, a2) = graft.sources.Sinks.compactFiles(spark, path,
+      targetBytes = 1L << 30)
+    assert(b2 == after && a2 == after, "compact table must be left alone")
+  }
 }
