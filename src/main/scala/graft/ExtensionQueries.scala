@@ -271,6 +271,40 @@ object ExtensionQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // ---- Profiling: equi-width histogram ---------------------------------
+    // bucket = floor(price / width): one double division + floor, identical
+    // IEEE semantics in both engines, so bucket boundaries can't drift.
+    "q_histogram" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / 5000.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("bucket")
+    }),
+
+    // ---- Profiling: per-column null/distinct/min-max summary -------------
+    // One pruned scan per profiled column (columnar layout makes the five
+    // narrow scans ≈ one full-width pass); numeric extrema travel through
+    // DECIMAL(18,2) so the string rendering is engine-independent.
+    "q_profile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def leg(name: String, v: org.apache.spark.sql.Column) =
+        o.select(lit(name).as("col_name"), count(lit(1)).as("n_rows"),
+          sum(when(v.isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(v).as("n_distinct"),
+          min(v).cast("string").as("min_val"),
+          max(v).cast("string").as("max_val"))
+      Seq(
+        leg("o_orderkey", col("o_orderkey")),
+        leg("o_custkey", col("o_custkey")),
+        leg("o_orderstatus", col("o_orderstatus")),
+        leg("o_totalprice", col("o_totalprice").cast("decimal(18,2)")),
+        leg("o_orderdate", col("o_orderdate")))
+        .reduce(_.unionByName(_))
+        .orderBy("col_name")
+    }),
+
     // ---- Exact grouped percentiles (median + quartiles) ------------------
     // Spark `percentile` and DuckDB `quantile_cont` share the linear-
     // interpolation definition (a + f·(b−a) at h = q·(n−1)), so the exact
@@ -1129,6 +1163,30 @@ object ExtensionQueries {
     "q_heavy_hitters" -> heavyHittersOracle,
 
     "dedup_semantic_incr" -> semanticIncrOracle,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_profile" -> {
+      def leg(name: String, expr: String) =
+        s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $expr IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  count(DISTINCT $expr) AS n_distinct,
+           |  CAST(min($expr) AS VARCHAR) AS min_val,
+           |  CAST(max($expr) AS VARCHAR) AS max_val
+           |FROM orders""".stripMargin
+      Seq(
+        leg("o_orderkey", "o_orderkey"),
+        leg("o_custkey", "o_custkey"),
+        leg("o_orderstatus", "o_orderstatus"),
+        leg("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+        leg("o_orderdate", "o_orderdate"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     "q_asof_join" ->
       """WITH e AS (
