@@ -29,7 +29,9 @@ object Plans {
     "q_pack", "text_bm25", "q_zorder",
     "text_cdc", "dedup_cdc", "dedup_decontaminate_report",
     "text_inverted_index", "text_normalize", "q_token_drift",
-    "q_pack_assemble", "q_hll_union", "dedup_incremental")
+    "q_pack_assemble", "q_hll_union", "dedup_incremental",
+    "q_global_rank", "q_source_cap", "dedup_semantic", "dedup_semantic_incr",
+    "q_heavy_hitters", "text_rarity", "q_window_range", "q_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
