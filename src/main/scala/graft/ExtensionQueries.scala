@@ -271,6 +271,37 @@ object ExtensionQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // ---- Sketch: join-cardinality estimate from two CMS inner products ---
+    // "will this join explode" answered from two d×w frames without
+    // touching either table; biased up only. Exact count shown to expose
+    // the error, as in q_heavy_hitters.
+    "q_join_size_est" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").cast("string").as("k"))
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 100000.0)
+        .select(col("o_orderkey").cast("string").as("k"))
+      val est = Sketches.cmsJoinSize(
+        Sketches.cmsBuild(li, col("k"), w = 1024),
+        Sketches.cmsBuild(big, col("k"), w = 1024))
+      val exact = li.join(big, "k").agg(count(lit(1)).as("exact_join_size"))
+      est.crossJoin(exact)
+    }),
+
+    // ---- Ops: two-table reconciliation diff ------------------------------
+    // symmetric EXCEPT ALL counts between a table and its drifted replica
+    // (every 100th order's quantity bumped, every 1000th order dropped) —
+    // the row-level audit a cross-store migration runs after W5.
+    "q_table_diff" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val drift = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 1000 =!= 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_orderkey") % 100 === 0, col("l_quantity") + 1)
+            .otherwise(col("l_quantity")).as("l_quantity"))
+      graft.operators.Pipeline.reconcile(base, drift).orderBy("side")
+    }),
+
     // ---- Profiling: equi-width histogram ---------------------------------
     // bucket = floor(price / width): one double division + floor, identical
     // IEEE semantics in both engines, so bucket boundaries can't drift.
@@ -1163,6 +1194,47 @@ object ExtensionQueries {
     "q_heavy_hitters" -> heavyHittersOracle,
 
     "dedup_semantic_incr" -> semanticIncrOracle,
+
+    "q_join_size_est" -> {
+      val hrRows = graft.operators.Sketches.cmsRowParams(4, 42L).zipWithIndex
+        .map { case ((a, b), r) => s"($r, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH hr(r, a, b) AS (VALUES $hrRows),
+         |la AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+         |ob AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+         |       WHERE o_totalprice > 100000.0),
+         |ba AS (SELECT hr.r,
+         |    ((hr.a * (('0x' || substr(md5(la.k), 1, 15))::BIGINT % 2147483647)
+         |      + hr.b) % 2147483647) % 1024 AS bucket
+         |  FROM la CROSS JOIN hr),
+         |ca AS (SELECT r, bucket, count(*) AS cnt FROM ba GROUP BY 1, 2),
+         |bb AS (SELECT hr.r,
+         |    ((hr.a * (('0x' || substr(md5(ob.k), 1, 15))::BIGINT % 2147483647)
+         |      + hr.b) % 2147483647) % 1024 AS bucket
+         |  FROM ob CROSS JOIN hr),
+         |cb AS (SELECT r, bucket, count(*) AS cnt FROM bb GROUP BY 1, 2),
+         |je AS (SELECT ca.r, sum(ca.cnt * cb.cnt) AS rowEst
+         |       FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket
+         |       GROUP BY 1)
+         |SELECT (SELECT CAST(min(rowEst) AS BIGINT) FROM je) AS est_join_size,
+         |  (SELECT count(*) FROM la JOIN ob USING (k)) AS exact_join_size""".stripMargin
+    },
+
+    "q_table_diff" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem),
+        |drift AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 100 = 0 THEN l_quantity + 1
+        |         ELSE l_quantity END AS l_quantity
+        |  FROM lineitem WHERE l_orderkey % 1000 <> 0),
+        |oa AS (SELECT count(*) AS n_rows FROM
+        |  (SELECT * FROM base EXCEPT ALL SELECT * FROM drift)),
+        |ob AS (SELECT count(*) AS n_rows FROM
+        |  (SELECT * FROM drift EXCEPT ALL SELECT * FROM base))
+        |SELECT 'only_left' AS side, n_rows FROM oa
+        |UNION ALL SELECT 'only_right', n_rows FROM ob
+        |ORDER BY side""".stripMargin,
 
     "q_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,

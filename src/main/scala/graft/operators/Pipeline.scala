@@ -156,4 +156,18 @@ object Pipeline {
     */
   def qualifyUrls(names: Column, urlBase: Column): Column =
     transform(names, n => concat(urlBase, n))
+
+  /** Two-table reconciliation: multiset row counts present only on each
+    * side (`EXCEPT ALL` both ways), the audit a replica migration or
+    * cross-store writeback (W5) runs to prove the copy. Row-level, exact,
+    * duplicate-aware; each direction is one shuffle on the full row
+    * (substitute a row-fingerprint projection at 100 TB to shuffle 8-byte
+    * hashes instead of whole rows — same plan shape).
+    */
+  def reconcile(left: DataFrame, right: DataFrame): DataFrame =
+    left.exceptAll(right).agg(count(lit(1)).as("n_rows"))
+      .select(lit("only_left").as("side"), col("n_rows"))
+      .unionByName(
+        right.exceptAll(left).agg(count(lit(1)).as("n_rows"))
+          .select(lit("only_right").as("side"), col("n_rows")))
 }

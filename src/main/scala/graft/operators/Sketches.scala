@@ -78,6 +78,20 @@ object Sketches {
       .agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** Equi-join cardinality estimate from two sketches built with the SAME
+    * (d, w, seed): |A ⋈ B on k| = Σ_k fA(k)·fB(k), estimated by the
+    * sketch inner product min_r Σ_b A_r[b]·B_r[b] (Cormode &amp;
+    * Muthukrishnan §4.2). Biased UP only — collisions add non-negative
+    * cross terms — so it is a safe planning bound: "will this join
+    * explode" answered from two d×w frames without touching either table.
+    * Returns a single-row frame (est_join_size).
+    */
+  def cmsJoinSize(cmsA: DataFrame, cmsB: DataFrame): DataFrame =
+    cmsA.alias("a").join(cmsB.alias("b"), Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("a.cnt") * col("b.cnt")).as("rowEst"))
+      .agg(min(col("rowEst")).as("est_join_size"))
+
   /** Point-estimate the count of each key in `keys`: min over the d rows
     * of the key's bucket counts (an absent bucket is a true zero). The
     * sketch side is broadcast (≤ d×w rows); the keys side never shuffles

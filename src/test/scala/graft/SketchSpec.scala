@@ -420,6 +420,38 @@ class SketchSpec extends AnyFunSuite {
     assert(rowMass.values.forall(_ == 1830L))
   }
 
+  test("count-min join-size estimate upper-bounds the true join cardinality") {
+    import graft.operators.Sketches
+    val a = (1 to 30).flatMap(k => Seq.fill(k)(s"k$k")).toDF("k") // k appears k times
+    val b = (20 to 40).map(k => s"k$k").toDF("k")                 // unique keys
+    // true size = sum_{k=20..30} k*1 = 275
+    val est = Sketches.cmsJoinSize(
+        Sketches.cmsBuild(a, col("k"), w = 64),
+        Sketches.cmsBuild(b, col("k"), w = 64))
+      .as[Long].head()
+    assert(est >= 275L, s"CMS join estimate must never underestimate: $est")
+    // with a wide sketch (no collisions among 41 keys wph) it gets close
+    val estWide = Sketches.cmsJoinSize(
+        Sketches.cmsBuild(a, col("k"), w = 8192),
+        Sketches.cmsBuild(b, col("k"), w = 8192))
+      .as[Long].head()
+    assert(estWide >= 275L && estWide <= 350L,
+      s"wide-sketch estimate should be near the true 275, got $estWide")
+  }
+
+  test("reconcile reports zero diffs for identical tables and exact counts for drift") {
+    import graft.operators.Pipeline
+    val base = Tables.lineitem(spark, TestSpark.sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val same = Pipeline.reconcile(base, base)
+      .as[(String, Long)].collect().toMap
+    assert(same == Map("only_left" -> 0L, "only_right" -> 0L))
+    val dropped = base.filter(col("l_orderkey") % 500 =!= 0)
+    val nDropped = base.count() - dropped.count()
+    val diff = Pipeline.reconcile(base, dropped).as[(String, Long)].collect().toMap
+    assert(diff("only_left") == nDropped && diff("only_right") == 0L)
+  }
+
   test("count-min sketch: shard sketches merge to the whole-corpus sketch") {
     import graft.operators.Sketches
     val occ = (1 to 40).flatMap(k => Seq.fill(k)(s"t$k")).toDF("k")
