@@ -253,6 +253,51 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Semantic (embedding-space) twin of [[streamDedupIngest]]: each
+    * micro-batch of embeddings is id-deduped, self-deduped semantically
+    * (banded hyperplane LSH + exact cosine, cluster minima kept), probed
+    * against the standing corpus with
+    * [[graft.operators.Dedup.semanticNearDupsAgainst]], and only
+    * semantically novel rows append. Checkpoint replays and source
+    * re-deliveries are absorbed by the id anti-join; the corpus-side
+    * banding is recomputed per batch here — a deployment persists it
+    * alongside the corpus and appends to it incrementally.
+    */
+  def streamSemanticIngest(
+      stream: DataFrame, path: String, idCol: String, vecCol: String,
+      threshold: Double, checkpointDir: String,
+      bandBits: Int = 8, numBands: Int = 16): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions.col
+        val spark = batch.sparkSession
+        val inBatch = batch.toDF().dropDuplicates(idCol)
+        val selfPairs = graft.operators.Dedup.semanticNearDups(
+          inBatch, idCol, vecCol, threshold, bandBits, numBands)
+        val canonical = graft.operators.Dedup.keepCorpus(
+          inBatch, idCol, selfPairs)
+        val sinkExists = new java.io.File(path).exists()
+        val novel =
+          if (!sinkExists) canonical
+          else {
+            val corpus = spark.read.parquet(path)
+            val fresh = graft.operators.Pipeline.idempotentNewRows(
+              canonical, corpus.select(col(idCol)), Seq(idCol))
+            val nearDups = graft.operators.Dedup.semanticNearDupsAgainst(
+                corpus, fresh, idCol, vecCol, threshold, bandBits, numBands)
+              .select(org.apache.spark.sql.functions.col("id_new").as(idCol))
+              .distinct()
+            fresh.join(nearDups, Seq(idCol), "left_anti")
+          }
+        novel.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** [[streamIdempotentAppend]]'s relational twin: each micro-batch is
     * deduped in-batch, anti-joined against the JDBC sink's existing keys
     * (key-pruned read), and appended — so checkpoint replays and source

@@ -160,6 +160,53 @@ class StreamingSpec extends AnyFunSuite {
       "re-delivered batches must not append exact or near duplicates")
   }
 
+  test("streaming semantic ingest: corpus stays semantically unique, replay appends nothing") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sem-ingest")
+    val srcDir = s"$tmp/src"; val sink = s"$tmp/corpus"
+    new java.io.File(srcDir).mkdirs()
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding")
+    def writeOne(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(out))
+    }
+    // batch A: even ids; batch B: odd ids PLUS scaled copies of five even
+    // vectors (cosine exactly 1 to their batch-A originals)
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val copies = a.limit(5)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    writeOne(a, s"$srcDir/a.parquet")
+    writeOne(emb.filter(col("vec_id") % 2 === 1).unionByName(copies),
+      s"$srcDir/b.parquet")
+
+    def run(cp: String): Unit = graft.streaming.Streams.streamSemanticIngest(
+      spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      sink, "vec_id", "embedding", threshold = 0.99, checkpointDir = cp)
+
+    run(s"$tmp/cp1")
+    val corpus = spark.read.parquet(sink)
+    val n1 = corpus.count()
+    assert(n1 > 0)
+    // the cross-batch scaled copies must have been rejected at the door
+    assert(corpus.filter(col("vec_id") >= 1000000L).isEmpty,
+      "scaled duplicates of corpus vectors must not be ingested")
+    // nothing in the corpus semantically duplicates anything else
+    val residual = Dedup.semanticNearDups(corpus, "vec_id", "embedding",
+      threshold = 0.99)
+    assert(residual.isEmpty, "ingested corpus must be semantically unique")
+    // worst-case re-delivery: fresh checkpoint, full source replay
+    run(s"$tmp/cp2")
+    assert(spark.read.parquet(sink).count() == n1,
+      "re-delivered batches must not append semantic duplicates")
+  }
+
   test("stream-stream interval join equals the batch inequality join") {
     import spark.implicits._
     def split(df: org.apache.spark.sql.DataFrame) = (
