@@ -51,6 +51,40 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // ---- Funnel: ordered signup -> click -> purchase conversion ----------
+    // Each stage is a conditional min over events STRICTLY after the
+    // previous stage's first completion — three user-keyed hash joins, no
+    // windows, no per-user state. Exact integer-nanos comparisons.
+    "q_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts_ns")
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_ns").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts_ns") > col("t1"))
+        .groupBy("user_id").agg(min("ts_ns").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts_ns") > col("t2"))
+        .groupBy("user_id").agg(min("ts_ns").as("t3"))
+      Seq("signup" -> s1, "then_click" -> s2, "then_purchase" -> s3)
+        .map { case (n, df) =>
+          df.agg(count(lit(1)).as("n_users")).select(lit(n).as("stage"), col("n_users"))
+        }
+        .reduce(_.unionByName(_)).orderBy("stage")
+    }),
+
+    // ---- Cohort retention: users active N weeks after their first week ---
+    // week = integer division of exact nanos — no calendar/timezone
+    // semantics to drift between engines.
+    "q_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_ns div 604800000000000").as("week"))
+      val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // ---- Tumbling 1-hour window aggregation (window()) --------------------
     "w_tumbling" -> ((s, d) => {
       Tables.events(s, d)
@@ -102,6 +136,30 @@ object EventQueries {
         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
         |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-10 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS tn FROM events),
+        |s1 AS (SELECT user_id, min(tn) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(tn) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tn > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(tn) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tn > t2 GROUP BY 1)
+        |SELECT 'signup' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 'then_click', count(*) FROM s2
+        |UNION ALL SELECT 'then_purchase', count(*) FROM s3
+        |ORDER BY stage""".stripMargin,
+
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 604800000000000 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+        |SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_window_range" ->
       """SELECT event_id, user_id,
