@@ -605,6 +605,16 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Text analysis: exact sparse TF-cosine similarity join -----------
+    // bigram tf vectors; pairs meet only via shared terms (df-cut 200).
+    // Integer dots + IEEE sqrt make the cosine bit-reproducible in DuckDB.
+    "text_sim_pairs" -> ((s, d) => {
+      TextAnalysis.tfCosinePairs(Tables.documents(s, d),
+          TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), 2),
+          "doc_id", threshold = 0.5, maxDocFreq = 200L)
+        .orderBy("id_1", "id_2")
+    }),
+
     // ---- Corpus filters: C4-style line rules -----------------------------
     // Fixture texts are single-line, so the query first rebuilds a
     // deterministic multi-line document (3-token lines, '.' appended when
@@ -1322,6 +1332,29 @@ object ExtensionQueries {
         |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n_docs, count(DISTINCT doc_id) AS n_distinct
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_sim_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |        generate_series(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1])) AS term FROM t),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM g GROUP BY 1, 2),
+        |keep AS (SELECT term FROM tf GROUP BY term HAVING count(*) <= 200),
+        |tfc AS (SELECT tf.* FROM tf JOIN keep USING (term)),
+        |nrm AS (SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS nrm
+        |        FROM tfc GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+        |           sum(a.tf * b.tf) AS dot
+        |         FROM tfc a JOIN tfc b
+        |           ON a.term = b.term AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT id_1, id_2,
+        |  CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cosine
+        |FROM dots
+        |JOIN nrm na ON na.doc_id = dots.id_1
+        |JOIN nrm nb ON nb.doc_id = dots.id_2
+        |WHERE CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.5
+        |ORDER BY id_1, id_2""".stripMargin,
 
     "text_rarity" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

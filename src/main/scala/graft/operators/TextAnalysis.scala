@@ -290,6 +290,46 @@ object TextAnalysis {
       .select(col("token"), col("df"), col("postings"))
   }
 
+  /** Exact sparse cosine-similarity join over term-frequency vectors:
+    * pairs meet ONLY through shared terms (equi-join on term — the sparse
+    * dot product), never as an all-pairs product, with the df-cut dropping
+    * boilerplate terms before the self-join exactly as the winnow/CDC
+    * overlap joins do. Unlike MinHash this is EXACT cosine, and unlike
+    * embedding cosine it needs no model — the classic sparse-vector
+    * similarity join (Bayardo et al., "Scaling up all pairs similarity
+    * search", WWW 2007, in its plain df-cut form).
+    *
+    * Determinism across engines: dots and squared norms are INTEGER sums
+    * (order-independent under any partitioning); sqrt is IEEE-correctly
+    * rounded in both JVM and DuckDB; the final divide is one double op —
+    * so the cosine hash-matches bit-for-bit. Norms are computed over the
+    * same df-cut vectors the join uses.
+    */
+  def tfCosinePairs(df: DataFrame, terms: Column, idCol: String,
+                    threshold: Double, maxDocFreq: Long = 10000L): DataFrame = {
+    val tf = df.select(col(idCol).as("id"), explode(terms).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      // consumed three times (df-cut, norms, pair join) — materialize the
+      // term-vector table once; it is the corpus's sparse representation,
+      // ~tokens-per-doc rows per doc
+      .localCheckpoint(true)
+    val hot = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select(col("term"))
+    val tfc = tf.join(broadcast(hot), Seq("term"), "left_anti")
+    val nrm = tfc.groupBy(col("id"))
+      .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
+    val dots = tfc.alias("a").join(tfc.alias("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_1"), col("b.id").as("id_2"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    dots
+      .join(nrm.select(col("id").as("id_1"), col("nrm").as("n1")), "id_1")
+      .join(nrm.select(col("id").as("id_2"), col("nrm").as("n2")), "id_2")
+      .withColumn("cosine", col("dot").cast("double") / (col("n1") * col("n2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_1"), col("id_2"), col("cosine"))
+  }
+
   /** Per-document term-rarity statistics from corpus-wide document
     * frequencies: how many distinct terms the doc carries, the min/max df
     * among them, and how many are "rare" (df ≤ `rareDf`) — the

@@ -196,6 +196,24 @@ class TextSamplingSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, None, None, 0L)))
   }
 
+  test("tfCosinePairs computes exact tf-cosine and the df cut empties vectors") {
+    val df = Seq(
+      (1L, "a b a b c"), // bigram tf: (a b)=2, (b a)=1, (b c)=1, norm sqrt 6
+      (2L, "a b a b d"), // dot(1,2) = 2*2 + 1*1 = 5 -> cosine 5/(sqrt6*sqrt6)
+      (3L, "x y")
+    ).toDF("doc_id", "text")
+    def terms = TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), 2)
+    val got = TextAnalysis.tfCosinePairs(df, terms, "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // NOT 5/6: the operator (and its DuckDB oracle) divide by the PRODUCT
+    // of the two sqrt norms, one ulp away from the fused 5/6
+    assert(got.toSeq == Seq((1L, 2L, 5.0 / (math.sqrt(6.0) * math.sqrt(6.0)))))
+    // df cut at 1 removes the shared bigrams -> no pair survives
+    val cut = TextAnalysis.tfCosinePairs(df, terms, "doc_id",
+      threshold = 0.0, maxDocFreq = 1L)
+    assert(cut.isEmpty)
+  }
+
   test("orderedRank equals a global row_number and survives repartitioning") {
     val docs = Tables.documents(spark, TestSpark.sf)
       .withColumn("k", Sampling.md5OrderKey(col("text")))
