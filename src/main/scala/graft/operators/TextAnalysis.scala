@@ -346,8 +346,13 @@ object TextAnalysis {
   def tokenRarity(df: DataFrame, terms: Column, idCol: String,
                   rareDf: Long = 2L): DataFrame = {
     require(rareDf >= 1L, s"rareDf=$rareDf must be >= 1")
+    // consumed twice (df table + per-doc stats join) — materialize the
+    // sparse (id, term) table once instead of running the explode twice;
+    // it is the corpus's distinct-term representation, the artifact an
+    // index build persists anyway
     val pairs = df.select(col(idCol).as("id"),
       explode(array_distinct(terms)).as("token"))
+      .localCheckpoint(true)
     val dfs = pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val stats = pairs.join(dfs, Seq("token"))
       .groupBy(col("id"))
