@@ -154,6 +154,18 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Similarity: multi-probe LSH ANN (fully oracle-checked) ----------
+    // Half the bands of sim_lsh_topk (8 vs 16) at bandBits=6, with recall
+    // bought back by probing single-bit-flip buckets on the QUERY side
+    // only — per-band recall p^6 + 6p^5(1-p), corpus storage unchanged.
+    "sim_lsh_mp_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, bandBits = 6, numBands = 8,
+          probeDepth = 1)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- Similarity: IVF coarse-quantizer ANN (rows-only) ----------------
     "sim_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -815,6 +827,54 @@ object ExtensionQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB oracle for `sim_lsh_mp_topk`: the [[lshTopKOracle]] replay
+    * with bandBits=6, numBands=8 and the single-bit-flip probe set on the
+    * query side (base signature UNION the 6 XOR-flipped ones).
+    */
+  private def lshMultiProbeOracle: String = {
+    val bandBits = 6
+    val planes = graft.operators.Similarity.hyperplanes(
+      dim = 64, numPlanes = bandBits * 8, seed = 42L)
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"(${i / bandBits}, ${i % bandBits}, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |planes(band, bit, p) AS (VALUES
+       |  $planeRows),
+       |sigs AS (
+       |  SELECT e.vec_id, pl.band,
+       |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+       |      THEN (1::BIGINT << pl.bit) ELSE 0 END) AS BIGINT) AS bsig
+       |  FROM e CROSS JOIN planes pl
+       |  GROUP BY e.vec_id, pl.band),
+       |qp AS (
+       |  SELECT vec_id, band, bsig FROM sigs WHERE vec_id < 5
+       |  UNION
+       |  SELECT vec_id, band, xor(bsig, 1::BIGINT << fb.b) AS bsig
+       |  FROM sigs CROSS JOIN generate_series(0, ${bandBits - 1}) fb(b)
+       |  WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM qp q JOIN sigs c
+       |    ON q.band = c.band AND q.bsig = c.bsig AND q.vec_id <> c.vec_id),
+       |s AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+       |      AS score
+       |  FROM cand
+       |  JOIN e a ON a.vec_id = cand.query_id
+       |  JOIN e b ON b.vec_id = cand.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, rank, score FROM r
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB oracle for `dedup_semantic`: same seeded-hyperplane replay as
     * [[lshTopKOracle]] (bandBits=6, numBands=16, dim=64, seed=42), then the
     * skew-guard bucket filter, the exact-cosine verify at 0.4, and the
@@ -1198,6 +1258,8 @@ object ExtensionQueries {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "sim_lsh_topk" -> lshTopKOracle,
+
+    "sim_lsh_mp_topk" -> lshMultiProbeOracle,
 
     "dedup_semantic" -> semanticDedupOracle,
 

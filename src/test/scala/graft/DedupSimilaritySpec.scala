@@ -146,6 +146,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("multi-probe LSH lifts recall over exact buckets at identical corpus storage") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(probe: Int): Double = {
+      val approx = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5,
+          bandBits = 6, numBands = 8, probeDepth = probe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val r0 = recallAt(0)
+    val r1 = recallAt(1)
+    assert(r1 >= r0,
+      s"probing flipped buckets can only add candidates: r0=$r0 r1=$r1")
+    assert(r1 >= 0.7, s"multi-probe recall $r1 too low at 6x8 banding")
+  }
+
   test("LSH ANN top-k returns empty (not an error) for an empty query set") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val out = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 0),
