@@ -296,6 +296,8 @@ object ExtensionQueries {
         Sketches.cmsBuild(li, col("k"), w = 1024),
         Sketches.cmsBuild(big, col("k"), w = 1024))
       val exact = li.join(big, "k").agg(count(lit(1)).as("exact_join_size"))
+      // 1-row x 1-row scalar combine — the one BNLJ in this plan is a
+      // bounded single-row cross, not a data-sized product
       est.crossJoin(exact)
     }),
 

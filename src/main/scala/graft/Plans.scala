@@ -31,7 +31,9 @@ object Plans {
     "text_inverted_index", "text_normalize", "q_token_drift",
     "q_pack_assemble", "q_hll_union", "dedup_incremental",
     "q_global_rank", "q_source_cap", "dedup_semantic", "dedup_semantic_incr",
-    "q_heavy_hitters", "text_rarity", "q_window_range", "q_profile")
+    "q_heavy_hitters", "text_rarity", "q_window_range", "q_profile",
+    "sim_lsh_mp_topk", "text_sim_pairs", "q_join_size_est", "q_funnel",
+    "q_retention", "q_table_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
