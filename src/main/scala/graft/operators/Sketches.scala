@@ -40,11 +40,13 @@ object Sketches {
   private def md5ModP(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % P
 
-  /** One bucket column per sketch row for the given key expression. */
-  private def bucketCols(key: Column, d: Int, w: Int, seed: Long): Seq[Column] =
-    cmsRowParams(d, seed).map { case (a, b) =>
-      ((md5ModP(key) * a + b) % P) % w
-    }
+  /** One bucket column per sketch row, over a PRE-REDUCED `u = md5 mod p`
+    * column — the md5 is computed once per input row, not once per sketch
+    * row (Spark's subexpression elimination does not merge the d copies
+    * inside an array constructor; measured 4× the necessary hashing).
+    */
+  private def bucketColsFromU(u: Column, d: Int, w: Int, seed: Long): Seq[Column] =
+    cmsRowParams(d, seed).map { case (a, b) => ((u * a + b) % P) % w }
 
   /** Build the sketch over an occurrence frame (one input row per
     * occurrence): d buckets per occurrence via posexplode, then a
@@ -61,7 +63,8 @@ object Sketches {
     require(d >= 1 && d <= 16, s"d=$d out of [1, 16]")
     require(w >= 2, s"w=$w must be >= 2")
     items
-      .select(posexplode(array(bucketCols(keyCol, d, w, seed): _*))
+      .select(md5ModP(keyCol).as("__u"))
+      .select(posexplode(array(bucketColsFromU(col("__u"), d, w, seed): _*))
         .as(Seq("row", "bucket")))
       .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -100,8 +103,9 @@ object Sketches {
   def cmsEstimate(cms: DataFrame, keys: DataFrame, keyCol: Column,
                   d: Int = 4, w: Int = 256, seed: Long = 42L): DataFrame = {
     val kb = keys.select(keyCol.as("key"))
+      .select(col("key"), md5ModP(col("key")).as("__u"))
       .select(col("key"),
-        posexplode(array(bucketCols(col("key"), d, w, seed): _*))
+        posexplode(array(bucketColsFromU(col("__u"), d, w, seed): _*))
           .as(Seq("row", "bucket")))
     kb.join(broadcast(cms), Seq("row", "bucket"), "left")
       .groupBy(col("key"))
