@@ -85,6 +85,19 @@ object EventQueries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // ---- Resample: hourly grid + LOCF gap fill per user ------------------
+    // the dataframe-library "resample + ffill" as declarative steps; the
+    // in-bucket representative is (max ts, max value) — deterministic,
+    // unlike an encounter-order last().
+    "q_resample" -> ((s, d) => {
+      graft.operators.Resample.gapFillLocf(
+          Tables.events(s, d).filter(col("event_type") === "purchase"),
+          col("user_id"), col("ts_ns"), col("value"),
+          stepNs = 3600L * 1000 * 1000 * 1000)
+        .withColumnRenamed("k", "user_id")
+        .orderBy("user_id", "grid_ts")
+    }),
+
     // ---- Tumbling 1-hour window aggregation (window()) --------------------
     "w_tumbling" -> ((s, d) => {
       Tables.events(s, d)
@@ -160,6 +173,27 @@ object EventQueries {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_resample" ->
+      """WITH base AS (
+        |  SELECT user_id AS k, epoch_ns(ts) AS t, value AS v,
+        |    epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS g
+        |  FROM events WHERE event_type = 'purchase'),
+        |bounds AS (SELECT k, min(g) AS g0, max(g) AS g1 FROM base GROUP BY 1),
+        |spine AS (SELECT k, unnest(generate_series(g0, g1, 3600000000000)) AS g
+        |          FROM bounds),
+        |mt AS (SELECT k, g, max(t) AS mt FROM base GROUP BY 1, 2),
+        |obs AS (SELECT base.k, base.g, max(v) AS obs_v
+        |        FROM base JOIN mt ON mt.k = base.k AND mt.g = base.g
+        |          AND base.t = mt.mt
+        |        GROUP BY 1, 2),
+        |j AS (SELECT spine.k, spine.g, obs.obs_v
+        |      FROM spine LEFT JOIN obs USING (k, g))
+        |SELECT k AS user_id, g AS grid_ts,
+        |  last_value(obs_v IGNORE NULLS) OVER (PARTITION BY k ORDER BY g
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  CAST(obs_v IS NOT NULL AS INTEGER) AS is_observed
+        |FROM j ORDER BY user_id, grid_ts""".stripMargin,
 
     "q_window_range" ->
       """SELECT event_id, user_id,

@@ -214,6 +214,35 @@ class TextSamplingSpec extends AnyFunSuite {
     assert(cut.isEmpty)
   }
 
+  test("gapFillLocf fills gaps forward with a deterministic in-bucket pick") {
+    import graft.operators.Resample
+    val H = 3600L * 1000 * 1000 * 1000
+    // user 1: obs in hours 0 and 3 (two obs in hour 0: later ts wins);
+    // user 2: single obs (no gaps)
+    val df = Seq(
+      (1L, 100L, 10.0), (1L, 200L, 20.0),        // hour 0, ts 200 wins
+      (1L, 3 * H + 5L, 30.0),                    // hour 3
+      (2L, 7 * H + 1L, 70.0)
+    ).toDF("user_id", "ts_ns", "value")
+    val out = Resample.gapFillLocf(df, col("user_id"), col("ts_ns"),
+        col("value"), H)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      (1L, 0L, 20.0, 1),          // later-ts observation chosen
+      (1L, H, 20.0, 0),           // gap: carried forward
+      (1L, 2 * H, 20.0, 0),
+      (1L, 3 * H, 30.0, 1),
+      (2L, 7 * H, 70.0, 1)))
+    // same-ts tie: max value wins — deterministic under any partitioning
+    val tied = Seq((1L, 5L, 1.0), (1L, 5L, 9.0)).toDF("user_id", "ts_ns", "value")
+    val pick = Resample.gapFillLocf(tied.repartition(4), col("user_id"),
+        col("ts_ns"), col("value"), H)
+      .select("value").as[Double].head()
+    assert(pick == 9.0)
+  }
+
   test("orderedRank equals a global row_number and survives repartitioning") {
     val docs = Tables.documents(spark, TestSpark.sf)
       .withColumn("k", Sampling.md5OrderKey(col("text")))
