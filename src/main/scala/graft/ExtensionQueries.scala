@@ -301,6 +301,24 @@ object ExtensionQueries {
       est.crossJoin(exact)
     }),
 
+    // ---- Join semantics: NULL-safe equality (<=>) vs plain equality ------
+    // NULL keys silently vanish from equi-joins; the null-safe operator
+    // matches them — both behaviors pinned against the oracle's
+    // IS NOT DISTINCT FROM on deterministically-nulled keys.
+    "q_null_semantics" -> ((s, d) => {
+      val l = Tables.orders(s, d)
+        .select(col("o_orderkey"), expr("nullif(o_custkey % 10, 0)").as("k"))
+      val r = Tables.customer(s, d)
+        .select(expr("nullif(c_custkey % 10, 0)").as("k")).distinct()
+      val eq = l.join(r, l("k") === r("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("equality").as("join_kind"), col("n"))
+      val ns = l.join(r, l("k") <=> r("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("null_safe").as("join_kind"), col("n"))
+      eq.unionByName(ns).orderBy("join_kind")
+    }),
+
     // ---- Ops: two-table reconciliation diff ------------------------------
     // symmetric EXCEPT ALL counts between a table and its drifted replica
     // (every 100th order's quantity bumped, every 1000th order dropped) —
@@ -1293,6 +1311,17 @@ object ExtensionQueries {
          |SELECT (SELECT CAST(min(rowEst) AS BIGINT) FROM je) AS est_join_size,
          |  (SELECT count(*) FROM la JOIN ob USING (k)) AS exact_join_size""".stripMargin
     },
+
+    "q_null_semantics" ->
+      """WITH l AS (
+        |  SELECT o_orderkey, nullif(o_custkey % 10, 0) AS k FROM orders),
+        |r AS (SELECT DISTINCT nullif(c_custkey % 10, 0) AS k FROM customer)
+        |SELECT 'equality' AS join_kind, count(*) AS n
+        |FROM l JOIN r ON l.k = r.k
+        |UNION ALL
+        |SELECT 'null_safe', count(*)
+        |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+        |ORDER BY join_kind""".stripMargin,
 
     "q_table_diff" ->
       """WITH base AS (
