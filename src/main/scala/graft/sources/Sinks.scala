@@ -76,6 +76,27 @@ object Sinks {
     fs.delete(oldPath, true)
   }
 
+  /** Write with a same-pass audit: aggregate metrics attached to the plan
+    * via `Dataset.observe` are computed WHILE the rows stream to the sink —
+    * row counts, null counts, violation counts with zero extra scans,
+    * where a separate `df.agg(...)` audit would re-execute the whole
+    * upstream pipeline. At 100 TB the second scan is the difference
+    * between "audited write" and "write twice". Metric expressions must be
+    * aggregates Spark can fold per task and merge (count/sum/min/max —
+    * the same partial/final discipline as any agg).
+    *
+    * Returns the observed metrics keyed by the names in `metrics`.
+    */
+  def writeWithAudit(df: DataFrame, path: String,
+                     metrics: Map[String, org.apache.spark.sql.Column]): Map[String, Any] = {
+    require(metrics.nonEmpty, "writeWithAudit needs at least one metric")
+    val obs = org.apache.spark.sql.Observation()
+    val named = metrics.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }
+    df.observe(obs, named.head, named.tail: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    obs.get
+  }
+
   /** Small-file compaction: rewrite a parquet table into
     * ceil(totalBytes / targetBytes) evenly-sized files. Micro-batch sinks
     * ([[graft.streaming.Streams.streamIdempotentAppend]]) accrete one file

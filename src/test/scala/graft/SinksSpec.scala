@@ -88,6 +88,22 @@ class SinksSpec extends AnyFunSuite {
     assert(jsonBack.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
 
+  test("writeWithAudit observes exact metrics in the same pass as the write") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val got = graft.sources.Sinks.writeWithAudit(li, s"$dir/out", Map(
+      "n_rows" -> count(lit(1)),
+      "n_null_flag" -> sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)),
+      "max_qty" -> max(col("l_quantity")),
+      "n_violations" -> sum(when(col("l_quantity") < 0, 1L).otherwise(0L))))
+    val expected = li.agg(count(lit(1)), max(col("l_quantity"))).head()
+    assert(got("n_rows") == expected.getLong(0))
+    assert(got("max_qty") == expected.getDouble(1))
+    assert(got("n_null_flag") == 0L && got("n_violations") == 0L)
+    // and the write itself happened in full
+    assert(spark.read.parquet(s"$dir/out").count() == expected.getLong(0))
+  }
+
   test("compactFiles merges fragmented tables, preserves data, no-ops when compact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val path = s"$dir/frag"
