@@ -134,6 +134,24 @@ object ExtensionQueries {
         .orderBy("id_new", "id_corpus")
     }),
 
+    // ---- Embedding aggregation: deterministic per-label centroids --------
+    // Float summation order varies with partitioning, which is exactly why
+    // iterative k-means stays rows-only; HERE the per-component sum is an
+    // ascending sorted fold (group state = group size), so the centroid is
+    // bit-reproducible and the oracle replays it with list_reduce. First 8
+    // components keep the output survey-sized.
+    "q_embed_centroids" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .filter(col("pos") < 8)
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          aggregate(array_sort(collect_list(col("x").cast("double"))),
+            lit(0.0), (acc, v) => acc + v).as("sum_c"))
+        .withColumn("mean_c", col("sum_c") / col("n"))
+        .orderBy("label", "pos")
+    }),
+
     // ---- Similarity: exact brute-force cosine top-k ----------------------
     "sim_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1258,6 +1276,17 @@ object ExtensionQueries {
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
         |    >= 0.3
         |ORDER BY id_1, id_2""".stripMargin,
+
+    "q_embed_centroids" ->
+      """WITH x AS (
+        |  SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, generate_series(1, 8) t(i))
+        |SELECT label, CAST(pos AS INTEGER) AS pos, count(*) AS n,
+        |  list_reduce(list_prepend(0.0, list_sort(list(x))),
+        |    (a, b) -> a + b) AS sum_c,
+        |  list_reduce(list_prepend(0.0, list_sort(list(x))),
+        |    (a, b) -> a + b) / count(*) AS mean_c
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "sim_topk" ->
       """WITH e AS (
