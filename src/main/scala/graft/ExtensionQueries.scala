@@ -184,6 +184,18 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Similarity: deterministic seeded-IVF ANN (fully oracle-checked) -
+    // Cells anchored at vec_id < 16 instead of learned centroids: no float
+    // k-means iterations, so routing AND rerank replay exactly in DuckDB —
+    // the audit twin of sim_ivf_topk (whose Lloyd rounds force rows-only).
+    "sim_ivf_det_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfSeededTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nprobe = 4,
+          seedPred = col("vec_id") < 16)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- Similarity: IVF coarse-quantizer ANN (rows-only) ----------------
     "sim_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1309,6 +1321,49 @@ object ExtensionQueries {
     "sim_lsh_topk" -> lshTopKOracle,
 
     "sim_lsh_mp_topk" -> lshMultiProbeOracle,
+
+    "sim_ivf_det_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+        |asn AS (
+        |  SELECT vec_id AS neighbor_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |        c.cell ASC) AS rn
+        |    FROM e CROSS JOIN c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |        c.cell ASC) AS rn
+        |    FROM e CROSS JOIN c
+        |    WHERE e.vec_id < 5)
+        |  WHERE rn <= 4),
+        |s AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    list_dot_product(q.v, n.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))
+        |      AS score
+        |  FROM probes p
+        |  JOIN asn a USING (cell)
+        |  JOIN e q ON q.vec_id = p.query_id
+        |  JOIN e n ON n.vec_id = a.neighbor_id
+        |  WHERE a.neighbor_id <> p.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, rank, score FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "dedup_semantic" -> semanticDedupOracle,
 

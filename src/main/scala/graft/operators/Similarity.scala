@@ -174,6 +174,32 @@ object Similarity {
       s"nprobe=$nprobe must be in [1, nlist=$nlist]")
     if (queries.isEmpty) return emptyTopK(corpus, queries, idCol)
     val cents = kmeansCentroids(corpus, vecCol, nlist, kmeansIters, sampleSize, seed)
+    ivfProbeTopK(cents, corpus, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** Deterministic IVF: cells anchored at caller-selected SEED rows (e.g.
+    * a fixed id predicate) instead of learned k-means centroids — no float
+    * iterations, so unlike [[ivfTopK]] the whole routing + rerank pipeline
+    * is bit-reproducible and externally replayable. Routing quality is
+    * whatever the seed choice gives (random seeds ≈ one k-means init
+    * round); use this where reproducibility outranks cell balance — or as
+    * the audit twin of the learned path.
+    */
+  def ivfSeededTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, seedPred: Column): DataFrame = {
+    if (queries.isEmpty) return emptyTopK(corpus, queries, idCol)
+    val cents = corpus.filter(seedPred)
+      .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+    ivfProbeTopK(cents, corpus, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** Shared IVF probe: assign corpus rows to their nearest cell, probe the
+    * top-`nprobe` cells per query, exact-rerank within probed cells.
+    */
+  private def ivfProbeTopK(
+      cents: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
 
     // corpus side: nearest cell per vector. max_by folds the nlist-way
     // expansion back to one row per vector map-side; ties break to the

@@ -241,6 +241,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(routed.nonEmpty)
   }
 
+  test("seeded IVF with nprobe = nlist degenerates to exact brute force") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val det = Similarity.ivfSeededTopK(emb, q, "vec_id", "embedding",
+        k = 5, nprobe = 16, seedPred = col("vec_id") < 16)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(det == brute,
+      "probing every cell must reproduce the exact top-k, rank for rank")
+  }
+
   test("IVF ANN top-k achieves high recall vs brute force at nlist=64") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.filter(col("vec_id") < 10)
