@@ -375,6 +375,40 @@ object Similarity {
     val dsub = dim / m
 
     val books = pqCodebooks(corpus, vecCol, m, ksub, iters, sampleSize, seed)
+    pqAdcScoreTopK(books, corpus, queries, idCol, vecCol, k, m, dsub)
+  }
+
+  /** Deterministic seeded-codebook ADC: codebook cells are the subspace
+    * slices of caller-selected SEED rows (`seedPred` must select exactly
+    * rows with ids 0..ksub−1 — [[pqEncode]] needs a dense cell grid)
+    * instead of per-subspace k-means — no float iterations, so encode,
+    * norms and ADC scores are bit-reproducible and externally replayable.
+    * The audit twin of [[pqAdcTopK]], as [[ivfSeededTopK]] is of
+    * [[ivfTopK]].
+    */
+  def pqSeededAdcTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int, seedPred: Column): DataFrame = {
+    val dimRow = queries.select(size(col(vecCol))).limit(1).collect().headOption
+    if (dimRow.isEmpty) return emptyTopK(corpus, queries, idCol)
+    val dim = dimRow.get.getInt(0)
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val dsub = dim / m
+    val books = corpus.filter(seedPred)
+      .select(col(idCol).cast("int").as("cell"),
+        posexplode(subspaceSlices(col(vecCol).cast("array<double>"), m, dsub))
+          .as(Seq("subspace", "centroid")))
+      .withColumn("cnorm2", VectorFunctions.dot(col("centroid"), col("centroid")))
+      .select(col("subspace"), col("cell"), col("centroid"), col("cnorm2"))
+    pqAdcScoreTopK(books, corpus, queries, idCol, vecCol, k, m, dsub)
+  }
+
+  /** Shared ADC scorer: encode the corpus against `books`, build each
+    * query's (subspace, cell) → dot lookup table, sum per-pair dots in
+    * fixed subspace order, rank. */
+  private def pqAdcScoreTopK(
+      books: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, dsub: Int): DataFrame = {
     val codes = pqEncode(corpus, idCol, vecCol, books, m, dsub)
     val qtab = pqQueryTable(queries, idCol, vecCol, books, m, dsub)
 

@@ -255,6 +255,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "probing every cell must reproduce the exact top-k, rank for rank")
   }
 
+  test("seeded-PQ ADC scores are bit-identical under repartitioning") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter(col("vec_id") < 5)
+    def run(parts: Int) = Similarity.pqSeededAdcTopK(
+        emb.repartition(parts), q, "vec_id", "embedding",
+        k = 5, m = 8, seedPred = col("vec_id") < 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val a = run(3)
+    assert(a == run(11), "fixed-order ADC sums must not depend on partitioning")
+    assert(a.nonEmpty)
+  }
+
   test("IVF ANN top-k achieves high recall vs brute force at nlist=64") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.filter(col("vec_id") < 10)
