@@ -223,6 +223,17 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Similarity: deterministic seeded IVFADC (fully oracle-checked) --
+    // seeded routing cells + seeded PQ codebooks — the replayable twin of
+    // sim_ivfpq_topk, completing the audit-twin set for the ANN family.
+    "sim_ivfpq_det_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqSeededTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nprobe = 4, m = 8,
+          cellSeedPred = col("vec_id") < 16, bookSeedPred = col("vec_id") < 16)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- Similarity: full IVFADC — IVF routing + PQ-ADC scoring ----------
     // (rows-only like its two parents: iterative float k-means)
     "sim_ivfpq_topk" -> ((s, d) => {
@@ -1374,6 +1385,89 @@ object ExtensionQueries {
         |      x -> struct_extract(x, 'v'))), (a, b) -> a + b) AS adot
         |  FROM enc
         |  JOIN qd ON qd.subspace = enc.subspace AND qd.cell = enc.cell
+        |  WHERE enc.vec_id <> qd.query_id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT ad.query_id, ad.neighbor_id,
+        |    CASE WHEN n2.norm2 > 0.0 AND q.qnorm > 0.0
+        |         THEN ad.adot / (q.qnorm * sqrt(n2.norm2)) ELSE 0.0 END
+        |      AS score
+        |  FROM ad
+        |  JOIN n2 USING (neighbor_id)
+        |  JOIN q ON q.query_id = ad.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, rank, score FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_ivfpq_det_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (
+        |  SELECT s.j AS subspace, CAST(e.vec_id AS INTEGER) AS cell,
+        |    e.v[s.j*8+1 : s.j*8+8] AS c,
+        |    list_dot_product(e.v[s.j*8+1 : s.j*8+8],
+        |                     e.v[s.j*8+1 : s.j*8+8]) AS cnorm2
+        |  FROM e CROSS JOIN generate_series(0, 7) s(j)
+        |  WHERE e.vec_id < 16),
+        |enc AS (
+        |  SELECT vec_id, subspace, cell, cnorm2 FROM (
+        |    SELECT e.vec_id, cb.subspace, cb.cell, cb.cnorm2,
+        |      row_number() OVER (PARTITION BY e.vec_id, cb.subspace
+        |        ORDER BY 2.0 * list_dot_product(
+        |            e.v[cb.subspace*8+1 : cb.subspace*8+8], cb.c) - cb.cnorm2
+        |          DESC,
+        |        cb.cell ASC) AS rn
+        |    FROM e CROSS JOIN cb)
+        |  WHERE rn = 1),
+        |n2 AS (
+        |  SELECT vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(0.0, list_transform(
+        |      list_sort(list({'s': subspace, 'v': cnorm2})),
+        |      x -> struct_extract(x, 'v'))), (a, b) -> a + b) AS norm2
+        |  FROM enc GROUP BY 1),
+        |ic AS (SELECT vec_id AS icell, v AS iv FROM e WHERE vec_id < 16),
+        |asn AS (
+        |  SELECT vec_id AS neighbor_id, icell FROM (
+        |    SELECT e.vec_id, ic.icell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, ic.iv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(ic.iv, ic.iv))) DESC,
+        |        ic.icell ASC) AS rn
+        |    FROM e CROSS JOIN ic)
+        |  WHERE rn = 1),
+        |pb AS (
+        |  SELECT vec_id AS query_id, icell FROM (
+        |    SELECT e.vec_id, ic.icell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, ic.iv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(ic.iv, ic.iv))) DESC,
+        |        ic.icell ASC) AS rn
+        |    FROM e CROSS JOIN ic
+        |    WHERE e.vec_id < 5)
+        |  WHERE rn <= 4),
+        |q AS (SELECT vec_id AS query_id, v,
+        |        sqrt(list_dot_product(v, v)) AS qnorm
+        |      FROM e WHERE vec_id < 5),
+        |qd AS (
+        |  SELECT q.query_id, cb.subspace, cb.cell,
+        |    list_dot_product(q.v[cb.subspace*8+1 : cb.subspace*8+8], cb.c)
+        |      AS qdot
+        |  FROM q CROSS JOIN cb),
+        |ad AS (
+        |  SELECT qd.query_id, enc.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(0.0, list_transform(
+        |      list_sort(list({'s': qd.subspace, 'v': qd.qdot})),
+        |      x -> struct_extract(x, 'v'))), (a, b) -> a + b) AS adot
+        |  FROM enc
+        |  JOIN qd ON qd.subspace = enc.subspace AND qd.cell = enc.cell
+        |  JOIN asn ON asn.neighbor_id = enc.vec_id
+        |  JOIN pb ON pb.query_id = qd.query_id AND pb.icell = asn.icell
         |  WHERE enc.vec_id <> qd.query_id
         |  GROUP BY 1, 2),
         |sc AS (

@@ -484,6 +484,42 @@ object Similarity {
     val dsub = dim / m
 
     val cents = kmeansCentroids(corpus, vecCol, nlist, kmeansIters, sampleSize, seed)
+    val books = pqCodebooks(corpus, vecCol, m, ksub, pqIters, sampleSize, seed)
+    ivfPqScoreTopK(cents, books, corpus, queries, idCol, vecCol, k, nprobe, m, dsub)
+  }
+
+  /** Deterministic seeded IVFADC: seeded coarse cells ([[ivfSeededTopK]])
+    * + seeded PQ codebooks ([[pqSeededAdcTopK]]) composed — the fully
+    * externally-replayable twin of [[ivfPqTopK]]. `cellSeedPred` rows
+    * anchor routing cells; `bookSeedPred` must select ids 0..ksub−1 for
+    * the dense codebook grid.
+    */
+  def ivfPqSeededTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, m: Int,
+      cellSeedPred: Column, bookSeedPred: Column): DataFrame = {
+    val dimRow = queries.select(size(col(vecCol))).limit(1).collect().headOption
+    if (dimRow.isEmpty) return emptyTopK(corpus, queries, idCol)
+    val dim = dimRow.get.getInt(0)
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val dsub = dim / m
+    val cents = corpus.filter(cellSeedPred)
+      .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+    val books = corpus.filter(bookSeedPred)
+      .select(col(idCol).cast("int").as("cell"),
+        posexplode(subspaceSlices(col(vecCol).cast("array<double>"), m, dsub))
+          .as(Seq("subspace", "centroid")))
+      .withColumn("cnorm2", VectorFunctions.dot(col("centroid"), col("centroid")))
+      .select(col("subspace"), col("cell"), col("centroid"), col("cnorm2"))
+    ivfPqScoreTopK(cents, books, corpus, queries, idCol, vecCol, k, nprobe, m, dsub)
+  }
+
+  /** Shared IVFADC core: route corpus and queries over `cents`, ADC-score
+    * probed cells' codes against `books` in fixed subspace order. */
+  private def ivfPqScoreTopK(
+      cents: DataFrame, books: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      m: Int, dsub: Int): DataFrame = {
     // corpus routing: nearest coarse cell per vector (id-keyed, fold the
     // nlist-way expansion map-side) — renamed ivf_cell so it cannot collide
     // with the PQ codebook's `cell` column downstream
@@ -495,7 +531,6 @@ object Similarity {
       .agg(max_by(col("cell"), struct(col("score"), (-col("cell")).as("tb")))
         .as("ivf_cell"))
 
-    val books = pqCodebooks(corpus, vecCol, m, ksub, pqIters, sampleSize, seed)
     val codes = pqEncode(corpus, idCol, vecCol, books, m, dsub)
       .join(cellOf, Seq("id"))
 

@@ -269,6 +269,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("seeded IVFADC with nprobe = nlist degenerates to seeded-PQ row-for-row") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val full = rows(Similarity.ivfPqSeededTopK(emb, q, "vec_id", "embedding",
+      k = 5, nprobe = 16, m = 8,
+      cellSeedPred = col("vec_id") < 16, bookSeedPred = col("vec_id") < 16))
+    val pq = rows(Similarity.pqSeededAdcTopK(emb, q, "vec_id", "embedding",
+      k = 5, m = 8, seedPred = col("vec_id") < 16))
+    assert(full == pq, "probing every routing cell must reduce to plain ADC")
+  }
+
   test("IVF ANN top-k achieves high recall vs brute force at nlist=64") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.filter(col("vec_id") < 10)
