@@ -70,6 +70,16 @@ object ExtensionQueries {
         .orderBy("id_new", "id_corpus")
     }),
 
+    // ---- Dedup: directed containment (sub-document detection) ------------
+    // |A∩B|/|A| over word-3-gram shingles — catches whole-quotation /
+    // subset documents that Jaccard misses; sparse term join + df-cut.
+    "dedup_containment" -> ((s, d) => {
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id",
+          TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3),
+          threshold = 0.7, maxDocFreq = 200L)
+        .orderBy("id_sub", "id_super")
+    }),
+
     // ---- Dedup: canonical assignment over near-dup clusters --------------
     "dedup_canonical" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1257,6 +1267,24 @@ object ExtensionQueries {
         |WHERE len(list_intersect(a.g, b.g)) /
         |    len(list_distinct(list_concat(a.g, b.g))) >= 0.6
         |ORDER BY id_1, id_2""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        generate_series(1, len(w) - 2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS tkn
+        |      FROM t WHERE len(w) >= 3),
+        |keep AS (SELECT tkn FROM g GROUP BY tkn HAVING count(*) <= 200),
+        |e AS (SELECT g.* FROM g JOIN keep USING (tkn)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+        |sh AS (SELECT a.doc_id AS id_sub, b.doc_id AS id_super,
+        |         count(*) AS ns
+        |       FROM e a JOIN e b ON a.tkn = b.tkn AND a.doc_id <> b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT id_sub, id_super, CAST(ns AS DOUBLE) / sz.n AS containment
+        |FROM sh JOIN sz ON sz.doc_id = sh.id_sub
+        |WHERE CAST(ns AS DOUBLE) / sz.n >= 0.7
+        |ORDER BY id_sub, id_super""".stripMargin,
 
     "dedup_canonical" ->
       """WITH RECURSIVE toks AS (

@@ -370,6 +370,40 @@ object Dedup {
       .dropDuplicates("id_1", "id_2")
   }
 
+  /** Directed containment pairs: (sub, super) where at least `threshold`
+    * of sub's distinct shingles also appear in super — Broder's
+    * containment coefficient |A∩B|/|A|, the asymmetric complement of
+    * Jaccard that near-dup misses: a paragraph quoted whole inside a
+    * larger page scores low Jaccard but containment ≈ 1.
+    *
+    * Scale shape: the sparse-join discipline of [[graft.operators
+    * .TextAnalysis.tfCosinePairs]] — pairs meet ONLY through shared
+    * shingles (term equi-join), with the df-cut dropping boilerplate
+    * shingles before the self-join. Sizes and shared counts are integer;
+    * the single final divide is deterministic. Both the cut and the sizes
+    * are defined over the SAME df-cut shingle sets, so the coefficient is
+    * self-consistent.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, shingles: Column,
+                       threshold: Double, maxDocFreq: Long = 10000L): DataFrame = {
+    val pairs = df.select(col(idCol).as("id"), explode(shingles).as("t"))
+      .localCheckpoint(true)
+    val hot = pairs.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select(col("t"))
+    val kept = pairs.join(broadcast(hot), Seq("t"), "left_anti")
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val shared = kept.alias("a").join(kept.alias("b"),
+        col("a.t") === col("b.t") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_sub"), col("b.id").as("id_super"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("id").as("id_sub"), col("n").as("n_sub")), "id_sub")
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("n_sub"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_sub"), col("id_super"), col("containment"))
+  }
+
   /** Semantic near-duplicate pairs over an embedding column — the
     * SemDeDup idea (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", 2023): cluster the

@@ -386,6 +386,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "probe-vs-corpus must find exactly the symmetric cross pairs")
   }
 
+  test("containmentPairs finds whole-quotation subsets directionally") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "intro alpha beta gamma delta outro more text"),
+      (3L, "unrelated words only here")
+    ).toDF("doc_id", "text")
+    def sh = TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3)
+    val out = Dedup.containmentPairs(df, "doc_id", sh, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc1's two 3-gram shingles both occur in doc2 -> containment 1.0;
+    // the reverse direction is 2/6 and doc3 shares nothing
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("semanticDedup maps every row, canonical ids are component minima") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
