@@ -33,7 +33,9 @@ object Plans {
     "q_global_rank", "q_source_cap", "dedup_semantic", "dedup_semantic_incr",
     "q_heavy_hitters", "text_rarity", "q_window_range", "q_profile",
     "sim_lsh_mp_topk", "text_sim_pairs", "q_join_size_est", "q_funnel",
-    "q_retention", "q_table_diff", "q_resample", "q_embed_centroids")
+    "q_retention", "q_table_diff", "q_resample", "q_embed_centroids",
+    "sim_ivf_det_topk", "sim_pq_det_topk", "sim_ivfpq_det_topk",
+    "dedup_containment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
