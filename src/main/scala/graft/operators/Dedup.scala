@@ -392,10 +392,17 @@ object Dedup {
       .filter(col("df") > maxDocFreq).select(col("t"))
     val kept = pairs.join(broadcast(hot), Seq("t"), "left_anti")
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val shared = kept.alias("a").join(kept.alias("b"),
-        col("a.t") === col("b.t") && col("a.id") =!= col("b.id"))
-      .groupBy(col("a.id").as("id_sub"), col("b.id").as("id_super"))
+    // shared counts are symmetric: join each pair ONCE (id < id) and emit
+    // both directions afterwards — halves the self-join output and the
+    // count aggregation input
+    val undirected = kept.alias("a").join(kept.alias("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_1"), col("b.id").as("id_2"))
       .agg(count(lit(1)).as("n_shared"))
+    val shared = undirected
+      .select(col("id_1").as("id_sub"), col("id_2").as("id_super"), col("n_shared"))
+      .unionByName(undirected
+        .select(col("id_2").as("id_sub"), col("id_1").as("id_super"), col("n_shared")))
     shared
       .join(sizes.select(col("id").as("id_sub"), col("n").as("n_sub")), "id_sub")
       .withColumn("containment",
