@@ -155,6 +155,51 @@ object CompositeQueries {
     // normalizeBoolStrings → filterNonEmpty → anti-join vs sink state →
     // split/transform/element_at derivations — one DataFrame program, no
     // intermediate materialization (the reference XCom-pickles every step).
+    // ---- Flagship curation pipeline: the full training-data DAG as ONE
+    //      logical plan — quality gate -> exact dedup -> MinHash near-dup
+    //      canonical keep -> benchmark decontamination -> deterministic
+    //      split -> per-(split, source) stats. Every stage is an operator
+    //      proven by its own query elsewhere; here Catalyst fuses the whole
+    //      DAG (shared scans, pushed filters, no orchestration tier), and
+    //      the oracle replays all five stages in one SQL statement.
+    "pipeline_curation" -> ((s, d) => {
+      import graft.functions.{ShingleFunctions, TextFunctions}
+      import graft.operators.{Dedup, Sampling}
+      import org.apache.spark.sql.expressions.Window
+
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      // 1. quality gate (token-count bounds)
+      val quality = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))))
+        .filter(col("n_tokens").between(20, 1000))
+      // 2. exact dedup: keep the minimum id per identical text
+      val exactKeep = quality
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+        .filter(col("__rk") === 1).drop("__rk")
+      // 3. near-dup canonical keep (word-3-gram MinHash, closure minima)
+      def sh3 = ShingleFunctions.wordShingleHashes(
+        TextFunctions.tokens(col("text")), 3)
+      val pairs = Dedup.minHashNearDups(exactKeep, "doc_id", sh3,
+        threshold = 0.5, Dedup.LshConfig(numHashes = 64, bandRows = 2))
+      val kept = Dedup.keepCorpus(exactKeep, "doc_id", pairs)
+      // 4. benchmark decontamination (any shared word-5-gram)
+      def sh5 = ShingleFunctions.wordShingleHashes(
+        TextFunctions.tokens(col("text")), 5)
+      val clean = kept.join(
+        Dedup.decontaminate(kept, "doc_id", sh5, bench, sh5)
+          .filter(col("contaminated") === 0)
+          .select(col("id").as("doc_id")),
+        Seq("doc_id"))
+      // 5. deterministic split + corpus stats
+      clean
+        .withColumn("split", Sampling.splitLabel(Sampling.md5Bucket(col("text"))))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("split", "source")
+    }),
+
     "pipeline_evidence" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val f1 = c.filter(col("c_mktsegment") === "BUILDING")
@@ -257,6 +302,53 @@ object CompositeQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
+
+    "pipeline_curation" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS w
+        |  FROM documents),
+        |q AS (SELECT * FROM toks
+        |      WHERE doc_id % 10 <> 0 AND len(w) BETWEEN 20 AND 1000),
+        |ex AS (SELECT * FROM q
+        |       QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, len(w) - 2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |       FROM ex WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.g, b.g)) /
+        |          len(list_distinct(list_concat(a.g, b.g))) >= 0.5),
+        |ed AS (SELECT id_1 AS s, id_2 AS t FROM p
+        |       UNION SELECT id_2, id_1 FROM p),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM ed UNION SELECT s, s FROM ed
+        |  UNION SELECT r.s, ed.t FROM reach r JOIN ed ON r.t = ed.s),
+        |cn AS (SELECT s AS id, min(t) AS canonical_id FROM reach GROUP BY s),
+        |kept AS (SELECT ex.* FROM ex LEFT JOIN cn ON cn.id = ex.doc_id
+        |         WHERE cn.id IS NULL OR cn.canonical_id = ex.doc_id),
+        |b5 AS (SELECT DISTINCT unnest(list_transform(
+        |         generate_series(1, len(w) - 4),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |              w[i+3] || ' ' || w[i+4])) AS gr
+        |       FROM toks WHERE doc_id % 10 = 0 AND len(w) >= 5),
+        |cont AS (SELECT DISTINCT k.doc_id FROM
+        |         (SELECT doc_id, unnest(list_distinct(list_transform(
+        |            generate_series(1, len(w) - 4),
+        |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |                 w[i+3] || ' ' || w[i+4]))) AS gr
+        |          FROM kept WHERE len(w) >= 5) k
+        |         JOIN b5 USING (gr)),
+        |fin AS (SELECT * FROM kept
+        |        WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT
+        |  CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 90
+        |         THEN 'train'
+        |       WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 95
+        |         THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  source, count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS sum_tokens
+        |FROM fin GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "pipeline_evidence" ->
       """WITH unioned AS (
