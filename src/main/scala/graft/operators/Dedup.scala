@@ -434,7 +434,9 @@ object Dedup {
   def semanticNearDups(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
       bandBits: Int = 8, numBands: Int = 16, seed: Long = 42L,
-      maxBucketSize: Long = 100000L): DataFrame = {
+      maxBucketSize: Long = 100000L, probeDepth: Int = 0): DataFrame = {
+    require(probeDepth >= 0 && probeDepth <= 1,
+      s"probeDepth=$probeDepth must be 0 (exact buckets) or 1 (single-bit probes)")
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     // bounded driver action: a 1-row dim probe (same pattern as lshTopK)
     val dimRow = base.select(size(col("v"))).limit(1).collect().headOption
@@ -454,7 +456,18 @@ object Dedup {
           .select(col("band"), col("bandSig"))
         val pruned = banded
           .join(broadcast(oversized), Seq("band", "bandSig"), "left_anti")
-        val candidates = pruned.alias("a").join(pruned.alias("b"),
+        // Multi-probe (the sim_lsh_mp trick on the dedup self-join): probe
+        // rows on ONE side also carry every single-bit-flipped signature —
+        // a pair whose band signatures differ in exactly one bit meets when
+        // the flip on side a lands on side b's exact bucket. Symmetric by
+        // construction, so one probed side covers both directions; per-band
+        // recall p^b → p^b + b·p^(b−1)(1−p) at ×(bandBits+1) probe rows.
+        val probed = if (probeDepth == 0) pruned else
+          pruned.select(col("id"), col("band"),
+            explode(array(col("bandSig") +:
+              (0 until bandBits).map(i => col("bandSig").bitwiseXOR(lit(1L << i))): _*))
+              .as("bandSig"))
+        val candidates = probed.alias("a").join(pruned.alias("b"),
             col("a.band") === col("b.band") &&
             col("a.bandSig") === col("b.bandSig") &&
             col("a.id") < col("b.id"))

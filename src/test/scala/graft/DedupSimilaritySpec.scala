@@ -370,6 +370,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe semantic dedup recalls at least as many true pairs as exact buckets") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val brute = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        probe = lit(true), threshold = 0.3)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    def lsh(bits: Int, probe: Int): Set[(Long, Long)] =
+      Dedup.semanticNearDups(emb, "vec_id", "embedding", threshold = 0.3,
+          bandBits = bits, numBands = 16, probeDepth = probe)
+        .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    val exact8 = lsh(8, 0)
+    val mp8 = lsh(8, 1)
+    assert(mp8.subsetOf(brute), "probed candidates must still be exact-verified")
+    assert(exact8.subsetOf(mp8), "probing only ADDS candidate buckets")
+    assert(mp8.size > exact8.size,
+      s"single-bit probes must lift recall on weakly-clustered fixtures: " +
+        s"exact=${exact8.size} mp=${mp8.size} brute=${brute.size}")
+  }
+
   test("incremental semantic probe equals symmetric pairs restricted to new x corpus") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val incr = Dedup.semanticNearDupsAgainst(
