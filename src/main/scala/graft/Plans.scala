@@ -35,7 +35,7 @@ object Plans {
     "sim_lsh_mp_topk", "text_sim_pairs", "q_join_size_est", "q_funnel",
     "q_retention", "q_table_diff", "q_resample", "q_embed_centroids",
     "sim_ivf_det_topk", "sim_pq_det_topk", "sim_ivfpq_det_topk",
-    "dedup_containment", "pipeline_curation")
+    "dedup_containment", "pipeline_curation", "dedup_semantic_mp")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
