@@ -641,10 +641,16 @@ object ExtensionQueries {
     // in 80% of docs — every posting list would be capped); bigrams give
     // 916 terms, max df 46. Cap 40 exercises both branches: hot terms keep
     // df but NULL postings.
+    // Postings are emitted as a comma-joined string, not an array: the
+    // driver's compare loads results into pandas, and an array column is
+    // unhashable there (r04 lesson) — the string carries the identical
+    // information and hash-checks the order too.
     "text_inverted_index" -> ((s, d) => {
       TextAnalysis.invertedIndex(Tables.documents(s, d),
           TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2),
           "doc_id", maxPostingDf = 40L)
+        .select(col("token"), col("df"),
+          array_join(col("postings"), ",").as("postings"))
         .orderBy("token")
     }),
 
@@ -1231,7 +1237,8 @@ object ExtensionQueries {
         |p AS (SELECT token, list_sort(list(doc_id)) AS postings
         |      FROM g GROUP BY 1)
         |SELECT d.token, d.df,
-        |  CASE WHEN d.df <= 40 THEN p.postings ELSE NULL END AS postings
+        |  CASE WHEN d.df <= 40 THEN array_to_string(p.postings, ',')
+        |       ELSE NULL END AS postings
         |FROM d JOIN p USING (token) ORDER BY d.token""".stripMargin,
 
     "text_normalize" ->
@@ -2015,10 +2022,13 @@ object ExtensionQueries {
          |ed AS (SELECT DISTINCT doc_id, line FROM e0),
          |f AS (SELECT line, count(*) AS df FROM ed GROUP BY 1),
          |hot AS (SELECT line FROM f WHERE df > 3)
+         |-- CAST: DuckDB integer SUM yields HUGEINT, which pandas renders
+         |-- as float64 on the driver side — BIGINT keeps both at int64
          |SELECT e0.doc_id, count(*) AS n_lines,
-         |  sum(CASE WHEN hot.line IS NOT NULL THEN 1 ELSE 0 END) AS n_boilerplate,
-         |  sum(CASE WHEN hot.line IS NULL THEN length(e0.line) ELSE 0 END)
-         |    AS kept_chars
+         |  CAST(sum(CASE WHEN hot.line IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_boilerplate,
+         |  CAST(sum(CASE WHEN hot.line IS NULL THEN length(e0.line) ELSE 0 END)
+         |    AS BIGINT) AS kept_chars
          |FROM e0 LEFT JOIN hot ON e0.line = hot.line
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -2053,7 +2063,8 @@ object ExtensionQueries {
         |p AS (SELECT source,
         |        CAST(floor((cum - nt) / 1024) AS BIGINT) AS pack_id, nt
         |      FROM c)
-        |SELECT source, pack_id, count(*) AS n_docs, sum(nt) AS sum_tokens
+        |SELECT source, pack_id, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS sum_tokens
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_pack_assemble" ->
