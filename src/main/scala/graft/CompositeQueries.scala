@@ -100,6 +100,42 @@ object CompositeQueries {
         .select(col("n_days"), col("distinct_users_merged"))
     }),
 
+    // ---- Deterministic HLL: the oracle-checkable twin of
+    //      q_approx_distinct (same pattern as the det-ANN twins: seeded /
+    //      deterministic math instead of engine-private state, so every
+    //      register and the estimate itself hash-match DuckDB) -----------
+    "q_hll_det" -> ((s, d) => {
+      import graft.operators.Sketches
+      val li = Tables.lineitem(s, d)
+      val reg = Sketches.hllRegisters(li, col("l_partkey"),
+        Seq(col("l_returnflag") -> "l_returnflag"))
+      val est = Sketches.hllEstimate(reg, Seq("l_returnflag"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      est.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_empty"),
+          col("est_distinct").as("est_parts"), col("exact_parts"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- Deterministic HLL union: per-day register frames merged into
+    //      one corpus sketch — the mergeable-sketch pattern of q_hll_union
+    //      with every intermediate SQL-replayable -------------------------
+    "q_hll_det_union" -> ((s, d) => {
+      import graft.operators.Sketches
+      val ev = Tables.events(s, d)
+      val perDay = Sketches.hllRegisters(ev, col("user_id"),
+        Seq(to_date(col("ts")) -> "day"))
+      val merged = Sketches.hllMerge(Seq.empty,
+        perDay.select(col("bucket"), col("max_rho")))
+      val est = Sketches.hllEstimate(merged, Seq.empty)
+      val days = perDay.agg(countDistinct(col("day")).as("n_days"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+      days.crossJoin(est).crossJoin(exact)
+        .select(col("n_days"), col("n_empty"),
+          col("est_distinct").as("est_users"), col("exact_users"))
+    }),
+
     // ---- Declared CSV source leg: explicit schema (inference would scan
     //      the whole listing — never at 100 TB), joined to parquet dims ----
     "q_csv_src" -> ((s, d) => {
@@ -251,6 +287,69 @@ object CompositeQueries {
          |JOIN nation n ON n.n_regionkey = r.r_regionkey
          |GROUP BY r.r_name, c.rate_name, c.multiplier
          |ORDER BY r.r_name""".stripMargin,
+
+    // Deterministic HLL twins: replay the 60-bit md5 hash, bucket/rho
+    // split (rho via length(bin(r)) — both engines render binary without
+    // leading zeros), register max, and the 2^55-scaled integer harmonic
+    // sum. The estimator numerator alpha·m²·2^55 is ONE Scala-computed
+    // double emitted verbatim into both plans, so the single division is
+    // the only float op and it runs on bit-identical operands.
+    "q_hll_det" ->
+      s"""WITH u AS (
+         |  SELECT l_returnflag,
+         |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+         |      AS u
+         |  FROM lineitem),
+         |h AS (
+         |  SELECT l_returnflag, u >> 54 AS bucket,
+         |    CASE WHEN (u & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+         |         ELSE 55 - length(bin(u & ((1::BIGINT << 54) - 1)))
+         |    END AS rho
+         |  FROM u),
+         |reg AS (SELECT l_returnflag, bucket, max(rho) AS max_rho
+         |        FROM h GROUP BY 1, 2),
+         |est AS (
+         |  SELECT l_returnflag, CAST(64 - count(*) AS BIGINT) AS n_empty,
+         |    sum(1::BIGINT << (55 - max_rho))
+         |      + (64 - count(*)) * (1::BIGINT << 55) AS s
+         |  FROM reg GROUP BY 1),
+         |ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+         |       FROM lineitem GROUP BY 1)
+         |SELECT e.l_returnflag, e.n_empty,
+         |  ${graft.operators.Sketches.hllNumerator(6)} / CAST(e.s AS DOUBLE)
+         |    AS est_parts,
+         |  CAST(ex.exact_parts AS BIGINT) AS exact_parts
+         |FROM est e JOIN ex USING (l_returnflag)
+         |ORDER BY e.l_returnflag""".stripMargin,
+
+    "q_hll_det_union" ->
+      s"""WITH u AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |      AS u
+         |  FROM events),
+         |h AS (
+         |  SELECT day, u >> 54 AS bucket,
+         |    CASE WHEN (u & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+         |         ELSE 55 - length(bin(u & ((1::BIGINT << 54) - 1)))
+         |    END AS rho
+         |  FROM u),
+         |perday AS (SELECT day, bucket, max(rho) AS max_rho
+         |           FROM h GROUP BY 1, 2),
+         |merged AS (SELECT bucket, max(max_rho) AS max_rho
+         |           FROM perday GROUP BY 1),
+         |est AS (
+         |  SELECT CAST(64 - count(*) AS BIGINT) AS n_empty,
+         |    sum(1::BIGINT << (55 - max_rho))
+         |      + (64 - count(*)) * (1::BIGINT << 55) AS s
+         |  FROM merged)
+         |SELECT
+         |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM perday) AS n_days,
+         |  e.n_empty,
+         |  ${graft.operators.Sketches.hllNumerator(6)} / CAST(e.s AS DOUBLE)
+         |    AS est_users,
+         |  (SELECT count(DISTINCT user_id) FROM events) AS exact_users
+         |FROM est e""".stripMargin,
 
     "q_json_src" ->
       s"""SELECT t.meta.tier AS tier, count(*) AS n_nations,

@@ -111,4 +111,105 @@ object Sketches {
       .groupBy(col("key"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
+
+  // ------------------------------------------------------------------
+  // HyperLogLog (Flajolet, Fusy, Gandouet & Meunier, "HyperLogLog: the
+  // analysis of a near-optimal cardinality estimation algorithm", AofA
+  // 2007) as a DataFrame-native mergeable sketch, fully deterministic
+  // and SQL-replicable — unlike Spark's built-in approx_count_distinct
+  // (HLL++ with engine-private hashing) or hll_sketch_agg (DataSketches
+  // binary blobs), this variant hash-matches an external oracle.
+  //
+  // Hash: u = 60-bit md5 prefix of the key. bucket = top b bits of u;
+  // rho = position of the first 1-bit in the remaining Q = 60-b bits
+  // (1-based; all-zero remainder -> Q+1). rho is computed via
+  // `length(bin(r))` — both Spark and DuckDB render binary without
+  // leading zeros, so Q - length(bin(r)) + 1 is the leading-zero count
+  // in both engines with zero floating point involved.
+  //
+  // The estimator's harmonic sum uses 2^(Q+1)-scaled INTEGER terms:
+  // shiftleft(1, Q+1-rho) ∈ [1, 2^Q], at most m occupied-bucket terms
+  // plus (m - occupied) empty-bucket terms of 2^(Q+1) — bounded by
+  // m·2^(Q+1) = 2^61 at b=6, inside int64. Integer sums are
+  // order-independent, so the estimate is bit-reproducible under any
+  // partitioning, and the final alpha·m²·2^(Q+1)/S is one double
+  // division from an exactly-agreed numerator and denominator.
+  //
+  // The small-range (linear counting) correction is intentionally NOT
+  // folded in: it needs ln(), whose last-ulp rounding is not guaranteed
+  // to agree across engines. The register frame and n_empty are exposed
+  // so a caller can apply any correction; the declared queries target
+  // cardinalities ≫ 2.5m where the raw estimator is the right one.
+  // ------------------------------------------------------------------
+
+  /** alpha_m bias-correction constant from the HLL paper. */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** The fully-folded estimator numerator alpha_m · m² · 2^(Q+1), as one
+    * Scala-computed double emitted verbatim into both the Spark plan and
+    * oracle SQL — a single agreed constant instead of trusting both
+    * engines to fold the product identically.
+    */
+  def hllNumerator(b: Int): Double = {
+    val m = 1 << b
+    hllAlpha(m) * m.toDouble * m.toDouble * math.pow(2.0, 61 - b)
+  }
+
+  /** Build the register frame: one row per (group, bucket) holding the
+    * max rho — at most m = 2^b rows per group regardless of input size,
+    * via a single partial-agg (map-side max) shuffle. Registers built
+    * over shards/days/streams merge with [[hllMerge]].
+    */
+  def hllRegisters(items: DataFrame, keyCol: Column,
+                   grpCols: Seq[(Column, String)],
+                   b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 16, s"b=$b out of [4, 16]")
+    val q = 60 - b
+    val u = conv(substring(md5(keyCol.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val r = u.bitwiseAND(lit((1L << q) - 1L))
+    val rho = when(r === 0L, lit(q + 1))
+      .otherwise(lit(q + 1) - length(bin(r))).cast("int")
+    items
+      .select(grpCols.map { case (c, n) => c.as(n) } :+
+        shiftright(u, q).as("bucket") :+ rho.as("rho"): _*)
+      .groupBy(grpCols.map(g => col(g._2)) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Merge register frames built with the SAME (b, key expression):
+    * union + re-max. Associative and commutative — the property that
+    * lets a 100 TB pipeline sketch each ingest partition independently
+    * and answer any-range distinct queries from register frames alone.
+    */
+  def hllMerge(grpColNames: Seq[String], sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "hllMerge needs at least one sketch")
+    sketches.reduce(_.unionByName(_))
+      .groupBy((grpColNames :+ "bucket").map(col): _*)
+      .agg(max(col("max_rho")).as("max_rho"))
+  }
+
+  /** Estimate distinct counts from a register frame: per group, the
+    * scaled integer harmonic sum (occupied terms + empty-bucket mass)
+    * feeds one double division. Emits n_empty alongside the estimate so
+    * consumers can see when they are in linear-counting range.
+    */
+  def hllEstimate(registers: DataFrame, grpColNames: Seq[String],
+                  b: Int = 6): DataFrame = {
+    val m = 1 << b
+    val q = 60 - b
+    // functions.shiftleft only accepts a literal bit count — the SQL
+    // form takes a column, identical to the oracle's `1 << (q+1 - rho)`
+    val sScaled = sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${q + 1} - max_rho)"))
+      .plus((lit(m.toLong) - count(lit(1))) * lit(1L << (q + 1)))
+    registers
+      .groupBy(grpColNames.map(col): _*)
+      .agg((lit(m.toLong) - count(lit(1))).as("n_empty"),
+        (lit(hllNumerator(b)) / sScaled.cast("double")).as("est_distinct"))
+  }
 }

@@ -467,4 +467,51 @@ class SketchSpec extends AnyFunSuite {
       .as[(Int, Long, Long)].collect().toSet
     assert(reparted == whole)
   }
+
+  test("det hll: bin() renders without leading zeros (the rho parity trick)") {
+    import graft.operators.Sketches
+    // the oracle computes rho as Q - length(bin(r)) + 1; that only matches
+    // Spark if bin() drops leading zeros in BOTH engines — pin Spark's side
+    val rows = Seq(1L, 5L, 1L << 40, (1L << 54) - 1).toDF("x")
+      .select(bin(col("x")).as("b")).as[String].collect()
+    assert(rows.toSeq == Seq("1", "101",
+      "1" + "0" * 40, "1" * 54))
+    // alpha constants from the HLL paper
+    assert(Sketches.hllAlpha(64) == 0.709)
+    assert(math.abs(Sketches.hllAlpha(256) - 0.7213 / (1.0 + 1.079 / 256)) == 0)
+  }
+
+  test("det hll: shard registers merge to the one-pass sketch, partition-independent") {
+    import graft.operators.Sketches
+    val ids = (1 to 3000).map(i => s"user$i").toDF("k")
+    val whole = Sketches.hllRegisters(ids, col("k"), Seq.empty)
+      .as[(Long, Int)].collect().toSet
+    val left = Sketches.hllRegisters(
+      ids.filter(length(col("k")) <= 7), col("k"), Seq.empty)
+    val right = Sketches.hllRegisters(
+      ids.filter(length(col("k")) > 7), col("k"), Seq.empty)
+    val merged = Sketches.hllMerge(Seq.empty, left, right)
+      .as[(Long, Int)].collect().toSet
+    assert(merged == whole, "merged shard registers must equal one-pass registers")
+    val reparted = Sketches.hllRegisters(ids.repartition(13), col("k"), Seq.empty)
+      .as[(Long, Int)].collect().toSet
+    assert(reparted == whole)
+  }
+
+  test("det hll: estimate within the m=64 error envelope, deterministic across partitionings") {
+    import graft.operators.Sketches
+    for (n <- Seq(500, 3000, 20000)) {
+      val ids = (1 to n).map(i => s"id-$i-x").toDF("k")
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(ids, col("k"), Seq.empty), Seq.empty)
+        .select(col("est_distinct")).as[Double].head()
+      // RSE at m=64 is 1.04/8 = 13%; allow 4 sigma for a fixed seedless hash
+      assert(math.abs(est - n) < 0.52 * n,
+        s"n=$n est=$est outside the HLL error envelope")
+      val est2 = Sketches.hllEstimate(
+        Sketches.hllRegisters(ids.repartition(11), col("k"), Seq.empty),
+        Seq.empty).select(col("est_distinct")).as[Double].head()
+      assert(est == est2, "estimate must be bit-identical under repartitioning")
+    }
+  }
 }
