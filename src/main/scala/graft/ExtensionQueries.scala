@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ShingleFunctions, TextFunctions}
-import graft.operators.{AsOfJoin, CorpusFilters, Dedup, RangeJoin, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, CorpusFilters, Dedup, Graph, RangeJoin, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.sources.Multimodal
 
 /** North-star extension operators (dedup, similarity search, text analysis,
@@ -801,6 +801,37 @@ object ExtensionQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // ---- Graph: weighted PageRank over event transitions -----------------
+    // Nodes are the 100 distinct props.k values; edges are consecutive-
+    // event transitions per user ordered by event_id (NOT ts — the fixture
+    // timestamps are nanosecond parquet, and Spark truncates to micros
+    // while DuckDB keeps nanos, so a ts ordering could tie-break
+    // differently across engines). Ranks are fixed-point integers: every
+    // iteration is exact int64 arithmetic, so 8 iterations hash-match the
+    // oracle's unrolled CTE chain bit for bit.
+    "q_pagerank" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val edges = Graph.transitionEdges(ev, col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long"), col("event_id"))
+      Graph.pageRank(edges, iterations = 8).orderBy("node")
+    }),
+
+    // ---- Graph: exact per-node triangle counts ---------------------------
+    // Graph = parts co-occurring in at least 2 orders (the min-support cut
+    // keeps the edge set ~constant as the corpus grows: 3.6k edges at
+    // sf0.01, 3.9k at sf0.1). Degree-ordered orientation bounds the wedge
+    // join against hub nodes — see Graph.triangleCounts.
+    "q_triangles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val co = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      Graph.triangleCounts(co).orderBy("node")
+    }),
+
     // ---- Text analysis: BM25 relevance against a fixed term set ----------
     "text_bm25" -> ((s, d) => {
       TextAnalysis.bm25(Tables.documents(s, d), "text", "doc_id",
@@ -1180,7 +1211,75 @@ object ExtensionQueries {
       |      p -> struct_extract(p, 's') <= struct_extract(p, 'e')) AS spans
       |  FROM sp)""".stripMargin
 
+  /** Unrolled PageRank oracle: one CTE per iteration, the same
+    * fixed-point integer arithmetic as [[Graph.pageRank]] (`//` in DuckDB
+    * == `DIV` in Spark on the all-positive operands here). Each
+    * iteration's rank is cast back to BIGINT because DuckDB widens
+    * integer SUM to HUGEINT — which the driver's pandas compare would
+    * render as float64.
+    */
+  private def pageRankOracle(iterations: Int): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node, CAST(150000000000 + (COALESCE(sum(
+         |      (r.rank // e.wout) * e.weight +
+         |      ((r.rank % e.wout) * e.weight) // e.wout), 0) * 17) // 20
+         |    AS BIGINT) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN ew e ON e.dst = n.node
+         |  LEFT JOIN r${i - 1} r ON r.node = e.src
+         |  GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS node
+       |  FROM events),
+       |tr AS (
+       |  SELECT node AS dst,
+       |    lag(node) OVER (PARTITION BY user_id ORDER BY event_id) AS src
+       |  FROM ev),
+       |ed AS (SELECT src, dst, count(*) AS weight
+       |       FROM tr WHERE src IS NOT NULL GROUP BY 1, 2),
+       |wo AS (SELECT src, CAST(sum(weight) AS BIGINT) AS wout
+       |       FROM ed GROUP BY 1),
+       |ew AS (SELECT e.src, e.dst, e.weight, w.wout
+       |       FROM ed e JOIN wo w USING (src)),
+       |nodes AS (SELECT DISTINCT src AS node FROM ed
+       |          UNION SELECT DISTINCT dst FROM ed),
+       |r0 AS (SELECT node, 1000000000000::BIGINT AS rank FROM nodes),
+       |$iterCtes
+       |SELECT node, rank FROM r$iterations ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_pagerank" -> pageRankOracle(8),
+
+    "q_triangles" ->
+      """WITH e AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS w
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2),
+        |und AS (SELECT a, b FROM e WHERE w >= 2),
+        |deg AS (SELECT v, count(*) AS deg FROM (
+        |          SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+        |        GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN d1.deg < d2.deg
+        |           OR (d1.deg = d2.deg AND und.a < und.b)
+        |         THEN und.a ELSE und.b END AS lo,
+        |         CASE WHEN d1.deg < d2.deg
+        |           OR (d1.deg = d2.deg AND und.a < und.b)
+        |         THEN und.b ELSE und.a END AS hi
+        |  FROM und JOIN deg d1 ON d1.v = und.a JOIN deg d2 ON d2.v = und.b),
+        |wx AS (
+        |  SELECT e1.lo AS u, e1.hi AS x, e2.hi AS y
+        |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+        |t AS (SELECT u, x, y FROM wx JOIN und c ON c.a = wx.x AND c.b = wx.y),
+        |n AS (SELECT unnest([u, x, y]) AS node FROM t)
+        |SELECT node, count(*) AS n_triangles FROM n GROUP BY 1
+        |ORDER BY node""".stripMargin,
+
     "text_cdc" ->
       (cdcChunkSql + "\n" +
        """SELECT doc_id, CAST(len(spans) AS INTEGER) AS n_chunks,

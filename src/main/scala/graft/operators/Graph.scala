@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over DataFrame edge lists — PageRank and triangle
+  * counting re-expressed as joins and aggregations so Catalyst plans,
+  * partitions and (for the rank iteration) AQE re-plans them like any
+  * other relational workload. No GraphX, no RDDs: the edge frame IS the
+  * graph, exactly how a 100 TB link table would live in parquet.
+  *
+  * Determinism: ranks are FIXED-POINT LONGS (scale 1e12) and every
+  * iteration is integer arithmetic — sums are order-independent under
+  * any partitioning, so the result is bit-reproducible and replayable
+  * in external SQL (no floating-point accumulation-order drift, the
+  * q_token_drift lesson applied to an iterative algorithm).
+  */
+object Graph {
+
+  /** Fixed-point scale: rank 1.0 == 1e12. At damping 0.85 and rank mass
+    * bounded by n·SCALE, every intermediate stays inside int64 for
+    * n ≤ ~500k nodes; larger graphs lower SCALE (the estimate is
+    * documented with the operator, not enforced row-by-row).
+    */
+  val Scale: Long = 1000000000000L
+
+  /** Directed transition edges from an ordered event log: within each
+    * `sessionCol` group, consecutive events (ordered by `orderCols`)
+    * yield one src→dst edge; the result aggregates to (src, dst, weight)
+    * with weight = transition count. One window shuffle on the session
+    * key + one edge aggregation — both partition cleanly at any scale.
+    */
+  def transitionEdges(events: DataFrame, sessionCol: Column,
+                      nodeCol: Column, orderCols: Column*): DataFrame = {
+    val projected = events.select(
+      sessionCol.as("__s") +: nodeCol.as("dst") +:
+        orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+    val w = Window.partitionBy(col("__s"))
+      .orderBy(orderCols.indices.map(i => col(s"__o$i")): _*)
+    projected
+      .withColumn("src", lag(col("dst"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** Weighted PageRank with damping 0.85 over (src, dst, weight) edges.
+    *
+    * Each iteration in fixed-point integers:
+    * {{{
+    *   share(e)  = (rank(src) div wout)·w + ((rank(src) mod wout)·w) div wout
+    *   rank'(v)  = 0.15·SCALE + (Σ_in share · 17) div 20
+    * }}}
+    * The share split is the overflow-safe factoring of
+    * floor(rank·w / wout): `rank·w` alone would overflow int64 on big
+    * graphs, while each factored term stays ≤ rank + wout·w. Dangling
+    * nodes (no out-edges) leak their mass — the classic simplified
+    * variant; ranking order is unaffected for the connected case and the
+    * leak is documented rather than patched with an extra global
+    * aggregate per iteration.
+    *
+    * Plan shape per iteration: one broadcast-or-shuffle hash join of the
+    * rank frame (n rows) to edges + one hash aggregation on dst — no
+    * driver-side loops over data, only over the ITERATION COUNT. For
+    * long chains pass `checkpointEvery` &gt; 0 (dedup_canonical's pattern)
+    * to cut lineage growth.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 8,
+               checkpointEvery: Int = 0): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations=$iterations out of [1, 100]")
+    val base = (Scale * 3L) / 20L // 0.15 in fixed point, exactly
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+    val wout = edges.groupBy(col("src"))
+      .agg(sum(col("weight")).as("wout"))
+    // rank(src) enters each iteration joined THROUGH wout so the share
+    // denominator rides along without a second join against the edges
+    val withOut = edges.join(wout, "src")
+    var ranks = nodes.withColumn("rank", lit(Scale))
+    for (i <- 1 to iterations) {
+      // DIV, not `/`: Spark's `/` on longs is double division — exact
+      // floor semantics and bit-parity with the oracle need integer DIV
+      val contrib = withOut
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          expr("(rank DIV wout) * weight + " +
+            "((rank % wout) * weight) DIV wout").as("share"))
+        .groupBy(col("dst"))
+        .agg(sum(col("share")).as("in_mass"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr("(coalesce(in_mass, CAST(0 AS BIGINT)) * 17) DIV 20"))
+            .as("rank"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Exact triangle counting per node over an UNDIRECTED simple graph
+    * given as (a, b) pairs with a &lt; b (one row per edge). Uses the
+    * degree-ordered orientation (Schank &amp; Wagner 2005, "Finding,
+    * counting and listing all triangles in large graphs"): each edge is
+    * directed from its lower-(degree, id) endpoint to the higher one, so
+    * every wedge is enumerated exactly once from its smallest-degree
+    * corner — the intermediate wedge count is Σ d_out(v)², bounded by
+    * O(E^1.5) instead of Σ d(v)² (which a hub node makes quadratic).
+    * That orientation is what keeps the self-join feasible when a 100 TB
+    * co-occurrence graph has power-law hubs.
+    *
+    * Output: (node, n_triangles) for every node in at least one
+    * triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+    val deg = und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient: lower (deg, id) -> higher (deg, id); total order, no ties
+    val oriented = und
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("lo"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("hi"))
+    // wedges from the low corner; close them against the undirected edge
+    // set — `und` already holds exactly one (a < b) row per edge
+    val e1 = oriented.select(col("lo").as("u"), col("hi").as("x"))
+    val e2 = oriented.select(col("lo").as("u"), col("hi").as("y"))
+    val wedges = e1.join(e2, "u").filter(col("x") < col("y"))
+    val closing = und.select(col("a").as("x"), col("b").as("y"))
+    val tris = wedges.join(closing, Seq("x", "y"))
+      .select(col("u"), col("x"), col("y"))
+    tris.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+}

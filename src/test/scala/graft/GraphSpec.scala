@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def edges(es: (Long, Long, Long)*) =
+    es.toDF("src", "dst", "weight")
+
+  test("pagerank: a uniform cycle is an exact fixed point of the integer iteration") {
+    // 3-cycle, weight 1: share == full rank, 0.15 + 0.85·1.0 == 1.0, and
+    // the fixed-point arithmetic hits it EXACTLY (1e12·17 divides by 20)
+    val r = Graph.pageRank(edges((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L)),
+      iterations = 8).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> Graph.Scale, 2L -> Graph.Scale, 3L -> Graph.Scale))
+  }
+
+  test("pagerank: bidirectional star concentrates rank on the hub") {
+    val leaves = (2L to 6L)
+    val es = leaves.flatMap(l => Seq((1L, l, 1L), (l, 1L, 1L)))
+    val r = Graph.pageRank(edges(es: _*), iterations = 12)
+      .as[(Long, Long)].collect().toMap
+    val hub = r(1L)
+    leaves.foreach(l => assert(hub > 2 * r(l),
+      s"hub rank $hub should dominate leaf ${r(l)}"))
+    // no dangling nodes: total mass conserved up to one floor per
+    // node-iteration (6 nodes · 12 iterations · 1 ulp each of the two DIVs)
+    val total = r.values.sum
+    assert(total <= 6 * Graph.Scale &&
+      total > 6 * Graph.Scale - 6L * 12 * 2 * 20)
+  }
+
+  test("pagerank: weights matter — the heavier edge's target outranks") {
+    // 1 -> 2 (w=9), 1 -> 3 (w=1), plus return edges so nothing dangles
+    val r = Graph.pageRank(
+      edges((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)),
+      iterations = 12).as[(Long, Long)].collect().toMap
+    assert(r(2L) > r(3L))
+    assert(r(1L) > r(2L)) // everything returns to 1
+  }
+
+  test("pagerank: bit-identical under repartitioning and checkpointed iteration") {
+    val es = (1L to 40L).map(i => (i, i % 7 + 1, i % 3 + 1))
+    val plain = Graph.pageRank(edges(es: _*), iterations = 6)
+      .as[(Long, Long)].collect().toSet
+    val reparted = Graph.pageRank(edges(es: _*).repartition(13), iterations = 6)
+      .as[(Long, Long)].collect().toSet
+    val checkpointed = Graph.pageRank(edges(es: _*), iterations = 6,
+      checkpointEvery = 2).as[(Long, Long)].collect().toSet
+    assert(plain == reparted)
+    assert(plain == checkpointed)
+  }
+
+  test("transitionEdges: consecutive events per session, weighted") {
+    val ev = Seq(
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 10L), (1L, 4L, 20L),
+      (2L, 1L, 10L), (2L, 2L, 20L)).toDF("user", "seq", "page")
+    val e = Graph.transitionEdges(ev, col("user"), col("page"), col("seq"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(e == Set((10L, 20L, 3L), (20L, 10L, 1L)))
+  }
+
+  test("triangles: K4 has four triangles, three per node; wedge-only nodes absent") {
+    // K4 on 1..4 plus a pendant edge 4-5 (5 closes nothing)
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val t = Graph.triangleCounts(und).as[(Long, Long)].collect().toMap
+    assert(t == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: partition-independent and orientation handles skewed hubs") {
+    // hub 0 connected to 1..30, ring among 1..30 => triangles (0, i, i+1)
+    val ring = (1L to 29L).map(i => (i, i + 1))
+    val hub = (1L to 30L).map(i => (0L, i))
+    val und = (ring ++ hub).toDF("a", "b")
+    val t = Graph.triangleCounts(und).as[(Long, Long)].collect().toMap
+    assert(t(0L) == 29L) // one per ring edge
+    assert(t(1L) == 1L && t(15L) == 2L)
+    val t2 = Graph.triangleCounts(und.repartition(17))
+      .as[(Long, Long)].collect().toMap
+    assert(t == t2)
+  }
+}
