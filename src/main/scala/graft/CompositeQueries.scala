@@ -160,6 +160,27 @@ object CompositeQueries {
         .orderBy("r_name")
     }),
 
+    // ---- Declared ORC source leg: written through Spark's ORC path from
+    //      deterministic rows, read back with explicit schema. DuckDB
+    //      cannot read ORC, so the oracle replays the same rows as a
+    //      VALUES table — the query is a round-trip check on the format --
+    "q_orc_src" -> ((s, d) => {
+      graft.sources.FixtureSources.ensureOrc(s)
+      val audit = s.read
+        .schema(StructType(Seq(
+          StructField("s_key", LongType),
+          StructField("audit_tier", StringType),
+          StructField("audit_score", DoubleType))))
+        .orc(graft.sources.FixtureSources.orcPath)
+      Tables.supplier(s, d)
+        .join(broadcast(audit), col("s_suppkey") % 50 === col("s_key"))
+        .groupBy(col("audit_tier"))
+        // scores are exact eighths — double sums are exact at any order
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("audit_score")).as("total_score"))
+        .orderBy("audit_tier")
+    }),
+
     // ---- Declared JSON source leg: newline-delimited, explicit NESTED
     //      schema (struct + array), joined to parquet dims ----------------
     "q_json_src" -> ((s, d) => {
@@ -350,6 +371,14 @@ object CompositeQueries {
          |    AS est_users,
          |  (SELECT count(DISTINCT user_id) FROM events) AS exact_users
          |FROM est e""".stripMargin,
+
+    "q_orc_src" ->
+      s"""WITH audit(s_key, audit_tier, audit_score) AS (VALUES
+         |  ${graft.sources.FixtureSources.orcValuesSql})
+         |SELECT audit_tier, count(*) AS n_suppliers,
+         |  sum(audit_score) AS total_score
+         |FROM supplier JOIN audit ON s_suppkey % 50 = s_key
+         |GROUP BY audit_tier ORDER BY audit_tier""".stripMargin,
 
     "q_json_src" ->
       s"""SELECT t.meta.tier AS tier, count(*) AS n_nations,

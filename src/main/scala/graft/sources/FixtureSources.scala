@@ -60,4 +60,42 @@ object FixtureSources {
     writeOnce(csvPath, csvContent)
     writeOnce(jsonPath, jsonContent)
   }
+
+  // ---- ORC leg ---------------------------------------------------------
+
+  val orcPath: String = Paths.get(dir, "supplier_audit_orc").toString
+
+  /** The ORC fixture rows: (s_key, audit_tier, audit_score). Scores are
+    * eighths — exact binary fractions, so double sums are exact and
+    * order-independent. The SAME rows are emitted into the oracle as a
+    * VALUES table (DuckDB cannot read ORC), which makes q_orc_src a
+    * write→read round-trip check on Spark's ORC path.
+    */
+  def orcRows: Seq[(Long, String, Double)] = {
+    val tiers = Array("low", "med", "high")
+    (0L until 50L).map(k => (k, tiers((k % 3).toInt), (k % 8) * 0.125))
+  }
+
+  /** SQL literal form of [[orcRows]] for the oracle. The score is cast
+    * per-row: DuckDB types a bare `0.125` literal as DECIMAL(4,3), which
+    * would make the summed column DECIMAL instead of Spark's DOUBLE.
+    */
+  def orcValuesSql: String =
+    orcRows.map { case (k, t, sc) =>
+      s"($k, '$t', CAST($sc AS DOUBLE))" }.mkString(", ")
+
+  /** Idempotent ORC materialization (needs a session — ORC is written
+    * through Spark, unlike the raw text fixtures). coalesce(1) keeps the
+    * fixture a single file; a marker checkpoints completion so re-runs
+    * skip the write.
+    */
+  def ensureOrc(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val marker = Paths.get(orcPath, "_graft_done")
+    if (Files.exists(marker)) return
+    import spark.implicits._
+    orcRows.toDF("s_key", "audit_tier", "audit_score")
+      .coalesce(1)
+      .write.mode("overwrite").orc(orcPath)
+    Files.write(marker, Array.emptyByteArray)
+  }
 }

@@ -121,4 +121,17 @@ class SinksSpec extends AnyFunSuite {
       targetBytes = 1L << 30)
     assert(b2 == after && a2 == after, "compact table must be left alone")
   }
+
+  test("ORC source leg round-trips exactly and materializes only once") {
+    import graft.sources.FixtureSources
+    FixtureSources.ensureOrc(spark)
+    val read = spark.read.orc(FixtureSources.orcPath)
+      .as[(Long, String, Double)].collect().toSet
+    assert(read == FixtureSources.orcRows.toSet,
+      "ORC write -> read must preserve every row bit-exactly")
+    val marker = java.nio.file.Paths.get(FixtureSources.orcPath, "_graft_done")
+    val t1 = java.nio.file.Files.getLastModifiedTime(marker)
+    FixtureSources.ensureOrc(spark) // second call: no rewrite
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == t1)
+  }
 }
