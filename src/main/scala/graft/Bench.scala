@@ -51,9 +51,19 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val errors = scala.collection.mutable.ListBuffer[String]()
+    // optional query-name args restrict the timed set (dev iteration on a
+    // hot query, same contract as Verify's subset mode); the driver's
+    // no-arg invocation times everything
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else {
+        val unknown = args.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      }
     // a failed query reports -1 and contributes nothing to the total, so
     // the headline number reflects successful executions only
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ListBuffer[Double]()
       var failed = false
       var i = 0

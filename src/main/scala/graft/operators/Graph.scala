@@ -71,14 +71,22 @@ object Graph {
     require(iterations >= 1 && iterations <= 100,
       s"iterations=$iterations out of [1, 100]")
     val base = (Scale * 3L) / 20L // 0.15 in fixed point, exactly
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node")))
+    // materialize the edge list ONCE: it is referenced by every
+    // iteration plus the node/out-weight derivations, and without the
+    // checkpoint Catalyst re-runs whatever produced it (e.g. the event-
+    // log window behind transitionEdges) once per reference — measured
+    // 8× the window cost at 8 iterations. The edge list is the graph
+    // itself, which any iterative algorithm must hold anyway.
+    val e = edges.localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
       .distinct()
-    val wout = edges.groupBy(col("src"))
+      .localCheckpoint(true)
+    val wout = e.groupBy(col("src"))
       .agg(sum(col("weight")).as("wout"))
     // rank(src) enters each iteration joined THROUGH wout so the share
     // denominator rides along without a second join against the edges
-    val withOut = edges.join(wout, "src")
+    val withOut = e.join(wout, "src").localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(Scale))
     for (i <- 1 to iterations) {
       // DIV, not `/`: Spark's `/` on longs is double division — exact
@@ -117,7 +125,10 @@ object Graph {
     * triangle.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("a"), col("b"))
+    // und feeds three consumers (degrees, orientation, closing edges) —
+    // checkpoint or the upstream edge derivation (e.g. a co-occurrence
+    // self-join) runs three times. Bounded: it IS the edge list.
+    val und = edges.select(col("a"), col("b")).localCheckpoint(true)
     val deg = und.select(col("a").as("v"))
       .unionByName(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
