@@ -832,6 +832,23 @@ object ExtensionQueries {
       Graph.triangleCounts(co).orderBy("node")
     }),
 
+    // ---- Graph: k-core of the co-occurrence graph ------------------------
+    // k=2 over the same min-support graph as q_triangles (the core is
+    // non-empty at sf0.001/0.01/0.1 — higher k empties out at sf0.1,
+    // where more orders dilute pairwise co-occurrence counts); 8 peel
+    // rounds reach the fixpoint on this graph (GraphSpec asserts
+    // idempotence of a further round at the declared config).
+    "q_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val co = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      Graph.kCore(co, k = 2, rounds = 8).orderBy("node")
+    }),
+
     // ---- Text analysis: BM25 relevance against a fixed term set ----------
     "text_bm25" -> ((s, d) => {
       TextAnalysis.bm25(Tables.documents(s, d), "text", "doc_id",
@@ -1251,8 +1268,38 @@ object ExtensionQueries {
        |SELECT node, rank FROM r$iterations ORDER BY node""".stripMargin
   }
 
+  /** Unrolled k-core peel oracle over the min-support co-occurrence
+    * graph: one (degree, keep, filter) CTE triple per round. The
+    * per-round CTEs are MATERIALIZED — DuckDB inlines plain CTEs, and
+    * each round references the previous one four times, so the default
+    * expansion is 4^rounds copies of the base scan (observed as a
+    * too-many-open-files explosion at rounds=8).
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
+         |        SELECT a AS v FROM und${i - 1}
+         |        UNION ALL SELECT b FROM und${i - 1}) GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT v FROM d$i WHERE deg >= $k),
+         |und$i AS MATERIALIZED (SELECT a, b FROM und${i - 1}
+         |          WHERE a IN (SELECT v FROM k$i)
+         |            AND b IN (SELECT v FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS w
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2),
+       |und0 AS MATERIALIZED (SELECT a, b FROM e WHERE w >= 2),
+       |$roundCtes
+       |SELECT v AS node, count(*) AS degree FROM (
+       |  SELECT a AS v FROM und$rounds UNION ALL SELECT b FROM und$rounds)
+       |GROUP BY 1 HAVING count(*) >= $k ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle(8),
+    "q_kcore" -> kCoreOracle(2, 8),
 
     "q_triangles" ->
       """WITH e AS (

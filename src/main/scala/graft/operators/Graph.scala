@@ -155,4 +155,43 @@ object Graph {
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** k-core decomposition by iterative peeling: repeatedly remove nodes
+    * of degree &lt; k (with their edges) until no such node remains; the
+    * surviving subgraph is the k-core. Classic corpus-graph curation
+    * primitive — e.g. keep only documents embedded in a dense
+    * similarity neighborhood, or users with sustained interaction.
+    *
+    * Each round is one degree aggregation + one semi-join on each edge
+    * endpoint — all equi-joins on the node key, hash-partitionable at
+    * any scale; the edge frame shrinks monotonically so later rounds
+    * get cheaper. `rounds` bounds the iteration for plan determinism
+    * (the fixpoint is typically reached in a handful of rounds; pass
+    * the diameter-scaled value for adversarial chains — a path graph
+    * peels one node per round at k=2). All arithmetic is integer.
+    *
+    * Input: undirected (a &lt; b) edge rows. Output: (node, degree) of
+    * the k-core members with their WITHIN-CORE degree.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of [1, 64]")
+    var und = edges.select(col("a"), col("b")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = und.select(col("a").as("v"))
+        .unionByName(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("v"))
+      und = und
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+    }
+    und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= k)
+      .select(col("v").as("node"), col("degree"))
+  }
 }

@@ -85,4 +85,42 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(t == t2)
   }
+
+  test("kcore: K5 with pendant chain peels down to exactly the K5 at k=4") {
+    // K5 on 1..5 (each degree 4), chain 5-6-7 hangs off it
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val und = (k5 ++ Seq((5L, 6L), (6L, 7L))).toDF("a", "b")
+    val core = Graph.kCore(und, k = 4).as[(Long, Long)].collect().toMap
+    assert(core == (1L to 5L).map(_ -> 4L).toMap)
+    // k=5: nothing survives
+    assert(Graph.kCore(und, k = 5).isEmpty)
+  }
+
+  test("kcore: cascade — removing one node drops neighbors below k transitively") {
+    // a 4-cycle (degree 2 each) + a tail: at k=2 the tail peels away
+    // round by round, the cycle survives
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val core = Graph.kCore(und, k = 2, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("kcore: declared-config fixpoint — one more round changes nothing") {
+    val sfDir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val co = li.alias("x").join(li.alias("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val r8 = Graph.kCore(co, k = 2, rounds = 8)
+      .as[(Long, Long)].collect().toSet
+    val r9 = Graph.kCore(co, k = 2, rounds = 9)
+      .as[(Long, Long)].collect().toSet
+    assert(r8.nonEmpty, "declared-config core must not be empty")
+    assert(r8 == r9, "8 rounds must reach the fixpoint at the declared config")
+  }
 }
