@@ -568,6 +568,37 @@ object ExtensionQueries {
         .orderBy("source")
     }),
 
+    // ---- Sampling: deterministic quality-weighted (importance) sampling --
+    // keepProb = (min(n_tokens, 128)/128)² — every factor is a dyadic
+    // rational, so the probability and its 10^6-scaled floor are exact in
+    // both engines; squaring is the T=2 temperature sharpening, done with
+    // a multiply instead of libm pow (engine-private rounding).
+    "q_importance_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      val q = least(col("n_tokens"), lit(128)).cast("double") / lit(128.0)
+      val kept = Sampling.importanceSample(docs, col("text"), q * q)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tok_kept"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
+        .orderBy("source")
+    }),
+
+    // ---- Time series: per-user EWMA of purchase values -------------------
+    // alpha = 0.25 (dyadic); the fold order is pinned by event_id, so the
+    // double recurrence replays bit-exactly in DuckDB's list_reduce.
+    "q_ewma" -> ((s, d) => {
+      graft.operators.Resample.ewma(
+          Tables.events(s, d).filter(col("event_type") === "purchase"),
+          col("user_id"), col("event_id"), col("value"), alpha = 0.25)
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id")
+    }),
+
     // ---- Text analysis: winnowed fingerprints (Schleimer et al. 2003) ----
     "text_winnow" -> ((s, d) => {
       TextAnalysis.winnowedFingerprints(Tables.documents(s, d), "text", "doc_id")
@@ -1300,6 +1331,36 @@ object ExtensionQueries {
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle(8),
     "q_kcore" -> kCoreOracle(2, 8),
+
+    "q_importance_sample" ->
+      """WITH t AS (
+        |  SELECT source, text, len(string_split(text, ' ')) AS nt,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000 AS b
+        |  FROM documents),
+        |p AS (SELECT source, nt, b,
+        |        CAST(least(nt, 128) AS DOUBLE) / 128.0 AS q
+        |      FROM t),
+        |k AS (SELECT source, count(*) AS n_kept,
+        |        CAST(sum(nt) AS BIGINT) AS tok_kept
+        |      FROM p WHERE b < floor(q * q * 1000000.0) GROUP BY 1),
+        |a AS (SELECT source, count(*) AS n_docs FROM t GROUP BY 1)
+        |SELECT a.source, a.n_docs,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  COALESCE(k.tok_kept, 0) AS tok_kept
+        |FROM a LEFT JOIN k USING (source) ORDER BY a.source""".stripMargin,
+
+    "q_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id AS o, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT user_id, count(*) AS n_obs,
+        |        list_sort(list({'o': o, 'v': v})) AS arr
+        |      FROM e GROUP BY 1)
+        |SELECT user_id, n_obs,
+        |  list_reduce(arr, (a, b) -> {'o': b.o,
+        |    'v': CAST(0.75 AS DOUBLE) * a.v + CAST(0.25 AS DOUBLE) * b.v}).v
+        |    AS ewma
+        |FROM g ORDER BY user_id""".stripMargin,
 
     "q_triangles" ->
       """WITH e AS (

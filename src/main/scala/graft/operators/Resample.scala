@@ -54,4 +54,44 @@ object Resample {
       .withColumn("is_observed", col("obs_v").isNotNull.cast("int"))
       .select(col("k"), col("g").as("grid_ts"), col("value"), col("is_observed"))
   }
+
+  /** Per-key exponential moving average, deterministic under any
+    * partitioning: the series is collected, sorted by `orderCol` and
+    * folded LEFT-TO-RIGHT with `ewma := (1−α)·ewma + α·x` (seeded with
+    * the first observation) — the a3_fold/assemblePacks trick applied to
+    * a float recurrence. Because the fold order is fixed, the double
+    * arithmetic is bit-reproducible across engines; pass an EXACT BINARY
+    * `alpha` (0.25, 0.5, 0.125…) so the two multipliers are themselves
+    * exact.
+    *
+    * Group state is one series per key — bounded when keys are entities
+    * with bounded history (users, sensors, days); for unbounded series
+    * chunk by (key, period) first, then chain the per-period EWMAs: the
+    * recurrence telescopes, so period k's output seeds period k+1.
+    *
+    * Output: (key, n_obs, ewma).
+    */
+  def ewma(df: DataFrame, keyCol: Column, orderCol: Column,
+           valueCol: Column, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha out of (0, 1]")
+    // the literals must survive Scala->SQL->Catalyst round-tripping
+    // exactly: render with full precision, require dyadic input
+    require(alpha * 1048576 == math.rint(alpha * 1048576),
+      s"alpha=$alpha is not an exact binary fraction (k/2^20) — " +
+        "cross-engine bit parity needs dyadic multipliers")
+    val a = alpha.toString
+    val om = (1.0 - alpha).toString // exact: both operands dyadic
+    df.select(keyCol.as("key"),
+        struct(orderCol.as("o"), valueCol.cast("double").as("v")).as("e"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_obs"),
+        array_sort(collect_list(col("e"))).as("arr"))
+      .select(col("key"), col("n_obs"),
+        expr(s"""aggregate(arr,
+          named_struct('started', false, 'acc', CAST(0.0 AS DOUBLE)),
+          (s, x) -> named_struct('started', true,
+            'acc', IF(s.started,
+              CAST($om AS DOUBLE) * s.acc + CAST($a AS DOUBLE) * x.v,
+              x.v))).acc""").as("ewma"))
+  }
 }

@@ -144,6 +144,26 @@ object Sampling {
     * 100 TB corpus is a single-partition sort; shard first (source, date,
     * path prefix), pack within shards in parallel.
     */
+  /** Deterministic importance (quality-weighted) downsampling: keep each
+    * row with probability `keepProb`, decided by the row's own content
+    * hash — a pure map-side filter, zero shuffle at any corpus size, and
+    * a pure function of (content, keepProb): re-runs, engine versions and
+    * partitionings all keep the same rows, so a curated corpus is exactly
+    * reproducible. The temperature-sampling primitive of training-data
+    * pipelines (keep high-quality documents with higher probability)
+    * without an RNG anywhere.
+    *
+    * Cross-engine exactness: the keep test is
+    * `md5bucket(content) < floor(keepProb · 10^6)` — for parity with an
+    * external oracle build `keepProb` from EXACT BINARY arithmetic
+    * (dyadic rationals, squares, sqrt), never libm pow/exp/ln whose
+    * last-ulp rounding is engine-private.
+    */
+  def importanceSample(df: DataFrame, contentCol: Column,
+                       keepProb: Column): DataFrame =
+    df.filter(md5Bucket(contentCol, 1000000) <
+      floor(keepProb * lit(1000000.0)).cast("long"))
+
   def packSequences(df: DataFrame, strataCol: Column, orderCol: Column,
                     tokenCol: Column, budget: Long): DataFrame = {
     require(budget >= 1L, s"budget=$budget must be >= 1")

@@ -280,4 +280,42 @@ class TextSamplingSpec extends AnyFunSuite {
     assert(winExecs.forall(_.partitionSpec.nonEmpty),
       "no WindowExec may run with an empty partition spec")
   }
+
+  test("importanceSample: deterministic, monotone in keepProb, rate tracks prob") {
+    val docs = (1 to 4000).map(i => s"document body number $i").toDF("text")
+    def kept(p: Double) = Sampling.importanceSample(docs, col("text"), lit(p))
+      .as[String].collect().toSet
+    val half = kept(0.5)
+    assert(kept(0.5) == half, "same prob must keep the same rows")
+    assert(kept(0.25).subsetOf(half),
+      "raising keepProb must only ADD rows (monotone bucket threshold)")
+    assert(math.abs(half.size - 2000) < 200,
+      s"keep rate ${half.size}/4000 should track prob 0.5")
+    assert(kept(1.0).size == 4000 && kept(0.0).isEmpty)
+    // partition-independent
+    val reparted = Sampling
+      .importanceSample(docs.repartition(13), col("text"), lit(0.5))
+      .as[String].collect().toSet
+    assert(reparted == half)
+  }
+
+  test("ewma: seeded with first obs, fixed fold order, partition-invariant") {
+    import graft.operators.Resample
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 8.0),
+      (2L, 1L, 4.0)).toDF("k", "o", "v")
+    val out = Resample.ewma(df, col("k"), col("o"), col("v"), alpha = 0.25)
+      .as[(Long, Long, Double)].collect()
+      .map { case (k, n, e) => k -> ((n, e)) }.toMap
+    // key 1: 10 -> 0.75*10+0.25*20 = 12.5 -> 0.75*12.5+0.25*8 = 11.375
+    assert(out(1L) == ((3L, 11.375)))
+    assert(out(2L) == ((1L, 4.0)))
+    val reparted = Resample.ewma(df.repartition(7), col("k"), col("o"),
+      col("v"), alpha = 0.25).as[(Long, Long, Double)].collect()
+      .map { case (k, n, e) => k -> ((n, e)) }.toMap
+    assert(reparted == out)
+    // non-dyadic alpha is refused: cross-engine parity cannot hold
+    intercept[IllegalArgumentException] {
+      Resample.ewma(df, col("k"), col("o"), col("v"), alpha = 0.3)
+    }
+  }
 }
