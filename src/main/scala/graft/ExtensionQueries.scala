@@ -588,6 +588,21 @@ object ExtensionQueries {
         .orderBy("source")
     }),
 
+    // ---- Data quality: integer-exact z-score outliers --------------------
+    // |x − mean| > 2σ rearranged to (n·x − S)² > 4(n·Q − S²) over cent-
+    // scaled integers: no division, no sqrt, no float accumulation — the
+    // outlier set hash-matches DuckDB exactly (HUGEINT on its side,
+    // DECIMAL(38,0) on Spark's).
+    "q_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("v100", round(col("value") * 100).cast("long"))
+      graft.operators.Stats.zScoreOutliers(ev, col("event_type"),
+          col("v100"), k = 2)
+        .select(col("g").as("event_type"), col("n"), col("n_outliers"),
+          col("min_outlier"), col("max_outlier"))
+        .orderBy("event_type")
+    }),
+
     // ---- Time series: per-user EWMA of purchase values -------------------
     // alpha = 0.25 (dyadic); the fold order is pinned by event_id, so the
     // double recurrence replays bit-exactly in DuckDB's list_reduce.
@@ -1348,6 +1363,27 @@ object ExtensionQueries {
         |  COALESCE(k.n_kept, 0) AS n_kept,
         |  COALESCE(k.tok_kept, 0) AS tok_kept
         |FROM a LEFT JOIN k USING (source) ORDER BY a.source""".stripMargin,
+
+    "q_outliers" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |        CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS q
+        |      FROM t GROUP BY 1),
+        |f AS (
+        |  SELECT t.event_type, m.n, t.v,
+        |    (CAST(m.n AS HUGEINT) * t.v - m.s)
+        |      * (CAST(m.n AS HUGEINT) * t.v - m.s)
+        |      > 4 * (CAST(m.n AS HUGEINT) * m.q
+        |             - CAST(m.s AS HUGEINT) * m.s) AS is_out
+        |  FROM t JOIN m USING (event_type))
+        |SELECT event_type, n,
+        |  CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  min(CASE WHEN is_out THEN v END) AS min_outlier,
+        |  max(CASE WHEN is_out THEN v END) AS max_outlier
+        |FROM f GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "q_ewma" ->
       """WITH e AS (
