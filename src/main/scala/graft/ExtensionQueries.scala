@@ -588,6 +588,17 @@ object ExtensionQueries {
         .orderBy("source")
     }),
 
+    // ---- Dedup: EXACT Jaccard pairs via prefix filtering (AllPairs) ------
+    // threshold 1/2 as a rational so prefix lengths and the verification
+    // predicate are pure integer arithmetic; the spec proves the prefix
+    // candidates lose nothing vs brute force.
+    "dedup_ppjoin" -> ((s, d) => {
+      Dedup.prefixJaccardPairs(Tables.documents(s, d), "doc_id",
+          TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3),
+          p = 1, q = 2)
+        .orderBy("id_1", "id_2")
+    }),
+
     // ---- Data quality: integer-exact z-score outliers --------------------
     // |x − mean| > 2σ rearranged to (n·x − S)² > 4(n·Q − S²) over cent-
     // scaled integers: no division, no sqrt, no float accumulation — the
@@ -1363,6 +1374,39 @@ object ExtensionQueries {
         |  COALESCE(k.n_kept, 0) AS n_kept,
         |  COALESCE(k.tok_kept, 0) AS tok_kept
         |FROM a LEFT JOIN k USING (source) ORDER BY a.source""".stripMargin,
+
+    "dedup_ppjoin" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t0 AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS t
+        |  FROM toks WHERE len(w) >= 3),
+        |dfq AS (SELECT t, count(*) AS dfq FROM t0 GROUP BY 1),
+        |kept AS (SELECT id, t0.t, dfq FROM t0 JOIN dfq USING (t)
+        |         WHERE dfq <= 10000),
+        |ranked AS (
+        |  SELECT id, t,
+        |    row_number() OVER (PARTITION BY id ORDER BY dfq, t) AS pos,
+        |    count(*) OVER (PARTITION BY id) AS n
+        |  FROM kept),
+        |prefix AS (SELECT id, t, n FROM ranked
+        |           WHERE pos <= n - ((n * 1 + 2 - 1) // 2) + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_1, b.id AS id_2, a.n AS n_1, b.n AS n_2
+        |  FROM prefix a JOIN prefix b ON a.t = b.t AND a.id < b.id
+        |  WHERE 2 * least(a.n, b.n) >= 1 * greatest(a.n, b.n)),
+        |inter AS (
+        |  SELECT c.id_1, c.id_2, c.n_1, c.n_2, count(*) AS n_shared
+        |  FROM cand c
+        |  JOIN kept x ON x.id = c.id_1
+        |  JOIN kept y ON y.id = c.id_2 AND y.t = x.t
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_1, id_2, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(n_shared AS DOUBLE) / (n_1 + n_2 - n_shared) AS jaccard
+        |FROM inter WHERE 2 * n_shared >= 1 * (n_1 + n_2 - n_shared)
+        |ORDER BY id_1, id_2""".stripMargin,
 
     "q_outliers" ->
       """WITH t AS (

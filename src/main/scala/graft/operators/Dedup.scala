@@ -384,6 +384,74 @@ object Dedup {
     * are defined over the SAME df-cut shingle sets, so the coefficient is
     * self-consistent.
     */
+  /** EXACT Jaccard similarity join via prefix filtering (Bayardo,
+    * Ma &amp; Srikant, "Scaling up all pairs similarity search", WWW 2007;
+    * the PPJoin family of Xiao et al.): order each document's distinct
+    * tokens by GLOBAL rarity (ascending document frequency, token text
+    * as tie-break), and observe that two sets with
+    * Jaccard ≥ t = p/q must share a token within their first
+    * `n − ceil(t·n) + 1` tokens — so candidate pairs come from an
+    * equi-join on PREFIX tokens only, and rare-first ordering makes
+    * those prefixes the least-shared tokens in the corpus. Exact
+    * verification (`q·|A∩B| ≥ p·(|A|+|B|−|A∩B|)`, all integers) runs
+    * only on candidates.
+    *
+    * vs the neighbors: [[minHashNearDups]] is approximate on the same
+    * predicate; [[containmentPairs]] is the asymmetric overlap
+    * coefficient; [[TextAnalysis.tfCosinePairs]] is weighted cosine.
+    * This one is exact-Jaccard with the candidate count provably
+    * complete — the spec pins it against brute force.
+    *
+    * The threshold is a RATIONAL p/q so prefix lengths and the verify
+    * predicate are integer-exact in both engines. Scale shape: the
+    * prefix explode is a per-doc O(n·(1−t)) slice of the token stream;
+    * candidates join on single tokens (hash-partitionable); the size
+    * filter `q·min ≥ p·max` prunes before verification.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, tokens: Column,
+                         p: Int, q: Int,
+                         maxDocFreq: Long = 10000L): DataFrame = {
+    require(p >= 1 && q >= p, s"threshold $p/$q must be in (0, 1]")
+    val tf = df.select(col(idCol).as("id"),
+        explode(array_distinct(tokens)).as("t"))
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("dfq"))
+    // boilerplate cut like every overlap join here: drop ubiquitous
+    // tokens before anything quadratic-ish happens
+    val kept = tf.join(broadcast(
+      dfreq.filter(col("dfq") > maxDocFreq).select(col("t"))),
+      Seq("t"), "left_anti")
+    val sized = kept.join(dfreq, Seq("t"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("dfq"), col("t"))
+    val wSize = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+    val ranked = sized
+      .withColumn("pos", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wSize))
+      .localCheckpoint(true)
+    val prefix = ranked.filter(
+      col("pos") <= col("n") - expr(s"(n * $p + $q - 1) DIV $q") + 1)
+    val cand = prefix.alias("a").join(prefix.alias("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
+        col("a.n").as("n_1"), col("b.n").as("n_2"))
+      .filter(lit(q.toLong) * least(col("n_1"), col("n_2")) >=
+        lit(p.toLong) * greatest(col("n_1"), col("n_2")))
+      .distinct()
+    val inter = cand
+      .join(kept.select(col("id").as("id_1"), col("t")), Seq("id_1"))
+      .join(kept.select(col("id").as("id_2"), col("t")), Seq("id_2", "t"))
+      .groupBy(col("id_1"), col("id_2"), col("n_1"), col("n_2"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .filter(lit(q.toLong) * col("n_shared") >=
+        lit(p.toLong) * (col("n_1") + col("n_2") - col("n_shared")))
+      .select(col("id_1"), col("id_2"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n_1") + col("n_2") - col("n_shared"))).as("jaccard"))
+  }
+
   def containmentPairs(df: DataFrame, idCol: String, shingles: Column,
                        threshold: Double, maxDocFreq: Long = 10000L): DataFrame = {
     val pairs = df.select(col(idCol).as("id"), explode(shingles).as("t"))

@@ -434,4 +434,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val selfMap = out.filter(t => canonSet.contains(t._1)).map(t => t._1 -> t._2).toMap
     canonSet.foreach(c => assert(selfMap(c) == c, s"canonical $c must map to itself"))
   }
+
+  test("prefixJaccardPairs equals brute-force exact Jaccard (prefix filter is complete)") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val sh = TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3)
+    val got = Dedup.prefixJaccardPairs(docs, "doc_id", sh, p = 1, q = 2)
+      .select("id_1", "id_2", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force: all-pairs exact Jaccard over the same distinct shingles
+    val tf = docs.select(col("doc_id").as("id"),
+      explode(array_distinct(sh)).as("t"))
+    val sizes = tf.groupBy("id").agg(count(lit(1)).as("n"))
+    val brute = tf.alias("a").join(tf.alias("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_1"), col("b.id").as("id_2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_1"), col("n").as("n1")), "id_1")
+      .join(sizes.select(col("id").as("id_2"), col("n").as("n2")), "id_2")
+      .filter(lit(2L) * col("inter") >= col("n1") + col("n2") - col("inter"))
+      .select("id_1", "id_2", "inter")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute,
+      s"prefix filter must lose nothing: got ${got.size} vs brute ${brute.size}")
+    assert(got.nonEmpty, "fixture must contain exact near-dups at t=1/2")
+  }
+
+  test("prefixJaccardPairs: handcrafted sets at the threshold boundary") {
+    val df = Seq(
+      (1L, "a b c d"),   // {abc…}: tokens a b c d -> 2 3-shingles
+      (2L, "a b c d"),   // exact dup of 1 -> J = 1
+      (3L, "a b c e"),   // shares 1 of 3 distinct shingles with 1? compute
+      (4L, "x y z w")    // disjoint
+    ).toDF("doc_id", "text")
+    val sh = TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3)
+    val out = Dedup.prefixJaccardPairs(df, "doc_id", sh, p = 1, q = 2)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    // doc1/doc2 identical -> pair; doc3 shares shingle "a b c" with both
+    // (J = 1/3 < 1/2 -> excluded); doc4 disjoint
+    assert(out == Set((1L, 2L)))
+    // lower threshold 1/4 admits the 1-3 and 2-3 pairs
+    val loose = Dedup.prefixJaccardPairs(df, "doc_id", sh, p = 1, q = 4)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(loose == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }

@@ -25,6 +25,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("det hll registers build as a streaming aggregation, equal to batch") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // same property as the CMS: the register frame (groupBy bucket ->
+    // max rho) is bounded by m rows forever, so Complete mode never
+    // grows state; a day's stream yields the same registers as the batch
+    val stream = Streams.eventsStream(spark, TestSpark.sf, maxFilesPerTrigger = 1)
+    val got = Streams.runAvailableNow(spark,
+        Sketches.hllRegisters(stream, col("user_id"), Seq.empty),
+        "hll_stream", "complete")
+      .as[(Long, Int)].collect().toSet
+    val batch = Sketches.hllRegisters(
+        Tables.events(spark, TestSpark.sf), col("user_id"), Seq.empty)
+      .as[(Long, Int)].collect().toSet
+    assert(got == batch, "streaming registers must equal batch registers")
+    assert(got.nonEmpty)
+  }
+
   test("AvailableNow streaming tumbling agg equals the batch computation") {
     val stream = Streams.eventsStream(spark, TestSpark.sf)
     // complete mode so the memory sink holds final per-window rows even
