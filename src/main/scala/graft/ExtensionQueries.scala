@@ -614,6 +614,27 @@ object ExtensionQueries {
         .orderBy("event_type")
     }),
 
+    // ---- Warehouse: SCD Type-2 intervals from a change log ---------------
+    // price-tier versions per user: no-op updates (same tier as previous
+    // purchase) create no version; validity runs to the next CHANGE. All
+    // integer columns (ns timestamps, DIV-bucketed tiers) — hash-exact.
+    "q_scd2" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .withColumn("tier",
+          expr("CAST(round(value * 100) AS BIGINT) DIV 5000"))
+      graft.operators.Pipeline
+        .scd2Intervals(ev, col("user_id"), col("ts_ns"), col("tier"))
+        // interval bounds leave as MICROS: Spark holds raw parquet nanos
+        // while DuckDB's TIMESTAMP is micro-truncated — ordering is still
+        // ns-exact on the Spark side, and (user, micro) is unique here
+        .select(col("key").as("user_id"),
+          expr("valid_from DIV 1000").as("valid_from_us"),
+          expr("valid_to DIV 1000").as("valid_to_us"),
+          col("value").as("tier"), col("is_current"))
+        .orderBy("user_id", "valid_from_us")
+    }),
+
     // ---- Time series: per-user EWMA of purchase values -------------------
     // alpha = 0.25 (dyadic); the fold order is pinned by event_id, so the
     // double recurrence replays bit-exactly in DuckDB's list_reduce.
@@ -1428,6 +1449,27 @@ object ExtensionQueries {
         |  min(CASE WHEN is_out THEN v END) AS min_outlier,
         |  max(CASE WHEN is_out THEN v END) AS max_outlier
         |FROM f GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS o,
+        |    CAST(round(value * 100) AS BIGINT) // 5000 AS tier
+        |  FROM events WHERE event_type = 'purchase'),
+        |ch AS (
+        |  SELECT user_id, o, tier,
+        |    lag(tier) OVER (PARTITION BY user_id ORDER BY o) AS prev_t,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY o) AS rn
+        |  FROM e),
+        |v AS (
+        |  SELECT user_id, o, tier FROM ch
+        |  WHERE rn = 1 OR tier IS DISTINCT FROM prev_t)
+        |SELECT user_id, o // 1000 AS valid_from_us,
+        |  lead(o) OVER (PARTITION BY user_id ORDER BY o) // 1000
+        |    AS valid_to_us,
+        |  tier,
+        |  CAST(lead(o) OVER (PARTITION BY user_id ORDER BY o) IS NULL
+        |    AS INTEGER) AS is_current
+        |FROM v ORDER BY user_id, valid_from_us""".stripMargin,
 
     "q_ewma" ->
       """WITH e AS (

@@ -170,4 +170,33 @@ object Pipeline {
       .unionByName(
         right.exceptAll(left).agg(count(lit(1)).as("n_rows"))
           .select(lit("only_right").as("side"), col("n_rows")))
+
+  /** SCD Type-2 interval build from a change log: per key, ordered by an
+    * integral `orderCol` (e.g. epoch nanos — never a float timestamp),
+    * (1) compress away rows whose `valueCol` equals the previous row's
+    * (no-op updates create no version), then (2) derive each surviving
+    * version's validity as `[order, next_change_order)` with NULL
+    * `valid_to` on the current version. The dimension-versioning
+    * primitive every warehouse ingest reimplements, as two partitioned
+    * windows — both keyed on the dimension key, so a 100 TB change log
+    * shuffles once and sorts within key groups only.
+    *
+    * Output: (key, valid_from, valid_to, value, is_current).
+    */
+  def scd2Intervals(df: DataFrame, keyCol: Column, orderCol: Column,
+                    valueCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("o"))
+    df.select(keyCol.as("key"), orderCol.as("o"), valueCol.as("v"))
+      .withColumn("prev_v", lag(col("v"), 1).over(w))
+      // `lag` of a literal marks row existence: a NULL `prev_v` alone can't
+      // distinguish "first row of the key" from "previous value was NULL",
+      // and a null->null no-op update must NOT open a new version
+      .withColumn("has_prev", lag(lit(true), 1).over(w))
+      .filter(col("has_prev").isNull || !(col("v") <=> col("prev_v")))
+      .withColumn("valid_to", lead(col("o"), 1).over(w))
+      .select(col("key"), col("o").as("valid_from"), col("valid_to"),
+        col("v").as("value"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+  }
 }

@@ -85,4 +85,33 @@ class PipelineSpec extends AnyFunSuite {
       .select(col("s"), concat_ws(",", Pipeline.splitPacked(col("s"))).as("rt"))
     assert(df.filter(col("s") =!= col("rt")).count() == 0)
   }
+
+  test("SCD2 compresses no-op updates and chains validity intervals") {
+    // key A: v changes 1 -> 1 (no-op) -> 2 -> null -> null (no-op) -> 2
+    val log = Seq(
+      ("A", 10L, Some(1)), ("A", 20L, Some(1)), ("A", 30L, Some(2)),
+      ("A", 40L, None), ("A", 50L, None), ("A", 60L, Some(2)),
+      ("B", 15L, Some(7))
+    ).toDF("k", "o", "v")
+    val out = Pipeline.scd2Intervals(log, col("k"), col("o"), col("v"))
+      .orderBy("key", "valid_from")
+      .as[(String, Long, Option[Long], Option[Int], Int)].collect().toSeq
+    assert(out == Seq(
+      ("A", 10L, Some(30L), Some(1), 0),
+      ("A", 30L, Some(40L), Some(2), 0),
+      ("A", 40L, Some(60L), None, 0),   // NULL value is a real version
+      ("A", 60L, None, Some(2), 1),     // re-appearing value reopens
+      ("B", 15L, None, Some(7), 1)))
+  }
+
+  test("SCD2 output is partitioning-independent") {
+    val log = Tables.events(spark, TestSpark.sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), col("ts_ns").as("o"),
+        expr("CAST(round(value * 100) AS BIGINT) DIV 5000").as("v"))
+    val a = Pipeline.scd2Intervals(log, col("k"), col("o"), col("v"))
+    val b = Pipeline.scd2Intervals(log.repartition(7, col("o")),
+      col("k"), col("o"), col("v"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
