@@ -927,6 +927,23 @@ object ExtensionQueries {
       Graph.kCore(co, k = 2, rounds = 8).orderBy("node")
     }),
 
+    // ---- Graph: multi-source BFS hop distance ----------------------------
+    // Reachability from the seed nodes (k % 20 == 0) over min-support
+    // transition edges (weight >= 2 sparsifies what is otherwise a
+    // near-complete 100-node graph). Hop labels are integers; the oracle
+    // is a DuckDB recursive CTE taking min(hops) per node.
+    "q_bfs" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val edges = Graph.transitionEdges(ev, col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long"), col("event_id"))
+        .filter(col("weight") >= 2)
+        .select(col("src"), col("dst"))
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.filter(col("node") % 20 === 0)
+      Graph.bfsHops(edges, seeds, maxHops = 4).orderBy("node")
+    }),
+
     // ---- Text analysis: BM25 relevance against a fixed term set ----------
     "text_bm25" -> ((s, d) => {
       TextAnalysis.bm25(Tables.documents(s, d), "text", "doc_id",
@@ -1378,6 +1395,30 @@ object ExtensionQueries {
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle(8),
     "q_kcore" -> kCoreOracle(2, 8),
+
+    "q_bfs" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS node
+        |  FROM events),
+        |tr AS (
+        |  SELECT node AS dst,
+        |    lag(node) OVER (PARTITION BY user_id ORDER BY event_id) AS src
+        |  FROM ev),
+        |ed AS (
+        |  SELECT src, dst FROM tr WHERE src IS NOT NULL
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |seeds AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM ed UNION SELECT dst FROM ed)
+        |  WHERE node % 20 = 0),
+        |walk(node, hops) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, w.hops + 1
+        |  FROM walk w JOIN ed e ON e.src = w.node WHERE w.hops < 4)
+        |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+        |FROM walk GROUP BY 1 ORDER BY node""".stripMargin,
 
     "q_importance_sample" ->
       """WITH t AS (

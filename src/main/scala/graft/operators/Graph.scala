@@ -156,6 +156,43 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Multi-source BFS hop distance over directed (src, dst) edges:
+    * `hops(v)` = length of the shortest edge path from any seed to `v`,
+    * up to `maxHops`. The reachability primitive behind "documents
+    * within k citation hops of a trusted set" or contamination spread
+    * from a seed list.
+    *
+    * Frontier-based: round `i` joins ONLY the previous round's newly
+    * discovered nodes (not the whole distance table) against the edge
+    * list, then anti-joins against everything already labeled — so per
+    * round the shuffled volume is O(frontier·out-degree), and every join
+    * is a hash equi-join on the node key. The frontier is checkpointed
+    * per round (it is re-referenced by the next join AND the growing
+    * union; without it lineage doubles per hop). All-integer output —
+    * bit-reproducible under any partitioning.
+    *
+    * Output: (node, hops) for every node reached within `maxHops`;
+    * seeds themselves carry hops = 0.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64, s"maxHops=$maxHops out of [1, 64]")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var frontier = seeds.select(col("node")).distinct().localCheckpoint(true)
+    var dist = frontier.withColumn("hops", lit(0L))
+    var reached = frontier
+    for (i <- 1 to maxHops) {
+      frontier = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      dist = dist.unionByName(frontier.withColumn("hops", lit(i.toLong)))
+      reached = reached.unionByName(frontier).localCheckpoint(true)
+    }
+    dist
+  }
+
   /** k-core decomposition by iterative peeling: repeatedly remove nodes
     * of degree &lt; k (with their edges) until no such node remains; the
     * surviving subgraph is the k-core. Classic corpus-graph curation

@@ -123,4 +123,31 @@ class GraphSpec extends AnyFunSuite {
     assert(r8.nonEmpty, "declared-config core must not be empty")
     assert(r8 == r9, "8 rounds must reach the fixpoint at the declared config")
   }
+
+  test("bfs: shortest hop wins on a diamond, cutoff truncates, unreachable absent") {
+    // 1 -> 2 -> 3 -> 4 -> 5 and shortcut 1 -> 3; node 9 -> 1 is upstream
+    // of the seed (directed: NOT reachable); node 7 is isolated
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L), (9L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.bfsHops(es, seeds, maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("bfs: multi-source takes the minimum over seeds; cycles terminate") {
+    // ring 1 -> 2 -> 3 -> 4 -> 1 with seeds {1, 3}: everything is <= 1 hop
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r = Graph.bfsHops(es, Seq(1L, 3L).toDF("node"), maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 0L, 3L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("bfs: bit-identical under repartitioning") {
+    val es = (1L to 40L).map(i => (i % 13, (i * 7) % 13)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val a = Graph.bfsHops(es, seeds, maxHops = 3)
+    val b = Graph.bfsHops(es.repartition(7, col("dst")), seeds, maxHops = 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
