@@ -635,6 +635,33 @@ object ExtensionQueries {
         .orderBy("user_id", "valid_from_us")
     }),
 
+    // ---- Intervals: peak concurrent sessions per hour --------------------
+    // 30-min-gap sessions per user (ns-exact ordering, event_id
+    // tie-break), closed up to max_ts+1 so single-event sessions still
+    // register; hourly sweep via Intervals.concurrencyByBucket — no
+    // global-order window anywhere in the plan.
+    "q_concurrency" -> ((s, d) => {
+      val gapNs = 1800000000000L // 30 min
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_id"), col("ts_ns"))
+      val ow = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val sessions = ev
+        .withColumn("new_s",
+          when(col("ts_ns") - lag(col("ts_ns"), 1).over(ow) > gapNs ||
+            lag(col("ts_ns"), 1).over(ow).isNull, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(
+          ow.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts_ns")).as("s"), (max(col("ts_ns")) + 1).as("e"))
+      graft.operators.Intervals
+        .concurrencyByBucket(sessions, col("s"), col("e"),
+          bucketWidth = 3600000000000L)
+        .orderBy("bucket")
+    }),
+
     // ---- Time series: per-user EWMA of purchase values -------------------
     // alpha = 0.25 (dyadic); the fold order is pinned by event_id, so the
     // double recurrence replays bit-exactly in DuckDB's list_reduce.
@@ -1511,6 +1538,34 @@ object ExtensionQueries {
         |  CAST(lead(o) OVER (PARTITION BY user_id ORDER BY o) IS NULL
         |    AS INTEGER) AS is_current
         |FROM v ORDER BY user_id, valid_from_us""".stripMargin,
+
+    "q_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS t FROM events),
+        |o AS (
+        |  SELECT user_id, event_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |           OR t - lag(t) OVER w > 1800000000000 THEN 1 ELSE 0
+        |    END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |sess AS (
+        |  SELECT user_id, t,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |iv AS (
+        |  SELECT min(t) AS s, max(t) + 1 AS e
+        |  FROM sess GROUP BY user_id, sid),
+        |d AS (
+        |  SELECT s AS t, 1 AS d FROM iv
+        |  UNION ALL SELECT e, -1 FROM iv),
+        |r AS (
+        |  SELECT t // 3600000000000 AS bucket, d,
+        |    sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM d)
+        |SELECT bucket, CAST(max(run) AS BIGINT) AS max_concurrency,
+        |  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ewma" ->
       """WITH e AS (

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval (sweep-line) analytics over integral timestamps: how many
+  * intervals are open at once — concurrent sessions, overlapping jobs,
+  * peak connection counts. The textbook solution is one running sum over
+  * all boundary events ordered by time, which is exactly the
+  * single-partition global window this engine bans; here the sweep is
+  * split into a per-bucket phase (partitioned window) plus a bounded
+  * cross-bucket carry (HOF fold over the per-bucket aggregate), the same
+  * decomposition [[Sampling.orderedRank]] uses for global ranks.
+  */
+object Intervals {
+
+  /** Per-bucket concurrency profile of half-open intervals `[start, end)`:
+    * for each `bucketWidth`-sized time bucket containing at least one
+    * interval boundary, the maximum number of simultaneously open
+    * intervals observed in that bucket, plus the number of intervals
+    * starting in it.
+    *
+    * Sweep decomposition: boundary deltas (+1 at start, −1 at end) are
+    * bucketed by `t DIV bucketWidth`; a bucket's carry-in (intervals open
+    * as it begins) is the exclusive prefix sum of per-bucket net deltas —
+    * a bounded aggregate folded driver-free with an indexed-slice HOF, at
+    * most one row per bucket. Within a bucket a window PARTITIONED BY the
+    * bucket orders boundaries by `(t, delta)` (ends sort before starts at
+    * the same instant — half-open semantics) and adds the running sum to
+    * the carry. No global-order shuffle ever happens: boundary volume
+    * shuffles once on the bucket key.
+    *
+    * The per-bucket aggregate is collected into one array to fold the
+    * carry, so choose `bucketWidth` such that span/width stays bounded
+    * (hourly buckets over a decade ≈ 90k entries — fine; do not pass
+    * millisecond widths over years). Buckets with no boundary events are
+    * absent from the output; their concurrency is constant and equals the
+    * carry of the next emitted bucket.
+    *
+    * `startCol`/`endCol` must be integral (e.g. epoch nanos). Outputs
+    * `(bucket, max_concurrency, n_starts)` — all integers, reproducible
+    * under any partitioning.
+    */
+  def concurrencyByBucket(df: DataFrame, startCol: Column, endCol: Column,
+                          bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth=$bucketWidth must be >= 1")
+    val deltas = df.select(startCol.cast("long").as("t"), lit(1L).as("d"))
+      .unionByName(df.select(endCol.cast("long").as("t"), lit(-1L).as("d")))
+      // integer DIV, not `/`: double division loses 60-bit ns precision
+      .withColumn("bucket", expr(s"t DIV CAST($bucketWidth AS BIGINT)"))
+    val nets = deltas.groupBy(col("bucket")).agg(sum(col("d")).as("net"))
+    val carries = nets
+      .agg(array_sort(collect_list(struct(col("bucket").as("b"),
+        col("net").as("n")))).as("bs"))
+      .select(explode(transform(col("bs"), (x, i) => struct(
+        x.getField("b").as("bucket"),
+        aggregate(slice(col("bs"), lit(1), i), lit(0L),
+          (a, y) => a + y.getField("n")).as("carry")))).as("e"))
+      .select(col("e.bucket"), col("e.carry"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("run", sum(col("d")).over(w))
+      .join(broadcast(carries), Seq("bucket"))
+      .groupBy(col("bucket"))
+      .agg(max(col("run") + col("carry")).as("max_concurrency"),
+        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"))
+  }
+}

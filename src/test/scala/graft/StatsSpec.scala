@@ -40,4 +40,43 @@ class StatsSpec extends AnyFunSuite {
       k = 2).collect().head
     assert(rep.getLong(2) == k2.getLong(2) && rep.getLong(3) == k2.getLong(3))
   }
+
+  test("concurrency: half-open overlap, cross-bucket carry, touching intervals") {
+    import graft.operators.Intervals
+    // bucket width 100. [0,50) & [40,160) overlap (max 2 in bucket 0);
+    // [40,160) spans into bucket 1 where [150,250) joins it (max 2);
+    // [160,250)? no — [150,250) starts BEFORE 160 ends: overlap again.
+    // [250,260) touches [150,250) end-to-start: NOT concurrent (half-open).
+    val iv = Seq((0L, 50L), (40L, 160L), (150L, 250L), (250L, 260L))
+      .toDF("s", "e")
+    val full = Intervals.concurrencyByBucket(iv, col("s"), col("e"), 100L)
+      .as[(Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    assert(full(0L) == (2L, 2L)) // [0,50)+[40,160) open together
+    assert(full(1L) == (2L, 1L)) // carry-in [40,160) + start [150,250)
+    assert(full(2L) == (1L, 1L)) // [250,260) starts as [150,250) ends
+    assert(full.keySet == Set(0L, 1L, 2L))
+  }
+
+  test("concurrency: carry-only bucket absent, later bucket sees full carry") {
+    import graft.operators.Intervals
+    // one interval spanning buckets 0..4 plus activity in bucket 4: the
+    // quiet middle buckets emit nothing; bucket 4's max includes the carry
+    val iv = Seq((10L, 450L), (420L, 430L)).toDF("s", "e")
+    val full = Intervals.concurrencyByBucket(iv, col("s"), col("e"), 100L)
+      .as[(Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    assert(full.keySet == Set(0L, 4L))
+    assert(full(4L) == (2L, 1L))
+  }
+
+  test("concurrency: partition-independent") {
+    import graft.operators.Intervals
+    val iv = (1L to 300L).map(i => (i * 13 % 997, i * 13 % 997 + 1 + i % 50))
+      .toDF("s", "e")
+    val a = Intervals.concurrencyByBucket(iv, col("s"), col("e"), 64L)
+    val b = Intervals.concurrencyByBucket(iv.repartition(13, col("e")),
+      col("s"), col("e"), 64L)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
