@@ -155,6 +155,70 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  final case class TopK(key: String, top_vals: Seq[Long], top_ids: Seq[Long])
+  final case class TopKBuf(vals: Seq[Long], ids: Seq[Long], lastNs: Long)
+
+  /** Streaming per-key top-k with state TTL: for every key, maintain the
+    * k largest values seen (value desc, id asc tie-break — fully
+    * deterministic), re-emitting a key's leaderboard whenever a batch
+    * touches it (Update semantics). State per key is EXACTLY k
+    * (value, id) pairs — independent of stream length — and a key idle
+    * past `ttl` of event time is evicted entirely, so the state store
+    * tracks only the working set of active keys. The "trending items per
+    * category" primitive: unbounded streams, bounded state.
+    *
+    * On a batch Dataset the same function computes each key's final
+    * top-k in one group pass (state starts empty, no timeouts) — the
+    * stream-equals-batch law StreamingSpec asserts.
+    *
+    * Values are fixed-point longs (`valueExpr` must produce integers;
+    * cents via `round(value·100)`) so merge order can never drift a
+    * float sum — the leaderboard is a pure order statistic.
+    */
+  def topKPerKey(events0: DataFrame, k: Int, ttlMinutes: Int = 120,
+                 watermark: String = "2 hours"):
+      org.apache.spark.sql.Dataset[TopK] = {
+    require(k >= 1 && k <= 1024, s"k=$k out of [1, 1024]")
+    require(ttlMinutes >= 1, s"ttlMinutes=$ttlMinutes must be >= 1")
+    import events0.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val events = if (events0.isStreaming) events0.withWatermark("ts", watermark)
+                 else events0
+    val ttlNs = ttlMinutes.toLong * 60L * 1000000000L
+    val isStream = events.isStreaming
+
+    val fn: (String, Iterator[(String, Long, Long, Long, java.sql.Timestamp)],
+             GroupState[TopKBuf]) => Iterator[TopK] =
+      (key, rows, state) => {
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val batch = rows.toArray
+          val prev = state.getOption
+          val merged = (prev.map(b => b.vals.zip(b.ids)).getOrElse(Seq.empty) ++
+              batch.map(r => (r._2, r._3)))
+            .sortBy { case (v, id) => (-v, id) }
+            .take(k)
+          // TTL anchors on the newest EVENT TIME seen for the key, not on
+          // leaderboard membership — a key stays alive while traffic flows
+          // even if nothing cracks its top-k
+          val seenNs = (prev.map(_.lastNs).toSeq ++ batch.map(_._4)).max
+          state.update(TopKBuf(merged.map(_._1), merged.map(_._2), seenNs))
+          if (isStream)
+            // clamp: a timeout at-or-behind the current watermark throws;
+            // a key whose TTL already elapsed gets evicted next batch
+            state.setTimeoutTimestamp(math.max((seenNs + ttlNs) / 1000000L,
+              state.getCurrentWatermarkMs() + 1L))
+          Iterator.single(TopK(key, merged.map(_._1), merged.map(_._2)))
+        }
+      }
+
+    events.select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)"),
+        col("event_id"), col("ts_ns").cast("long"), col("ts"))
+      .as[(String, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Drain a streaming DataFrame into an in-memory table synchronously
     * (AvailableNow — process everything currently discoverable, then stop)
     * and return the materialized result. Batch-incremental execution, the

@@ -259,4 +259,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.agg(sum("n_events")).head().getLong(0) ==
       Tables.events(spark, TestSpark.sf).count())
   }
+
+  test("streaming per-key top-k: last emission per key equals batch top-k") {
+    import spark.implicits._
+    val stream = Streams.eventsStream(spark, TestSpark.sf, maxFilesPerTrigger = 1)
+    // Update mode re-emits a key each time a batch touches it; with a huge
+    // TTL nothing is evicted, so the LAST emission is the full-stream top-k
+    val emitted = Streams.runAvailableNow(spark,
+        Streams.topKPerKey(stream, k = 5, ttlMinutes = 1000000).toDF(),
+        "t_topk", "update")
+      .collect()
+    val lastPerKey = emitted.zipWithIndex
+      .groupBy(_._1.getString(0))
+      .map { case (k, rs) => k -> rs.maxBy(_._2)._1 }
+    val batch = Streams.topKPerKey(
+        Tables.events(spark, TestSpark.sf), k = 5)
+      .collect().map(t => t.key -> (t.top_vals, t.top_ids)).toMap
+    assert(lastPerKey.keySet == batch.keySet)
+    batch.foreach { case (k, (vals, ids)) =>
+      val last = lastPerKey(k)
+      assert(last.getSeq[Long](1) == vals && last.getSeq[Long](2) == ids,
+        s"streamed top-k for $k must equal batch")
+    }
+    assert(batch.nonEmpty && batch.values.forall(_._1.length == 5))
+    // leaderboards are sorted value desc, id asc on ties
+    batch.values.foreach { case (vals, _) =>
+      assert(vals == vals.sortBy(-_)) }
+  }
+
+  test("streaming top-k TTL evicts idle keys: re-appearing key starts fresh") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-topk-ttl")
+    val dayNs = 86400000000000L
+    // file A: key "hot" value 99.0 at day 0 + filler advancing nothing
+    // file B: key "filler" at day 10 pushes the watermark far past
+    //         hot's TTL; file C: "hot" returns at day 10 with value 1.0
+    def write(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$tmp/$name")
+    // ts must sit ABOVE the initial watermark (0): an event at exactly
+    // epoch 0 is filtered as late by the stateful operator
+    write("a", Seq((1L, 3600000000000L, 1L, "hot", 99.0, "{}")))
+    write("b", Seq((2L, 10L * dayNs, 1L, "filler", 5.0, "{}")))
+    // b2: ANOTHER hot-free batch — timeouts only fire for keys with no
+    // data in the trigger, and the watermark from b is only visible to
+    // the NEXT batch, so eviction of "hot" happens while processing b2
+    write("b2", Seq((4L, 10L * dayNs + 500L, 1L, "filler", 6.0, "{}")))
+    write("c", Seq((3L, 10L * dayNs + 1000L, 1L, "hot", 1.0, "{}")))
+    // flatten part-files into one source dir, ordered by name
+    val src = s"$tmp/src"
+    new java.io.File(src).mkdirs()
+    Seq("a", "b", "b2", "c").zipWithIndex.foreach { case (n, i) =>
+      val part = new java.io.File(s"$tmp/$n").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$src/events_$n.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      // the file source orders batches by modification time; copies land
+      // within one clock tick, so pin strictly increasing mtimes
+      dst.setLastModified((i + 1) * 60000L)
+    }
+    val emitted = Streams.runAvailableNow(spark,
+        Streams.topKPerKey(
+          Streams.eventsStream(spark, src, maxFilesPerTrigger = 1),
+          k = 5, ttlMinutes = 60, watermark = "0 seconds").toDF(),
+        "t_topk_ttl", "update")
+      .collect()
+    // order-free (the memory sink does not guarantee emission order):
+    // batch a emits [9900]; if the TTL evicted "hot" before file c, its
+    // return emits a fresh [100] — a SURVIVING state would emit
+    // [9900, 100] instead, which must never appear
+    val hotEmissions = emitted.filter(_.getString(0) == "hot")
+      .map(r => r.getSeq[Long](1)).toSet
+    assert(hotEmissions == Set(Seq(9900L), Seq(100L)),
+      s"idle key must be evicted and restart, got $hotEmissions")
+  }
 }
