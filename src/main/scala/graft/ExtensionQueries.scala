@@ -662,6 +662,21 @@ object ExtensionQueries {
         .orderBy("bucket")
     }),
 
+    // ---- Skyline: price/quantity Pareto frontier -------------------------
+    // Cheapest lineitem at each undominated quantity level: minimize
+    // price cents, maximize quantity (negated into the minimize frame —
+    // y may go negative, only x is bucketed). ~170 non-empty 64Ki-cent
+    // buckets at sf0.1.
+    "q_skyline" -> ((s, d) => {
+      graft.operators.Skyline.paretoFrontier2D(Tables.lineitem(s, d),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+          expr("0 - CAST(round(l_quantity) AS BIGINT)"),
+          bucketWidth = 65536L)
+        .select(col("x").as("price_cents"), (-col("y")).as("quantity"),
+          col("n_rows"))
+        .orderBy("price_cents")
+    }),
+
     // ---- Time series: per-user EWMA of purchase values -------------------
     // alpha = 0.25 (dyadic); the fold order is pinned by event_id, so the
     // double recurrence replays bit-exactly in DuckDB's list_reduce.
@@ -1538,6 +1553,25 @@ object ExtensionQueries {
         |  CAST(lead(o) OVER (PARTITION BY user_id ORDER BY o) IS NULL
         |    AS INTEGER) AS is_current
         |FROM v ORDER BY user_id, valid_from_us""".stripMargin,
+
+    "q_skyline" ->
+      """WITH t AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+        |    0 - CAST(round(l_quantity) AS BIGINT) AS y
+        |  FROM lineitem),
+        |g AS (SELECT x, y, count(*) AS n_rows FROM t GROUP BY 1, 2),
+        |m AS (
+        |  SELECT x, y, n_rows,
+        |    row_number() OVER (PARTITION BY x ORDER BY y) AS rk
+        |  FROM g),
+        |r AS (
+        |  SELECT x, y, n_rows,
+        |    min(y) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM m WHERE rk = 1)
+        |SELECT x AS price_cents, CAST(-y AS BIGINT) AS quantity,
+        |  CAST(n_rows AS BIGINT) AS n_rows
+        |FROM r WHERE pm IS NULL OR y < pm ORDER BY price_cents""".stripMargin,
 
     "q_concurrency" ->
       """WITH e AS (

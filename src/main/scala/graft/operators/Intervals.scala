@@ -50,14 +50,8 @@ object Intervals {
       // integer DIV, not `/`: double division loses 60-bit ns precision
       .withColumn("bucket", expr(s"t DIV CAST($bucketWidth AS BIGINT)"))
     val nets = deltas.groupBy(col("bucket")).agg(sum(col("d")).as("net"))
-    val carries = nets
-      .agg(array_sort(collect_list(struct(col("bucket").as("b"),
-        col("net").as("n")))).as("bs"))
-      .select(explode(transform(col("bs"), (x, i) => struct(
-        x.getField("b").as("bucket"),
-        aggregate(slice(col("bs"), lit(1), i), lit(0L),
-          (a, y) => a + y.getField("n")).as("carry")))).as("e"))
-      .select(col("e.bucket"), col("e.carry"))
+    val carries = Prefix.exclusiveFold(nets, "bucket", "net",
+      lit(0L), (a, b) => a + b)
     val w = Window.partitionBy(col("bucket")).orderBy(col("t"), col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     deltas

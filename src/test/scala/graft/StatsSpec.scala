@@ -70,6 +70,35 @@ class StatsSpec extends AnyFunSuite {
     assert(full(4L) == (2L, 1L))
   }
 
+  test("skyline: frontier keeps exactly the non-dominated points, dup points survive") {
+    import graft.operators.Skyline
+    // (1,5) frontier; (2,5) dominated by (1,5); (3,3) frontier;
+    // (3,4) dominated same-x; (7,1)x2 frontier duplicates; (9,1)
+    // dominated by (7,1); (5,2) frontier
+    val pts = Seq((1L, 5L), (2L, 5L), (3L, 3L), (3L, 4L),
+      (7L, 1L), (7L, 1L), (9L, 1L), (5L, 2L)).toDF("x", "y")
+    val got = Skyline.paretoFrontier2D(pts, col("x"), col("y"), 4L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 5L, 1L), (3L, 3L, 1L), (5L, 2L, 1L), (7L, 1L, 2L)))
+  }
+
+  test("skyline: agrees with brute-force dominance on random points") {
+    import graft.operators.Skyline
+    val pts = (1L to 400L).map(i => ((i * 37) % 211, (i * 53) % 197))
+    val df = pts.toDF("x", "y")
+    val got = Skyline.paretoFrontier2D(df, col("x"), col("y"), 16L)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    val brute = pts.distinct.filter { case (x, y) =>
+      !pts.exists { case (a, b) =>
+        a <= x && b <= y && (a < x || b < y) }
+    }.toSet
+    assert(got == brute)
+    // bucket-width invariance: the decomposition must not change results
+    val other = Skyline.paretoFrontier2D(df, col("x"), col("y"), 1000L)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(other == brute)
+  }
+
   test("concurrency: partition-independent") {
     import graft.operators.Intervals
     val iv = (1L to 300L).map(i => (i * 13 % 997, i * 13 % 997 + 1 + i % 50))
