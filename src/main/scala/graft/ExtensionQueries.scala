@@ -1011,6 +1011,28 @@ object ExtensionQueries {
         .toDF()
         .select("media_id", "mime", "content_len", "width", "height", "n_frames")
         .orderBy("media_id")
+    }),
+
+    // ---- Multimodal: perceptual hash over REAL pixels --------------------
+    // Full-raster BMPs (bottom-up rows, stride padding) decoded byte-by-
+    // byte, luma-converted, resized 9x8 and dHashed. The oracle replays
+    // every pixel from the generation formula — equality proves the BMP
+    // encode/decode round-trips AND the hash math matches bit for bit.
+    "mm_phash" -> ((s, d) => {
+      Multimodal.imageHashes(
+          Multimodal.synthesizeImages(s, Tables.documents(s, d)))
+        .orderBy("media_id")
+    }),
+
+    // Near-dup image pairs at Hamming <= 3: each id-group of 4 images
+    // differs by one inverted pixel, so groups collapse into cliques;
+    // candidates come from 16-bit chunk equi-joins, never a cross join.
+    "mm_phash_dups" -> ((s, d) => {
+      Multimodal.phashNearDups(
+          Multimodal.imageHashes(
+            Multimodal.synthesizeImages(s, Tables.documents(s, d))),
+          maxHamming = 3)
+        .orderBy("a", "b")
     }))
 
   private val stopList = TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")
@@ -2586,7 +2608,53 @@ object ExtensionQueries {
     // generator/parser disagreement fails the hash compare. Audio has no
     // image geometry (width/height 0); WAV frame count = dataSize/blockAlign.
     "mm_binary" -> mmMetaOracle,
-    "mm_meta" -> mmMetaOracle)
+    "mm_meta" -> mmMetaOracle,
+
+    "mm_phash" ->
+      s"""$phashHashesSql
+         |SELECT media_id, h_hi, h_lo FROM hs ORDER BY media_id""".stripMargin,
+
+    "mm_phash_dups" ->
+      s"""$phashHashesSql
+         |SELECT x.media_id AS a, y.media_id AS b,
+         |  CAST(bit_count(xor(x.h_hi, y.h_hi)) +
+         |       bit_count(xor(x.h_lo, y.h_lo)) AS BIGINT) AS hamming
+         |FROM hs x JOIN hs y ON x.media_id < y.media_id
+         |WHERE bit_count(xor(x.h_hi, y.h_hi)) +
+         |      bit_count(xor(x.h_lo, y.h_lo)) <= 3
+         |ORDER BY a, b""".stripMargin)
+
+  /** Shared pixel-exact dHash replay for the mm_phash oracles: rebuilds
+    * each image's 9×8 resized gray grid straight from the generation
+    * formula (`Multimodal.imagePixel` + the one-pixel group perturbation)
+    * and packs the 64 neighbor-comparison bits into two BIGINT halves —
+    * the same integers the Spark side gets by decoding the real BMP
+    * container bytes.
+    */
+  private lazy val phashHashesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS j,
+      |    ((doc_id // 4) * 31 + (doc_id % 4) * 97) % 288 AS p
+      |  FROM documents),
+      |gr AS (
+      |  SELECT media_id,
+      |    list_transform(generate_series(0, 71), i ->
+      |      CASE WHEN j > 0 AND 36 * (i // 9) + 2 * (i % 9) = p
+      |        THEN 255 - ((2*(i%9))*29 + (2*(i//9))*53 + g*101
+      |          + ((2*(i%9) + g) % 7) * ((2*(i//9) + g) % 11) * 3) % 256
+      |        ELSE ((2*(i%9))*29 + (2*(i//9))*53 + g*101
+      |          + ((2*(i%9) + g) % 7) * ((2*(i//9) + g) % 11) * 3) % 256
+      |      END) AS gvals
+      |  FROM b),
+      |hs AS (
+      |  SELECT media_id,
+      |    CAST(list_sum(list_transform(generate_series(32, 63), k ->
+      |      CASE WHEN gvals[(k//8)*9 + (k%8) + 1] < gvals[(k//8)*9 + (k%8) + 2]
+      |        THEN 1::BIGINT << (k - 32) ELSE 0::BIGINT END)) AS BIGINT) AS h_hi,
+      |    CAST(list_sum(list_transform(generate_series(0, 31), k ->
+      |      CASE WHEN gvals[(k//8)*9 + (k%8) + 1] < gvals[(k//8)*9 + (k%8) + 2]
+      |        THEN 1::BIGINT << k ELSE 0::BIGINT END)) AS BIGINT) AS h_lo
+      |  FROM gr)""".stripMargin
 
   private lazy val mmMetaOracle: String =
     """SELECT doc_id AS media_id,

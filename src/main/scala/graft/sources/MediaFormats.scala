@@ -173,4 +173,68 @@ object MediaFormats {
     */
   def parse(bytes: Array[Byte]): Option[MediaHeader] =
     parseBmp(bytes).orElse(parseAvi(bytes)).orElse(parseWav(bytes))
+
+  // ---- Full-raster 24-bit BMP ---------------------------------------------
+
+  /** Encode a complete 24-bit BMP from a TOP-DOWN row-major gray raster:
+    * rows are stored bottom-up with 4-byte stride padding (the standard
+    * layout), each pixel B=G=R=gray. A real container, not a stub — the
+    * decoder below must undo the row order and stride to read it back.
+    */
+  def bmp24GrayBytes(width: Int, height: Int, gray: Array[Int]): Array[Byte] = {
+    require(gray.length == width * height,
+      s"raster ${gray.length} != $width x $height")
+    val stride = ((width * 3 + 3) / 4) * 4
+    val payload = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = height - 1 - y // bottom-up storage
+      var x = 0
+      while (x < width) {
+        val v = (gray(srcRow * width + x) & 0xff).toByte
+        val base = y * stride + x * 3
+        payload(base) = v; payload(base + 1) = v; payload(base + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    bmpBytes(width, height, payload)
+  }
+
+  /** Decode a 24-bit uncompressed BMP to a TOP-DOWN gray raster via the
+    * integer ITU-R 601 luma (299·R + 587·G + 114·B) / 1000 — exact for
+    * achromatic pixels. Handles bottom-up and top-down (negative height)
+    * row order and stride padding. None for anything that is not a
+    * complete 24-bit BI_RGB raster (e.g. the truncated metadata-only
+    * fixtures), so profiling and pixel paths can share one source.
+    */
+  def decodeBmp24Gray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val off = readI32(bytes, 10)
+    val w = readI32(bytes, 18)
+    val hRaw = readI32(bytes, 22)
+    val bits = readI16(bytes, 28)
+    val comp = readI32(bytes, 30)
+    if (bits != 24 || comp != 0 || w <= 0 || hRaw == 0) return None
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (off < 54 || off.toLong + stride.toLong * h > bytes.length) return None
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      var x = 0
+      while (x < w) {
+        val base = off + srcRow * stride + x * 3
+        val b = bytes(base) & 0xff
+        val g = bytes(base + 1) & 0xff
+        val r = bytes(base + 2) & 0xff
+        gray(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, gray))
+  }
 }

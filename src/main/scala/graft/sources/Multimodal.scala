@@ -186,6 +186,122 @@ object Multimodal {
     }
   }
 
+  // ---- Perceptual hashing over REAL pixels --------------------------------
+
+  /** Full-raster image fixture dimensions (stride-padded, bottom-up BMPs
+    * via [[MediaFormats.bmp24GrayBytes]]).
+    */
+  val ImgW = 18
+  val ImgH = 16
+
+  /** Gray value of pixel (x, y) for image group `g` — a plain integer
+    * formula (NOT splitmix: DuckDB cannot wrap 64-bit multiplies, and the
+    * oracle replays every pixel) with enough x/y structure that neighbor
+    * comparisons vary.
+    */
+  @inline def imagePixel(g: Long, x: Int, y: Int): Int =
+    ((x * 29L + y * 53L + g * 101L +
+      ((x + g) % 7L) * ((y + g) % 11L) * 3L) % 256L).toInt
+
+  /** Deterministic full-raster BMP for a media id: ids share a base
+    * raster per group `id DIV 4`; members `id % 4 != 0` get ONE pixel
+    * inverted — so each group is a clique of near-duplicate images a
+    * perceptual hash must collapse, while groups differ everywhere.
+    */
+  def imageBytes(id: Long): Array[Byte] = {
+    val g = id / 4
+    val j = (id % 4).toInt
+    val perturbed = if (j == 0) -1 else ((g * 31 + j * 97) % (ImgW * ImgH)).toInt
+    val gray = new Array[Int](ImgW * ImgH)
+    var i = 0
+    while (i < gray.length) {
+      val v = imagePixel(g, i % ImgW, i / ImgW)
+      gray(i) = if (i == perturbed) 255 - v else v
+      i += 1
+    }
+    MediaFormats.bmp24GrayBytes(ImgW, ImgH, gray)
+  }
+
+  /** Synthetic full-raster image table (one BMP per document id) — the
+    * pixel-bearing sibling of [[synthesize]]'s metadata-only blobs.
+    */
+  def synthesizeImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      MediaRecord(id, s"img/$id.bmp", "image/bmp", imageBytes(id))
+    }
+  }
+
+  /** Difference hash (dHash) of a gray raster: nearest-neighbor resize to
+    * a 9×8 grid, then one bit per horizontal neighbor pair (left < right).
+    * Packed as two NON-NEGATIVE 32-bit halves so both engines can xor /
+    * popcount them in plain BIGINT arithmetic. Robust to small pixel
+    * perturbations by construction — the near-dup primitive for images.
+    */
+  def dHash(w: Int, h: Int, gray: Array[Int]): (Long, Long) = {
+    var lo = 0L
+    var hi = 0L
+    var k = 0
+    while (k < 64) {
+      val x = k % 8
+      val y = k / 8
+      val a = gray((y * h / 8) * w + (x * w / 9))
+      val b = gray((y * h / 8) * w + ((x + 1) * w / 9))
+      if (a < b) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
+  /** Per-image perceptual hashes: decode the REAL BMP container
+    * (bottom-up rows, stride padding, luma conversion) and dHash the
+    * pixels. Output (media_id, h_hi, h_lo); images that are not complete
+    * 24-bit rasters are absent.
+    */
+  def imageHashes(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        MediaFormats.decodeBmp24Gray(r.content).map { case (w, h, gray) =>
+          val (hi, lo) = dHash(w, h, gray)
+          (r.media_id, hi, lo)
+        }
+      }
+    }.toDF("media_id", "h_hi", "h_lo")
+  }
+
+  /** Near-duplicate image pairs at Hamming distance ≤ `maxHamming` over
+    * the 64-bit dHash, found WITHOUT a quadratic self-join: the hash
+    * splits into 4 16-bit chunks, distance ≤ 3 forces at least one chunk
+    * to match exactly (pigeonhole), so candidates come from 4 hash-
+    * partitionable equi-joins on (chunk index, chunk value) — the
+    * SimHash plan shape applied to pixels. `maxHamming` is capped at 3
+    * because the 4-chunk split only guarantees recall up to there.
+    */
+  def phashNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming out of [0, 3] (4-chunk pigeonhole bound)")
+    val chunked = hashes.select(col("media_id"), col("h_hi"), col("h_lo"),
+      explode(array(
+        struct(lit(0).as("ci"), (col("h_lo") % 65536L).as("cv")),
+        struct(lit(1).as("ci"), expr("h_lo DIV 65536").as("cv")),
+        struct(lit(2).as("ci"), (col("h_hi") % 65536L).as("cv")),
+        struct(lit(3).as("ci"), expr("h_hi DIV 65536").as("cv")))).as("c"))
+      .select(col("media_id"), col("h_hi"), col("h_lo"),
+        col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val a = chunked.toDF("a", "a_hi", "a_lo", "ci", "cv")
+    val b = chunked.toDF("b", "b_hi", "b_lo", "ci", "cv")
+    a.join(b, Seq("ci", "cv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (expr("bit_count(a_hi ^ b_hi)") + expr("bit_count(a_lo ^ b_lo)"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Decode + feature-extract, one partition at a time (batch-amortized the
     * way a real codec pool would be). Metadata is REAL: width / height /
     * frame-count are parsed from the container header bytes

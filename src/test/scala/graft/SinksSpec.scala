@@ -134,4 +134,47 @@ class SinksSpec extends AnyFunSuite {
     FixtureSources.ensureOrc(spark) // second call: no rewrite
     assert(java.nio.file.Files.getLastModifiedTime(marker) == t1)
   }
+
+  test("bmp24 gray raster round-trips through the container byte-exactly") {
+    import graft.sources.MediaFormats
+    val w = 7 // stride 24 != w*3 — padding must be skipped on decode
+    val h = 5
+    val gray = Array.tabulate(w * h)(i => (i * 37) % 256)
+    val bytes = MediaFormats.bmp24GrayBytes(w, h, gray)
+    val Some((dw, dh, back)) = MediaFormats.decodeBmp24Gray(bytes)
+    assert((dw, dh) == (w, h))
+    assert(back.toSeq == gray.toSeq)
+    // the metadata-only truncated fixtures must NOT decode as rasters
+    assert(MediaFormats.decodeBmp24Gray(
+      MediaFormats.bmpBytes(640, 480, Array.fill[Byte](32)(1))).isEmpty)
+  }
+
+  test("dHash collapses one-pixel perturbations; groups differ") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val hs = Multimodal.imageHashes(Multimodal.synthesizeImages(spark, docs))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hs.size == 40)
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    // within a group of 4: tiny distance; across groups: larger
+    val within = for (g <- 0L until 10L; i <- 0 to 3; j <- i + 1 to 3)
+      yield ham(hs(g * 4 + i), hs(g * 4 + j))
+    val across = for (g <- 0L until 9L) yield ham(hs(g * 4), hs((g + 1) * 4))
+    assert(within.max <= 4, s"within-group distances ${within.sorted.reverse.take(3)}")
+    assert(across.min > 3, s"cross-group distances ${across.sorted.take(3)}")
+  }
+
+  test("phash near-dup join equals brute force at the declared threshold") {
+    val docs = (0L until 60L).toDF("doc_id")
+    val hashes = Multimodal.imageHashes(Multimodal.synthesizeImages(spark, docs))
+    val got = Multimodal.phashNearDups(hashes, maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val hs = hashes.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (ia, (ah, al)) <- hs; (ib, (bh, bl)) <- hs if ia < ib
+      if java.lang.Long.bitCount(ah ^ bh) + java.lang.Long.bitCount(al ^ bl) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
 }
