@@ -80,6 +80,20 @@ object ExtensionQueries {
         .orderBy("id_sub", "id_super")
     }),
 
+    // ---- Dedup: containment over winnowed fingerprints -------------------
+    // Same directed |A∩B|/|A| as dedup_containment but over the winnow
+    // SKETCH (density ≈ 2/(w+1) of the k-gram count): the posting list
+    // the pair join explodes is ~12x smaller than full shingles — the
+    // 100 TB path for sub-document detection. Pure composition:
+    // winnowedFingerprints feeds containmentPairs unchanged.
+    "dedup_containment_winnow" -> ((s, d) => {
+      Dedup.containmentPairs(
+          TextAnalysis.winnowedFingerprints(Tables.documents(s, d),
+            "text", "doc_id"),
+          "id", col("fps"), threshold = 0.6, maxDocFreq = 200L)
+        .orderBy("id_sub", "id_super")
+    }),
+
     // ---- Dedup: canonical assignment over near-dup clusters --------------
     "dedup_canonical" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -2379,6 +2393,31 @@ object ExtensionQueries {
         |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp,
         |  fps[1] AS fp_min, fps[-1] AS fp_max
         |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "dedup_containment_winnow" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(generate_series(1, length(text) - 7),
+        |    i -> ('0x' || substr(md5(text[i : i+7]), 1, 15))::BIGINT) AS hs
+        |  FROM documents WHERE length(text) >= 11),
+        |fp AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(hs) - 3), i -> list_min(hs[i : i+3]))) AS fps
+        |  FROM h),
+        |e0 AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |dfq AS (SELECT fp, count(*) AS d FROM e0 GROUP BY 1),
+        |e AS (SELECT e0.doc_id, e0.fp FROM e0 JOIN dfq USING (fp)
+        |      WHERE dfq.d <= 200),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+        |sh AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS n_shared
+        |       FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |bo AS (SELECT id_1 AS id_sub, id_2 AS id_super, n_shared FROM sh
+        |       UNION ALL SELECT id_2, id_1, n_shared FROM sh)
+        |SELECT id_sub, id_super,
+        |  n_shared::DOUBLE / sz.n AS containment
+        |FROM bo JOIN sz ON sz.doc_id = bo.id_sub
+        |WHERE n_shared::DOUBLE / sz.n >= 0.6
+        |ORDER BY id_sub, id_super""".stripMargin,
 
     "dedup_winnow" ->
       """WITH h AS (
