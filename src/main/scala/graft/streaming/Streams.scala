@@ -425,4 +425,40 @@ object Streams {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Same-pass progress metrics for a stream: attach named aggregates via
+    * `observe` (computed inside the running plan — count/sum/min/max
+    * partials folded per task, NO second read of the data) and collect
+    * the per-micro-batch values from the query's progress events after an
+    * AvailableNow drain. This is the streaming face of
+    * [[graft.sources.Sinks.writeWithAudit]]: the ingest ships rows AND
+    * reports what it shipped from one execution.
+    *
+    * Returns (result table, per-batch metric rows in batch order). The
+    * metric rows answer "how many rows / how much value did batch i
+    * carry" — the numbers a production ingest emits to its metrics bus.
+    */
+  def runAvailableNowObserved(spark: SparkSession, stream: DataFrame,
+                              name: String, outputMode: String,
+                              metrics: Map[String, org.apache.spark.sql.Column]):
+      (DataFrame, Seq[Map[String, Any]]) = {
+    require(metrics.nonEmpty, "needs at least one metric")
+    val named = metrics.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }
+    val q = stream.observe("graft_ingest", named.head, named.tail: _*)
+      .writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val perBatch = q.recentProgress.toSeq
+      .filter(p => p.observedMetrics.containsKey("graft_ingest"))
+      .sortBy(_.batchId)
+      .map { p =>
+        val row = p.observedMetrics.get("graft_ingest")
+        row.schema.fieldNames.map(f => f -> row.getAs[Any](f)).toMap
+      }
+    (spark.table(name), perBatch)
+  }
 }

@@ -260,6 +260,25 @@ class StreamingSpec extends AnyFunSuite {
       Tables.events(spark, TestSpark.sf).count())
   }
 
+  test("observed ingest metrics: per-batch counts sum to the input, same pass") {
+    import org.apache.spark.sql.functions.{count, lit, sum, expr}
+    val stream = Streams.eventsStream(spark, TestSpark.sf, maxFilesPerTrigger = 1)
+      .select(expr("event_id"), expr("value"))
+    val (table, perBatch) = Streams.runAvailableNowObserved(spark, stream,
+      "t_observed", "append",
+      Map("n_rows" -> count(lit(1)),
+        "cents" -> sum(expr("CAST(round(value * 100) AS BIGINT)"))))
+    val expectedRows = Tables.events(spark, TestSpark.sf).count()
+    val expectedCents = Tables.events(spark, TestSpark.sf)
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))).head().getLong(0)
+    assert(perBatch.nonEmpty)
+    assert(perBatch.map(_("n_rows").asInstanceOf[Long]).sum == expectedRows,
+      "per-batch observed counts must sum to the full input")
+    assert(perBatch.map(_("cents").asInstanceOf[Long]).sum == expectedCents,
+      "per-batch observed sums must fold to the batch total")
+    assert(table.count() == expectedRows)
+  }
+
   test("streaming per-key top-k: last emission per key equals batch top-k") {
     import spark.implicits._
     val stream = Streams.eventsStream(spark, TestSpark.sf, maxFilesPerTrigger = 1)
