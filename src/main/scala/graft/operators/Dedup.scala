@@ -416,28 +416,42 @@ object Dedup {
         explode(array_distinct(tokens)).as("t"))
       .localCheckpoint(true)
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("dfq"))
-    // boilerplate cut like every overlap join here: drop ubiquitous
-    // tokens before anything quadratic-ish happens
-    val kept = tf.join(broadcast(
-      dfreq.filter(col("dfq") > maxDocFreq).select(col("t"))),
-      Seq("t"), "left_anti")
-    val sized = kept.join(dfreq, Seq("t"))
+    // boilerplate cut AND frequency attach in ONE inner join (the rank
+    // window needs dfq anyway); materialize the cut posting list once —
+    // it feeds the ranking plus both sides of the verification join, and
+    // without the checkpoint each consumer re-runs the tf ⋈ dfreq shuffle
+    val kept = tf.join(dfreq.filter(col("dfq") <= maxDocFreq), Seq("t"))
+      .localCheckpoint(true)
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("dfq"), col("t"))
     val wSize = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id"))
-    val ranked = sized
+    // checkpoint only the PREFIX slice (≈ (1−t) of the tokens): that is
+    // all the candidate join consumes, twice (both aliases)
+    val prefix = kept
       .withColumn("pos", row_number().over(wRank))
       .withColumn("n", count(lit(1)).over(wSize))
+      .filter(col("pos") <= col("n") - expr(s"(n * $p + $q - 1) DIV $q") + 1)
       .localCheckpoint(true)
-    val prefix = ranked.filter(
-      col("pos") <= col("n") - expr(s"(n * $p + $q - 1) DIV $q") + 1)
     val cand = prefix.alias("a").join(prefix.alias("b"),
         col("a.t") === col("b.t") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
-        col("a.n").as("n_1"), col("b.n").as("n_2"))
+        col("a.n").as("n_1"), col("b.n").as("n_2"),
+        col("a.pos").as("pos_1"), col("b.pos").as("pos_2"))
       .filter(lit(q.toLong) * least(col("n_1"), col("n_2")) >=
         lit(p.toLong) * greatest(col("n_1"), col("n_2")))
+      // positional filter (PPJoin, Xiao et al. 2008): tokens are ranked
+      // identically in every doc, so a match at positions (pos_1, pos_2)
+      // caps the total overlap at 1 + min(n_1 − pos_1, n_2 − pos_2); a
+      // pair whose cap cannot reach the threshold dies BEFORE the
+      // verification join. On repetitive corpora (many shared "rare"
+      // prefixes) this is the difference between verifying millions of
+      // candidates and thousands. Map-side, integer-only.
+      .withColumn("ub",
+        lit(1L) + least(col("n_1") - col("pos_1"), col("n_2") - col("pos_2")))
+      .filter(lit(q.toLong) * col("ub") >=
+        lit(p.toLong) * (col("n_1") + col("n_2") - col("ub")))
+      .select(col("id_1"), col("id_2"), col("n_1"), col("n_2"))
       .distinct()
     val inter = cand
       .join(kept.select(col("id").as("id_1"), col("t")), Seq("id_1"))
