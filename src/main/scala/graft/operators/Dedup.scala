@@ -466,6 +466,40 @@ object Dedup {
           (col("n_1") + col("n_2") - col("n_shared"))).as("jaccard"))
   }
 
+  /** Blocked edit-distance pairs — the entity-resolution / record-linkage
+    * primitive: candidates come ONLY from an equi-join on a caller-chosen
+    * blocking key (sort-key prefix, soundex, first tokens...), then exact
+    * Levenshtein verifies within the block. The length filter
+    * |len(a) − len(b)| ≤ maxDist (a lower bound on edit distance) prunes
+    * before the O(len²) verify computes.
+    *
+    * Blocks bigger than `maxBlock` are dropped whole (partial-agg count +
+    * broadcast anti-join, the standard skew guard here): a degenerate
+    * blocking key ("", a constant) would otherwise turn the block join
+    * into a cross product. Recall within surviving blocks is exact;
+    * cross-block pairs are by-construction out of scope — pick the
+    * blocking key so true matches share it.
+    *
+    * Output: (id_1, id_2, edit_dist) with id_1 &lt; id_2, distance ≤
+    * `maxDist`.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: Column,
+                        blockCol: Column, maxDist: Int,
+                        maxBlock: Long = 10000L): DataFrame = {
+    require(maxDist >= 0, s"maxDist=$maxDist must be >= 0")
+    val t = df.select(col(idCol).as("id"), strCol.as("s"), blockCol.as("blk"))
+      .localCheckpoint(true)
+    val big = t.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBlock).select(col("blk"))
+    val kept = t.join(broadcast(big), Seq("blk"), "left_anti")
+    kept.alias("a").join(kept.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+          abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
+        levenshtein(col("a.s"), col("b.s")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   def containmentPairs(df: DataFrame, idCol: String, shingles: Column,
                        threshold: Double, maxDocFreq: Long = 10000L): DataFrame = {
     val pairs = df.select(col(idCol).as("id"), explode(shingles).as("t"))

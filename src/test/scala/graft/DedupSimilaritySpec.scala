@@ -7,6 +7,27 @@ import graft.functions.TextFunctions
 import graft.operators.{Dedup, Similarity}
 
 class DedupSimilaritySpec extends AnyFunSuite {
+
+  test("editDistancePairs: within-block exact distances, big blocks dropped") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "kitten", "k"), (2L, "sitten", "k"), (3L, "sitting", "k"),
+      (4L, "kitten", "x"), // same string, different block: never paired
+      (5L, "aaaa", "z"), (6L, "aaab", "z"), (7L, "zzzz", "z")
+    ).toDF("id", "s", "blk")
+    val got = graft.operators.Dedup
+      .editDistancePairs(df, "id", col("s"), col("blk"), maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // kitten~sitten=1, sitten~sitting=2, kitten~sitting=3 (cut), aaaa~aaab=1
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 2L), (5L, 6L, 1L)))
+    // a degenerate blocking key must drop the whole block, not cross-join it
+    val guard = graft.operators.Dedup.editDistancePairs(
+      df.withColumn("blk", org.apache.spark.sql.functions.lit("all")),
+      "id", col("s"), col("blk"), maxDist = 2, maxBlock = 3L)
+    assert(guard.count() == 0)
+  }
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
