@@ -613,6 +613,35 @@ object ExtensionQueries {
         .orderBy("id_1", "id_2")
     }),
 
+    // ---- Entity resolution: blocked edit-distance join -------------------
+    // Part names blocked on their first two words; exact Levenshtein
+    // verifies within blocks only. Both engines implement unit-cost
+    // Levenshtein, so distances hash-match.
+    "q_fuzzy_join" -> ((s, d) => {
+      Dedup.editDistancePairs(Tables.part(s, d), "p_partkey", col("p_name"),
+          substring_index(col("p_name"), " ", 2), maxDist = 8)
+        .orderBy("id_1", "id_2")
+    }),
+
+    // ---- Profiling: equi-depth histogram without a global sort -----------
+    // Bucket edges from orderedRank (range-bucketed rank, HOF-folded
+    // offsets) — the scale-sane route to global order statistics; bucket
+    // sizes differ by at most one by construction.
+    "q_equidepth" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("l_orderkey * 10 + l_linenumber").as("uid"))
+      val ranked = Sampling.orderedRank(li, lit("all"), col("cents"),
+        col("uid"), nBuckets = 1024, keyBits = 24, out = "rk")
+      val n = ranked.agg(count(lit(1)).as("n_total"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("bucket", expr("((rk - 1) * 16) DIV n_total"))
+        .groupBy("bucket")
+        .agg(min("cents").as("lo"), max("cents").as("hi"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("bucket")
+    }),
+
     // ---- Data quality: integer-exact z-score outliers --------------------
     // |x − mean| > 2σ rearranged to (n·x − S)² > 4(n·Q − S²) over cent-
     // scaled integers: no division, no sqrt, no float accumulation — the
@@ -1589,6 +1618,32 @@ object ExtensionQueries {
         |  CAST(lead(o) OVER (PARTITION BY user_id ORDER BY o) IS NULL
         |    AS INTEGER) AS is_current
         |FROM v ORDER BY user_id, valid_from_us""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """WITH t AS (
+        |  SELECT p_partkey AS id, p_name AS s,
+        |    array_to_string((string_split(p_name, ' '))[1:2], ' ') AS blk
+        |  FROM part),
+        |keep AS (SELECT blk FROM t GROUP BY blk HAVING count(*) <= 10000),
+        |k AS (SELECT t.* FROM t JOIN keep USING (blk))
+        |SELECT a.id AS id_1, b.id AS id_2,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist
+        |FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.s, b.s) <= 8
+        |ORDER BY id_1, id_2""".stripMargin,
+
+    "q_equidepth" ->
+      """WITH t AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    l_orderkey * 10 + l_linenumber AS uid
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents, uid) AS rk,
+        |    count(*) OVER () AS n FROM t)
+        |SELECT (rk - 1) * 16 // n AS bucket,
+        |  min(cents) AS lo, max(cents) AS hi,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_skyline" ->
       """WITH t AS (

@@ -318,4 +318,18 @@ class TextSamplingSpec extends AnyFunSuite {
       Resample.ewma(df, col("k"), col("o"), col("v"), alpha = 0.3)
     }
   }
+
+  test("equi-depth buckets via orderedRank differ in size by at most one") {
+    val vals = (1L to 1000L).map(i => ((i * 7919) % 5000, i))
+    val df = vals.toDF("cents", "uid")
+    val ranked = Sampling.orderedRank(df, lit("all"), col("cents"),
+      col("uid"), nBuckets = 64, keyBits = 13, out = "rk")
+    val sizes = ranked.crossJoin(
+        broadcast(ranked.agg(count(lit(1)).as("n_total"))))
+      .withColumn("bucket", expr("((rk - 1) * 16) DIV n_total"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .select("n").as[Long].collect()
+    assert(sizes.length == 16)
+    assert(sizes.max - sizes.min <= 1, s"equi-depth violated: ${sizes.toSeq}")
+  }
 }
