@@ -136,6 +136,42 @@ object CompositeQueries {
           col("est_distinct").as("est_users"), col("exact_users"))
     }),
 
+    // ---- KMV distinct sketch: k smallest hashes per group; exact below
+    //      k, one double division above it — SQL-replayable end to end --
+    "q_kmv_distinct" -> ((s, d) => {
+      import graft.operators.Sketches
+      val li = Tables.lineitem(s, d)
+      val sk = Sketches.kmvSketch(li, col("l_partkey"),
+        Seq(col("l_returnflag") -> "l_returnflag"), k = 256)
+      val est = Sketches.kmvEstimate(sk, Seq("l_returnflag"), k = 256)
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      est.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_kept"),
+          col("est_distinct").as("est_parts"), col("exact_parts"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- KMV set overlap: how much do two corpora intersect, answered
+    //      from two ≤ k-row sketches without joining the corpora --------
+    "q_kmv_jaccard" -> ((s, d) => {
+      import graft.operators.Sketches
+      val li = Tables.lineitem(s, d)
+      val a = Sketches.kmvSketch(li.filter(col("l_returnflag") === "A"),
+        col("l_partkey"), Seq.empty, k = 256)
+      val b = Sketches.kmvSketch(li.filter(col("l_returnflag") === "R"),
+        col("l_partkey"), Seq.empty, k = 256)
+      val est = Sketches.kmvJaccard(a, b, k = 256)
+      val flagged = li.filter(col("l_returnflag").isin("A", "R"))
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_returnflag")).as("nf"))
+      val exact = flagged.agg(
+        sum(when(col("nf") === 2, 1L).otherwise(0L)).cast("long")
+          .as("n_inter_exact"),
+        count(lit(1)).as("n_union_exact"))
+      est.crossJoin(exact)
+    }),
+
     // ---- Declared CSV source leg: explicit schema (inference would scan
     //      the whole listing — never at 100 TB), joined to parquet dims ----
     "q_csv_src" -> ((s, d) => {
@@ -371,6 +407,70 @@ object CompositeQueries {
          |    AS est_users,
          |  (SELECT count(DISTINCT user_id) FROM events) AS exact_users
          |FROM est e""".stripMargin,
+
+    "q_kmv_distinct" ->
+      s"""WITH u AS (
+         |  SELECT DISTINCT l_returnflag,
+         |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+         |      AS u
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT l_returnflag, u,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY u) AS rk
+         |  FROM u),
+         |s AS (
+         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+         |    max(u) AS kth
+         |  FROM r WHERE rk <= 256 GROUP BY 1),
+         |ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+         |       FROM lineitem GROUP BY 1)
+         |SELECT s.l_returnflag, s.n_kept,
+         |  CASE WHEN s.n_kept < 256 THEN CAST(s.n_kept AS DOUBLE)
+         |       ELSE ${graft.operators.Sketches.kmvNumerator(256)}
+         |            / CAST(s.kth AS DOUBLE) END AS est_parts,
+         |  CAST(ex.exact_parts AS BIGINT) AS exact_parts
+         |FROM s JOIN ex USING (l_returnflag)
+         |ORDER BY s.l_returnflag""".stripMargin,
+
+    "q_kmv_jaccard" ->
+      s"""WITH ua AS (
+         |  SELECT DISTINCT
+         |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+         |      AS u
+         |  FROM lineitem WHERE l_returnflag = 'A'),
+         |ub AS (
+         |  SELECT DISTINCT
+         |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+         |      AS u
+         |  FROM lineitem WHERE l_returnflag = 'R'),
+         |ka AS (SELECT u FROM ua ORDER BY u LIMIT 256),
+         |kb AS (SELECT u FROM ub ORDER BY u LIMIT 256),
+         |l AS (SELECT u FROM (SELECT u FROM ka UNION SELECT u FROM kb)
+         |      ORDER BY u LIMIT 256),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_union_kept, max(u) AS kth,
+         |    CAST(count(*) FILTER (WHERE u IN (SELECT u FROM ka)
+         |      AND u IN (SELECT u FROM kb)) AS BIGINT) AS k_both
+         |  FROM l),
+         |ex AS (
+         |  SELECT
+         |    CAST(count(*) FILTER (WHERE nf = 2) AS BIGINT) AS n_inter_exact,
+         |    CAST(count(*) AS BIGINT) AS n_union_exact
+         |  FROM (SELECT l_partkey, count(DISTINCT l_returnflag) AS nf
+         |        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+         |        GROUP BY 1)),
+         |est AS (
+         |  SELECT n_union_kept, k_both,
+         |    CASE WHEN n_union_kept < 256 THEN CAST(n_union_kept AS DOUBLE)
+         |         ELSE ${graft.operators.Sketches.kmvNumerator(256)}
+         |              / CAST(kth AS DOUBLE) END AS est_union,
+         |    CAST(k_both AS DOUBLE) / CAST(n_union_kept AS DOUBLE)
+         |      AS est_jaccard
+         |  FROM agg)
+         |SELECT e.n_union_kept, e.k_both, e.est_union, e.est_jaccard,
+         |  e.est_jaccard * e.est_union AS est_intersection,
+         |  x.n_inter_exact, x.n_union_exact
+         |FROM est e, ex x""".stripMargin,
 
     "q_orc_src" ->
       s"""WITH audit(s_key, audit_tier, audit_score) AS (VALUES

@@ -212,4 +212,115 @@ object Sketches {
       .agg((lit(m.toLong) - count(lit(1))).as("n_empty"),
         (lit(hllNumerator(b)) / sScaled.cast("double")).as("est_distinct"))
   }
+
+  // ------------------------------------------------------------------
+  // KMV — k minimum values (Bar-Yossef, Jayram, Kumar, Sivakumar &
+  // Trevisan, "Counting distinct elements in a data stream", RANDOM
+  // 2002; multiset operations per Beyer, Haas, Reinwald, Sismanis &
+  // Gemulla, "On synopses for distinct-value estimation under multiset
+  // operations", SIGMOD 2007).
+  //
+  // The sketch is the k smallest DISTINCT 60-bit md5 hash values — a
+  // ≤ k-row frame per group. Unlike HLL registers it supports SET
+  // operations: the k smallest of a union of sketches IS the sketch of
+  // the union, and membership of those values in each input sketch
+  // estimates Jaccard / intersection size ([[kmvJaccard]]) — the
+  // "how much do these two corpora overlap" question a dedup pipeline
+  // asks before paying for a full join. Everything up to the final
+  // estimate is 60-bit integers, so sketches hash-match an external
+  // SQL replay; the estimate is one double division from agreed
+  // integers. When a group has fewer than k distinct hashes the sketch
+  // holds ALL of them and the estimate is exact by construction.
+  // ------------------------------------------------------------------
+
+  /** The 60-bit md5 hash shared by every sketch here — SQL-replicable
+    * as `('0x' || substr(md5(k), 1, 15))::BIGINT`.
+    */
+  def kmvU(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** The folded estimator numerator (k−1)·2⁶⁰ as one Scala-computed
+    * double emitted verbatim into both engines (same pattern as
+    * [[hllNumerator]]): est = numerator / u_(k).
+    */
+  def kmvNumerator(k: Int): Double = (k - 1).toDouble * math.pow(2.0, 60)
+
+  /** Build the per-group sketch: k smallest distinct hashes of the key.
+    * Dedup is a partial-agg `distinct` (map-side combine), so the
+    * ranking that follows only ever sorts DISTINCT hashes. Ungrouped
+    * sketches use sort+limit — Spark plans TakeOrderedAndProject:
+    * per-partition top-k then a single k-row merge, no global sort.
+    * Grouped sketches rank with a window partitioned by the group —
+    * one sort shuffle of distinct hashes, spill-safe.
+    */
+  def kmvSketch(items: DataFrame, keyCol: Column,
+                grpCols: Seq[(Column, String)], k: Int = 256): DataFrame = {
+    require(k >= 16, s"k=$k too small for a useful estimate (need >= 16)")
+    val dedup = items
+      .select(grpCols.map { case (c, n) => c.as(n) } :+ kmvU(keyCol).as("u"): _*)
+      .distinct()
+    keepMinK(dedup, grpCols.map(_._2), k)
+  }
+
+  /** Merge sketches built with the SAME (k, key expression): union,
+    * re-dedup, re-min-k. Associative and commutative, like the other
+    * sketches here — shard- or day-scoped KMVs combine in any order.
+    */
+  def kmvMerge(grpColNames: Seq[String], k: Int,
+               sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "kmvMerge needs at least one sketch")
+    keepMinK(sketches.reduce(_.unionByName(_)).distinct(), grpColNames, k)
+  }
+
+  private def keepMinK(dedup: DataFrame, grpColNames: Seq[String],
+                       k: Int): DataFrame =
+    if (grpColNames.isEmpty) dedup.orderBy(col("u")).limit(k)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(grpColNames.map(col): _*).orderBy(col("u"))
+      dedup.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k).drop("__rk")
+    }
+
+  /** Estimate distinct counts from a sketch frame: per group,
+    * (k−1)·2⁶⁰ / u_(k) — or the exact kept count when the group never
+    * filled its k slots. n_kept is emitted so consumers can see which
+    * regime they are in.
+    */
+  def kmvEstimate(sketch: DataFrame, grpColNames: Seq[String],
+                  k: Int = 256): DataFrame =
+    sketch.groupBy(grpColNames.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("u")).as("__kth"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit(kmvNumerator(k)) / col("__kth").cast("double")))
+      .drop("__kth")
+
+  /** Jaccard / overlap estimates from two UNGROUPED sketches with the
+    * same (k, key expression), per Beyer et al. §5: take the k smallest
+    * of the union (`L`), count how many of them appear in BOTH input
+    * sketches (k_both) — k_both / |L| estimates the Jaccard index, and
+    * scaled by the union-size estimate it estimates the intersection
+    * size. Both sketches are ≤ k rows, so every join here is a
+    * broadcast of a k-row frame; nothing in this method rescans data.
+    *
+    * Output (one row): n_union_kept, k_both, est_union, est_jaccard,
+    * est_intersection.
+    */
+  def kmvJaccard(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
+    val l = kmvMerge(Seq.empty, k, a.select(col("u")), b.select(col("u")))
+    val both = l.join(broadcast(a.select(col("u"))), Seq("u"), "left_semi")
+      .join(broadcast(b.select(col("u"))), Seq("u"), "left_semi")
+      .agg(count(lit(1)).as("k_both"))
+    l.agg(count(lit(1)).as("n_union_kept"), max(col("u")).as("__kth"))
+      .crossJoin(broadcast(both))
+      .withColumn("est_union",
+        when(col("n_union_kept") < k, col("n_union_kept").cast("double"))
+          .otherwise(lit(kmvNumerator(k)) / col("__kth").cast("double")))
+      .withColumn("est_jaccard",
+        col("k_both").cast("double") / col("n_union_kept").cast("double"))
+      .withColumn("est_intersection", col("est_jaccard") * col("est_union"))
+      .select(col("n_union_kept"), col("k_both"), col("est_union"),
+        col("est_jaccard"), col("est_intersection"))
+  }
 }

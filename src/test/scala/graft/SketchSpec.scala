@@ -514,4 +514,69 @@ class SketchSpec extends AnyFunSuite {
       assert(est == est2, "estimate must be bit-identical under repartitioning")
     }
   }
+
+  test("kmv: exact below k, within the error envelope above it, partition-independent") {
+    import graft.operators.Sketches
+    // below k: the sketch holds everything and the estimate IS the count
+    val small = (1 to 100).map(i => s"s$i").toDF("k")
+    val estSmall = Sketches.kmvEstimate(
+      Sketches.kmvSketch(small, col("k"), Seq.empty, k = 256), Seq.empty, k = 256)
+      .select(col("n_kept"), col("est_distinct")).as[(Long, Double)].head()
+    assert(estSmall == ((100L, 100.0)))
+    // above k: RSE ≈ 1/sqrt(k−2) ≈ 6.3% at k=256; allow 4 sigma
+    for (n <- Seq(2000, 20000)) {
+      val ids = (1 to n).map(i => s"id-$i-y").toDF("k")
+      val est = Sketches.kmvEstimate(
+        Sketches.kmvSketch(ids, col("k"), Seq.empty, k = 256), Seq.empty, k = 256)
+        .select(col("est_distinct")).as[Double].head()
+      assert(math.abs(est - n) < 0.26 * n,
+        s"n=$n est=$est outside the KMV error envelope")
+      val est2 = Sketches.kmvEstimate(
+        Sketches.kmvSketch(ids.repartition(13), col("k"), Seq.empty, k = 256),
+        Seq.empty, k = 256).select(col("est_distinct")).as[Double].head()
+      assert(est == est2, "estimate must be bit-identical under repartitioning")
+    }
+  }
+
+  test("kmv: shard sketches merge to the one-pass sketch; grouped sketch caps at k") {
+    import graft.operators.Sketches
+    val ids = (1 to 5000).map(i => s"doc$i").toDF("k")
+    val whole = Sketches.kmvSketch(ids, col("k"), Seq.empty, k = 64)
+      .as[Long].collect().toSet
+    val merged = Sketches.kmvMerge(Seq.empty, 64,
+        Sketches.kmvSketch(ids.filter(length(col("k")) <= 6), col("k"), Seq.empty, 64),
+        Sketches.kmvSketch(ids.filter(length(col("k")) > 6), col("k"), Seq.empty, 64))
+      .as[Long].collect().toSet
+    assert(merged == whole, "merged shard sketches must equal the one-pass sketch")
+    val grouped = Sketches.kmvSketch(
+      (1 to 900).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "k"),
+      col("k"), Seq(col("g") -> "g"), k = 64)
+    val sizes = grouped.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.toSet == Set(64L), s"every group must keep exactly k: $sizes")
+  }
+
+  test("kmv jaccard: overlap estimated from k-row sketches tracks the true index") {
+    import graft.operators.Sketches
+    // |A| = 3000, |B| = 3000, |A∩B| = 1500 → J = 1500/4500 = 1/3
+    val a = (1 to 3000).map(i => s"e$i").toDF("k")
+    val b = (1501 to 4500).map(i => s"e$i").toDF("k")
+    val row = Sketches.kmvJaccard(
+        Sketches.kmvSketch(a, col("k"), Seq.empty, 256),
+        Sketches.kmvSketch(b, col("k"), Seq.empty, 256), k = 256)
+      .select(col("n_union_kept"), col("k_both"), col("est_union"),
+        col("est_jaccard"), col("est_intersection"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    val (nKept, kBoth, estU, estJ, estI) = row
+    assert(nKept == 256L && kBoth > 0L)
+    assert(math.abs(estJ - 1.0 / 3.0) < 0.12, s"est_jaccard=$estJ vs 0.333")
+    assert(math.abs(estU - 4500.0) < 0.26 * 4500.0, s"est_union=$estU vs 4500")
+    assert(math.abs(estI - 1500.0) < 0.35 * 1500.0, s"est_intersection=$estI vs 1500")
+    // disjoint sets: zero overlap exactly
+    val disj = Sketches.kmvJaccard(
+        Sketches.kmvSketch(a, col("k"), Seq.empty, 256),
+        Sketches.kmvSketch((5000 to 8000).map(i => s"e$i").toDF("k"),
+          col("k"), Seq.empty, 256), k = 256)
+      .select(col("k_both"), col("est_jaccard")).as[(Long, Double)].head()
+    assert(disj == ((0L, 0.0)))
+  }
 }
