@@ -657,6 +657,42 @@ object ExtensionQueries {
         .orderBy("event_type")
     }),
 
+    // ---- Data quality: robust median/MAD outliers ------------------------
+    // den·|x − med| > num·MAD with the LOWER median (a real element, no
+    // averaging), both medians via orderedRank — integer end to end, no
+    // global sort. Summary row keeps the oracle compact; the operator
+    // emits per-row outliers. Fence at 1.5·MAD: prices are near-uniform
+    // (max dev ≈ 2·MAD), so the default 3·MAD fence would flag nothing.
+    "q_mad_outliers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("l_orderkey * 10 + l_linenumber").as("uid"))
+      graft.operators.Stats.madOutliers(li, col("cents"), col("uid"),
+          num = 3L, den = 2L)
+        .groupBy(col("med"), col("mad"))
+        .agg(count(lit(1)).as("n_outliers"),
+          min(col("x")).as("min_outlier"), max(col("x")).as("max_outlier"))
+    }),
+
+    // ---- Association mining: basket co-occurrence pairs ------------------
+    // Which parts ship together in one order: pair counts via a basket
+    // equi-join (oversized baskets dropped whole — the cross-product
+    // guard), supports and directed confidences in exact ppm.
+    "q_cooccur" -> ((s, d) => {
+      graft.operators.Associations.coOccurrencePairs(Tables.lineitem(s, d),
+          col("l_orderkey"), col("l_partkey"))
+        .orderBy(col("pair_cnt").desc, col("i1"), col("i2"))
+        .limit(20)
+    }),
+
+    // ---- Collocations: PMI-ranked bigrams, log-free ----------------------
+    // rank by c_xy·N·10⁶ DIV (c_x·c_y) — monotone in PMI, integer-exact
+    // in both engines (log's last ulp is not).
+    "text_pmi" -> ((s, d) => {
+      TextAnalysis.pmiBigrams(Tables.documents(s, d), "text",
+        minCount = 5L, k = 30)
+    }),
+
     // ---- Warehouse: SCD Type-2 intervals from a change log ---------------
     // price-tier versions per user: no-op updates (same tier as previous
     // purchase) create no version; validity runs to the next CHANGE. All
@@ -1597,6 +1633,63 @@ object ExtensionQueries {
         |  min(CASE WHEN is_out THEN v END) AS min_outlier,
         |  max(CASE WHEN is_out THEN v END) AS max_outlier
         |FROM f GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH t AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+        |    l_orderkey * 10 + l_linenumber AS uid
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT x AS med FROM
+        |    (SELECT x, row_number() OVER (ORDER BY x, uid) AS rk FROM t)
+        |  WHERE rk = (SELECT (count(*) + 1) // 2 FROM t)),
+        |d AS (SELECT t.x, t.uid, m.med, abs(t.x - m.med) AS dev FROM t, m),
+        |md AS (
+        |  SELECT dev AS mad FROM
+        |    (SELECT dev, uid, row_number() OVER (ORDER BY dev, uid) AS rk
+        |     FROM d)
+        |  WHERE rk = (SELECT (count(*) + 1) // 2 FROM d))
+        |SELECT d.med, md.mad, CAST(count(*) AS BIGINT) AS n_outliers,
+        |  min(d.x) AS min_outlier, max(d.x) AS max_outlier
+        |FROM d, md WHERE 2 * d.dev > 3 * md.mad
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_cooccur" ->
+      """WITH t AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |sup AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+        |p AS (
+        |  SELECT a.i AS i1, c.i AS i2, CAST(count(*) AS BIGINT) AS pair_cnt
+        |  FROM t a JOIN t c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2)
+        |SELECT p.i1, p.i2, p.pair_cnt, s1.cnt AS cnt_1, s2.cnt AS cnt_2,
+        |  p.pair_cnt * 1000000 // s1.cnt AS conf12_ppm,
+        |  p.pair_cnt * 1000000 // s2.cnt AS conf21_ppm
+        |FROM p
+        |JOIN sup s1 ON s1.i = p.i1
+        |JOIN sup s2 ON s2.i = p.i2
+        |ORDER BY p.pair_cnt DESC, p.i1, p.i2 LIMIT 20""".stripMargin,
+
+    "text_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS bigram
+        |  FROM t),
+        |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy
+        |       FROM g GROUP BY 1),
+        |u AS (SELECT unnest(w) AS tok FROM t),
+        |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_t
+        |       FROM u GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM g)
+        |SELECT bc.bigram, bc.c_xy, u1.c_t AS c_1, u2.c_t AS c_2,
+        |  bc.c_xy * n.n_big * 1000000 // (u1.c_t * u2.c_t) AS pmi_ppm
+        |FROM bc
+        |JOIN uc u1 ON u1.tok = string_split(bc.bigram, ' ')[1]
+        |JOIN uc u2 ON u2.tok = string_split(bc.bigram, ' ')[2]
+        |CROSS JOIN n
+        |WHERE bc.c_xy >= 5
+        |ORDER BY pmi_ppm DESC, bc.bigram LIMIT 30""".stripMargin,
 
     "q_scd2" ->
       """WITH e AS (

@@ -58,4 +58,52 @@ object Stats {
       .select(col("g"), col("n"), col("n_outliers"),
         col("min_outlier"), col("max_outlier"))
   }
+
+  /** Robust (median / MAD) outlier detection, integer-exact and with NO
+    * global sort: x is an outlier iff den·|x − med| &gt; num·MAD, where
+    * med is the LOWER median (the value at rank (n+1) DIV 2 in
+    * (value, tie) order — a single well-defined element, no averaging,
+    * so the test stays in integers) and MAD is the lower median of
+    * |x − med|. Median/MAD resist the heavy tails that wreck the
+    * z-score test ([[zScoreOutliers]]): one 10⁹-cent row moves a mean
+    * and variance arbitrarily, it moves a median by at most one rank.
+    *
+    * Both medians come from [[Sampling.orderedRank]] — range-bucketed
+    * ranks with HOF-folded offsets — so the plan is two bounded rank
+    * passes plus broadcast joins of 1-row frames; nothing single-sorts
+    * the data. `valueCol` must be non-negative fixed-point integral in
+    * [0, 2^keyBits) (the bucket shift is monotone only over
+    * non-negative keys; cents at keyBits=24 covers values to ~167k).
+    *
+    * Output: one row per outlier — (uid, x, med, abs_dev, mad).
+    */
+  def madOutliers(df: DataFrame, valueCol: Column, tieCol: Column,
+                  num: Long = 3L, den: Long = 1L,
+                  keyBits: Int = 24): DataFrame = {
+    require(num >= 1 && den >= 1, s"cut $num/$den must be positive")
+    val t = df.select(valueCol.cast("long").as("x"), tieCol.as("uid"))
+      .localCheckpoint(true)
+    val dev = t.crossJoin(broadcast(lowerMedian(t, "x", keyBits).toDF("med")))
+      .withColumn("abs_dev", abs(col("x") - col("med")))
+      .localCheckpoint(true)
+    val mad = lowerMedian(dev.select(col("abs_dev").as("x"), col("uid")),
+      "x", keyBits).toDF("mad")
+    dev.crossJoin(broadcast(mad))
+      .filter(lit(den) * col("abs_dev") > lit(num) * col("mad"))
+      .select(col("uid"), col("x"), col("med"), col("abs_dev"), col("mad"))
+  }
+
+  /** The value at rank (n+1) DIV 2 of (xCol, uid) order — a 1-row,
+    * 1-column frame. Rank via orderedRank, never a global-order window.
+    */
+  private def lowerMedian(t: DataFrame, xCol: String,
+                          keyBits: Int): DataFrame = {
+    val ranked = Sampling.orderedRank(t, lit(0L), col(xCol), col("uid"),
+      nBuckets = 1024, keyBits = keyBits, out = "__rk")
+    // (n+1) DIV 2, integer division — `/` on longs is DOUBLE division in
+    // Spark and loses exactness past 2^53
+    ranked.crossJoin(broadcast(t.agg(count(lit(1)).as("__n"))))
+      .filter(col("__rk") === expr("(__n + 1) DIV 2"))
+      .select(col(xCol))
+  }
 }

@@ -108,6 +108,48 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("ngram"))
       .limit(k)
 
+  /** Collocation mining: adjacent token pairs ranked by pointwise mutual
+    * information, with PMI kept integer-exact. The true score
+    * log(c_xy·N / (c_x·c_y)) is monotone in its argument, so ranking by
+    * the 10⁶-scaled integer ratio `c_xy·N·10⁶ DIV (c_x·c_y)` orders
+    * identically to PMI with zero floating point — log's last-ulp
+    * rounding differs across engines, integer DIV does not (same trick
+    * as the log-free BM25 idf). Requires c_xy·N·10⁶ &lt; 2⁶³, i.e.
+    * token streams to ~10⁵ per this scaling; larger corpora would rank
+    * by the double ratio instead and keep the integer numerator and
+    * denominator alongside for exact tie-breaks.
+    *
+    * Plan shape: two narrow explode+count aggregates (bigrams with
+    * multiplicity, unigrams) plus a broadcast of the vocabulary-sized
+    * unigram frame onto the bigram counts — nothing quadratic, no
+    * joins over documents.
+    *
+    * Output: (bigram, c_xy, c_1, c_2, pmi_ppm), top k by
+    * (pmi_ppm DESC, bigram), bigram count ≥ minCount.
+    */
+  def pmiBigrams(df: DataFrame, textCol: String, minCount: Long,
+                 k: Int): DataFrame = {
+    val toks = df.select(TextFunctions.tokens(col(textCol)).as("w"))
+    val big = toks.select(explode(
+      TextFunctions.wordNgrams(col("w"), 2)).as("bigram"))
+    val bc = big.groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
+    val n = big.agg(count(lit(1)).as("n_big"))
+    bc.filter(col("c_xy") >= minCount)
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c_t").as("c_1"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c_t").as("c_2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("bigram"), col("c_xy"), col("c_1"), col("c_2"),
+        expr("c_xy * n_big * 1000000L DIV (c_1 * c_2)").as("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Rolling polynomial fingerprint per document (content-defined identity
     * that survives reformatting of surrounding fields).
     */

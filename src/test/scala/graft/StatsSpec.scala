@@ -108,4 +108,67 @@ class StatsSpec extends AnyFunSuite {
       col("s"), col("e"), 64L)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("madOutliers: lower-median MAD fence, robust to a tail the z-score is not") {
+    // x = 1..9 plus a wild 10^6 point. med = element at rank (11+1)/2=6
+    // of sorted [1..9, 5, 1000000] -> 5; devs sorted: [0,1,1,2,2,3,3,4,4,
+    // 999995] plus dev(5)=0 -> lower median mad = 2.
+    // outliers: |x-5| > 3*2=6 -> only 1000000.
+    val df = ((1L to 9L) :+ 1000000L :+ 5L).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("v", "uid")
+    val out = Stats.madOutliers(df, col("v"), col("uid"), num = 3L, den = 1L)
+      .select("x", "med", "abs_dev", "mad")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1000000L, 5L, 999995L, 2L)))
+    // the z-score fence at k=2 misses it or flags legit rows? not the
+    // point — the point is MAD's fence is unchanged when the tail grows
+    val grown = df.union(Seq((2000000L, 99L)).toDF("v", "uid"))
+    val out2 = Stats.madOutliers(grown, col("v"), col("uid"))
+      .select("med", "mad").distinct().as[(Long, Long)].collect()
+    assert(out2.toSeq == Seq((5L, 2L)), "median/MAD must shrug off tail growth")
+    // partition independence
+    val re = Stats.madOutliers(df.repartition(7, col("uid")), col("v"),
+      col("uid")).select("x").as[Long].collect()
+    assert(re.toSeq == Seq(1000000L))
+  }
+
+  test("coOccurrencePairs: exact pair counts and ppm confidences; big-basket guard") {
+    import graft.operators.Associations
+    // baskets: b1={1,2,3}, b2={1,2}, b3={2,3}, b4={1} (dup row ignored)
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 2L), (3L, 3L), (4L, 1L), (4L, 1L)).toDF("b", "i")
+    val got = Associations.coOccurrencePairs(df, col("b"), col("i"))
+      .select("i1", "i2", "pair_cnt", "cnt_1", "cnt_2", "conf12_ppm",
+        "conf21_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    // supports: 1->3 baskets, 2->3, 3->2
+    assert(got == Set(
+      (1L, 2L, 2L, 3L, 3L, 666666L, 666666L),
+      (1L, 3L, 1L, 3L, 2L, 333333L, 500000L),
+      (2L, 3L, 2L, 3L, 2L, 666666L, 1000000L)))
+    // a basket over maxBasket contributes no pairs, but still counts
+    // toward supports of surviving pairs' items
+    val withBig = df.union((1L to 5L).map(i => (9L, i)).toDF("b", "i"))
+    val guarded = Associations.coOccurrencePairs(withBig, col("b"), col("i"),
+      maxBasket = 4L)
+    assert(guarded.filter(col("i1") === 4L || col("i2") === 4L).count() == 0,
+      "pairs must only come from surviving baskets")
+    val s12 = guarded.filter(col("i1") === 1L && col("i2") === 2L)
+      .select("cnt_1").as[Long].head()
+    assert(s12 == 4L, "supports count dropped baskets too")
+  }
+
+  test("pmiBigrams ranks collocations above chance pairs, integer-exactly") {
+    import graft.operators.TextAnalysis
+    // "new york" always together (8x); "the" everywhere dilutes its pairs
+    val docs = Seq.fill(8)("the new york times the story") ++
+      Seq.fill(4)("the story the end")
+    val df = docs.toDF("text")
+    val top = TextAnalysis.pmiBigrams(df, "text", minCount = 5L, k = 5)
+      .select("bigram", "pmi_ppm").as[(String, Long)].collect()
+    assert(top.nonEmpty && top.head._1 == "new york",
+      s"expected 'new york' as top collocation, got ${top.toSeq}")
+    val scores = top.map(_._2)
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
 }
