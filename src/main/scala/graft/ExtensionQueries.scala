@@ -617,9 +617,15 @@ object ExtensionQueries {
     // Part names blocked on their first two words; exact Levenshtein
     // verifies within blocks only. Both engines implement unit-cost
     // Levenshtein, so distances hash-match.
+    // Entity resolution over near-identical identifiers: customer names
+    // differ only in the trailing digits, so block on everything but the
+    // last two characters (prefix blocking — true typo pairs share it)
+    // and verify with a thresholded edit distance of 1. The part-name
+    // column is useless here: its "name" IS its two-word vocabulary key,
+    // so name-blocked pairs are all identical strings.
     "q_fuzzy_join" -> ((s, d) => {
-      Dedup.editDistancePairs(Tables.part(s, d), "p_partkey", col("p_name"),
-          substring_index(col("p_name"), " ", 2), maxDist = 8)
+      Dedup.editDistancePairs(Tables.customer(s, d), "c_custkey",
+          col("c_name"), substring(col("c_name"), 1, 16), maxDist = 1)
         .orderBy("id_1", "id_2")
     }),
 
@@ -1714,15 +1720,14 @@ object ExtensionQueries {
 
     "q_fuzzy_join" ->
       """WITH t AS (
-        |  SELECT p_partkey AS id, p_name AS s,
-        |    array_to_string((string_split(p_name, ' '))[1:2], ' ') AS blk
-        |  FROM part),
+        |  SELECT c_custkey AS id, c_name AS s, substring(c_name, 1, 16) AS blk
+        |  FROM customer),
         |keep AS (SELECT blk FROM t GROUP BY blk HAVING count(*) <= 10000),
         |k AS (SELECT t.* FROM t JOIN keep USING (blk))
         |SELECT a.id AS id_1, b.id AS id_2,
         |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist
         |FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
-        |WHERE levenshtein(a.s, b.s) <= 8
+        |WHERE levenshtein(a.s, b.s) <= 1
         |ORDER BY id_1, id_2""".stripMargin,
 
     "q_equidepth" ->

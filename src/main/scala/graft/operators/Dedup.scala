@@ -495,9 +495,12 @@ object Dedup {
     kept.alias("a").join(kept.alias("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
           abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)
+      // thresholded levenshtein: O(len·maxDist) banded DP that bails to -1
+      // past the threshold, instead of the full O(len²) table per pair —
+      // the verify step is the hot loop of any blocked fuzzy join
       .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
-        levenshtein(col("a.s"), col("b.s")).cast("long").as("edit_dist"))
-      .filter(col("edit_dist") <= maxDist)
+        levenshtein(col("a.s"), col("b.s"), maxDist).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
   }
 
   def containmentPairs(df: DataFrame, idCol: String, shingles: Column,

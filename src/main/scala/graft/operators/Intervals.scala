@@ -45,10 +45,18 @@ object Intervals {
   def concurrencyByBucket(df: DataFrame, startCol: Column, endCol: Column,
                           bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth=$bucketWidth must be >= 1")
-    val deltas = df.select(startCol.cast("long").as("t"), lit(1L).as("d"))
-      .unionByName(df.select(endCol.cast("long").as("t"), lit(-1L).as("d")))
+    // One explode pass (not a union of two selects — that scans the input
+    // twice), checkpointed because the boundary frame feeds two consumers
+    // (the net-delta aggregate and the per-bucket sweep): without the cut,
+    // a window-heavy upstream like sessionization is re-evaluated once per
+    // consumer per union leg — 4× the dominant cost.
+    val deltas = df.select(explode(array(
+        struct(startCol.cast("long").as("t"), lit(1L).as("d")),
+        struct(endCol.cast("long").as("t"), lit(-1L).as("d")))).as("b"))
+      .select(col("b.t").as("t"), col("b.d").as("d"))
       // integer DIV, not `/`: double division loses 60-bit ns precision
       .withColumn("bucket", expr(s"t DIV CAST($bucketWidth AS BIGINT)"))
+      .localCheckpoint(true)
     val nets = deltas.groupBy(col("bucket")).agg(sum(col("d")).as("net"))
     val carries = Prefix.exclusiveFold(nets, "bucket", "net",
       lit(0L), (a, b) => a + b)
