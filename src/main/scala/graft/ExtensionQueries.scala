@@ -680,6 +680,28 @@ object ExtensionQueries {
           min(col("x")).as("min_outlier"), max(col("x")).as("max_outlier"))
     }),
 
+    // ---- Profiling: per-group median without a global sort ---------------
+    // median order value per priority class — the stratified twin of
+    // q_mad_outliers' global median.
+    "q_grouped_median" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderpriority").as("prio"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderkey").as("uid"))
+      graft.operators.Stats.groupedLowerMedian(o, col("prio"), col("cents"),
+          col("uid"))
+        .orderBy("g")
+    }),
+
+    // ---- Profiling: categorical diversity (Gini impurity, exact ppm) -----
+    "q_gini" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      graft.operators.Stats.categoricalDiversity(li, Seq(
+          "l_returnflag" -> col("l_returnflag"),
+          "l_linestatus" -> col("l_linestatus"),
+          "l_quantity" -> col("l_quantity").cast("long")))
+        .orderBy("col_name")
+    }),
+
     // ---- Association mining: basket co-occurrence pairs ------------------
     // Which parts ship together in one order: pair counts via a basket
     // equi-join (oversized baskets dropped whole — the cross-product
@@ -1659,6 +1681,40 @@ object ExtensionQueries {
         |  min(d.x) AS min_outlier, max(d.x) AS max_outlier
         |FROM d, md WHERE 2 * d.dev > 3 * md.mad
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_grouped_median" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+        |    o_orderkey AS uid
+        |  FROM orders),
+        |r AS (
+        |  SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x, uid)
+        |    AS rk FROM t),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1)
+        |SELECT r.g, r.x AS med, n.n AS n
+        |FROM r JOIN n USING (g) WHERE r.rk = (n.n + 1) // 2
+        |ORDER BY g""".stripMargin,
+
+    "q_gini" ->
+      """WITH v AS (
+        |  SELECT 'l_returnflag' AS col_name, l_returnflag AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', l_linestatus FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+        |  FROM lineitem),
+        |c AS (SELECT col_name, v, count(*) AS c FROM v GROUP BY 1, 2),
+        |a AS (
+        |  SELECT col_name, CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(max(c) AS BIGINT) AS top_count,
+        |    sum(c * c) AS sum_c2
+        |  FROM c GROUP BY 1)
+        |SELECT col_name, n_rows, n_distinct, top_count,
+        |  CAST(((n_rows * n_rows - sum_c2) * 1000000)
+        |    // (n_rows * n_rows) AS BIGINT) AS gini_ppm
+        |FROM a ORDER BY col_name""".stripMargin,
 
     "q_cooccur" ->
       """WITH t AS (

@@ -93,6 +93,61 @@ object Stats {
       .select(col("uid"), col("x"), col("med"), col("abs_dev"), col("mad"))
   }
 
+  /** Per-group lower median: the value at rank (n_g + 1) DIV 2 of
+    * (value, tie) order within each group — a real element of the group,
+    * no averaging, so downstream comparisons stay in integers. Ranks come
+    * from [[Sampling.orderedRank]] with the group as the stratum: the
+    * data shuffles once on (group, range-bucket) and offsets fold over a
+    * bounded per-group aggregate — no global sort, and no per-group
+    * single-partition window over high-cardinality groups.
+    *
+    * The per-group count frame (one row per group) is broadcast back
+    * onto the ranked stream; suited to grouping keys whose cardinality
+    * fits a broadcast (profiling dimensions, not user ids).
+    *
+    * `valueCol` must be non-negative integral below 2^keyBits.
+    * Output: (g, med, n) — one row per group.
+    */
+  def groupedLowerMedian(df: DataFrame, groupCol: Column, valueCol: Column,
+                         tieCol: Column, keyBits: Int = 28): DataFrame = {
+    val t = df.select(groupCol.as("g"), valueCol.cast("long").as("x"),
+      tieCol.as("uid"))
+    val ranked = Sampling.orderedRank(t, col("g"), col("x"), col("uid"),
+      nBuckets = 1024, keyBits = keyBits, out = "__rk")
+    val counts = t.groupBy(col("g")).agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(counts), Seq("g"))
+      .filter(col("__rk") === expr("(__n + 1) DIV 2"))
+      .select(col("g"), col("x").as("med"), col("__n").as("n"))
+  }
+
+  /** Categorical diversity profile, one row per profiled column: row
+    * count, distinct count, modal frequency, and Gini impurity
+    * 1 − Σ(c/n)² as exact parts-per-million — computed as
+    * (n² − Σc²)·10⁶ DIV n² with the squares in DECIMAL(38, 0), so the
+    * score is identical in any engine at any row count (a double Σ(c/n)²
+    * is neither). High gini = well-spread column; 0 = constant.
+    *
+    * One partial-agg pass per profiled column over a 1-column
+    * projection — no shuffle carries more than the column's distinct
+    * values.
+    */
+  def categoricalDiversity(df: DataFrame,
+                           cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    cols.map { case (label, c) =>
+      df.select(c.cast("string").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_count"),
+          sum(col("c").cast(D38) * col("c").cast(D38)).as("sum_c2"))
+        .select(lit(label).as("col_name"),
+          col("n").cast("long").as("n_rows"), col("n_distinct"),
+          col("top_count"),
+          expr("CAST(((CAST(n AS DECIMAL(38,0)) * n - sum_c2) * 1000000)" +
+            " DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("gini_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The value at rank (n+1) DIV 2 of (xCol, uid) order — a 1-row,
     * 1-column frame. Rank via orderedRank, never a global-order window.
     */

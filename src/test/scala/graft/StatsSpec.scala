@@ -132,6 +132,44 @@ class StatsSpec extends AnyFunSuite {
     assert(re.toSeq == Seq(1000000L))
   }
 
+  test("groupedLowerMedian: per-group lower median, partition-independent") {
+    // group a: [1,2,3,4] -> rank (4+1)/2=2 -> med 2; group b: [10,20,30]
+    // -> rank 2 -> 20; group c: [7] -> rank 1 -> 7
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 10L), ("b", 20L), ("b", 30L), ("c", 7L))
+      .zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      .toDF("g", "v", "uid")
+    val got = Stats.groupedLowerMedian(df, col("g"), col("v"), col("uid"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 2L, 4L), ("b", 20L, 3L), ("c", 7L, 1L)))
+    val re = Stats.groupedLowerMedian(df.repartition(5, col("uid")),
+      col("g"), col("v"), col("uid")).as[(String, Long, Long)].collect().toSet
+    assert(re == got)
+    // ties: lower median is a real element in (value, tie) order
+    val ties = Seq(("t", 5L, 1L), ("t", 5L, 2L), ("t", 9L, 3L), ("t", 9L, 4L))
+      .toDF("g", "v", "uid")
+    val m = Stats.groupedLowerMedian(ties, col("g"), col("v"), col("uid"))
+      .select("med").as[Long].head()
+    assert(m == 5L, "rank (4+1) DIV 2 = 2 -> second 5")
+  }
+
+  test("categoricalDiversity: exact gini ppm, constant and uniform extremes") {
+    val df = Seq(("x", "a"), ("x", "b"), ("x", "c"), ("x", "d"))
+      .toDF("const", "uniform")
+    val got = Stats.categoricalDiversity(df,
+        Seq("const" -> col("const"), "uniform" -> col("uniform")))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // constant: gini = 0; uniform over 4: 1 - 4*(1/16) = 3/4 -> 750000
+    assert(got("const") == (("const", 4L, 1L, 4L, 0L)))
+    assert(got("uniform") == (("uniform", 4L, 4L, 1L, 750000L)))
+    // skewed 3-1: 1 - (9+1)/16 = 6/16 -> 375000
+    val sk = Seq("a", "a", "a", "b").toDF("v")
+    val g = Stats.categoricalDiversity(sk, Seq("v" -> col("v")))
+      .select("gini_ppm").as[Long].head()
+    assert(g == 375000L)
+  }
+
   test("coOccurrencePairs: exact pair counts and ppm confidences; big-basket guard") {
     import graft.operators.Associations
     // baskets: b1={1,2,3}, b2={1,2}, b3={2,3}, b4={1} (dup row ignored)
