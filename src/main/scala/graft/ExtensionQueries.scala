@@ -713,6 +713,17 @@ object ExtensionQueries {
         .limit(20)
     }),
 
+    // ---- Association mining: frequent token triples (Apriori L3) ---------
+    // topic signatures: which word triples co-occur across documents.
+    "q_triples" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      graft.operators.Associations.frequentTriples(toks, col("doc_id"),
+          col("tok"), minSupport = 50L)
+        .orderBy(col("triple_cnt").desc, col("i1"), col("i2"), col("i3"))
+        .limit(30)
+    }),
+
     // ---- Collocations: PMI-ranked bigrams, log-free ----------------------
     // rank by c_xy·N·10⁶ DIV (c_x·c_y) — monotone in PMI, integer-exact
     // in both engines (log's last ulp is not).
@@ -1731,6 +1742,21 @@ object ExtensionQueries {
         |JOIN sup s1 ON s1.i = p.i1
         |JOIN sup s2 ON s2.i = p.i2
         |ORDER BY p.pair_cnt DESC, p.i1, p.i2 LIMIT 20""".stripMargin,
+
+    "q_triples" ->
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id AS b, tok AS i FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |     FROM documents)),
+        |tr AS (
+        |  SELECT a.i AS i1, c.i AS i2, e.i AS i3,
+        |    CAST(count(*) AS BIGINT) AS triple_cnt
+        |  FROM t a
+        |  JOIN t c ON a.b = c.b AND a.i < c.i
+        |  JOIN t e ON a.b = e.b AND c.i < e.i
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 50)
+        |SELECT i1, i2, i3, triple_cnt FROM tr
+        |ORDER BY triple_cnt DESC, i1, i2, i3 LIMIT 30""".stripMargin,
 
     "text_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),

@@ -52,4 +52,55 @@ object Associations {
         expr("pair_cnt * 1000000L DIV cnt_1").as("conf12_ppm"),
         expr("pair_cnt * 1000000L DIV cnt_2").as("conf21_ppm"))
   }
+
+  /** Frequent item triples (Apriori level 3, Agrawal &amp; Srikant VLDB
+    * 1994): ordered triples {i1 &lt; i2 &lt; i3} contained in at least
+    * `minSupport` baskets.
+    *
+    * The anti-explosion structure is Apriori's downward-closure pruning,
+    * expressed as semi-joins: items below `minSupport` leave the posting
+    * frame first (L1), pair occurrences that aren't frequent pairs never
+    * extend to a third item (L2 semi-join on the occurrence stream), and
+    * candidate triples whose other two sub-pairs aren't frequent are cut
+    * before the counting shuffle. The frequent-pair frame is an aggregate
+    * (≤ one row per frequent pair), broadcast to every prune site; the
+    * only data-sized shuffles are the basket equi-joins. Oversized
+    * baskets are dropped whole, as in [[coOccurrencePairs]].
+    *
+    * Output: (i1, i2, i3, triple_cnt), support ≥ `minSupport`.
+    */
+  def frequentTriples(df: DataFrame, basketCol: Column, itemCol: Column,
+                      minSupport: Long, maxBasket: Long = 10000L): DataFrame = {
+    require(minSupport >= 1, s"minSupport=$minSupport must be >= 1")
+    require(maxBasket >= 3, s"maxBasket=$maxBasket must be >= 3")
+    val t = df.select(basketCol.as("b"), itemCol.as("i"))
+      .distinct()
+      .localCheckpoint(true)
+    val big = t.groupBy(col("b")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBasket).select(col("b"))
+    val dropped = t.join(broadcast(big), Seq("b"), "left_anti")
+    val l1 = dropped.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minSupport).select(col("i"))
+    val kept = dropped.join(broadcast(l1), Seq("i"), "left_semi")
+      .localCheckpoint(true)
+    val pocc = kept.alias("a").join(kept.alias("c"),
+        col("a.b") === col("c.b") && col("a.i") < col("c.i"))
+      .select(col("a.b").as("b"), col("a.i").as("i1"), col("c.i").as("i2"))
+      .localCheckpoint(true)
+    val l2 = pocc.groupBy(col("i1"), col("i2"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minSupport).select(col("i1"), col("i2"))
+      .localCheckpoint(true)
+    pocc.join(broadcast(l2), Seq("i1", "i2"), "left_semi").alias("p")
+      .join(kept.alias("e"),
+        col("p.b") === col("e.b") && col("e.i") > col("p.i2"))
+      .select(col("p.i1").as("i1"), col("p.i2").as("i2"),
+        col("e.i").as("i3"))
+      .join(broadcast(l2.toDF("i1", "i3")), Seq("i1", "i3"), "left_semi")
+      .join(broadcast(l2.toDF("i2", "i3")), Seq("i2", "i3"), "left_semi")
+      .groupBy(col("i1"), col("i2"), col("i3"))
+      .agg(count(lit(1)).as("triple_cnt"))
+      .filter(col("triple_cnt") >= minSupport)
+      .select(col("i1"), col("i2"), col("i3"), col("triple_cnt"))
+  }
 }

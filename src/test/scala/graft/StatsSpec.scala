@@ -196,6 +196,34 @@ class StatsSpec extends AnyFunSuite {
     assert(s12 == 4L, "supports count dropped baskets too")
   }
 
+  test("frequentTriples: Apriori counts match brute force; pruning is lossless") {
+    import graft.operators.Associations
+    // 6 baskets over items 1..5; triple {1,2,3} in baskets 1,2,3;
+    // {1,2,4} in baskets 2,4; {3,4,5} in baskets 5,6
+    val baskets = Seq(
+      1L -> Seq(1L, 2L, 3L), 2L -> Seq(1L, 2L, 3L, 4L), 3L -> Seq(1L, 2L, 3L),
+      4L -> Seq(1L, 2L, 4L), 5L -> Seq(3L, 4L, 5L), 6L -> Seq(3L, 4L, 5L))
+    val df = baskets.flatMap { case (b, is) => is.map(b -> _) }.toDF("b", "i")
+    val got = Associations.frequentTriples(df, col("b"), col("i"),
+        minSupport = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // brute force: {1,2,3}: 3 baskets; {1,2,4}: 2; {3,4,5}: 2;
+    // {1,3,4},{2,3,4}: 1 each (out)
+    assert(got == Set((1L, 2L, 3L, 3L), (1L, 2L, 4L, 2L), (3L, 4L, 5L, 2L)))
+    // at minSupport=1 pruning keeps every triple brute force finds
+    val all = Associations.frequentTriples(df, col("b"), col("i"), 1L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val brute = baskets.flatMap { case (_, is) =>
+      is.sorted.combinations(3)
+    }.groupBy(identity).map { case (t, o) => (t(0), t(1), t(2), o.size.toLong) }
+    assert(all == brute.toSet)
+    // a basket over maxBasket contributes no triples
+    val withBig = df.union((10L to 16L).map(i => (9L, i)).toDF("b", "i"))
+    val guarded = Associations.frequentTriples(withBig, col("b"), col("i"),
+      minSupport = 1L, maxBasket = 6L)
+    assert(guarded.filter(col("i1") >= 10L).count() == 0)
+  }
+
   test("pmiBigrams ranks collocations above chance pairs, integer-exactly") {
     import graft.operators.TextAnalysis
     // "new york" always together (8x); "the" everywhere dilutes its pairs
