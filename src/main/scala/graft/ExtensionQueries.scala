@@ -526,6 +526,15 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- RAG chunking: 16-token windows, stride 12 (overlap 4) ----------
+    "text_chunk" -> ((s, d) => {
+      TextAnalysis.tokenChunks(Tables.documents(s, d), "text", "doc_id",
+          window = 16, stride = 12)
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          col("n_chunk_tokens"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // ---- Multimodal: frame sampling (every 10th frame per video) ---------
     "mm_frames" -> ((s, d) => {
       Multimodal.frameSample(
@@ -2563,6 +2572,20 @@ object ExtensionQueries {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
         |    AS INTEGER) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(1, greatest(len(toks) - 4, 1) + 1, 12)) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST((start - 1) // 12 AS INTEGER) AS chunk_idx,
+        |  CAST(len(list_slice(toks, start, start + 15)) AS INTEGER)
+        |    AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, start, start + 15), ' ')
+        |    AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_except_all" ->
       """WITH x AS (

@@ -158,6 +158,41 @@ object TextAnalysis {
       TextFunctions.rollingFingerprint(TextFunctions.tokens(col(textCol)))
         .as("rolling_fp"))
 
+  /** Fixed-size token-window chunking with overlap — the RAG-ingestion /
+    * context-window-packing splitter: document → chunks of `window`
+    * tokens starting every `stride` tokens (overlap = window − stride).
+    * Chunk starts are 1, 1+stride, …, the last start chosen so the tail
+    * is covered: start ≤ n − window + stride, hence only the final chunk
+    * can be short, and a document shorter than `window` yields exactly
+    * one chunk. Requires stride ≤ window (no token is ever skipped).
+    *
+    * Narrow explode-only projection — rows fan out by ~n/stride with no
+    * shuffle, so the operator is a map-only pass at any corpus size; the
+    * chunk id is derived from the start offset ((start−1)/stride), not
+    * an order-dependent counter, so output is partitioning-independent.
+    *
+    * Output: one row per chunk (id, chunk_idx, n_chunk_tokens,
+    * chunk_text).
+    */
+  def tokenChunks(df: DataFrame, textCol: String, idCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window=$window must be >= 1")
+    require(stride >= 1 && stride <= window,
+      s"stride=$stride out of [1, window=$window]")
+    val toks = TextFunctions.tokens(col(textCol))
+    df.select(col(idCol).as("id"), toks.as("__toks"))
+      .select(col("id"), col("__toks"),
+        explode(sequence(lit(1),
+          greatest(size(col("__toks")) - (window - stride), lit(1)),
+          lit(stride))).as("__start"))
+      .select(col("id"),
+        ((col("__start") - 1) / stride).cast("int").as("chunk_idx"),
+        slice(col("__toks"), col("__start"), lit(window)).as("__chunk"))
+      .select(col("id"), col("chunk_idx"),
+        size(col("__chunk")).as("n_chunk_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
   /** Email/phone patterns for PII scrubbing. Both stay inside the regex
     * subset shared by Java's engine (Spark) and RE2 (external engines), so
     * the operator is oracle-replicable: character classes, bounded repeats,

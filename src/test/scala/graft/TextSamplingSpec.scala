@@ -319,6 +319,36 @@ class TextSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenChunks covers every token, overlaps by window-stride, partial tail") {
+    val doc9 = (1 to 9).map(i => s"t$i").mkString(" ")    // tail chunk of 3
+    val doc3 = "a b c"                                    // shorter than window
+    val doc8 = (1 to 8).map(i => s"u$i").mkString(" ")    // exactly 2 full chunks
+    val df = Seq((1L, doc9), (2L, doc3), (3L, doc8)).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenChunks(df, "text", "doc_id",
+        window = 4, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(c => (c._1, c._2))
+    val byDoc = got.groupBy(_._1)
+    // doc 1: starts 1,3,5,7 → last chunk is the 3-token tail t7 t8 t9
+    assert(byDoc(1L).map(_._4).toSeq == Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9"))
+    // doc 2 (< window): exactly one whole-document chunk
+    assert(byDoc(2L).map(_._4).toSeq == Seq("a b c"))
+    // doc 3: tail aligns, no short chunk, and chunk_idx is dense from 0
+    assert(byDoc(3L).map(c => (c._2, c._3)).toSeq == Seq((0, 4), (1, 4), (2, 4)))
+    // every token of doc 1 appears in some chunk (coverage)
+    val covered = byDoc(1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 9).map(i => s"t$i").toSet)
+    // stride = window → zero overlap partition of the token stream
+    val noOverlap = TextAnalysis.tokenChunks(df, "text", "doc_id", 4, 4)
+      .filter(col("id") === 1L).collect().map(_.getString(3))
+    assert(noOverlap.flatMap(_.split(" ")).length == 9, "no token duplicated")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tokenChunks(df, "text", "doc_id", window = 4, stride = 5)
+    }
+  }
+
   test("equi-depth buckets via orderedRank differ in size by at most one") {
     val vals = (1L to 1000L).map(i => ((i * 7919) % 5000, i))
     val df = vals.toDF("cents", "uid")
