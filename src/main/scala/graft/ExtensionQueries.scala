@@ -591,6 +591,18 @@ object ExtensionQueries {
         .orderBy("source")
     }),
 
+    // ---- Sampling: mixture targets over the OUTPUT corpus ----------------
+    // "20% src0, 20% src1, rest evenly" at ~100 output rows: per-source
+    // keep thresholds derived from counts, then a map-only hash filter.
+    "q_mixture_sample" -> ((s, d) => {
+      Sampling.mixtureSample(Tables.documents(s, d),
+          contentCol = col("doc_id"), srcCol = col("source"),
+          targetPpm = Map("src0" -> 200000L, "src1" -> 200000L),
+          defaultPpm = 33333L, outRows = 100L)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Sampling: deterministic quality-weighted (importance) sampling --
     // keepProb = (min(n_tokens, 128)/128)² — every factor is a dyadic
     // rational, so the probability and its 10^6-scaled floor are exact in
@@ -2753,6 +2765,20 @@ object ExtensionQueries {
         |WHERE bucket < CASE source WHEN 'src0' THEN 75 WHEN 'src1' THEN 50
         |  WHEN 'src2' THEN 25 ELSE 10 END
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mixture_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT source, n,
+        |    least(1000000,
+        |      CASE source WHEN 'src0' THEN 200000 WHEN 'src1' THEN 200000
+        |        ELSE 33333 END * 100 // n) AS thr
+        |  FROM c)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN t USING (source)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 1000000 < thr
+        |ORDER BY d.doc_id""".stripMargin,
 
     "mm_frames" ->
       """SELECT doc_id AS media_id,

@@ -164,6 +164,50 @@ object Sampling {
     df.filter(md5Bucket(contentCol, 1000000) <
       floor(keepProb * lit(1000000.0)).cast("long"))
 
+  /** Deterministic mixture sampling to OUTPUT proportions: where
+    * [[stratifiedSample]] takes per-stratum keep rates as given, this
+    * computes them — "make the output 20% src0, 20% src1, rest spread
+    * evenly, ~`outRows` rows total" — from the per-source counts, the way
+    * a training-mix builder targets domain fractions of the FINAL corpus
+    * (Gao et al., "The Pile", 2020, mixture weights) rather than of each
+    * input.
+    *
+    * Per source s with n_s input rows and target output fraction f_s
+    * (ppm), the keep threshold is `min(10^6, f_s · outRows DIV n_s)` over
+    * 10^6 content-hash buckets — integer-exact, so the kept SET is a pure
+    * function of (corpus, targets, outRows): no RNG, no partition or
+    * cluster-size dependence, and growing `outRows` only ever adds rows
+    * (thresholds are monotone in it). An undersupplied source (fewer rows
+    * than its target) caps at keep-everything rather than inventing data —
+    * the shortfall is visible to the caller as the achieved-vs-target gap.
+    *
+    * Plan shape: one configuration-sized count aggregate (≤ #sources
+    * rows) broadcast back onto the corpus, then a map-only hash filter —
+    * no corpus-sized shuffle at any scale. Requires
+    * f_s · outRows < 2^63 / 10^6, i.e. outRows to ~9·10^12.
+    */
+  def mixtureSample(df: DataFrame, contentCol: Column, srcCol: Column,
+                    targetPpm: Map[String, Long], defaultPpm: Long,
+                    outRows: Long): DataFrame = {
+    require(outRows >= 1L, s"outRows=$outRows must be >= 1")
+    require((targetPpm.values.toSeq :+ defaultPpm)
+        .forall(p => p >= 0L && p <= 1000000L),
+      s"target ppm values must be in [0, 10^6]: $targetPpm default=$defaultPpm")
+    val fPpm = targetPpm.toSeq.sortBy(_._1).foldLeft(lit(defaultPpm)) {
+      case (acc, (s, p)) => when(srcCol === s, lit(p)).otherwise(acc)
+    }
+    val counts = df.groupBy(srcCol.as("__ms")).agg(count(lit(1)).as("__mn"))
+    df.withColumn("__ms", srcCol)
+      .join(broadcast(counts), Seq("__ms"))
+      .withColumn("__mf", fPpm)
+      // integer floor-div, not floor(a/b): a double cannot hold the
+      // 10^6-scaled products exactly once outRows is large
+      .withColumn("__mthr",
+        least(lit(1000000L), expr(s"__mf * ${outRows}L DIV __mn")))
+      .filter(md5Bucket(contentCol, 1000000) < col("__mthr"))
+      .drop("__ms", "__mn", "__mf", "__mthr")
+  }
+
   def packSequences(df: DataFrame, strataCol: Column, orderCol: Column,
                     tokenCol: Column, budget: Long): DataFrame = {
     require(budget >= 1L, s"budget=$budget must be >= 1")

@@ -319,6 +319,32 @@ class TextSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureSample hits output fractions, caps undersupplied sources") {
+    val df = ((1 to 1000).map(i => (i.toLong, "A")) ++
+      (1001 to 2000).map(i => (i.toLong, "B")) ++
+      (2001 to 2010).map(i => (i.toLong, "C"))).toDF("doc_id", "source")
+    def run(outRows: Long, parts: Int = 4): Map[String, Set[Long]] =
+      Sampling.mixtureSample(df.repartition(parts), col("doc_id"),
+          col("source"), Map("A" -> 600000L, "B" -> 200000L),
+          defaultPpm = 200000L, outRows = outRows)
+        .select("source", "doc_id").as[(String, Long)].collect()
+        .groupBy(_._1).map { case (s, r) => s -> r.map(_._2).toSet }
+    val kept = run(400L)
+    // A: thr = 600000*400/1000 = 240000 ppm → ~24% of 1000; B: 80000 ppm
+    assert(math.abs(kept("A").size - 240) < 60, s"A kept ${kept("A").size}")
+    assert(math.abs(kept.getOrElse("B", Set.empty[Long]).size - 80) < 40)
+    // C is undersupplied (target 80 rows, only 10 exist) → keeps ALL 10
+    assert(kept("C").size == 10)
+    // deterministic under partitioning; monotone in outRows
+    assert(run(400L, parts = 9) == kept)
+    val bigger = run(800L)
+    assert(kept("A").subsetOf(bigger("A")))
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(df, col("doc_id"), col("source"),
+        Map("A" -> 2000000L), 0L, 100L)
+    }
+  }
+
   test("tokenChunks covers every token, overlaps by window-stride, partial tail") {
     val doc9 = (1 to 9).map(i => s"t$i").mkString(" ")    // tail chunk of 3
     val doc3 = "a b c"                                    // shorter than window
