@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ShingleFunctions, TextFunctions}
-import graft.operators.{AsOfJoin, CorpusFilters, Dedup, Graph, RangeJoin, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, CorpusFilters, Dedup, Graph, RangeJoin, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.sources.Multimodal
 
 /** North-star extension operators (dedup, similarity search, text analysis,
@@ -524,6 +524,15 @@ object ExtensionQueries {
           size(regexp_extract_all(col("text"),
             lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("n_bpe_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // ---- BPE tokenizer TRAINING: learn 12 merges from the corpus --------
+    // the only corpus-sized shuffle is the word-frequency aggregate; the
+    // 12 merge rounds run on the dictionary's symbol frame.
+    "text_bpe_train" -> ((s, d) => {
+      val (merges, _) = Bpe.train(Tables.documents(s, d), col("text"),
+        nMerges = 12)
+      merges.orderBy("merge_rank")
     }),
 
     // ---- RAG chunking: 16-token windows, stride 12 (overlap 4) ----------
@@ -2584,6 +2593,8 @@ object ExtensionQueries {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
         |    AS INTEGER) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_train" -> Bpe.oracleSql(12),
 
     "text_chunk" ->
       """WITH t AS (
