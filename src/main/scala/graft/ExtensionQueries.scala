@@ -1134,6 +1134,27 @@ object ExtensionQueries {
       Graph.bfsHops(edges, seeds, maxHops = 4).orderBy("node")
     }),
 
+    // ---- Graph: deterministic DeepWalk-style walk corpus -----------------
+    // same transition graph and seed rule as q_bfs; 2 walks × 5 steps per
+    // seed, neighbor choice = md5(start|w|t|node) mod degree.
+    "q_random_walk" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val edges = Graph.transitionEdges(ev, col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long"), col("event_id"))
+        .filter(col("weight") >= 2)
+        .select(col("src"), col("dst"))
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.filter(col("node") % 20 === 0)
+      Graph.randomWalks(edges, seeds, steps = 5, walksPerNode = 2)
+        .groupBy(col("start").as("start_node"), col("w").cast("long").as("walk_id"))
+        .agg((count(lit(1)) - 1).as("n_steps"),
+          concat_ws("->", transform(
+            array_sort(collect_list(struct(col("t"), col("node")))),
+            x => x.getField("node").cast("string"))).as("path"))
+        .orderBy("start_node", "walk_id")
+    }),
+
     // ---- Text analysis: BM25 relevance against a fixed term set ----------
     "text_bm25" -> ((s, d) => {
       TextAnalysis.bm25(Tables.documents(s, d), "text", "doc_id",
@@ -1631,6 +1652,50 @@ object ExtensionQueries {
         |  FROM walk w JOIN ed e ON e.src = w.node WHERE w.hops < 4)
         |SELECT node, CAST(min(hops) AS BIGINT) AS hops
         |FROM walk GROUP BY 1 ORDER BY node""".stripMargin,
+
+    "q_random_walk" -> {
+      val stepCtes = (1 to 5).map { t =>
+        s"""w$t AS MATERIALIZED (
+           |  SELECT c.start, c.w, n.dst AS node
+           |  FROM w${t - 1} c JOIN nbr n ON n.src = c.node AND n.idx =
+           |    ('0x' || substr(md5(c.start || '|' || c.w || '|' || $t ||
+           |      '|' || c.node), 1, 15))::BIGINT % n.deg + 1)""".stripMargin
+      }.mkString(",\n")
+      val trailUnion = (1 to 5)
+        .map(t => s"UNION ALL SELECT start, w, $t, node FROM w$t")
+        .mkString("\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS node
+         |  FROM events),
+         |tr AS (
+         |  SELECT node AS dst,
+         |    lag(node) OVER (PARTITION BY user_id ORDER BY event_id) AS src
+         |  FROM ev),
+         |ed AS (
+         |  SELECT src, dst FROM tr WHERE src IS NOT NULL
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |nbr AS MATERIALIZED (
+         |  SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY dst) AS idx,
+         |    count(*) OVER (PARTITION BY src) AS deg
+         |  FROM ed),
+         |seeds AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM ed UNION SELECT dst FROM ed)
+         |  WHERE node % 20 = 0),
+         |w0 AS MATERIALIZED (
+         |  SELECT s.node AS start, r.w, s.node AS node
+         |  FROM seeds s, range(1, 3) r(w)),
+         |$stepCtes,
+         |trail AS (
+         |  SELECT start, w, 0 AS t, node FROM w0
+         |$trailUnion)
+         |SELECT start AS start_node, w AS walk_id,
+         |  CAST(count(*) - 1 AS BIGINT) AS n_steps,
+         |  string_agg(CAST(node AS VARCHAR), '->' ORDER BY t) AS path
+         |FROM trail GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "q_importance_sample" ->
       """WITH t AS (

@@ -193,6 +193,57 @@ object Graph {
     dist
   }
 
+  /** Deterministic random-walk corpus over directed (src, dst) edges —
+    * the DeepWalk / node2vec sampling stage (Perozzi, Al-Rfou &amp; Skiena,
+    * "DeepWalk: Online Learning of Social Representations", KDD 2014)
+    * with the RNG replaced by a content hash: the neighbor taken at step
+    * t of walk (start, w) is `neighbors[md5(start|w|t|node) mod degree]`
+    * over a deterministic neighbor ranking (row_number by dst). The walk
+    * corpus is therefore a pure function of the graph — re-runs,
+    * partitionings and engines all sample identical walks, which makes
+    * embedding training reproducible and the sampler oracle-checkable.
+    *
+    * Per step: one equi-join of the walk frontier (|starts|·walksPerNode
+    * rows, CONSTANT over steps) against the ranked neighbor frame on
+    * (node, idx) — the degree rides in on the same row, so the chosen
+    * neighbor is selected by the join itself with no per-neighbor
+    * fan-out. All hash equi-joins on node keys; the neighbor frame
+    * shuffles once and is reused every step. Walks that reach a node
+    * with no out-edges simply end (their remaining steps emit no rows),
+    * as in the reference samplers.
+    *
+    * Output: (start, w, t, node) trail rows — t = 0 is the start itself.
+    */
+  def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int,
+                  walksPerNode: Int): DataFrame = {
+    require(steps >= 1 && steps <= 64, s"steps=$steps out of [1, 64]")
+    require(walksPerNode >= 1 && walksPerNode <= 1024,
+      s"walksPerNode=$walksPerNode out of [1, 1024]")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nbr = e.select(col("src"), col("dst"),
+        row_number().over(Window.partitionBy(col("src")).orderBy(col("dst")))
+          .as("idx"),
+        count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
+      .localCheckpoint(true)
+    var cur = starts.select(col("node").as("start")).distinct()
+      .select(col("start"),
+        explode(sequence(lit(1), lit(walksPerNode))).as("w"))
+      .withColumn("node", col("start"))
+      .localCheckpoint(true)
+    var trail = cur.withColumn("t", lit(0))
+    for (t <- 1 to steps) {
+      val u = conv(substring(md5(concat_ws("|",
+        col("start"), col("w"), lit(t), col("node"))), 1, 15), 16, 10)
+        .cast("long")
+      cur = cur.join(nbr, cur("node") === nbr("src"))
+        .filter(col("idx") === u % col("deg") + 1)
+        .select(col("start"), col("w"), col("dst").as("node"))
+        .localCheckpoint(true)
+      trail = trail.unionByName(cur.withColumn("t", lit(t)))
+    }
+    trail.select(col("start"), col("w"), col("t"), col("node"))
+  }
+
   /** k-core decomposition by iterative peeling: repeatedly remove nodes
     * of degree &lt; k (with their edges) until no such node remains; the
     * surviving subgraph is the k-core. Classic corpus-graph curation

@@ -150,4 +150,49 @@ class GraphSpec extends AnyFunSuite {
     val b = Graph.bfsHops(es.repartition(7, col("dst")), seeds, maxHops = 3)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  /** The hash-choice formula, recomputed independently of Spark. */
+  private def md5Mod(s: String, m: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % m
+  }
+
+  test("randomWalks: every step follows an edge chosen by the hash formula") {
+    val es = (1L to 60L).map(i => ((i * 3) % 11, (i * 7 + 2) % 11))
+      .distinct.toDF("src", "dst")
+    val edgeSet: Set[(Long, Long)] = es.as[(Long, Long)].collect().toSet
+    val adj: Map[Long, Seq[Long]] = edgeSet.groupBy(_._1)
+      .map { case (s, p) => s -> p.map(_._2).toSeq.sorted }
+    val seeds = Seq(0L, 5L, 9L).toDF("node")
+    val trail = Graph.randomWalks(es, seeds, steps = 4, walksPerNode = 3)
+      .as[(Long, Int, Int, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+    assert(trail.keySet == (for (s <- Seq(0L, 5L, 9L); w <- 1 to 3)
+      yield (s, w)).toSet)
+    for (((start, w), rows) <- trail) {
+      val path = rows.sortBy(_._3).map(_._4)
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length).toSeq,
+        "steps must be dense from 0 — walks only end at dead ends")
+      assert(path.head == start)
+      for (t <- 1 until path.length) {
+        val nbrs = adj(path(t - 1)) // must have out-edges, we walked on
+        val want = nbrs(md5Mod(s"$start|$w|$t|${path(t - 1)}", nbrs.length).toInt)
+        assert(path(t) == want,
+          s"walk ($start,$w) step $t took ${path(t)}, hash says $want")
+      }
+      // a walk stops early only at a dead end
+      if (path.length < 5) assert(!adj.contains(path.last))
+    }
+  }
+
+  test("randomWalks: bit-identical under repartitioning") {
+    val es = (1L to 80L).map(i => (i % 17, (i * 5 + 1) % 17)).toDF("src", "dst")
+    val seeds = Seq(0L, 3L).toDF("node")
+    val a = Graph.randomWalks(es, seeds, steps = 5, walksPerNode = 2)
+    val b = Graph.randomWalks(es.repartition(9, col("dst")), seeds,
+      steps = 5, walksPerNode = 2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
