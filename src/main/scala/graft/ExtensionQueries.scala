@@ -535,6 +535,15 @@ object ExtensionQueries {
       merges.orderBy("merge_rank")
     }),
 
+    // ---- BPE subword vocabulary after the 12 learned merges -------------
+    "text_bpe_vocab" -> ((s, d) => {
+      val (_, finalSyms) = Bpe.train(Tables.documents(s, d), col("text"),
+        nMerges = 12)
+      finalSyms.groupBy(col("sym"))
+        .agg(sum(col("f")).as("freq"), countDistinct(col("w")).as("n_words"))
+        .orderBy("sym")
+    }),
+
     // ---- RAG chunking: 16-token windows, stride 12 (overlap 4) ----------
     "text_chunk" -> ((s, d) => {
       TextAnalysis.tokenChunks(Tables.documents(s, d), "text", "doc_id",
@@ -1161,6 +1170,24 @@ object ExtensionQueries {
           terms = Seq("spark", "table", "query"))
         .select(col("id").as("doc_id"), col("bm25"))
         .orderBy("doc_id")
+    }),
+
+    // ---- Hybrid retrieval: RRF fusion of BM25 + dense cosine ------------
+    // lexical ranker = text_bm25's scorer; dense ranker = cosine vs the
+    // vec_id=0 embedding; both truncated to 100 before integer-RRF fusion.
+    "q_rrf_fusion" -> ((s, d) => {
+      val bm = TextAnalysis.bm25(Tables.documents(s, d), "text", "doc_id",
+          terms = Seq("spark", "table", "query"))
+        .select(col("id"), col("bm25").as("score"))
+      val emb = Tables.embeddings(s, d)
+      val cos = graft.operators.Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 100)
+        .select(col("neighbor_id").as("id"), col("score"))
+      graft.operators.Retrieval.rrfFuse(Seq(bm, cos), perRanker = 100,
+          topK = 20)
+        .select(col("id").as("doc_id"), col("n_rankers"), col("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
     }),
 
     // ---- Multimodal: binary columns + stubbed decode ---------------------
@@ -2661,6 +2688,8 @@ object ExtensionQueries {
 
     "text_bpe_train" -> Bpe.oracleSql(12),
 
+    "text_bpe_vocab" -> Bpe.vocabOracleSql(12),
+
     "text_chunk" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -3000,6 +3029,59 @@ object ExtensionQueries {
         |    * ((tf3 * (1.2 + 1.0)) / (tf3 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
         |  AS bm25
         |FROM s, g ORDER BY doc_id""".stripMargin,
+
+    "q_rrf_fusion" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(len(w)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+        |    CAST(sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN list_contains(w, 'table') THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS df2,
+        |    CAST(sum(CASE WHEN list_contains(w, 'query') THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS df3
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(w, x -> x = 'table')) AS DOUBLE) AS tf2,
+        |    CAST(len(list_filter(w, x -> x = 'query')) AS DOUBLE) AS tf3
+        |  FROM t),
+        |bm AS (
+        |  SELECT doc_id AS id,
+        |    ((n - df1 + 0.5) / (df1 + 0.5))
+        |      * ((tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+        |    + ((n - df2 + 0.5) / (df2 + 0.5))
+        |      * ((tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+        |    + ((n - df3 + 0.5) / (df3 + 0.5))
+        |      * ((tf3 * (1.2 + 1.0)) / (tf3 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+        |    AS score
+        |  FROM s, g),
+        |bmr AS (
+        |  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank
+        |  FROM bm),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cs AS (
+        |  SELECT e.vec_id AS id,
+        |    list_dot_product(qv, v) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+        |      AS score
+        |  FROM q, e WHERE e.vec_id <> 0),
+        |csr AS (
+        |  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank
+        |  FROM cs),
+        |u AS (
+        |  SELECT id, 1000000000000 // (60 + rank) AS term
+        |  FROM bmr WHERE rank <= 100
+        |  UNION ALL
+        |  SELECT id, 1000000000000 // (60 + rank) AS term
+        |  FROM csr WHERE rank <= 100)
+        |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_rankers,
+        |  CAST(sum(term) AS BIGINT) AS rrf_score
+        |FROM u GROUP BY 1
+        |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
 
     // mm_meta/mm_binary oracle: the fixture GENERATOR embeds these
     // id-derived values into real BMP/WAVE/AVI headers; the Spark side

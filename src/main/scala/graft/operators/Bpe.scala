@@ -123,6 +123,26 @@ object Bpe {
     * in `nMerges`, like the Spark side's per-round checkpoints.
     */
   def oracleSql(nMerges: Int): String = {
+    val union = (1 to nMerges).map { k =>
+      s"SELECT $k AS merge_rank, left_sym, right_sym, " +
+        s"CAST(pair_cnt AS BIGINT) AS pair_cnt FROM m$k"
+    }.mkString("\n", "\nUNION ALL\n", "")
+    s"""${oraclePrefix(nMerges)}
+       |$union
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Oracle for the trained subword VOCABULARY (the final symbol frame
+    * aggregated): same CTE prefix as [[oracleSql]], different final
+    * SELECT.
+    */
+  def vocabOracleSql(nMerges: Int): String =
+    s"""${oraclePrefix(nMerges)}
+       |SELECT sym, CAST(sum(f) AS BIGINT) AS freq,
+       |  CAST(count(DISTINCT w) AS BIGINT) AS n_words
+       |FROM s$nMerges GROUP BY 1 ORDER BY sym""".stripMargin
+
+  private def oraclePrefix(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { k =>
       val s = s"s${k - 1}"
       s"""m$k AS MATERIALIZED (
@@ -155,10 +175,6 @@ object Bpe {
          |    sym
          |  FROM e$k WHERE NOT del)""".stripMargin
     }
-    val union = (1 to nMerges).map { k =>
-      s"SELECT $k AS merge_rank, left_sym, right_sym, " +
-        s"CAST(pair_cnt AS BIGINT) AS pair_cnt FROM m$k"
-    }.mkString("\n", "\nUNION ALL\n", "")
     s"""WITH wf AS (
        |  SELECT tok AS w, count(*) AS f FROM
        |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -168,8 +184,6 @@ object Bpe {
        |    CASE WHEN p <= length(w) THEN substr(w, p, 1)
        |         ELSE '$EndMark' END AS sym
        |  FROM (SELECT w, f, unnest(range(1, length(w) + 2)) AS p FROM wf)),
-       |${rounds.mkString(",\n")}
-       |$union
-       |ORDER BY merge_rank""".stripMargin
+       |${rounds.mkString(",\n")}""".stripMargin
   }
 }

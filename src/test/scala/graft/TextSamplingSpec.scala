@@ -319,6 +319,34 @@ class TextSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("rrfFuse: integer RRF terms, truncation, tie-break by id") {
+    import graft.operators.Retrieval
+    val r1 = Seq((1L, 5.0), (2L, 4.0), (3L, 3.0), (4L, 2.0), (5L, 1.0))
+      .toDF("id", "score")
+    val r2 = Seq((3L, 9.0), (4L, 8.0), (5L, 7.0), (6L, 6.0))
+      .toDF("id", "score")
+    val got = Retrieval.rrfFuse(Seq(r1, r2), perRanker = 3, topK = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    def t(r: Int): Long = 1000000000000L / (60 + r)
+    // r1 keeps 1,2,3 (ranks 1,2,3); r2 keeps 3,4,5 — ids 4,5 from r1 and
+    // 6 from r2 are truncated away entirely
+    val want = Seq(
+      (3L, 2L, t(3) + t(1)), // on both lists
+      (1L, 1L, t(1)),
+      (2L, 1L, t(2)), // ties with 4 on score — lower id first
+      (4L, 1L, t(2)),
+      (5L, 1L, t(3)))
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("rrfFuse: equal scores within a ranker rank by id ascending") {
+    import graft.operators.Retrieval
+    val r = Seq((9L, 1.0), (2L, 1.0), (5L, 1.0)).toDF("id", "score")
+    val got = Retrieval.rrfFuse(Seq(r), perRanker = 2, topK = 10)
+      .as[(Long, Long, Long)].collect().toSeq.map(_._1)
+    assert(got == Seq(2L, 5L), "score ties keep the lowest ids")
+  }
+
   test("mixtureSample hits output fractions, caps undersupplied sources") {
     val df = ((1 to 1000).map(i => (i.toLong, "A")) ++
       (1001 to 2000).map(i => (i.toLong, "B")) ++
