@@ -544,6 +544,23 @@ object ExtensionQueries {
         .orderBy("sym")
     }),
 
+    // ---- Diversified selection: MMR over the dense top-50 ---------------
+    // rel = cosine vs the vec_id=0 embedding; 8 greedy picks at λ = 0.75
+    // (dyadic, so both engines compute bit-identical scores).
+    "q_mmr_select" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val rel = Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("id"), col("score").as("rel"))
+      val cands = rel.join(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        Seq("id"))
+      graft.operators.Retrieval.mmrSelect(cands, k = 8, lambda = 0.75)
+        .select(col("id").as("doc_id"), col("sel_rank"), col("rel"))
+        .orderBy("sel_rank")
+    }),
+
     // ---- RAG chunking: 16-token windows, stride 12 (overlap 4) ----------
     "text_chunk" -> ((s, d) => {
       TextAnalysis.tokenChunks(Tables.documents(s, d), "text", "doc_id",
@@ -3029,6 +3046,39 @@ object ExtensionQueries {
         |    * ((tf3 * (1.2 + 1.0)) / (tf3 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
         |  AS bm25
         |FROM s, g ORDER BY doc_id""".stripMargin,
+
+    "q_mmr_select" -> {
+      def cos(a: String, b: String) =
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+          s"sqrt(list_dot_product($b, $b)))"
+      val rounds = (1 to 8).map { i =>
+        val prev = s"sel${i - 1}"
+        s"""rem$i AS (
+           |  SELECT * FROM cand WHERE id NOT IN (SELECT id FROM $prev)),
+           |ms$i AS (
+           |  SELECT r.id, max(${cos("r.v", "s.v")}) AS ms
+           |  FROM rem$i r CROSS JOIN $prev s GROUP BY r.id),
+           |pick$i AS MATERIALIZED (
+           |  SELECT r.id, r.v, r.rel, $i AS pick
+           |  FROM rem$i r LEFT JOIN ms$i m USING (id)
+           |  ORDER BY 0.75 * r.rel - (1.0 - 0.75) * coalesce(m.ms, 0.0)
+           |    DESC, r.id
+           |  LIMIT 1),
+           |sel$i AS MATERIALIZED (
+           |  SELECT * FROM $prev UNION ALL SELECT * FROM pick$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |cand AS MATERIALIZED (
+         |  SELECT e.vec_id AS id, e.v, ${cos("qv", "e.v")} AS rel
+         |  FROM q CROSS JOIN e WHERE e.vec_id <> 0
+         |  ORDER BY rel DESC, id LIMIT 50),
+         |sel0 AS (SELECT id, v, rel, 0 AS pick FROM cand WHERE FALSE),
+         |$rounds
+         |SELECT id AS doc_id, CAST(pick AS INTEGER) AS sel_rank, rel
+         |FROM sel8 ORDER BY sel_rank""".stripMargin
+    },
 
     "q_rrf_fusion" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

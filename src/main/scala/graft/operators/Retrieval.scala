@@ -61,4 +61,58 @@ object Retrieval {
       .orderBy(col("rrf_score").desc, col("id"))
       .limit(topK)
   }
+
+  /** Maximal-marginal-relevance selection (Carbonell &amp; Goldstein,
+    * "The use of MMR, diversity-based reranking for reordering documents
+    * and producing summaries", SIGIR 1998): greedily pick `k` documents
+    * maximizing `λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s)` — the
+    * diversified-context selection a RAG pipeline runs after retrieval so
+    * the packed context isn't k near-copies of the best hit.
+    *
+    * Input: a CANDIDATE frame (id, vec, rel) — already truncated by the
+    * upstream retriever (e.g. [[rrfFuse]] or a top-k ANN), so every join
+    * here is bounded: per round, candidates × selected (≤ k broadcast
+    * rows) for the max-similarity penalty, one anti-join, and a
+    * TakeOrdered(1) for the argmax. k rounds of bounded work — the greedy
+    * loop is inherently sequential (each pick changes the penalty), which
+    * is why MMR runs AFTER retrieval shrinks the corpus to candidates.
+    *
+    * Cross-engine determinism: `lambda` must be a multiple of 1/64
+    * (dyadic — exact in binary), so λ·rel and (1−λ)·penalty are single
+    * exact-input IEEE multiplies; cosine, max and subtraction introduce
+    * no accumulation order; ties break by id. The selection is therefore
+    * a pure function of the candidate set, replayable in external SQL.
+    *
+    * Output: (id, sel_rank, rel) — sel_rank 1..k in pick order. Fewer
+    * than k candidates select everything.
+    */
+  def mmrSelect(candidates: DataFrame, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && k <= 64, s"k=$k out of [1, 64]")
+    require(lambda >= 0.0 && lambda <= 1.0 &&
+      lambda * 64 == math.rint(lambda * 64),
+      s"lambda=$lambda must be a multiple of 1/64 in [0, 1] " +
+        "(dyadic rationals keep both engines bit-identical)")
+    val c = candidates.select(col("id"), col("vec"), col("rel"))
+      .localCheckpoint(true)
+    var sel = c.filter(lit(false)).withColumn("pick", lit(0))
+    for (i <- 1 to k) {
+      val rem = c.join(sel.select(col("id")), Seq("id"), "left_anti")
+      val msim = rem.alias("r")
+        .crossJoin(broadcast(sel.select(col("vec").as("sv"))))
+        .select(col("r.id").as("id"),
+          graft.functions.VectorFunctions.cosine(col("r.vec"), col("sv"))
+            .as("sim"))
+        .groupBy(col("id")).agg(max(col("sim")).as("ms"))
+      val pick = rem.join(msim, Seq("id"), "left")
+        .withColumn("score",
+          lit(lambda) * col("rel") -
+            lit(1.0 - lambda) * coalesce(col("ms"), lit(0.0)))
+        .orderBy(col("score").desc, col("id"))
+        .limit(1)
+        .select(col("id"), col("vec"), col("rel"), lit(i).as("pick"))
+        .localCheckpoint(true)
+      sel = sel.unionByName(pick).localCheckpoint(true)
+    }
+    sel.select(col("id"), col("pick").as("sel_rank"), col("rel"))
+  }
 }

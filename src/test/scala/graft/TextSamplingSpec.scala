@@ -347,6 +347,32 @@ class TextSamplingSpec extends AnyFunSuite {
     assert(got == Seq(2L, 5L), "score ties keep the lowest ids")
   }
 
+  test("mmrSelect trades relevance for diversity, greedily and totally ordered") {
+    import graft.operators.Retrieval
+    // B duplicates A's direction (cos = 1); C is orthogonal but less
+    // relevant. At λ=0.5 MMR must pick A, then C (B's duplicate penalty
+    // sinks it), then B; pure relevance order would be A, B, C.
+    val cands = Seq(
+      (1L, Array(1.0f, 0.0f), 1.0),   // A
+      (2L, Array(1.0f, 0.0f), 0.99),  // B — near-copy of A
+      (3L, Array(0.0f, 1.0f), 0.5))   // C — orthogonal
+      .toDF("id", "vec", "rel")
+    val got = Retrieval.mmrSelect(cands, k = 3, lambda = 0.5)
+      .as[(Long, Int, Double)].collect().sortBy(_._2).map(_._1).toSeq
+    assert(got == Seq(1L, 3L, 2L))
+    // k beyond the candidate count selects everything, ranks stay dense
+    val all = Retrieval.mmrSelect(cands, k = 8, lambda = 0.5)
+      .as[(Long, Int, Double)].collect().sortBy(_._2)
+    assert(all.map(_._2).toSeq == Seq(1, 2, 3))
+    // λ = 1 degenerates to pure relevance ranking
+    val pure = Retrieval.mmrSelect(cands, k = 3, lambda = 1.0)
+      .as[(Long, Int, Double)].collect().sortBy(_._2).map(_._1).toSeq
+    assert(pure == Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrSelect(cands, k = 3, lambda = 0.3) // not dyadic
+    }
+  }
+
   test("mixtureSample hits output fractions, caps undersupplied sources") {
     val df = ((1 to 1000).map(i => (i.toLong, "A")) ++
       (1001 to 2000).map(i => (i.toLong, "B")) ++
