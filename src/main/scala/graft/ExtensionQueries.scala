@@ -1160,6 +1160,19 @@ object ExtensionQueries {
       Graph.bfsHops(edges, seeds, maxHops = 4).orderBy("node")
     }),
 
+    // ---- Graph: label-propagation communities over the transition graph -
+    "q_label_prop" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val tr = Graph.transitionEdges(ev, col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long"), col("event_id"))
+        .filter(col("weight") >= 2)
+      val und = tr.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      Graph.labelPropagation(und, rounds = 4).orderBy("node")
+    }),
+
     // ---- Graph: deterministic DeepWalk-style walk corpus -----------------
     // same transition graph and seed rule as q_bfs; 2 walks × 5 steps per
     // seed, neighbor choice = md5(start|w|t|node) mod degree.
@@ -1696,6 +1709,44 @@ object ExtensionQueries {
         |  FROM walk w JOIN ed e ON e.src = w.node WHERE w.hops < 4)
         |SELECT node, CAST(min(hops) AS BIGINT) AS hops
         |FROM walk GROUP BY 1 ORDER BY node""".stripMargin,
+
+    "q_label_prop" -> {
+      val rounds = (1 to 4).map { k =>
+        val prev = s"lb${k - 1}"
+        s"""cnt$k AS (
+           |  SELECT e.src AS node, l.lbl, count(*) AS c
+           |  FROM e JOIN $prev l ON l.node = e.dst GROUP BY 1, 2),
+           |arg$k AS (
+           |  SELECT node, lbl AS newlbl FROM (
+           |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+           |      ORDER BY c DESC, lbl) AS rn FROM cnt$k)
+           |  WHERE rn = 1),
+           |lb$k AS MATERIALIZED (
+           |  SELECT n.node, coalesce(a.newlbl, n.lbl) AS lbl
+           |  FROM $prev n LEFT JOIN arg$k a USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS node
+         |  FROM events),
+         |tr AS (
+         |  SELECT node AS dst,
+         |    lag(node) OVER (PARTITION BY user_id ORDER BY event_id) AS src
+         |  FROM ev),
+         |ed AS (
+         |  SELECT src, dst FROM tr WHERE src IS NOT NULL
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM ed WHERE src <> dst),
+         |e AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM und
+         |  UNION
+         |  SELECT b, a FROM und),
+         |lb0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+         |$rounds
+         |SELECT node, lbl AS label FROM lb4 ORDER BY node""".stripMargin
+    },
 
     "q_random_walk" -> {
       val stepCtes = (1 to 5).map { t =>

@@ -193,6 +193,53 @@ object Graph {
     dist
   }
 
+  /** Deterministic synchronous label propagation (Raghavan, Albert &amp;
+    * Kumara, "Near linear time algorithm to detect community structures
+    * in large-scale networks", Phys. Rev. E 2007) over undirected
+    * (a &lt; b) edges: labels start as node ids; each round every node
+    * adopts the most frequent label among its neighbors, ties toward the
+    * SMALLEST label — the randomized tie-break of the paper replaced by a
+    * total order, so rounds are pure functions of the graph. Communities
+    * are denser than connected components: a bridge edge joins two
+    * components but its endpoints keep their majority-side labels.
+    *
+    * The per-round argmax is `max(struct(count, -label))` inside a hash
+    * aggregate — fieldwise struct max gives (max count, then min label)
+    * with NO per-node window: two shuffles per round (neighbor-label join,
+    * label-count aggregate), both hash equi-joins/aggs on node keys.
+    * Synchronous updates can oscillate on bipartite structure, so
+    * `rounds` is a fixed budget (the paper's async convergence reruns
+    * are inherently order-dependent; bounded-round sync is what is
+    * reproducible at scale). Per-round localCheckpoint truncates the
+    * iterative lineage, as in [[pageRank]].
+    *
+    * Output: (node, label) — nodes sharing a label form a community.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of [1, 64]")
+    val und = edges.select(col("a"), col("b"))
+    val e = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val upd = e
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), negate(col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), negate(col("m.nl")).as("newlbl"))
+      labels = labels.join(upd, Seq("node"), "left")
+        .select(col("node"), coalesce(col("newlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("lbl").as("label"))
+  }
+
   /** Deterministic random-walk corpus over directed (src, dst) edges —
     * the DeepWalk / node2vec sampling stage (Perozzi, Al-Rfou &amp; Skiena,
     * "DeepWalk: Online Learning of Social Representations", KDD 2014)

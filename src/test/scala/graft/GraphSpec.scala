@@ -151,6 +151,47 @@ class GraphSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  /** Reference sync label propagation: mode of neighbor labels, min tie. */
+  private def refLabelProp(und: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val adj = (und ++ und.map(_.swap)).distinct
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lbl = adj.map { case (n, nbrs) =>
+        val counts = nbrs.map(lbl).groupBy(identity)
+          .map { case (l, o) => (l, o.size) }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lbl
+  }
+
+  test("labelPropagation: bridged triangles settle into two communities") {
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val got = Graph.labelPropagation(und.toDF("a", "b"), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refLabelProp(und, 4))
+    // the bridge 3-4 must NOT merge the triangles into one community
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(4L) == got(5L) && got(5L) == got(6L))
+    assert(got(1L) != got(4L))
+  }
+
+  test("labelPropagation matches the reference on a hashed graph; partition-independent") {
+    val und = (1L to 60L).map(i => (i % 14, (i * 11 + 3) % 14))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val df = und.toDF("a", "b")
+    val got = Graph.labelPropagation(df, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refLabelProp(und, 3))
+    val re = Graph.labelPropagation(df.repartition(7, col("b")), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(re == got)
+  }
+
   /** The hash-choice formula, recomputed independently of Spark. */
   private def md5Mod(s: String, m: Long): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
