@@ -561,6 +561,27 @@ object ExtensionQueries {
         .orderBy("sel_rank")
     }),
 
+    // ---- BPE applied back: per-doc subword token counts -----------------
+    "text_bpe_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (_, finalSyms) = Bpe.train(docs, col("text"), nMerges = 12)
+      val wordLen = finalSyms.groupBy(col("w"))
+        .agg(count(lit(1)).as("n_syms"))
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .join(broadcast(wordLen), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_syms")).as("n_bpe_tokens"),
+          count(lit(1)).as("n_words"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Drift: corpus-level total-variation distance train vs val ------
+    "q_tv_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("split",
+        Sampling.splitLabel(Sampling.md5Bucket(col("text"))))
+      TextAnalysis.tvDistance(docs, "text", "split", "train", "val")
+    }),
+
     // ---- RAG chunking: 16-token windows, stride 12 (overlap 4) ----------
     "text_chunk" -> ((s, d) => {
       TextAnalysis.tokenChunks(Tables.documents(s, d), "text", "doc_id",
@@ -2757,6 +2778,33 @@ object ExtensionQueries {
     "text_bpe_train" -> Bpe.oracleSql(12),
 
     "text_bpe_vocab" -> Bpe.vocabOracleSql(12),
+
+    "text_bpe_apply" -> Bpe.applyOracleSql(12),
+
+    "q_tv_drift" ->
+      """WITH b AS (
+        |  SELECT text,
+        |    CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 90
+        |           THEN 'train'
+        |         WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 95
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |tok AS (SELECT split, unnest(string_split(text, ' ')) AS token
+        |        FROM b WHERE split IN ('train', 'val')),
+        |cnt AS (SELECT token,
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |             CAST(sum(n_b) AS BIGINT) AS tb FROM cnt)
+        |SELECT ta AS n_a_total, tb AS n_b_total,
+        |  CAST(sum(abs(n_a * tb - n_b * ta)) AS BIGINT) AS tv_num,
+        |  CAST(sum(abs(n_a * tb - n_b * ta)) AS DOUBLE)
+        |    / CAST(2 * ta * tb AS DOUBLE) AS tv
+        |FROM cnt, t GROUP BY ta, tb""".stripMargin,
 
     "text_chunk" ->
       """WITH t AS (

@@ -142,6 +142,20 @@ object Bpe {
        |  CAST(count(DISTINCT w) AS BIGINT) AS n_words
        |FROM s$nMerges GROUP BY 1 ORDER BY sym""".stripMargin
 
+  /** Oracle for APPLYING the learned merges back to the corpus: per-doc
+    * subword token counts under the trained vocabulary. Same CTE prefix;
+    * the per-word symbol counts join back onto the exploded corpus.
+    */
+  def applyOracleSql(nMerges: Int): String =
+    s"""${oraclePrefix(nMerges)},
+       |wl AS (SELECT w, CAST(count(*) AS BIGINT) AS n_syms
+       |       FROM s$nMerges GROUP BY 1),
+       |d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents)
+       |SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_words
+       |FROM d JOIN wl USING (w) GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   private def oraclePrefix(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { k =>
       val s = s"s${k - 1}"

@@ -158,6 +158,41 @@ object TextAnalysis {
       TextFunctions.rollingFingerprint(TextFunctions.tokens(col(textCol)))
         .as("rolling_fp"))
 
+  /** Corpus-level total-variation distance between two splits' token
+    * distributions — the drift summary that needs no logarithm (PSI and
+    * KL do, and libm is not bit-reproducible across engines):
+    * TV = ½ Σ_t |p_t − q_t|, computed over the common denominator as the
+    * INTEGER Σ_t |n_a(t)·N_b − n_b(t)·N_a| (order-independent, exact),
+    * with one final double division. Complements the per-token
+    * chi-square report ([[tokenDriftReport]]) with a single bounded
+    * [0, 1] number for alerting. Two narrow aggregates (token counts,
+    * totals) + a broadcast of the 1-row totals — no corpus-sized join.
+    * Integer bound: token count × other split's total must stay under
+    * 2⁶³ (~3·10⁹ tokens per split at worst-case concentration); shard
+    * the corpus (per source/day) before the comparison beyond that.
+    *
+    * Output (one row): n_a_total, n_b_total, tv_num (the scaled integer
+    * numerator), tv = tv_num / (2·N_a·N_b).
+    */
+  def tvDistance(df: DataFrame, textCol: String, splitCol: String,
+                 a: String, b: String): DataFrame = {
+    val tok = df.filter(col(splitCol).isin(a, b))
+      .select(col(splitCol).as("__sp"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val cnt = tok.groupBy(col("token"))
+      .agg(sum(when(col("__sp") === a, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__sp") === b, 1L).otherwise(0L)).as("n_b"))
+    val tot = cnt.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    cnt.crossJoin(broadcast(tot))
+      .agg(sum(abs(col("n_a") * col("tb") - col("n_b") * col("ta")))
+          .as("tv_num"),
+        max(col("ta")).as("n_a_total"), max(col("tb")).as("n_b_total"))
+      .select(col("n_a_total"), col("n_b_total"), col("tv_num"),
+        (col("tv_num").cast("double") /
+          (col("n_a_total") * col("n_b_total") * lit(2L)).cast("double"))
+          .as("tv"))
+  }
+
   /** Fixed-size token-window chunking with overlap — the RAG-ingestion /
     * context-window-packing splitter: document → chunks of `window`
     * tokens starting every `stride` tokens (overlap = window − stride).

@@ -347,6 +347,19 @@ class TextSamplingSpec extends AnyFunSuite {
     assert(got == Seq(2L, 5L), "score ties keep the lowest ids")
   }
 
+  test("tvDistance: 0 on identical, 1 on disjoint, ½ on half-moved mass") {
+    def tv(a: String, b: String): (Long, Double) = {
+      val df = Seq(("train", a), ("val", b)).toDF("split", "text")
+      val r = TextAnalysis.tvDistance(df, "text", "split", "train", "val")
+        .collect().head
+      (r.getLong(2), r.getDouble(3))
+    }
+    assert(tv("a a b", "a a b") == ((0L, 0.0)))
+    assert(tv("x x", "y")._2 == 1.0)
+    // p = (½, ½), q = (1, 0) → TV = ½ exactly
+    assert(tv("a b", "a a")._2 == 0.5)
+  }
+
   test("mmrSelect trades relevance for diversity, greedily and totally ordered") {
     import graft.operators.Retrieval
     // B duplicates A's direction (cos = 1); C is orthogonal but less
