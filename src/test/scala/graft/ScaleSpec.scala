@@ -237,6 +237,51 @@ class ScaleSpec extends AnyFunSuite {
       s"bloom should prune the anti-join input: $surviving rows survived, $trueDups true dups")
   }
 
+  test("tokenChunks plans as a map-only pass — no shuffle exchange") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val out = graft.operators.TextAnalysis.tokenChunks(docs, "text",
+      "doc_id", window = 16, stride = 12)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle:\n$plan")
+  }
+
+  test("mixtureSample: broadcast count join, no window, no sort-merge") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val out = graft.operators.Sampling.mixtureSample(docs, col("doc_id"),
+      col("source"), Map("src0" -> 200000L), 33333L, 100L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-source thresholds must ride a broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"mixture filter must not shuffle the corpus or use windows:\n$plan")
+  }
+
+  test("rrfFuse ranks without any single-partition window") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val r1 = docs.select(col("doc_id").as("id"),
+      col("n_chars").cast("double").as("score"))
+    val r2 = docs.select(col("doc_id").as("id"),
+      (col("doc_id") % 97).cast("double").as("score"))
+    val out = graft.operators.Retrieval.rrfFuse(Seq(r1, r2),
+      perRanker = 50, topK = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"rrf ranks must come from the bounded array sort, not a window:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"per-ranker truncation must plan as TakeOrdered:\n$plan")
+  }
+
+  test("randomWalks steps are hash equi-joins, never nested-loop or cartesian") {
+    val es = (1L to 80L).map(i => (i % 17, (i * 5 + 1) % 17)).toDF("src", "dst")
+    val out = graft.operators.Graph.randomWalks(es, Seq(0L, 3L).toDF("node"),
+      steps = 3, walksPerNode = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"walk steps must join on (node, idx) keys:\n$plan")
+  }
+
   test("multimodal resize/frame-sample plumbing: typed, deterministic, count-correct") {
     import graft.sources.Multimodal
     val media = Multimodal.synthesize(spark, Tables.documents(spark, TestSpark.sf))
