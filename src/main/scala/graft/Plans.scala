@@ -35,7 +35,10 @@ object Plans {
     "sim_lsh_mp_topk", "text_sim_pairs", "q_join_size_est", "q_funnel",
     "q_retention", "q_table_diff", "q_resample", "q_embed_centroids",
     "sim_ivf_det_topk", "sim_pq_det_topk", "sim_ivfpq_det_topk",
-    "dedup_containment", "pipeline_curation", "dedup_semantic_mp")
+    "dedup_containment", "pipeline_curation", "dedup_semantic_mp",
+    "q_triples", "text_chunk", "q_mixture_sample", "text_bpe_train",
+    "text_bpe_apply", "q_rrf_fusion", "q_mmr_select", "q_random_walk",
+    "q_label_prop", "q_tv_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
