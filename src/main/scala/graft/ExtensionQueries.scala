@@ -1131,6 +1131,20 @@ object ExtensionQueries {
       Graph.pageRank(edges, iterations = 8).orderBy("node")
     }),
 
+    // ---- Graph: personalized PageRank from the % 20 seed set -------------
+    // teleport mass restricted to the trusted seeds — rank concentrates
+    // around them; same fixed-point integer iteration as q_pagerank.
+    "q_ppr" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val edges = Graph.transitionEdges(ev, col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long"), col("event_id"))
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.filter(col("node") % 20 === 0)
+      Graph.pageRank(edges, iterations = 8, teleportSeeds = Some(seeds))
+        .orderBy("node")
+    }),
+
     // ---- Graph: exact per-node triangle counts ---------------------------
     // Graph = parts co-occurring in at least 2 orders (the min-support cut
     // keeps the edge set ~constant as the corpus grows: 3.6k edges at
@@ -1641,10 +1655,11 @@ object ExtensionQueries {
     * integer SUM to HUGEINT — which the driver's pandas compare would
     * render as float64.
     */
-  private def pageRankOracle(iterations: Int): String = {
+  private def pageRankOracle(iterations: Int,
+                             baseExpr: String = "150000000000"): String = {
     val iterCtes = (1 to iterations).map { i =>
       s"""r$i AS (
-         |  SELECT n.node, CAST(150000000000 + (COALESCE(sum(
+         |  SELECT n.node, CAST($baseExpr + (COALESCE(sum(
          |      (r.rank // e.wout) * e.weight +
          |      ((r.rank % e.wout) * e.weight) // e.wout), 0) * 17) // 20
          |    AS BIGINT) AS rank
@@ -1705,6 +1720,8 @@ object ExtensionQueries {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle(8),
+    "q_ppr" -> pageRankOracle(8,
+      "CASE WHEN n.node % 20 = 0 THEN 150000000000 ELSE 0 END"),
     "q_kcore" -> kCoreOracle(2, 8),
 
     "q_bfs" ->

@@ -67,7 +67,8 @@ object Graph {
     * to cut lineage growth.
     */
   def pageRank(edges: DataFrame, iterations: Int = 8,
-               checkpointEvery: Int = 0): DataFrame = {
+               checkpointEvery: Int = 0,
+               teleportSeeds: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations=$iterations out of [1, 100]")
     val base = (Scale * 3L) / 20L // 0.15 in fixed point, exactly
@@ -78,16 +79,31 @@ object Graph {
     // 8× the window cost at 8 iterations. The edge list is the graph
     // itself, which any iterative algorithm must hold anyway.
     val e = edges.localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
+    // teleportSeeds personalizes the walk (PPR, Jeh & Widom 2003-style
+    // restart set): only seed nodes receive the 0.15 teleport mass, so
+    // rank concentrates around the seeds — "importance relative to this
+    // trusted set" instead of global importance. The seed frame is
+    // broadcast (restart sets are query-sized); None keeps the classic
+    // uniform teleport and the exact previous behavior.
+    val nodes0 = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+    val nodes = (teleportSeeds match {
+      case Some(sd) => nodes0.join(
+          broadcast(sd.select(col("node")).distinct()
+            .withColumn("__seed", lit(true))),
+          Seq("node"), "left")
+        .withColumn("__base",
+          when(col("__seed"), lit(base)).otherwise(lit(0L)))
+        .select(col("node"), col("__base"))
+      case None => nodes0.withColumn("__base", lit(base))
+    }).localCheckpoint(true)
     val wout = e.groupBy(col("src"))
       .agg(sum(col("weight")).as("wout"))
     // rank(src) enters each iteration joined THROUGH wout so the share
     // denominator rides along without a second join against the edges
     val withOut = e.join(wout, "src").localCheckpoint(true)
-    var ranks = nodes.withColumn("rank", lit(Scale))
+    var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
     for (i <- 1 to iterations) {
       // DIV, not `/`: Spark's `/` on longs is double division — exact
       // floor semantics and bit-parity with the oracle need integer DIV
@@ -101,7 +117,7 @@ object Graph {
       ranks = nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
-          (lit(base) +
+          (col("__base") +
             expr("(coalesce(in_mass, CAST(0 AS BIGINT)) * 17) DIV 20"))
             .as("rank"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)

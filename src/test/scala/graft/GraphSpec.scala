@@ -20,6 +20,26 @@ class GraphSpec extends AnyFunSuite {
     assert(r == Map(1L -> Graph.Scale, 2L -> Graph.Scale, 3L -> Graph.Scale))
   }
 
+  test("personalized pagerank: all-seeds equals classic; unseeded mass decays exactly") {
+    val es = edges((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L),
+      (4L, 5L, 1L), (5L, 4L, 1L)) // 3-cycle + separate 2-cycle
+    val allNodes = (1L to 5L).toDF("node")
+    val classic = Graph.pageRank(es, iterations = 6)
+      .as[(Long, Long)].collect().toMap
+    val seededAll = Graph.pageRank(es, iterations = 6,
+      teleportSeeds = Some(allNodes)).as[(Long, Long)].collect().toMap
+    assert(seededAll == classic, "seeding every node must equal classic PR")
+    val p = Graph.pageRank(es, iterations = 6,
+      teleportSeeds = Some(Seq(1L).toDF("node")))
+      .as[(Long, Long)].collect().toMap
+    // the unseeded 2-cycle gets no teleport: its rank is exactly the
+    // 6-fold integer (·17 DIV 20) decay of the initial mass
+    var decay = Graph.Scale
+    for (_ <- 1 to 6) decay = decay * 17L / 20L
+    assert(p(4L) == decay && p(5L) == decay)
+    assert(p(1L) > p(4L), "seeded component must outrank the unseeded one")
+  }
+
   test("pagerank: bidirectional star concentrates rank on the hub") {
     val leaves = (2L to 6L)
     val es = leaves.flatMap(l => Seq((1L, l, 1L), (l, 1L, 1L)))
