@@ -706,6 +706,23 @@ object ExtensionQueries {
         .orderBy("id_1", "id_2")
     }),
 
+    // ---- Entity resolution PIPELINE: fuzzy match → cluster → size -------
+    // the q_fuzzy_join pairs closed into connected components (the same
+    // min-label propagation as dedup_canonical), with cluster sizes
+    // joined back — the full "which records are the same entity" DAG as
+    // one plan.
+    "pipeline_er" -> ((s, d) => {
+      val pairs = Dedup.editDistancePairs(Tables.customer(s, d), "c_custkey",
+          col("c_name"), substring(col("c_name"), 1, 16), maxDist = 1)
+        .select(col("id_1"), col("id_2"))
+      val asg = Dedup.canonicalAssignments(pairs)
+      asg.groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .join(asg, Seq("canonical_id"))
+        .select(col("id"), col("canonical_id"), col("cluster_size"))
+        .orderBy("id")
+    }),
+
     // ---- Profiling: equi-depth histogram without a global sort -----------
     // Bucket edges from orderedRank (range-bucketed rank, HOF-folded
     // offsets) — the scale-sane route to global order statistics; bucket
@@ -2039,6 +2056,29 @@ object ExtensionQueries {
         |FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
         |WHERE levenshtein(a.s, b.s) <= 1
         |ORDER BY id_1, id_2""".stripMargin,
+
+    "pipeline_er" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT c_custkey AS id, c_name AS s, substring(c_name, 1, 16) AS blk
+        |  FROM customer),
+        |keep AS (SELECT blk FROM t GROUP BY blk HAVING count(*) <= 10000),
+        |k AS (SELECT t.* FROM t JOIN keep USING (blk)),
+        |p AS (
+        |  SELECT a.id AS id_1, b.id AS id_2
+        |  FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.s, b.s) <= 1),
+        |e AS (
+        |  SELECT id_1 AS rs, id_2 AS rt FROM p
+        |  UNION SELECT id_2, id_1 FROM p),
+        |reach(rs, rt) AS (
+        |  SELECT rs, rt FROM e UNION SELECT rs, rs FROM e
+        |  UNION SELECT r.rs, e.rt FROM reach r JOIN e ON r.rt = e.rs),
+        |asg AS (SELECT rs AS id, min(rt) AS canonical_id FROM reach
+        |        GROUP BY rs),
+        |cs AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM asg GROUP BY 1)
+        |SELECT a.id, a.canonical_id, c.cluster_size
+        |FROM asg a JOIN cs c USING (canonical_id) ORDER BY a.id""".stripMargin,
 
     "q_equidepth" ->
       """WITH t AS (
