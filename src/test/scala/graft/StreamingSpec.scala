@@ -123,6 +123,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() == expected)
   }
 
+  test("token-window chunking runs unchanged on a stream, equal to batch") {
+    import spark.implicits._
+    // stateless explode-only projection -> Append mode, no watermark, no
+    // state store: the RAG chunker IS a streaming ingest transform
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-chunk-src")
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir.toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    val got = Streams.runAvailableNow(spark,
+        graft.operators.TextAnalysis.tokenChunks(stream, "text", "doc_id",
+          window = 16, stride = 12), "chunk_stream", "append")
+      .as[(Long, Int, Int, String)].collect().toSet
+    val batch = graft.operators.TextAnalysis.tokenChunks(docs, "text",
+        "doc_id", window = 16, stride = 12)
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(got == batch, "streaming chunks must equal batch chunks")
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup ingest: corpus stays near-dup-free, re-delivery appends nothing") {
     import graft.functions.{ShingleFunctions, TextFunctions}
     import graft.operators.Dedup
