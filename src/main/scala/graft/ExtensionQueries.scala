@@ -455,6 +455,51 @@ object ExtensionQueries {
         .orderBy("col_name")
     }),
 
+    // ---- Data contract validation: violation counts per declared rule ----
+    // the pre-ingest gate: range bounds, enum membership, nullability,
+    // key uniqueness — each rule one narrow aggregate, unioned into a
+    // single report (0 violations on healthy fixtures; the rules are
+    // chosen so some rows DO trip them and the counts are exercised).
+    "q_quality_report" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def rule(name: String, violations: org.apache.spark.sql.Column) =
+        li.agg(sum(violations.cast("long")).as("n_violations"))
+          .select(lit(name).as("rule"), col("n_violations"))
+      val dupKeys = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("__c"))
+        .agg(sum(when(col("__c") > 1, col("__c")).otherwise(0L))
+          .as("n_violations"))
+        .select(lit("unique_order_line").as("rule"), col("n_violations"))
+      Seq(
+        rule("qty_in_1_to_40", !col("l_quantity").between(1, 40)),
+        rule("price_positive", col("l_extendedprice") <= 0),
+        rule("flag_in_enum", !col("l_returnflag").isin("A", "N", "R")),
+        rule("ship_not_null", col("l_shipdate").isNull),
+        dupKeys)
+        .reduce(_.unionByName(_))
+        .orderBy("rule")
+    }),
+
+    // ---- Incremental rollup maintenance: merged partials == recompute ----
+    // per-day partial aggregate states (count/sum/min/max) merged with
+    // the mergeable-state algebra — the pattern that lets a 100 TB
+    // pipeline maintain rollups by day and re-aggregate only at read.
+    "q_agg_merge" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("cents",
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      val partials = li
+        .groupBy(col("l_shipdate").as("day"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      partials
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("n")).as("n_rows"), sum(col("s")).as("sum_cents"),
+          min(col("mn")).as("min_cents"), max(col("mx")).as("max_cents"),
+          count(lit(1)).as("n_partials"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- Exact grouped percentiles (median + quartiles) ------------------
     // Spark `percentile` and DuckDB `quantile_cont` share the linear-
     // interpolation definition (a + f·(b−a) at h = q·(n−1)), so the exact
@@ -2686,6 +2731,45 @@ object ExtensionQueries {
         |  count(*) AS n, min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_quality_report" ->
+      """SELECT rule, CAST(n_violations AS BIGINT) AS n_violations FROM (
+        |  SELECT 'qty_in_1_to_40' AS rule,
+        |    sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 40 THEN 1 ELSE 0 END)
+        |      AS n_violations FROM lineitem
+        |  UNION ALL
+        |  SELECT 'price_positive',
+        |    sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'flag_in_enum',
+        |    sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0
+        |      END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'ship_not_null',
+        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique_order_line', sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+        |  FROM (SELECT count(*) AS c FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber))
+        |ORDER BY rule""".stripMargin,
+
+    "q_agg_merge" ->
+      """WITH p AS (
+        |  SELECT l_shipdate AS day, l_returnflag,
+        |    count(*) AS n,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS mn,
+        |    max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS mx
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(s) AS BIGINT) AS sum_cents,
+        |  CAST(min(mn) AS BIGINT) AS min_cents,
+        |  CAST(max(mx) AS BIGINT) AS max_cents,
+        |  CAST(count(*) AS BIGINT) AS n_partials
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_profile" -> {
       def leg(name: String, expr: String) =
