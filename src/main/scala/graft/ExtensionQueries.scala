@@ -1193,6 +1193,16 @@ object ExtensionQueries {
       Graph.pageRank(edges, iterations = 8).orderBy("node")
     }),
 
+    // ---- Graph: HITS hubs/authorities, integer max-normalized ------------
+    "q_hits" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val edges = Graph.transitionEdges(ev, col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long"), col("event_id"))
+        .filter(col("weight") >= 2)
+        .select(col("src"), col("dst"))
+      Graph.hits(edges, iterations = 4).orderBy("node")
+    }),
+
     // ---- Graph: personalized PageRank from the % 20 seed set -------------
     // teleport mass restricted to the trusted seeds — rank concentrates
     // around them; same fixed-point integer iteration as q_pagerank.
@@ -1717,6 +1727,51 @@ object ExtensionQueries {
     * integer SUM to HUGEINT — which the driver's pandas compare would
     * render as float64.
     */
+  /** Unrolled HITS oracle: per round, an authority half-step and a hub
+    * half-step, each max-normalized with an integer DIV (HUGEINT-safe —
+    * every exposed value is cast back to BIGINT). MATERIALIZED because
+    * each frame is referenced by the next half-step AND the final join.
+    */
+  private def hitsOracle(iterations: Int): String = {
+    val roundCtes = (1 to iterations).map { k =>
+      s"""ar$k AS (
+         |  SELECT e.dst AS node, sum(h.h) AS raw
+         |  FROM e JOIN h${k - 1} h ON h.node = e.src GROUP BY 1),
+         |a$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST(coalesce(r.raw, 0) * 1000000 // m.mx AS BIGINT) AS a
+         |  FROM nodes n LEFT JOIN ar$k r USING (node)
+         |  CROSS JOIN (SELECT max(raw) AS mx FROM ar$k) m),
+         |hr$k AS (
+         |  SELECT e.src AS node, sum(a.a) AS raw
+         |  FROM e JOIN a$k a ON a.node = e.dst GROUP BY 1),
+         |h$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST(coalesce(r.raw, 0) * 1000000 // m.mx AS BIGINT) AS h
+         |  FROM nodes n LEFT JOIN hr$k r USING (node)
+         |  CROSS JOIN (SELECT max(raw) AS mx FROM hr$k) m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS node
+       |  FROM events),
+       |tr AS (
+       |  SELECT node AS dst,
+       |    lag(node) OVER (PARTITION BY user_id ORDER BY event_id) AS src
+       |  FROM ev),
+       |ed AS (
+       |  SELECT src, dst FROM tr WHERE src IS NOT NULL
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ed),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, 1000000::BIGINT AS h FROM nodes),
+       |$roundCtes
+       |SELECT n.node, h.h AS hub, a.a AS authority
+       |FROM nodes n JOIN h$iterations h USING (node)
+       |JOIN a$iterations a USING (node) ORDER BY n.node""".stripMargin
+  }
+
   private def pageRankOracle(iterations: Int,
                              baseExpr: String = "150000000000"): String = {
     val iterCtes = (1 to iterations).map { i =>
@@ -1784,6 +1839,7 @@ object ExtensionQueries {
     "q_pagerank" -> pageRankOracle(8),
     "q_ppr" -> pageRankOracle(8,
       "CASE WHEN n.node % 20 = 0 THEN 150000000000 ELSE 0 END"),
+    "q_hits" -> hitsOracle(4),
     "q_kcore" -> kCoreOracle(2, 8),
 
     "q_bfs" ->

@@ -209,6 +209,61 @@ object Graph {
     dist
   }
 
+  /** HITS fixed-point scale: scores live in [0, 10⁶]. The half-step raw
+    * sums are bounded by max-degree·10⁶ and the normalization multiply by
+    * raw·10⁶ ≤ degree·10¹² — inside int64 for degrees to ~9·10⁶; beyond
+    * that, lower the scale.
+    */
+  val HitsScale: Long = 1000000L
+
+  /** HITS hubs and authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM 1999) over directed DISTINCT (src,
+    * dst) edges, in fixed-point integers: each iteration is
+    * `a(v) = Σ_{u→v} h(u)` then `h(v) = Σ_{v→u} a(u)`, each half-step
+    * MAX-normalized (score·10⁶ DIV max) instead of the paper's L2 norm —
+    * sqrt is not bit-reproducible across engines, max-normalization
+    * preserves the ranking and keeps every intermediate an
+    * order-independent integer sum. The max rides back as a broadcast
+    * 1-row frame; per half-step one hash join + one hash aggregate on
+    * node keys. Bounded iterations, localCheckpoint per round (the
+    * [[pageRank]] pattern).
+    *
+    * Output: (node, hub, authority) at the declared scale.
+    */
+  def hits(edges: DataFrame, iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 64,
+      s"iterations=$iterations out of [1, 64]")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    var hub = nodes.withColumn("h", lit(HitsScale))
+    var auth = nodes.withColumn("a", lit(HitsScale))
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("raw"))
+      auth = normalized(nodes, aRaw, "a").localCheckpoint(true)
+      val hRaw = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("raw"))
+      hub = normalized(nodes, hRaw, "h").localCheckpoint(true)
+    }
+    nodes.join(hub, Seq("node")).join(auth, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+  }
+
+  /** Max-normalize a raw half-step sum onto all nodes (absent → 0). */
+  private def normalized(nodes: DataFrame, raw: DataFrame,
+                         out: String): DataFrame = {
+    val mx = raw.agg(max(col("raw")).as("__mx"))
+    nodes.join(raw, Seq("node"), "left")
+      .crossJoin(broadcast(mx))
+      .select(col("node"),
+        expr(s"coalesce(raw, CAST(0 AS BIGINT)) * ${HitsScale}L DIV __mx")
+          .as(out))
+  }
+
   /** Deterministic synchronous label propagation (Raghavan, Albert &amp;
     * Kumara, "Near linear time algorithm to detect community structures
     * in large-scale networks", Phys. Rev. E 2007) over undirected

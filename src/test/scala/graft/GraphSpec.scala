@@ -40,6 +40,26 @@ class GraphSpec extends AnyFunSuite {
     assert(p(1L) > p(4L), "seeded component must outrank the unseeded one")
   }
 
+  test("hits: star and chain hit their exact fixed points; partition-independent") {
+    // out-star: center 1 -> leaves 2..5. Center is the pure hub,
+    // leaves are pure (max-normalized, equal) authorities.
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    val s = Graph.hits(star, iterations = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(s(1L) == ((Graph.HitsScale, 0L)))
+    (2L to 5L).foreach(l => assert(s(l) == ((0L, Graph.HitsScale))))
+    // chain a -> b -> c: b and c tie as authorities, a and b as hubs
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val c = Graph.hits(chain, iterations = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(c(1L) == ((Graph.HitsScale, 0L)))
+    assert(c(2L) == ((Graph.HitsScale, Graph.HitsScale)))
+    assert(c(3L) == ((0L, Graph.HitsScale)))
+    val re = Graph.hits(chain.repartition(5, col("dst")), iterations = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(re == c)
+  }
+
   test("pagerank: bidirectional star concentrates rank on the hub") {
     val leaves = (2L to 6L)
     val es = leaves.flatMap(l => Seq((1L, l, 1L), (l, 1L, 1L)))
