@@ -1193,6 +1193,13 @@ object ExtensionQueries {
       Graph.pageRank(edges, iterations = 8).orderBy("node")
     }),
 
+    // ---- Events: linear multi-touch attribution (7-day lookback) ---------
+    "q_attribution" -> ((s, d) => {
+      graft.operators.Attribution.linearCredits(Tables.events(s, d),
+          conversionType = "purchase", lookbackDays = 7)
+        .orderBy("touch_type")
+    }),
+
     // ---- Graph: HITS hubs/authorities, integer max-normalized ------------
     "q_hits" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -1840,6 +1847,31 @@ object ExtensionQueries {
     "q_ppr" -> pageRankOracle(8,
       "CASE WHEN n.node % 20 = 0 THEN 150000000000 ELSE 0 END"),
     "q_hits" -> hitsOracle(4),
+
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS conv_id, ts AS conv_ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+        |    event_type AS touch_type
+        |  FROM events WHERE event_type <> 'purchase'),
+        |j AS (
+        |  SELECT t.touch_type, p.conv_id, t.touch_ts, t.touch_id
+        |  FROM t JOIN p USING (user_id)
+        |  WHERE t.touch_ts < p.conv_ts
+        |    AND t.touch_ts >= p.conv_ts - INTERVAL 7 DAY),
+        |r AS (
+        |  SELECT touch_type,
+        |    count(*) OVER (PARTITION BY conv_id) AS n,
+        |    row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY touch_ts DESC, touch_id DESC) AS rn
+        |  FROM j)
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_credits,
+        |  CAST(sum(1000000 // n +
+        |    CASE WHEN rn = 1 THEN 1000000 % n ELSE 0 END) AS BIGINT)
+        |    AS credit_ppm_total
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_kcore" -> kCoreOracle(2, 8),
 
     "q_bfs" ->

@@ -196,6 +196,32 @@ class StatsSpec extends AnyFunSuite {
     assert(s12 == 4L, "supports count dropped baskets too")
   }
 
+  test("linearCredits: each conversion distributes exactly 1e6 ppm; lookback bounds") {
+    import graft.operators.Attribution
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // user 1: three touches then a purchase (credit 333333/333333/333334,
+    // most recent touch takes the remainder); one stale touch outside the
+    // 7-day lookback earns nothing; user 2's purchase has no touches.
+    val ev = Seq(
+      (1L, ts(1, 1), 1L, "view"),     // stale: 9 days before conversion
+      (2L, ts(10, 1), 1L, "view"),
+      (3L, ts(10, 2), 1L, "click"),
+      (4L, ts(10, 3), 1L, "view"),    // most recent -> remainder
+      (5L, ts(10, 4), 1L, "purchase"),
+      (6L, ts(10, 4), 2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Attribution.linearCredits(ev, "purchase", lookbackDays = 7)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      "click" -> ((1L, 333333L)),
+      "view" -> ((2L, 333333L + 333334L))))
+    assert(got.values.map(_._2).sum == 1000000L,
+      "credits must reconcile to conversions x 1e6")
+  }
+
   test("frequentTriples: Apriori counts match brute force; pruning is lossless") {
     import graft.operators.Associations
     // 6 baskets over items 1..5; triple {1,2,3} in baskets 1,2,3;
