@@ -38,7 +38,8 @@ object Plans {
     "dedup_containment", "pipeline_curation", "dedup_semantic_mp",
     "q_triples", "text_chunk", "q_mixture_sample", "text_bpe_train",
     "text_bpe_apply", "q_rrf_fusion", "q_mmr_select", "q_random_walk",
-    "q_label_prop", "q_tv_drift")
+    "q_label_prop", "q_tv_drift", "pipeline_er", "q_ppr", "q_hits",
+    "q_attribution", "q_quality_report", "q_agg_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
