@@ -620,6 +620,15 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Keywords: top-3 tf·idf terms per document ----------------------
+    "text_keywords" -> ((s, d) => {
+      TextAnalysis.topKeywords(Tables.documents(s, d), "text", "doc_id",
+          k = 3)
+        .select(col("id").as("doc_id"), col("rank"), col("term"),
+          col("tf"), col("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // ---- Drift: corpus-level total-variation distance train vs val ------
     "q_tv_drift" -> ((s, d) => {
       val docs = Tables.documents(s, d).withColumn("split",
@@ -3009,6 +3018,27 @@ object ExtensionQueries {
     "text_bpe_vocab" -> Bpe.vocabOracleSql(12),
 
     "text_bpe_apply" -> Bpe.applyOracleSql(12),
+
+    "text_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |          FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT doc_id, term, tf,
+        |    tf * ((n_docs * 1000000) // df) AS score
+        |  FROM tf JOIN dfreq USING (term), n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rank
+        |  FROM s)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf,
+        |  CAST(score AS BIGINT) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_tv_drift" ->
       """WITH b AS (

@@ -347,6 +347,26 @@ class TextSamplingSpec extends AnyFunSuite {
     assert(got == Seq(2L, 5L), "score ties keep the lowest ids")
   }
 
+  test("topKeywords ranks rare terms over common, ties to lex order") {
+    // 'rare' appears once in one doc (df=1); 'shared' is in all docs
+    // (df=3, idf floor). Doc 1's top keyword must be 'rare' despite
+    // equal tf; ranks stay dense and capped at k.
+    val df = Seq(
+      (1L, "shared rare shared"),
+      (2L, "shared common common"),
+      (3L, "shared common zed")).toDF("doc_id", "text")
+    val got = TextAnalysis.topKeywords(df, "text", "doc_id", k = 2)
+      .as[(Long, Int, String, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, r) =>
+        id -> r.sortBy(_._2).map(x => (x._3, x._5)).toSeq }
+    assert(got(1L).head._1 == "rare")
+    // score formula: tf * ((N * 1e6) DIV df) with N=3
+    assert(got(1L).head._2 == 1L * ((3L * 1000000L) / 1L))
+    assert(got(1L)(1) == ("shared", 2L * ((3L * 1000000L) / 3L)))
+    assert(got(2L).head == ("common", 2L * ((3L * 1000000L) / 2L)))
+    assert(got.values.forall(_.size == 2), "k caps keyword count")
+  }
+
   test("tvDistance: 0 on identical, 1 on disjoint, ½ on half-moved mass") {
     def tv(a: String, b: String): (Long, Double) = {
       val df = Seq(("train", a), ("val", b)).toDF("split", "text")
