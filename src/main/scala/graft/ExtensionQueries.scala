@@ -620,6 +620,34 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- RAG ingestion pipeline: quality → mixture → chunk → pack -------
+    // the four curation stages as ONE declarative plan: token/TTR gate,
+    // output-proportion mixture sampling, overlapped chunking, greedy
+    // 64-token sequence packing per source — per-pack stats out.
+    "pipeline_rag" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = TextFunctions.tokens(col("text"))
+      val kept = docs
+        .withColumn("n_toks", size(toks))
+        .withColumn("ttr",
+          size(array_distinct(toks)).cast("double") / size(toks))
+        .filter(col("n_toks").between(20, 1000) && col("ttr") >= 0.3)
+      val sampled = Sampling.mixtureSample(kept, col("doc_id"),
+        col("source"), Map("src0" -> 200000L, "src1" -> 200000L),
+        defaultPpm = 33333L, outRows = 200L)
+      val chunks = TextAnalysis
+        .tokenChunks(sampled, "text", "doc_id", window = 16, stride = 12)
+        .join(sampled.select(col("doc_id").as("id"), col("source")),
+          Seq("id"))
+      Sampling.packSequences(chunks, col("source"),
+          col("id") * 1000 + col("chunk_idx"), col("n_chunk_tokens"),
+          budget = 64L)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_chunk_tokens")).as("n_tokens"))
+        .orderBy("source", "pack_id")
+    }),
+
     // ---- Keywords: top-3 tf·idf terms per document ----------------------
     "text_keywords" -> ((s, d) => {
       TextAnalysis.topKeywords(Tables.documents(s, d), "text", "doc_id",
@@ -3018,6 +3046,42 @@ object ExtensionQueries {
     "text_bpe_vocab" -> Bpe.vocabOracleSql(12),
 
     "text_bpe_apply" -> Bpe.applyOracleSql(12),
+
+    "pipeline_rag" ->
+      """WITH q AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |keep AS (
+        |  SELECT * FROM q
+        |  WHERE len(toks) BETWEEN 20 AND 1000
+        |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3),
+        |c AS (SELECT source, count(*) AS n FROM keep GROUP BY 1),
+        |t AS (
+        |  SELECT source, n,
+        |    least(1000000,
+        |      CASE source WHEN 'src0' THEN 200000 WHEN 'src1' THEN 200000
+        |        ELSE 33333 END * 200 // n) AS thr
+        |  FROM c),
+        |samp AS (
+        |  SELECT k.* FROM keep k JOIN t USING (source)
+        |  WHERE ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000000 < thr),
+        |ch AS (
+        |  SELECT doc_id, source, (start - 1) // 12 AS chunk_idx,
+        |    len(list_slice(toks, start, start + 15)) AS nt
+        |  FROM (SELECT doc_id, source, toks,
+        |          unnest(range(1, greatest(len(toks) - 4, 1) + 1, 12))
+        |            AS start
+        |        FROM samp)),
+        |p AS (
+        |  SELECT source, nt,
+        |    sum(nt) OVER (PARTITION BY source
+        |      ORDER BY doc_id * 1000 + chunk_idx) AS cum
+        |  FROM ch)
+        |SELECT source, CAST((cum - nt) // 64 AS BIGINT) AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_keywords" ->
       """WITH tok AS (
