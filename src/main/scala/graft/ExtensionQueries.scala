@@ -104,6 +104,26 @@ object ExtensionQueries {
         .orderBy("id")
     }),
 
+    // ---- Split: leakage-safe train/val/test (by CLUSTER, not doc) -------
+    // near-dups share a canonical representative, and the split hash runs
+    // on the REPRESENTATIVE — so a near-dup pair can never straddle
+    // train/test (the leakage exact-dedup-then-split pipelines miss).
+    "q_split_leakage_safe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashNearDups(docs, "doc_id",
+        ShingleFunctions.wordShingleHashes(TextFunctions.tokens(col("text")), 3),
+        threshold = 0.5, Dedup.LshConfig(numHashes = 64, bandRows = 2))
+      val asg = Dedup.canonicalAssignments(pairs)
+      docs
+        .join(asg.select(col("id").as("doc_id"), col("canonical_id")),
+          Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("canonical_id"), col("doc_id")))
+        .withColumn("split",
+          Sampling.splitLabel(Sampling.md5Bucket(col("rep"))))
+        .select(col("doc_id"), col("rep"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Dedup: SimHash (rows-only; xxh64 not SQL-replicable) ------------
     "dedup_simhash" -> ((s, d) => {
       Dedup.simHashNearDups(Tables.documents(s, d), "doc_id",
@@ -2541,6 +2561,38 @@ object ExtensionQueries {
         |  UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
         |SELECT s AS id, min(t) AS canonical_id FROM reach
         |GROUP BY s ORDER BY id""".stripMargin,
+
+    "q_split_leakage_safe" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM toks WHERE len(w) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.g, b.g)) /
+        |      len(list_distinct(list_concat(a.g, b.g))) >= 0.5),
+        |e AS (
+        |  SELECT id_1 AS s, id_2 AS t FROM p
+        |  UNION SELECT id_2, id_1 FROM p),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM e UNION SELECT s, s FROM e
+        |  UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+        |asg AS (SELECT s AS doc_id, min(t) AS canonical_id FROM reach
+        |        GROUP BY s),
+        |rep AS (
+        |  SELECT d.doc_id, coalesce(a.canonical_id, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN asg a USING (doc_id))
+        |SELECT doc_id, rep,
+        |  CASE WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15))::BIGINT
+        |           % 100 < 90 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15))::BIGINT
+        |           % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM rep ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash_md5" ->
       """WITH t AS (

@@ -347,6 +347,24 @@ class TextSamplingSpec extends AnyFunSuite {
     assert(got == Seq(2L, 5L), "score ties keep the lowest ids")
   }
 
+  test("leakage-safe split: no near-dup pair ever straddles a split") {
+    val sf = TestSpark.sf
+    val split = SparkEntry.queries("q_split_leakage_safe")(spark, sf)
+      .select(col("doc_id"), col("split"))
+    val pairs = Dedup.minHashNearDups(Tables.documents(spark, sf), "doc_id",
+      ShingleFunctions.wordShingleHashes(TextFunctions.tokens(col("text")), 3),
+      threshold = 0.5, Dedup.LshConfig(numHashes = 64, bandRows = 2))
+    val straddling = pairs
+      .join(split.withColumnRenamed("doc_id", "id_1")
+        .withColumnRenamed("split", "s1"), Seq("id_1"))
+      .join(split.withColumnRenamed("doc_id", "id_2")
+        .withColumnRenamed("split", "s2"), Seq("id_2"))
+      .filter(col("s1") =!= col("s2"))
+    assert(straddling.isEmpty,
+      "near-dup pairs must land in the same split")
+    assert(pairs.count() > 0, "fixture must actually contain near-dups")
+  }
+
   test("topKeywords ranks rare terms over common, ties to lex order") {
     // 'rare' appears once in one doc (df=1); 'shared' is in all docs
     // (df=3, idf floor). Doc 1's top keyword must be 'rare' despite
