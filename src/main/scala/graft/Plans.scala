@@ -39,7 +39,8 @@ object Plans {
     "q_triples", "text_chunk", "q_mixture_sample", "text_bpe_train",
     "text_bpe_apply", "q_rrf_fusion", "q_mmr_select", "q_random_walk",
     "q_label_prop", "q_tv_drift", "pipeline_er", "q_ppr", "q_hits",
-    "q_attribution", "q_quality_report", "q_agg_merge")
+    "q_attribution", "q_quality_report", "q_agg_merge", "text_keywords",
+    "pipeline_rag", "q_split_leakage_safe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
