@@ -668,6 +668,14 @@ object ExtensionQueries {
         .orderBy("source", "pack_id")
     }),
 
+    // ---- Fluency: log-free bigram LM score per document -----------------
+    "text_lm_score" -> ((s, d) => {
+      TextAnalysis.lmBigramScore(Tables.documents(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          col("lm_ppm_sum"), col("lm_ppm_mean"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Keywords: top-3 tf·idf terms per document ----------------------
     "text_keywords" -> ((s, d) => {
       TextAnalysis.topKeywords(Tables.documents(s, d), "text", "doc_id",
@@ -3134,6 +3142,31 @@ object ExtensionQueries {
         |  CAST(count(*) AS BIGINT) AS n_chunks,
         |  CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]))
+        |    AS bigram
+        |  FROM t WHERE len(w) >= 2),
+        |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy
+        |       FROM g GROUP BY 1),
+        |pc AS (SELECT string_split(bigram, ' ')[1] AS x,
+        |         CAST(count(*) AS BIGINT) AS c_x
+        |       FROM g GROUP BY 1),
+        |s AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(c_xy * 1000000 // c_x) AS BIGINT) AS lm_ppm_sum
+        |  FROM g JOIN bc USING (bigram)
+        |  JOIN pc ON pc.x = string_split(g.bigram, ' ')[1]
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(s.lm_ppm_sum, 0) AS lm_ppm_sum,
+        |  coalesce(s.lm_ppm_sum // s.n_bigrams, 0) AS lm_ppm_mean
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_keywords" ->
       """WITH tok AS (

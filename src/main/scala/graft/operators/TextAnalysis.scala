@@ -158,6 +158,52 @@ object TextAnalysis {
       TextFunctions.rollingFingerprint(TextFunctions.tokens(col(textCol)))
         .as("rolling_fp"))
 
+  /** Per-document bigram language-model fluency score, libm-free: each
+    * bigram (x, y) contributes the 10⁶-scaled integer conditional
+    * `count(x y) · 10⁶ DIV count(x ·)` — the corpus-estimated P(y|x) in
+    * ppm — and a document scores the sum and mean of its bigram terms.
+    * The usual per-token log-probability ranks documents identically
+    * within the same length only through a monotone transform; this
+    * variant is a DEFINED integer scoring (like the log-free BM25 idf
+    * and PMI), in exchange for bit-reproducibility in any engine.
+    * Low mean ⇒ improbable token transitions (gibberish, wrong-language,
+    * boilerplate collisions) — the perplexity-style quality gate of a
+    * curation pipeline without a model or a logarithm.
+    *
+    * The denominator counts x as a bigram PREFIX (not raw unigram
+    * occurrences), so Σ_y P(y|x) = 1 exactly over the corpus. Both count
+    * frames are vocabulary-sized and broadcast; scoring is one explode +
+    * two broadcast joins + one per-doc aggregate.
+    *
+    * Output: (id, n_bigrams, lm_ppm_sum, lm_ppm_mean); documents with
+    * fewer than 2 tokens score zeros.
+    */
+  def lmBigramScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val big = df.select(
+      explode(TextFunctions.wordNgrams(toks, 2)).as("bigram"))
+    val bc = big.groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+    val pc = big
+      .select(element_at(split(col("bigram"), " "), 1).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("c_x"))
+    val scored = df
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.wordNgrams(toks, 2)).as("bigram"))
+      .join(broadcast(bc), Seq("bigram"))
+      .join(broadcast(pc),
+        element_at(split(col("bigram"), " "), 1) === col("x"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("c_xy * 1000000L DIV c_x")).as("lm_ppm_sum"))
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_ppm_sum"), lit(0L)).as("lm_ppm_sum"),
+        coalesce(expr("lm_ppm_sum DIV n_bigrams"), lit(0L))
+          .as("lm_ppm_mean"))
+  }
+
   /** Top-k keywords per document by tf·idf with the idf kept as the RAW
     * scaled ratio `(N·10⁶) DIV df` instead of the textbook log(N/df) —
     * the same libm-free discipline as the BM25 RSJ idf: the scoring is a

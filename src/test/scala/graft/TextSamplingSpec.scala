@@ -365,6 +365,23 @@ class TextSamplingSpec extends AnyFunSuite {
     assert(pairs.count() > 0, "fixture must actually contain near-dups")
   }
 
+  test("lmBigramScore: conditionals from prefix counts; tiny docs score zero") {
+    // bigram 'a b' appears 3x, 'a c' once -> P(b|a)=3/4, P(c|a)=1/4
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"),
+      (5L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmBigramScore(df, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, 750000L, 750000L)))
+    assert(got(4L) == ((4L, 1L, 250000L, 250000L)))
+    assert(got(5L) == ((5L, 0L, 0L, 0L)), "1-token doc scores zeros")
+    // multi-bigram doc: mean is the integer mean of its terms
+    val d2 = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // P(b|a)=2/2=1e6; P(c|b)=1/2=500000; P(d|b)=500000
+    val g2 = TextAnalysis.lmBigramScore(d2, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(g2(1L) == ((1L, 2L, 1500000L, 750000L)))
+  }
+
   test("topKeywords ranks rare terms over common, ties to lex order") {
     // 'rare' appears once in one doc (df=1); 'shared' is in all docs
     // (df=3, idf floor). Doc 1's top keyword must be 'rare' despite
