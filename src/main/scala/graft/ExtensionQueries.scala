@@ -668,6 +668,24 @@ object ExtensionQueries {
         .orderBy("source", "pack_id")
     }),
 
+    // ---- Contrastive mining: hard negatives per anchor ------------------
+    // most-similar neighbors BELOW the duplicate threshold (0.3): close
+    // enough to be informative for contrastive training, far enough to
+    // not be a positive. Top-5 per anchor from the exact top-50.
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val topk = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 50)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rank"))
+      topk.filter(col("score") < 0.3)
+        .withColumn("hn_rank", row_number().over(w))
+        .filter(col("hn_rank") <= 5)
+        .select(col("query_id"), col("neighbor_id").as("hard_neg_id"),
+          col("hn_rank"), col("score"))
+        .orderBy("query_id", "hn_rank")
+    }),
+
     // ---- Fluency: log-free bigram LM score per document -----------------
     "text_lm_score" -> ((s, d) => {
       TextAnalysis.lmBigramScore(Tables.documents(s, d), "text", "doc_id")
@@ -3142,6 +3160,30 @@ object ExtensionQueries {
         |  CAST(count(*) AS BIGINT) AS n_chunks,
         |  CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |s AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(qv, e.v) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v)))
+        |      AS score
+        |  FROM q JOIN e ON e.vec_id <> query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM s),
+        |f AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rank)
+        |      AS hn_rank
+        |  FROM r WHERE rank <= 50 AND score < 0.3)
+        |SELECT query_id, neighbor_id AS hard_neg_id,
+        |  CAST(hn_rank AS INTEGER) AS hn_rank, score
+        |FROM f WHERE hn_rank <= 5 ORDER BY query_id, hn_rank""".stripMargin,
 
     "text_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
