@@ -24,12 +24,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's Parquet reader
-    * rejects by default; the legacy flag reads it as LongType nanoseconds
-    * since the epoch. We keep the raw nanos (`ts_ns`, exact integer
-    * event-time arithmetic) and derive a microsecond-truncated TimestampType
-    * `ts` — the same truncation DuckDB applies casting TIMESTAMP_NS →
-    * TIMESTAMP, so both engines see identical values.
+  /** events.parquet has carried two physical `ts` encodings across fixture
+    * generations: TIMESTAMP(NANOS) (read as LongType nanos under the legacy
+    * flag) and TIMESTAMP(MICROS) (read as TimestampType/TimestampNTZType).
+    * Queries are written against a stable contract — integer nanosecond
+    * `ts_ns` for exact event-time arithmetic plus a TimestampType `ts` —
+    * so [[withEventTime]] normalizes whichever encoding the file has.
+    * DuckDB's `epoch_ns(ts)` over the same file yields the same integers
+    * either way (µs-encoded files carry µs precision in both engines).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // GraftSession.create sets the flag at session build; sessions created
@@ -40,14 +42,23 @@ object Tables {
     withEventTime(load(s, d, "events"))
   }
 
-  /** Shared ts derivation for batch and streaming event reads: raw nanos →
-    * (`ts_ns`, microsecond-truncated `ts`). One definition so the
-    * stream-equals-batch tests can't drift.
+  /** Shared ts derivation for batch and streaming event reads → the
+    * (`ts_ns`, TimestampType `ts`) contract. One definition so the
+    * stream-equals-batch tests can't drift. Works on streaming frames
+    * (schema inspection only — no actions). The NTZ→LTZ cast is exact
+    * under the session's UTC timezone (GraftSession).
     */
   def withEventTime(raw: DataFrame): DataFrame =
-    raw
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        raw
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

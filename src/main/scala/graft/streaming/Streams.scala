@@ -13,26 +13,26 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** The events schema as the streaming source sees it (ts read as raw
-    * nanosecond longs — see graft.Tables.events).
-    */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (nanosAsLong)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-source stream over an events directory; discovery replaces the
     * reference's blob sensors. `maxFilesPerTrigger` bounds per-batch work.
+    *
+    * The source schema is taken from a one-off batch footer read of the
+    * same glob (file-source streams require an explicit schema; deriving
+    * it keeps the stream agnostic to the fixture's two historical `ts`
+    * encodings — nanosecond int64 vs TIMESTAMP(MICROS) — exactly like
+    * the batch path, see graft.Tables.withEventTime). The footer read is
+    * a bounded driver-side metadata operation, not a data scan.
     */
   def eventsStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame = {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read
+      .option("pathGlobFilter", "events*.parquet")
+      .parquet(dir)
+      .schema
     graft.Tables.withEventTime(
       spark.readStream
-        .schema(eventsSchema)
+        .schema(schema)
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .option("pathGlobFilter", "events*.parquet")
         .parquet(dir))
