@@ -710,6 +710,16 @@ object ExtensionQueries {
       TextAnalysis.tvDistance(docs, "text", "split", "train", "val")
     }),
 
+    // ---- Drift: Kolmogorov–Smirnov over document lengths train vs val ---
+    // Exact integer numerator max|cum_a·N_b − cum_b·N_a|; the CDF sweep is
+    // bucket-decomposed (no global-order window) — see Stats.ksDrift.
+    "q_ks_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("split",
+        Sampling.splitLabel(Sampling.md5Bucket(col("text"))))
+      graft.operators.Stats.ksDrift(docs, col("n_chars"), col("split"),
+        "train", "val", bucketShift = 8)
+    }),
+
     // ---- RAG chunking: 16-token windows, stride 12 (overlap 4) ----------
     "text_chunk" -> ((s, d) => {
       TextAnalysis.tokenChunks(Tables.documents(s, d), "text", "doc_id",
@@ -1370,6 +1380,36 @@ object ExtensionQueries {
       Graph.labelPropagation(und, rounds = 4).orderBy("node")
     }),
 
+    // ---- Graph: first-order Markov next-state model ----------------------
+    // P(next | current) over user clickstream transitions in exact ppm;
+    // is_top marks each state's modal successor. The behavioral-model
+    // sibling of q_pagerank on the same transition edges.
+    "q_markov" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val edges = Graph.transitionEdges(ev, col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long"), col("event_id"))
+      Graph.markovTransitions(edges.filter(col("weight") >= 2))
+        .orderBy("src", "dst")
+    }),
+
+    // ---- Graph: link prediction (common neighbors + RA index) ------------
+    // Candidate pairs at distance 2 over the q_triangles co-occurrence
+    // graph, scored by common-neighbor count and the fixed-point Resource
+    // Allocation index.
+    "q_link_predict" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val co = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("a"), col("b"))
+      graft.operators.Graph.linkPrediction(co)
+        .filter(col("common_neighbors") >= 2)
+        .orderBy("a", "b")
+    }),
+
     // ---- Graph: deterministic DeepWalk-style walk corpus -----------------
     // same transition graph and seed rule as q_bfs; 2 walks × 5 steps per
     // seed, neighbor choice = md5(start|w|t|node) mod degree.
@@ -1956,6 +1996,54 @@ object ExtensionQueries {
         |    AS credit_ppm_total
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_kcore" -> kCoreOracle(2, 8),
+
+    "q_markov" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS node
+        |  FROM events),
+        |tr AS (
+        |  SELECT node AS dst,
+        |    lag(node) OVER (PARTITION BY user_id ORDER BY event_id) AS src
+        |  FROM ev),
+        |ed AS (
+        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
+        |  FROM tr WHERE src IS NOT NULL
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tot AS (SELECT src, CAST(sum(weight) AS BIGINT) AS tot
+        |        FROM ed GROUP BY 1),
+        |top AS (
+        |  SELECT src, dst AS top_dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src
+        |      ORDER BY weight DESC, dst) AS rn FROM ed)
+        |  WHERE rn = 1)
+        |SELECT e.src, e.dst, e.weight,
+        |  CAST(e.weight * 1000000 // t.tot AS BIGINT) AS ppm,
+        |  (e.dst = p.top_dst) AS is_top
+        |FROM ed e JOIN tot t USING (src) JOIN top p USING (src)
+        |ORDER BY e.src, e.dst""".stripMargin,
+
+    "q_link_predict" ->
+      """WITH co AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT a AS z, b AS n FROM co
+        |        UNION ALL SELECT b, a FROM co),
+        |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg
+        |        FROM adj GROUP BY 1),
+        |wed AS (
+        |  SELECT x.n AS a, y.n AS b, x.z AS z
+        |  FROM adj x JOIN adj y ON x.z = y.z AND x.n < y.n),
+        |sc AS (
+        |  SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS common_neighbors,
+        |    CAST(sum(1000000000000 // d.deg) AS BIGINT) AS ra_score
+        |  FROM wed w JOIN deg d USING (z) GROUP BY 1, 2)
+        |SELECT s.a, s.b, s.common_neighbors, s.ra_score
+        |FROM sc s LEFT JOIN co c ON s.a = c.a AND s.b = c.b
+        |WHERE c.a IS NULL AND s.common_neighbors >= 2
+        |ORDER BY s.a, s.b""".stripMargin,
 
     "q_bfs" ->
       """WITH RECURSIVE ev AS (
@@ -3255,6 +3343,34 @@ object ExtensionQueries {
         |  CAST(sum(abs(n_a * tb - n_b * ta)) AS DOUBLE)
         |    / CAST(2 * ta * tb AS DOUBLE) AS tv
         |FROM cnt, t GROUP BY ta, tb""".stripMargin,
+
+    "q_ks_drift" ->
+      """WITH b AS (
+        |  SELECT n_chars,
+        |    CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 90
+        |           THEN 'train'
+        |         WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 95
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT n_chars AS v,
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM b WHERE split IN ('train', 'val') GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(sum(n_a) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+        |         CAST(sum(n_b) OVER (ORDER BY v) AS BIGINT) AS cum_b
+        |  FROM cnt),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |             CAST(sum(n_b) AS BIGINT) AS tb FROM cnt)
+        |SELECT ta AS n_a_total, tb AS n_b_total,
+        |  CAST(max(abs(cum_a * tb - cum_b * ta)) AS BIGINT) AS ks_num,
+        |  CAST(max(abs(cum_a * tb - cum_b * ta)) AS DOUBLE)
+        |    / CAST(ta * tb AS DOUBLE) AS ks
+        |FROM c, t GROUP BY ta, tb""".stripMargin,
 
     "text_chunk" ->
       """WITH t AS (

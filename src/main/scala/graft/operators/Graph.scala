@@ -400,4 +400,57 @@ object Graph {
       .filter(col("degree") >= k)
       .select(col("v").as("node"), col("degree"))
   }
+
+  /** First-order Markov transition model over (src, dst, weight) edges:
+    * P(dst | src) in exact parts-per-million (`weight·10⁶ div Σ_src w`,
+    * truncating — the q_attribution fixed-point discipline, so rows are
+    * bit-reproducible in external SQL). `is_top` marks each source's
+    * argmax next state, ties to the smallest dst (max-of-struct, the
+    * q_label_prop trick — no per-source window).
+    *
+    * Plan shape: one hash aggregation for the per-source totals (≤ one
+    * row per distinct src) joined back onto the edges — both sides
+    * partition on src, so the join co-locates without a broadcast even
+    * when the state space is huge; nothing introduces a global order.
+    */
+  def markovTransitions(edges: DataFrame): DataFrame = {
+    val totals = edges.groupBy(col("src"))
+      .agg(sum(col("weight")).as("__tot"),
+        max(struct(col("weight"), -col("dst"))).as("__best"))
+    edges.join(totals, Seq("src"))
+      .select(col("src"), col("dst"), col("weight"),
+        expr("(weight * 1000000L) DIV __tot").as("ppm"),
+        (col("dst") === -col("__best").getField("col2")).as("is_top"))
+  }
+
+  /** Neighborhood link prediction over an undirected (a &lt; b) edge list:
+    * for every non-adjacent pair at distance 2, the common-neighbor
+    * count and the Resource Allocation index Σ_z 1/deg(z)
+    * (Zhou/Lü/Zhang 2009) — RA in exact fixed-point,
+    * `Σ_z SCALE div deg(z)`, so the score is an order-independent
+    * integer sum, reproducible in external SQL without libm.
+    *
+    * Plan shape: wedge self-join of the neighbor list on the shared
+    * endpoint z (the q_triangles economics — bound hub degrees upstream
+    * with a min-support cut), one hash aggregation on the candidate
+    * pair, and one left-anti equi-join to drop already-linked pairs.
+    * Everything partitions on small keys; no windows, no cross join.
+    */
+  def linkPrediction(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+    // adjacency with both orientations: one row per (node, neighbor)
+    val adj = und.unionByName(
+      und.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("z"), col("b").as("n"))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.alias("x").join(adj.alias("y"),
+        col("x.z") === col("y.z") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("a"), col("y.n").as("b"), col("x.z").as("z"))
+    val scored = wedges
+      .join(deg, Seq("z"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr(s"${Scale}L DIV deg")).as("ra_score"))
+    scored.join(und, Seq("a", "b"), "left_anti")
+  }
 }

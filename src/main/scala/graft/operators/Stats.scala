@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -146,6 +147,65 @@ object Stats {
           expr("CAST(((CAST(n AS DECIMAL(38,0)) * n - sum_c2) * 1000000)" +
             " DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("gini_ppm"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic over an integral value
+    * column: D = max_v |F_a(v) − F_b(v)| between the `a` and `b` groups
+    * of `splitCol`, the classic distribution-drift test (did this batch's
+    * document lengths / prices / token counts shift vs the reference
+    * corpus?). Like [[graft.operators.TextAnalysis.tvDistance]], the
+    * statistic is computed as an exact INTEGER numerator
+    * `max |cum_a·N_b − cum_b·N_a|` plus one final double division by
+    * `N_a·N_b` — no float accumulation, so the row is bit-reproducible
+    * in external SQL.
+    *
+    * The cumulative counts need a global value order, which is exactly
+    * the single-partition window this engine bans; the sweep is split the
+    * [[Intervals.concurrencyByBucket]] way: per-value counts (one hash
+    * shuffle, ≤ one row per distinct value) are range-bucketed by
+    * `value >> bucketShift` (shift, not division — monotone and exact on
+    * longs), each bucket's carry-in is a bounded [[Prefix.exclusiveFold]]
+    * over per-bucket subtotals, and a window PARTITIONED BY bucket adds
+    * the within-bucket running sum. `valueCol` must be a non-negative
+    * integral; choose `bucketShift` so (max value &gt;&gt; shift) stays
+    * bounded (the fold state is one array entry per non-empty bucket).
+    *
+    * Output: one row — n_a_total, n_b_total, ks_num (integer), ks.
+    */
+  def ksDrift(df: DataFrame, valueCol: Column, splitCol: Column,
+              a: String, b: String, bucketShift: Int = 8): DataFrame = {
+    require(bucketShift >= 0 && bucketShift <= 62,
+      s"bucketShift=$bucketShift out of [0, 62]")
+    val perValue = df
+      .select(valueCol.cast("long").as("v"), splitCol.as("__s"))
+      .filter(col("__s").isin(a, b))
+      .groupBy(col("v"))
+      .agg(sum(when(col("__s") === a, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__s") === b, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("bucket", shiftright(col("v"), bucketShift))
+      .localCheckpoint(true)
+    val nets = perValue.groupBy(col("bucket"))
+      .agg(sum(col("n_a")).as("ba"), sum(col("n_b")).as("bb"))
+    val carryA = Prefix.exclusiveFold(nets, "bucket", "ba",
+      lit(0L), (x, y) => x + y).withColumnRenamed("carry", "ca")
+    val carryB = Prefix.exclusiveFold(nets, "bucket", "bb",
+      lit(0L), (x, y) => x + y).withColumnRenamed("carry", "cb")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = perValue
+      .withColumn("ra", sum(col("n_a")).over(w))
+      .withColumn("rb", sum(col("n_b")).over(w))
+      .join(broadcast(carryA), Seq("bucket"))
+      .join(broadcast(carryB), Seq("bucket"))
+      .select((col("ca") + col("ra")).as("cum_a"),
+        (col("cb") + col("rb")).as("cum_b"))
+    val totals = perValue.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    cums.crossJoin(broadcast(totals))
+      .agg(max(col("ta")).as("n_a_total"), max(col("tb")).as("n_b_total"),
+        max(abs(col("cum_a") * col("tb") - col("cum_b") * col("ta"))).as("ks_num"))
+      .select(col("n_a_total"), col("n_b_total"), col("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("n_a_total") * col("n_b_total")).cast("double")).as("ks"))
   }
 
   /** The value at rank (n+1) DIV 2 of (xCol, uid) order — a 1-row,

@@ -276,4 +276,42 @@ class GraphSpec extends AnyFunSuite {
       steps = 5, walksPerNode = 2)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("markovTransitions: exact ppm rows, one modal successor per source") {
+    // src 1: 2 (w=3), 3 (w=1) -> 750000 / 250000 ppm, top = 2
+    // src 2: 3 (w=2), 4 (w=2) -> tie at 500000, top = min dst = 3
+    val m = Graph.markovTransitions(edges(
+        (1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (2L, 4L, 2L)))
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._4, r._5)).toMap
+    assert(m((1L, 2L)) == ((750000L, true)))
+    assert(m((1L, 3L)) == ((250000L, false)))
+    assert(m((2L, 3L)) == ((500000L, true)), "tie must break to min dst")
+    assert(m((2L, 4L)) == ((500000L, false)))
+    // truncating DIV: ppm never overshoots, deficit < number of successors
+    val sums = m.toSeq.groupBy(_._1._1)
+      .map { case (s, rows) => s -> rows.map(_._2._1).sum }
+    sums.foreach { case (s, tot) =>
+      assert(tot <= 1000000L && 1000000L - tot < 4,
+        s"src $s ppm total $tot out of bounds")
+    }
+  }
+
+  test("linkPrediction: path and square score exactly; adjacency excluded") {
+    import spark.implicits._
+    // path 1-2-3: candidate (1,3) via z=2 (deg 2) -> cn=1, ra=SCALE/2
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val p = Graph.linkPrediction(path)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(p == Seq((1L, 3L, 1L, Graph.Scale / 2)))
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4), each via two deg-2
+    // corners -> cn=2, ra=2·SCALE/2; edges themselves never reappear
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val q = Graph.linkPrediction(sq)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(q == Set((1L, 3L, 2L, Graph.Scale), (2L, 4L, 2L, Graph.Scale)))
+    val re = Graph.linkPrediction(sq.repartition(7, col("b")))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(re == q)
+  }
 }

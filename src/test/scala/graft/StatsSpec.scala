@@ -263,4 +263,35 @@ class StatsSpec extends AnyFunSuite {
     val scores = top.map(_._2)
     assert(scores.sameElements(scores.sorted.reverse))
   }
+
+  test("ksDrift: equals brute-force KS; identical distributions give 0") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      val split = if (i % 3 == 0) "b" else "a"
+      // shift b's distribution so D is non-trivial
+      val v = rnd.nextInt(300).toLong + (if (split == "b") 40L else 0L)
+      (v, split)
+    }
+    val df = rows.toDF("v", "s")
+    val got = Stats.ksDrift(df, col("v"), col("s"), "a", "b", bucketShift = 4)
+      .as[(Long, Long, Long, Double)].collect().head
+    // brute force on the driver
+    val as = rows.filter(_._2 == "a").map(_._1).sorted
+    val bs = rows.filter(_._2 == "b").map(_._1).sorted
+    val ta = as.length.toLong; val tb = bs.length.toLong
+    val ksNum = (as ++ bs).distinct.map { v =>
+      math.abs(as.count(_ <= v) * tb - bs.count(_ <= v) * ta)
+    }.max
+    assert(got == ((ta, tb, ksNum, ksNum.toDouble / (ta * tb).toDouble)))
+    // partition-independence
+    val re = Stats.ksDrift(df.repartition(13, col("v")), col("v"), col("s"),
+      "a", "b", bucketShift = 4).as[(Long, Long, Long, Double)].collect().head
+    assert(re == got)
+    // same distribution on both sides -> D = 0
+    val same = (1 to 100).flatMap(i => Seq((i.toLong, "a"), (i.toLong, "b")))
+      .toDF("v", "s")
+    val z = Stats.ksDrift(same, col("v"), col("s"), "a", "b")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(z._3 == 0L && z._4 == 0.0)
+  }
 }
