@@ -293,6 +293,52 @@ object CompositeQueries {
         .orderBy("split", "source")
     }),
 
+    // ---- Curation lineage audit: first-drop reason per document ----------
+    // The same five-stage DAG as pipeline_curation, but instead of the
+    // survivors it accounts for EVERY corpus document exactly once: the
+    // first stage that drops it (quality / exact_dup / near_dup /
+    // contaminated) or 'kept'. At 100 TB this is the report that tells
+    // you where your corpus went — and it reuses the stage frames, so
+    // Catalyst shares the scans/shuffles with the pipeline itself.
+    "pipeline_audit" -> ((s, d) => {
+      import graft.functions.{ShingleFunctions, TextFunctions}
+      import graft.operators.Dedup
+      import org.apache.spark.sql.expressions.Window
+
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))))
+      val quality = corpus.filter(col("n_tokens").between(20, 1000))
+      val ranked = quality.withColumn("__rk", row_number().over(
+        Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+      val exactKeep = ranked.filter(col("__rk") === 1).drop("__rk")
+      def sh3 = ShingleFunctions.wordShingleHashes(
+        TextFunctions.tokens(col("text")), 3)
+      val pairs = Dedup.minHashNearDups(exactKeep, "doc_id", sh3,
+        threshold = 0.5, Dedup.LshConfig(numHashes = 64, bandRows = 2))
+      val kept = Dedup.keepCorpus(exactKeep, "doc_id", pairs)
+      def sh5 = ShingleFunctions.wordShingleHashes(
+        TextFunctions.tokens(col("text")), 5)
+      val contIds = Dedup.decontaminate(kept, "doc_id", sh5, bench, sh5)
+        .filter(col("contaminated") =!= 0)
+        .select(col("id").as("doc_id"))
+
+      def tagged(f: DataFrame, reason: String) =
+        f.select(col("doc_id"), col("source"), lit(reason).as("reason"))
+      val audit = tagged(corpus.filter(!col("n_tokens").between(20, 1000)),
+          "quality")
+        .unionByName(tagged(ranked.filter(col("__rk") > 1), "exact_dup"))
+        .unionByName(tagged(exactKeep.join(kept.select("doc_id"),
+          Seq("doc_id"), "left_anti"), "near_dup"))
+        .unionByName(tagged(kept.join(contIds, Seq("doc_id")), "contaminated"))
+        .unionByName(tagged(kept.join(contIds, Seq("doc_id"), "left_anti"),
+          "kept"))
+      audit.groupBy("source", "reason")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "reason")
+    }),
+
     "pipeline_evidence" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val f1 = c.filter(col("c_mktsegment") === "BUILDING")
@@ -577,6 +623,60 @@ object CompositeQueries {
         |       ELSE 'test' END AS split,
         |  source, count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS sum_tokens
         |FROM fin GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "pipeline_audit" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS w
+        |  FROM documents),
+        |corp AS (SELECT * FROM toks WHERE doc_id % 10 <> 0),
+        |q AS (SELECT * FROM corp WHERE len(w) BETWEEN 20 AND 1000),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY text
+        |         ORDER BY doc_id) AS rn FROM q),
+        |ex AS (SELECT * FROM rk WHERE rn = 1),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, len(w) - 2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |       FROM ex WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.g, b.g)) /
+        |          len(list_distinct(list_concat(a.g, b.g))) >= 0.5),
+        |ed AS (SELECT id_1 AS s, id_2 AS t FROM p
+        |       UNION SELECT id_2, id_1 FROM p),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM ed UNION SELECT s, s FROM ed
+        |  UNION SELECT r.s, ed.t FROM reach r JOIN ed ON r.t = ed.s),
+        |cn AS (SELECT s AS id, min(t) AS canonical_id FROM reach GROUP BY s),
+        |kept AS (SELECT ex.* FROM ex LEFT JOIN cn ON cn.id = ex.doc_id
+        |         WHERE cn.id IS NULL OR cn.canonical_id = ex.doc_id),
+        |b5 AS (SELECT DISTINCT unnest(list_transform(
+        |         generate_series(1, len(w) - 4),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |              w[i+3] || ' ' || w[i+4])) AS gr
+        |       FROM toks WHERE doc_id % 10 = 0 AND len(w) >= 5),
+        |cont AS (SELECT DISTINCT k.doc_id FROM
+        |         (SELECT doc_id, unnest(list_distinct(list_transform(
+        |            generate_series(1, len(w) - 4),
+        |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |                 w[i+3] || ' ' || w[i+4]))) AS gr
+        |          FROM kept WHERE len(w) >= 5) k
+        |         JOIN b5 USING (gr)),
+        |reasons AS (
+        |  SELECT doc_id, source, 'quality' AS reason FROM corp
+        |    WHERE len(w) NOT BETWEEN 20 AND 1000
+        |  UNION ALL
+        |  SELECT doc_id, source, 'exact_dup' FROM rk WHERE rn > 1
+        |  UNION ALL
+        |  SELECT e.doc_id, e.source, 'near_dup' FROM ex e
+        |    JOIN cn ON cn.id = e.doc_id WHERE cn.canonical_id <> e.doc_id
+        |  UNION ALL
+        |  SELECT k.doc_id, k.source, 'contaminated' FROM kept k
+        |    WHERE k.doc_id IN (SELECT doc_id FROM cont)
+        |  UNION ALL
+        |  SELECT k.doc_id, k.source, 'kept' FROM kept k
+        |    WHERE k.doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT source, reason, count(*) AS n_docs FROM reasons
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "pipeline_evidence" ->
       """WITH unioned AS (

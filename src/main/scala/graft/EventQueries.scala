@@ -138,6 +138,52 @@ object EventQueries {
           col("event_type"))
         .filter(col("k") > 50)
         .orderBy("event_id")
+    }),
+
+    // ---- Interval coalescing: gaps-and-islands merge per user ------------
+    // Each event opens a half-open activity interval of 1–7 minutes
+    // (deterministic from event_id); overlapping-or-adjacent intervals
+    // fuse into coverage islands. All windows partitioned by user_id —
+    // the merge decision is order-independent under (start, end) ties.
+    "q_interval_merge" -> ((s, d) => {
+      import graft.operators.Intervals
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("s_us"),
+          expr("unix_micros(ts) + (event_id % 7 + 1) * 60000000L").as("e_us"))
+      Intervals.mergeIntervals(ev, col("user_id"), col("s_us"), col("e_us"))
+        .select(col("key").as("user_id"), col("start").as("start_us"),
+          col("end").as("end_us"), col("n_merged"))
+        .orderBy("user_id", "start_us")
+    }),
+
+    // ---- CUSUM mean-shift changepoint over the daily event series --------
+    // Exact integer statistic C_k·N = Σ(n_i·N − T): no float mean, prefix
+    // via the bounded exclusive fold (≤ one array entry per day), argmax
+    // day flagged. See Stats.cusumChangepoint.
+    "q_changepoint" -> ((s, d) => {
+      import graft.operators.Stats
+      val perDay = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+        .agg(count(lit(1)).as("n"))
+      Stats.cusumChangepoint(perDay, "day_idx", "n").orderBy("day_idx")
+    }),
+
+    // ---- Sequential patterns: frequent event-type trigrams ---------------
+    // Consecutive 3-step behavior sequences per user (order = event_id,
+    // the ingestion sequence), with occurrence count and distinct-user
+    // support — the support-counting core of sequence mining, windows
+    // partitioned by user_id only.
+    "q_seq_patterns" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type").as("t3"))
+        .withColumn("t2", lag(col("t3"), 1).over(w))
+        .withColumn("t1", lag(col("t3"), 2).over(w))
+        .filter(col("t1").isNotNull)
+        .groupBy("t1", "t2", "t3")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .filter(col("n") >= 50)
+        .orderBy("t1", "t2", "t3")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -238,5 +284,60 @@ object EventQueries {
         |  event_type
         |FROM events
         |WHERE CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) > 50
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |isl AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl)
+        |SELECT user_id, min(s) AS start_us, max(e) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_merged
+        |FROM g GROUP BY user_id, island
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH dc AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt,
+        |        CAST(count(*) AS BIGINT) AS nn FROM dc),
+        |c AS (
+        |  SELECT day_idx, n,
+        |    CAST(sum(n * nn - tt) OVER (ORDER BY day_idx
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum_scaled
+        |  FROM dc CROSS JOIN t),
+        |m AS (SELECT max(abs(cusum_scaled)) AS mx FROM c)
+        |SELECT day_idx, n, cusum_scaled, (abs(cusum_scaled) = mx) AS is_cp
+        |FROM c CROSS JOIN m ORDER BY day_idx""".stripMargin,
+
+    "q_seq_patterns" ->
+      """WITH tr AS (
+        |  SELECT user_id,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY event_id) AS t1,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY event_id) AS t2,
+        |    event_type AS t3
+        |  FROM events)
+        |SELECT t1, t2, t3, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM tr WHERE t1 IS NOT NULL
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 50
+        |ORDER BY t1, t2, t3""".stripMargin)
 }

@@ -215,6 +215,25 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Similarity: k-NN majority-vote label assignment -----------------
+    // Weak supervision / label spreading: unlabeled probes (vec_id < 25)
+    // take the modal label of their 10 exact cosine neighbors in the
+    // labeled corpus (vec_id >= 25); ties to the smallest label via a
+    // max(struct) argmax, no second window. Rank cut inherits sim_topk's
+    // bit-exact cosine, so the vote set replays exactly in the oracle.
+    "q_knn_classify" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") >= 25)
+      val probes = emb.filter(col("vec_id") < 25)
+      Similarity.knnClassify(corpus, probes, "vec_id", "embedding",
+          "label", k = 10)
+        .join(broadcast(probes.select(col("vec_id").as("query_id"),
+          col("label").as("true_label"))), Seq("query_id"))
+        .select(col("query_id"), col("true_label"), col("pred_label"),
+          col("votes"), (col("pred_label") === col("true_label")).as("correct"))
+        .orderBy("query_id")
+    }),
+
     // ---- Similarity: LSH-bucketed ANN (fully oracle-checked: the seeded
     // hyperplanes are emitted into the DuckDB SQL — see lshTopKOracle).
     // bandBits=4: the fixture embeddings are weakly clustered (top-5
@@ -1437,6 +1456,22 @@ object ExtensionQueries {
           terms = Seq("spark", "table", "query"))
         .select(col("id").as("doc_id"), col("bm25"))
         .orderBy("doc_id")
+    }),
+
+    // ---- Multi-query BM25 retrieval: top-5 docs per query ----------------
+    // The inverted-index search as one relational plan — posting-list
+    // explode keeps only query terms, per-term scores are exact scaled
+    // INTEGERS (order-independent sums; see TextAnalysis.searchTopK), so
+    // the whole (query, doc) score grid replays in SQL. Query 3 mixes the
+    // rare term 'dup' (df≈25) with a common one — idf contrast on show.
+    "text_search_topk" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(1 -> "spark", 1 -> "table", 2 -> "query",
+        2 -> "data", 2 -> "join", 3 -> "dup", 3 -> "stream")
+        .toDF("query_id", "term")
+      TextAnalysis.searchTopK(Tables.documents(s, d), "text", "doc_id",
+          queries, k = 5)
+        .orderBy("query_id", "rank")
     }),
 
     // ---- Hybrid retrieval: RRF fusion of BM25 + dense cosine ------------
@@ -2766,6 +2801,73 @@ object ExtensionQueries {
         |      ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
         |  FROM s)
         |SELECT query_id, neighbor_id, rank, score FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, label AS true_label
+        |      FROM e WHERE vec_id < 25),
+        |c AS (SELECT vec_id, v, label FROM e WHERE vec_id >= 25),
+        |sc AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id, c.label,
+        |    list_dot_product(qv, c.v) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+        |      AS score
+        |  FROM q CROSS JOIN c),
+        |r AS (
+        |  SELECT query_id, label,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id) AS rnk
+        |  FROM sc),
+        |v AS (
+        |  SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+        |  FROM r WHERE rnk <= 10 GROUP BY 1, 2),
+        |p AS (
+        |  SELECT query_id, label AS pred_label, votes FROM (
+        |    SELECT query_id, label, votes,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY votes DESC, label) AS rn
+        |    FROM v) WHERE rn = 1)
+        |SELECT q.query_id, q.true_label, p.pred_label, p.votes,
+        |  (p.pred_label = q.true_label) AS correct
+        |FROM q JOIN p USING (query_id) ORDER BY query_id""".stripMargin,
+
+    "text_search_topk" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(dl) AS BIGINT) AS sum_dl FROM corpus),
+        |qt AS (SELECT * FROM (VALUES
+        |  (1, 'spark'), (1, 'table'), (2, 'query'), (2, 'data'),
+        |  (2, 'join'), (3, 'dup'), (3, 'stream')) AS t(query_id, term)),
+        |post AS (
+        |  SELECT doc_id, dl, tok AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(w) AS tok FROM corpus)
+        |  WHERE tok IN (SELECT DISTINCT term FROM qt)
+        |  GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t
+        |          FROM post GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, term,
+        |    CAST((CAST(1000000 AS HUGEINT) * 22 * tf * sum_dl *
+        |            (2 * n_docs - 2 * df_t + 1))
+        |         // (CAST(10 AS HUGEINT) * tf * sum_dl + 3 * sum_dl +
+        |              9 * dl * n_docs)
+        |         // (2 * df_t + 1) AS BIGINT) AS score_t
+        |  FROM post JOIN dfreq USING (term) CROSS JOIN tot),
+        |agg AS (
+        |  SELECT query_id, doc_id, CAST(sum(score_t) AS BIGINT) AS score_scaled
+        |  FROM sc JOIN qt USING (term) GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, doc_id, score_scaled,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_scaled DESC, doc_id) AS INTEGER) AS rank
+        |  FROM agg)
+        |SELECT query_id, doc_id, rank, score_scaled FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "sim_lsh_topk" -> lshTopKOracle,

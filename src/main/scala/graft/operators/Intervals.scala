@@ -69,4 +69,37 @@ object Intervals {
       .agg(max(col("run") + col("carry")).as("max_concurrency"),
         sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"))
   }
+
+  /** Coalesce overlapping-or-adjacent half-open intervals `[start, end)`
+    * per key — the classic gaps-and-islands merge (session stitching,
+    * on-call coverage, retention-window union). Adjacent means
+    * `start == previous end`: `[1,3)` and `[3,5)` fuse into `[1,5)`.
+    *
+    * Shape: every window is PARTITIONED BY the key (one shuffle on the
+    * key, arbitrary key cardinality — never a global order). A new island
+    * opens where the interval's start exceeds the running max end of all
+    * earlier intervals of the same key; the running max uses an exclusive
+    * ROWS frame, and the decision is order-independent under `(start,
+    * end)` ties because a tied row is always covered by its twin's end.
+    *
+    * `startCol`/`endCol` must be integral (e.g. epoch micros). Output:
+    * `(key, start, end, n_merged)` — one row per merged island.
+    */
+  def mergeIntervals(df: DataFrame, keyCol: Column, startCol: Column,
+                     endCol: Column): DataFrame = {
+    val iv = df.select(keyCol.as("key"), startCol.cast("long").as("s"),
+      endCol.cast("long").as("e"))
+    val ord = Window.partitionBy(col("key")).orderBy(col("s"), col("e"))
+    val prevMax = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv
+      .withColumn("brk",
+        when(col("s") > coalesce(max(col("e")).over(prevMax),
+          lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(run))
+      .groupBy(col("key"), col("island"))
+      .agg(min(col("s")).as("start"), max(col("e")).as("end"),
+        count(lit(1)).as("n_merged"))
+      .drop("island")
+  }
 }

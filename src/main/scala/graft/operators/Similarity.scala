@@ -44,6 +44,34 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 
+  /** k-NN majority-vote label assignment — the label-spreading /
+    * weak-supervision primitive of a training-data pipeline: each
+    * unlabeled query vector takes the modal label of its `k` exact
+    * cosine nearest neighbors in the labeled corpus. Built on
+    * [[bruteForceTopK]] (broadcast query side, corpus scanned once, per-
+    * query partitioned window — no global sort); the vote argmax is a
+    * `max(struct(votes, −label))` aggregate, not a second window, and
+    * ties break to the SMALLEST label deterministically.
+    *
+    * Output: `(query_id, pred_label, votes)` — votes = how many of the k
+    * neighbors carry the winning label.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    // queries×k rows after the top-k cut — broadcast against the corpus
+    val neighbors = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    broadcast(neighbors)
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__lab")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__lab"))
+      .agg(count(lit(1)).as("__votes"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("__votes").as("v"), (-col("__lab")).as("nl")))
+        .as("__w"))
+      .select(col("query_id"), (-col("__w.nl")).as("pred_label"),
+        col("__w.v").as("votes"))
+  }
+
   /** Deterministic random hyperplanes (standard normal components) from a
     * fixed seed; `java.util.Random.nextGaussian` is algorithmically
     * specified, so signatures are identical across JVMs.

@@ -208,6 +208,42 @@ object Stats {
           (col("n_a_total") * col("n_b_total")).cast("double")).as("ks"))
   }
 
+  /** CUSUM mean-shift changepoint scan over a BOUNDED ordered series
+    * (daily counts, hourly volumes): the classic control-chart statistic
+    * C_k = Σ_{i≤k} (x_i − mean), whose |maximum| marks the most likely
+    * level-shift point. Computed entirely in integers — the mean never
+    * materializes as a float: with T = Σx and N = #buckets, the scaled
+    * statistic C_k·N = Σ_{i≤k} (x_i·N − T) is an exact integer, identical
+    * on any engine and under any partitioning, and sign/argmax match the
+    * textbook float statistic exactly.
+    *
+    * `perBucket` must hold ONE row per series point (callers aggregate
+    * first; bucket count must stay bounded — it is folded into one
+    * array). The prefix sum is a [[Prefix.exclusiveFold]] plus the row's
+    * own delta, not a global-order window. Output per bucket:
+    * `(keyCol, valCol, cusum_scaled, is_cp)` with `is_cp` true on the
+    * |cusum| argmax (ties: every tied bucket flagged).
+    */
+  def cusumChangepoint(perBucket: DataFrame, keyCol: String,
+                       valCol: String): DataFrame = {
+    val totals = perBucket.agg(sum(col(valCol)).as("__t"),
+      count(lit(1)).as("__n"))
+    val deltas = perBucket.crossJoin(broadcast(totals))
+      .select(col(keyCol), col(valCol),
+        (col(valCol) * col("__n") - col("__t")).as("__d"))
+      .localCheckpoint(true)
+    val carries = Prefix.exclusiveFold(
+      deltas.select(col(keyCol), col("__d")), keyCol, "__d",
+      lit(0L), (a, b) => a + b)
+    val cum = deltas.join(broadcast(carries), Seq(keyCol))
+      .select(col(keyCol), col(valCol),
+        (col("carry") + col("__d")).as("cusum_scaled"))
+    val peak = cum.agg(max(abs(col("cusum_scaled"))).as("__m"))
+    cum.crossJoin(broadcast(peak))
+      .select(col(keyCol), col(valCol), col("cusum_scaled"),
+        (abs(col("cusum_scaled")) === col("__m")).as("is_cp"))
+  }
+
   /** The value at rank (n+1) DIV 2 of (xCol, uid) order — a 1-row,
     * 1-column frame. Rank via orderedRank, never a global-order window.
     */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -365,6 +366,74 @@ object TextAnalysis {
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl.cast("double") / col("avgdl"))))
     }.reduce(_ + _)
     scored.select(col(idCol).as("id"), score.as("bm25"))
+  }
+
+  /** Multi-query BM25 retrieval: for each query (a set of terms), the
+    * top-`k` documents by summed per-term BM25 — the relational form of
+    * an inverted-index search, and the sparse half of a hybrid (BM25 +
+    * dense) retrieval stack ([[Retrieval.rrfFuse]] merges the two).
+    *
+    * Unlike [[bm25]] (fixed term set, one score column per document),
+    * scores here are summed across JOINED (doc, term) rows, so double
+    * addition order would be partition-dependent. Instead each per-term
+    * score is an exact INTEGER: with k1 = 6/5, b = 3/4, T = Σdl, N = #docs,
+    * {{{ score·scale = scale · 22·tf·T·(2N − 2df + 1)
+    *                   DIV (10·tf·T + 3·T + 9·dl·N)·(2df + 1) }}}
+    * — the textbook formula multiplied through by its denominators
+    * (10·T and 2df + 1), carried in DECIMAL(38,0). Integer sums are
+    * order-independent, so the result is bit-stable under any
+    * partitioning and replays exactly in external SQL (HUGEINT there).
+    *
+    * Shape: one tokenize + explode pass keeps only query-term tokens
+    * (the posting list), one hash shuffle to (doc, term) tf counts, term
+    * dfs and corpus totals broadcast back, per-query top-k via a window
+    * partitioned by query_id. No global sort; posting volume, not corpus
+    * size, drives the shuffle.
+    *
+    * `queries`: a small (query_id, term) frame — broadcast. Output:
+    * `(query_id, doc_id, rank, score_scaled)`, ranks 1..k by
+    * (score desc, doc_id).
+    */
+  def searchTopK(df: DataFrame, textCol: String, idCol: String,
+                 queries: DataFrame, k: Int,
+                 scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val d38 = "DECIMAL(38,0)"
+    val toks = TextFunctions.tokens(col(textCol))
+    val terms = queries.select(col("term")).distinct()
+    val corpus = df.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+    // one reduced row: N and Σdl
+    val totals = corpus.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    // posting list: only tokens that are query terms survive the explode
+    val postings = corpus
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfreq = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_t"))
+    val scored = postings
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score_t", expr(
+        s"""CAST((CAST($scale AS $d38) * 22 * tf * sum_dl *
+           |        (2 * n_docs - 2 * df_t + 1))
+           |     DIV (CAST(10 AS $d38) * tf * sum_dl + 3 * sum_dl +
+           |          9 * dl * n_docs)
+           |     DIV (2 * df_t + 1) AS BIGINT)""".stripMargin))
+      .join(broadcast(queries.select(col("query_id"), col("term"))),
+        Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score_t")).as("score_scaled"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("score_scaled"))
   }
 
   /** Winnowed document fingerprints (Schleimer, Wilkerson &amp; Aiken,

@@ -498,4 +498,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("id_1", "id_2").as[(Long, Long)].collect().toSet
     assert(loose == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("knnClassify: modal neighbor label wins, vote ties break to the smaller label") {
+    // corpus: two clusters on orthogonal axes; labels 1 (x-axis) and
+    // 2 (y-axis). A probe on the x-axis must classify 1 with all k votes.
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f), 1), (11L, Array(0.9f, 0.1f), 1),
+      (12L, Array(0.0f, 1.0f), 2), (13L, Array(0.1f, 0.9f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val probeX = Seq((1L, Array(1.0f, 0.05f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val gotX = Similarity.knnClassify(corpus, probeX, "vec_id", "embedding",
+        "label", k = 2).as[(Long, Int, Long)].collect().toSeq
+    assert(gotX == Seq((1L, 1, 2L)))
+    // diagonal probe, k=2: one neighbor from each cluster -> 1-1 vote tie
+    // -> deterministic pick of the SMALLER label
+    val probeDiag = Seq((2L, Array(1.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val gotD = Similarity.knnClassify(corpus, probeDiag, "vec_id",
+        "embedding", "label", k = 2).as[(Long, Int, Long)].collect().toSeq
+    assert(gotD == Seq((2L, 1, 1L)))
+    // partition-independence
+    val rep = Similarity.knnClassify(corpus.repartition(5), probeDiag,
+        "vec_id", "embedding", "label", k = 2)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(rep == gotD)
+  }
 }

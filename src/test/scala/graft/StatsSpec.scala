@@ -294,4 +294,53 @@ class StatsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().head
     assert(z._3 == 0L && z._4 == 0.0)
   }
+
+  test("mergeIntervals: overlap and adjacency fuse, gaps split, per key") {
+    import graft.operators.Intervals
+    // key a: [0,10) ∪ [5,20) ∪ [20,30) -> one island [0,30) of 3
+    //   ([20,30) is ADJACENT to the running end 20 — fuses);
+    //   [40,50) is past a gap -> its own island.
+    // key b: two disjoint singletons.
+    val iv = Seq(("a", 0L, 10L), ("a", 5L, 20L), ("a", 20L, 30L),
+      ("a", 40L, 50L), ("b", 0L, 5L), ("b", 10L, 15L))
+      .toDF("k", "s", "e")
+    val got = Intervals.mergeIntervals(iv, col("k"), col("s"), col("e"))
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq(("a", 0L, 30L, 3L), ("a", 40L, 50L, 1L),
+      ("b", 0L, 5L, 1L), ("b", 10L, 15L, 1L)))
+    // an interval fully CONTAINED in an earlier one must not re-open an
+    // island even though its own end is small ([0,100) ⊃ [10,20))
+    val nest = Seq(("n", 0L, 100L), ("n", 10L, 20L), ("n", 90L, 150L))
+      .toDF("k", "s", "e")
+    val g2 = Intervals.mergeIntervals(nest, col("k"), col("s"), col("e"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(g2 == Seq(("n", 0L, 150L, 3L)))
+    // partition-independence (incl. duplicate intervals / start ties)
+    val dup = iv.unionByName(Seq(("a", 0L, 10L)).toDF("k", "s", "e"))
+    val p1 = Intervals.mergeIntervals(dup, col("k"), col("s"), col("e"))
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    val p2 = Intervals.mergeIntervals(dup.repartition(7),
+        col("k"), col("s"), col("e"))
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(p1 == p2 && p1.head == (("a", 0L, 30L, 4L)))
+  }
+
+  test("cusumChangepoint: exact scaled statistic, argmax flag, partition-independent") {
+    // series 5,5,5,9,9: T=33, N=5; deltas n·N−T = −8,−8,−8,12,12;
+    // cusum = −8,−16,−24,−12,0 -> |max| at day 3
+    val s = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 9L), (5L, 9L))
+      .toDF("day", "n")
+    val got = Stats.cusumChangepoint(s, "day", "n")
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(got == Seq((1L, 5L, -8L, false), (2L, 5L, -16L, false),
+      (3L, 5L, -24L, true), (4L, 9L, -12L, false), (5L, 9L, 0L, false)))
+    val rep = Stats.cusumChangepoint(s.repartition(5), "day", "n")
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(rep == got)
+    // flat series: every cusum 0, every bucket tied at the max -> all true
+    val flat = Seq((1L, 4L), (2L, 4L)).toDF("day", "n")
+    val f = Stats.cusumChangepoint(flat, "day", "n")
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(f == Seq((1L, 4L, 0L, true), (2L, 4L, 0L, true)))
+  }
 }

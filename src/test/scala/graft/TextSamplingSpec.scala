@@ -510,4 +510,32 @@ class TextSamplingSpec extends AnyFunSuite {
     assert(sizes.length == 16)
     assert(sizes.max - sizes.min <= 1, s"equi-depth violated: ${sizes.toSeq}")
   }
+
+  test("searchTopK: tf ranks within a term, rare terms outscore common, ties to doc_id") {
+    // docs: 1 repeats 'a'; 2/3 identical (score tie); 4 has rare 'z'
+    val docs = Seq((1L, "a a a b"), (2L, "a b c d"), (3L, "a b c d"),
+      (4L, "z b c d")).toDF("doc_id", "text")
+    val queries = Seq((1, "a"), (2, "z"), (2, "c"), (3, "q"))
+      .toDF("query_id", "term")
+    val got = TextAnalysis.searchTopK(docs, "text", "doc_id", queries, k = 3)
+      .as[(Int, Long, Int, Long)].collect().toSeq
+      .sortBy(x => (x._1, x._3))
+    val byQ = got.groupBy(_._1)
+    // query 1 ('a'): doc1 (tf=3) first, then the 2/3 tie in doc_id order
+    assert(byQ(1).map(_._2) == Seq(1L, 2L, 3L))
+    val q1 = byQ(1).map(x => x._2 -> x._4).toMap
+    assert(q1(1L) > q1(2L) && q1(2L) == q1(3L))
+    // query 2: doc4 matches rare 'z' (df=1) AND 'c' -> must lead docs
+    // matching only the common 'c'
+    assert(byQ(2).head._2 == 4L)
+    assert(byQ(2).map(_._2).toSet == Set(4L, 2L, 3L))
+    // query 3: no posting for 'q' -> query absent entirely
+    assert(!byQ.contains(3))
+    // bit-identical under repartitioning (integer scores)
+    val rep = TextAnalysis.searchTopK(docs.repartition(7), "text",
+        "doc_id", queries, k = 3)
+      .as[(Int, Long, Int, Long)].collect().toSeq
+      .sortBy(x => (x._1, x._3))
+    assert(rep == got)
+  }
 }
