@@ -168,6 +168,60 @@ object EventQueries {
       Stats.cusumChangepoint(perDay, "day_idx", "n").orderBy("day_idx")
     }),
 
+    // ---- Changelog compaction: I/U/D log -> final snapshot ---------------
+    // The log-structured-table read merge: per key the greatest sequence
+    // number wins, a winning 'D' drops the key. One max(struct) hash
+    // aggregation — pre-merges map-side, no window. See
+    // Pipeline.applyChangelog.
+    "q_cdc_apply" -> ((s, d) => {
+      import graft.operators.Pipeline
+      val log = Tables.events(s, d).select(col("user_id"),
+        col("event_id").as("seq"),
+        when(col("event_id") % 11 === 0, "D").otherwise("U").as("op"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      Pipeline.applyChangelog(log, Seq("user_id"), "seq", "op")
+        .withColumnRenamed("seq", "last_seq")
+        .orderBy("user_id")
+    }),
+
+    // ---- Join-planning diagnostic: key skew profile ----------------------
+    // Heaviest keys with their share of total rows; the total is a
+    // broadcast 1-row aggregate, never an unpartitioned window sum.
+    "q_skew_profile" -> ((s, d) => {
+      import graft.operators.Skew
+      Skew.keySkewProfile(Tables.events(s, d).select(col("event_type")),
+          Seq("event_type"), topN = 10)
+        .orderBy(col("n_rows").desc, col("event_type"))
+    }),
+
+    // ---- OLS trend slope per event type over the daily series ------------
+    // One hash agg computes every regression moment; slope is a
+    // ppm-scaled exact integer (sign factored out of the DIV — truncate
+    // vs floor differs on negatives across engines). See Stats.trendSlopes.
+    "q_trend" -> ((s, d) => {
+      import graft.operators.Stats
+      val perDay = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+        .agg(count(lit(1)).as("n"))
+      Stats.trendSlopes(perDay, col("event_type"), col("day_idx"), col("n"))
+        .withColumnRenamed("group", "event_type")
+        .orderBy("event_type")
+    }),
+
+    // ---- Integer-exact autocorrelation of the daily event series ---------
+    // Lag pairing is an equi-join against the day-shifted series, never a
+    // global-order window; num/den are exact integer moments of the
+    // centered deltas d_i = n_i·N − T. See Stats.autocorrelation.
+    "q_autocorr" -> ((s, d) => {
+      import graft.operators.Stats
+      val perDay = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+        .agg(count(lit(1)).as("n"))
+      Stats.autocorrelation(perDay, "day_idx", "n", maxLag = 5)
+        .orderBy("lag")
+    }),
+
     // ---- Sequential patterns: frequent event-type trigrams ---------------
     // Consecutive 3-step behavior sequences per user (order = event_id,
     // the ingestion sequence), with occurrence count and distinct-user
@@ -325,6 +379,80 @@ object EventQueries {
         |m AS (SELECT max(abs(cusum_scaled)) AS mx FROM c)
         |SELECT day_idx, n, cusum_scaled, (abs(cusum_scaled) = mx) AS is_cp
         |FROM c CROSS JOIN m ORDER BY day_idx""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, event_id AS seq,
+        |    CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY seq DESC) AS rn
+        |  FROM log)
+        |SELECT user_id, seq AS last_seq, op, cents
+        |FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+
+    "q_skew_profile" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot FROM g)
+        |SELECT event_type, n_rows, n_rows / tot AS share
+        |FROM g CROSS JOIN t
+        |ORDER BY n_rows DESC, event_type""".stripMargin,
+
+    "q_trend" ->
+      """WITH dc AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |x0 AS (SELECT min(day_idx) AS mn FROM dc),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+        |    CAST(sum(day_idx - mn) AS BIGINT) AS sx,
+        |    CAST(sum(n) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(day_idx - mn AS HUGEINT) * n) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(day_idx - mn AS HUGEINT) * (day_idx - mn))
+        |      AS HUGEINT) AS sxx
+        |  FROM dc CROSS JOIN x0 GROUP BY 1),
+        |nd AS (
+        |  SELECT event_type, n_points,
+        |    n_points * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |    n_points * sxx - CAST(sx AS HUGEINT) * sx AS den
+        |  FROM m)
+        |SELECT event_type, n_points,
+        |  CAST(num AS BIGINT) AS slope_num, CAST(den AS BIGINT) AS slope_den,
+        |  CASE WHEN den = 0 THEN NULL ELSE
+        |    CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |      ((CAST(1000000 AS HUGEINT) * abs(num)) // den) AS BIGINT) END
+        |    AS slope_ppm
+        |FROM nd ORDER BY event_type""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH dc AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt,
+        |        CAST(count(*) AS BIGINT) AS nn FROM dc),
+        |d AS (SELECT day_idx AS k, n * nn - tt AS d
+        |      FROM dc CROSS JOIN t),
+        |den AS (SELECT sum(CAST(d AS HUGEINT) * d) AS den FROM d),
+        |pairs AS (
+        |  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(CAST(a.d AS HUGEINT) * b.d) AS num
+        |  FROM generate_series(1, 5) l(lag)
+        |  JOIN d a ON true
+        |  JOIN d b ON b.k = a.k + l.lag
+        |  GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+        |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |    ((CAST(1000000 AS HUGEINT) * abs(num)) // den) AS BIGINT)
+        |    AS acf_ppm
+        |FROM pairs CROSS JOIN den ORDER BY lag""".stripMargin,
 
     "q_seq_patterns" ->
       """WITH tr AS (

@@ -207,6 +207,20 @@ object ExtensionQueries {
         .orderBy("label", "pos")
     }),
 
+    // ---- Embedding analysis: PCA top component by integer power iteration
+    // The dominant direction of the (centered) covariance, bit-exact
+    // cross-engine: fixed-point floored elements, integer moment matrix
+    // n·Σxy − Σx·Σy, and 8 max-normalized integer iterations — no float
+    // accumulation anywhere (contrast q_embed_centroids, which needs the
+    // sorted-fold trick for ONE double sum). First 16 dims; full-dim is
+    // a parameter.
+    "q_power_iteration" -> ((s, d) => {
+      import graft.operators.Stats
+      Stats.topPrincipalDirection(Tables.embeddings(s, d), col("embedding"),
+          dims = 16, rounds = 8)
+        .orderBy("pos")
+    }),
+
     // ---- Similarity: exact brute-force cosine top-k ----------------------
     "sim_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -517,6 +531,29 @@ object ExtensionQueries {
         dupKeys)
         .reduce(_.unionByName(_))
         .orderBy("rule")
+    }),
+
+    // ---- k-anonymity audit over quasi-identifier combinations ------------
+    // The privacy gate a training-data release runs: every (mktsegment,
+    // nation) equivalence class with fewer than k members must be
+    // suppressed or generalized. One hash aggregation; the summary row
+    // (total suppressed share in ppm) is a second bounded agg, unioned
+    // in as key '__TOTAL__'. No window, no global sort.
+    "q_k_anonymity" -> ((s, d) => {
+      val cells = Tables.customer(s, d)
+        .groupBy(col("c_mktsegment").as("segment"),
+          col("c_nationkey").cast("long").as("nation"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("suppress", col("n") < 10)
+      val total = cells.agg(
+          sum(col("n")).as("__all"),
+          sum(when(col("suppress"), col("n")).otherwise(0L)).as("__supp"))
+        .select(lit("__TOTAL__").as("segment"), lit(-1L).as("nation"),
+          col("__all").as("n"), lit(false).as("suppress"),
+          expr("(__supp * 1000000L) DIV __all").as("suppressed_ppm"))
+      cells.withColumn("suppressed_ppm", lit(null).cast("long"))
+        .unionByName(total)
+        .orderBy("segment", "nation")
     }),
 
     // ---- Incremental rollup maintenance: merged partials == recompute ----
@@ -897,6 +934,22 @@ object ExtensionQueries {
         .agg(min("cents").as("lo"), max("cents").as("hi"),
           count(lit(1)).as("n_rows"))
         .orderBy("bucket")
+    }),
+
+    // ---- Profiling: mergeable grid quantile sketch -----------------------
+    // Equi-width bucket counts (here $10k-wide over order totals) as the
+    // bounded-state approximate-percentile summary: shard sketches SUM to
+    // the corpus sketch (SketchSpec proves the algebra), the rank cursor
+    // is the bounded exclusive fold, and the p50/p95/p99 answers are the
+    // bucket ranges holding ceil(q·n) — error ≤ one bucket width at any
+    // data volume. The complement of q_equidepth: fixed VALUE grid vs
+    // fixed COUNT buckets.
+    "q_grid_quantiles" -> ((s, d) => {
+      val cents = Tables.orders(s, d)
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      Sketches.gridQuantiles(cents, col("cents"), bucketWidth = 1000000L,
+          quantiles = Seq(("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)))
+        .orderBy("target_rank")
     }),
 
     // ---- Data quality: integer-exact z-score outliers --------------------
@@ -1592,6 +1645,46 @@ object ExtensionQueries {
     * Must mirror the declared query's config: dim=64, bandBits=4,
     * numBands=16, seed=42, k=5, queries = vec_id < 5.
     */
+  /** DuckDB replay of [[graft.operators.Stats.topPrincipalDirection]]:
+    * same floored fixed-point elements, same integer moment matrix, same
+    * sign-factored max-normalization, one MATERIALIZED CTE trio per
+    * iteration (DuckDB would otherwise inline each round into the next —
+    * the BPE lesson).
+    */
+  private def powerIterationOracle(dims: Int, rounds: Int,
+                                   scale: Long): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = if (r == 1) "v0" else s"n${r - 1}"
+      s"""r$r AS MATERIALIZED (
+         |  SELECT m.i, sum(m.mij * p.v) AS w
+         |  FROM m JOIN $prev p ON m.j = p.i GROUP BY 1),
+         |x$r AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM r$r),
+         |n$r AS MATERIALIZED (
+         |  SELECT i, (CASE WHEN w < 0 THEN -1 ELSE 1 END) *
+         |    ((abs(w) * $scale) // mx) AS v
+         |  FROM r$r CROSS JOIN x$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH px AS (
+       |  SELECT vec_id, s.i,
+       |    CAST(floor(CAST(embedding[s.i + 1] AS DOUBLE) * $scale)
+       |      AS BIGINT) AS x
+       |  FROM embeddings CROSS JOIN generate_series(0, ${dims - 1}) s(i)),
+       |nn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n FROM px),
+       |sx AS (SELECT i, CAST(sum(x) AS HUGEINT) AS sx FROM px GROUP BY 1),
+       |sxy AS (
+       |  SELECT a.i, b.i AS j, sum(CAST(a.x AS HUGEINT) * b.x) AS sxy
+       |  FROM px a JOIN px b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |m AS MATERIALIZED (
+       |  SELECT sxy.i, sxy.j, nn.n * sxy.sxy - si.sx * sj.sx AS mij
+       |  FROM sxy CROSS JOIN nn
+       |  JOIN sx si ON si.i = sxy.i JOIN sx sj ON sj.i = sxy.j),
+       |v0 AS (SELECT i, CAST($scale AS HUGEINT) AS v
+       |       FROM generate_series(0, ${dims - 1}) s(i)),
+       |$roundCtes
+       |SELECT i AS pos, CAST(v AS BIGINT) AS component_scaled
+       |FROM n$rounds ORDER BY pos""".stripMargin
+  }
+
   private def lshTopKOracle: String = {
     val bandBits = 4
     val planes = graft.operators.Similarity.hyperplanes(
@@ -2432,6 +2525,30 @@ object ExtensionQueries {
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_grid_quantiles" ->
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |sk AS (SELECT cents // 1000000 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+        |c AS (
+        |  SELECT bucket, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS carry,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+        |  FROM sk),
+        |q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p95', 19, 20),
+        |        ('p99', 99, 100)) t(p, num, den)),
+        |j AS (
+        |  SELECT p, CAST((n_total * num + den - 1) // den AS BIGINT)
+        |      AS target_rank, bucket, cnt, carry
+        |  FROM c CROSS JOIN q)
+        |SELECT p, target_rank, bucket * 1000000 AS est_lo,
+        |  bucket * 1000000 + 999999 AS est_hi
+        |FROM j WHERE carry < target_rank AND target_rank <= carry + cnt
+        |ORDER BY target_rank""".stripMargin,
+
     "q_skyline" ->
       """WITH t AS (
         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
@@ -2803,6 +2920,9 @@ object ExtensionQueries {
         |SELECT query_id, neighbor_id, rank, score FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "q_power_iteration" -> powerIterationOracle(dims = 16, rounds = 8,
+      scale = 1000000L),
+
     "q_knn_classify" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
@@ -3163,6 +3283,24 @@ object ExtensionQueries {
         |  CAST(max(mx) AS BIGINT) AS max_cents,
         |  CAST(count(*) AS BIGINT) AS n_partials
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT)
+        |    AS nation, CAST(count(*) AS BIGINT) AS n,
+        |    count(*) < 10 AS suppress
+        |  FROM customer GROUP BY 1, 2),
+        |total AS (
+        |  SELECT '__TOTAL__' AS segment, CAST(-1 AS BIGINT) AS nation,
+        |    CAST(sum(n) AS BIGINT) AS n, false AS suppress,
+        |    (CAST(sum(CASE WHEN suppress THEN n ELSE 0 END) AS BIGINT)
+        |      * 1000000) // CAST(sum(n) AS BIGINT) AS suppressed_ppm
+        |  FROM cells)
+        |SELECT segment, nation, n, suppress,
+        |  CAST(NULL AS BIGINT) AS suppressed_ppm FROM cells
+        |UNION ALL
+        |SELECT segment, nation, n, suppress, suppressed_ppm FROM total
+        |ORDER BY segment, nation""".stripMargin,
 
     "q_profile" -> {
       def leg(name: String, expr: String) =

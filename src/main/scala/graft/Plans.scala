@@ -40,7 +40,10 @@ object Plans {
     "text_bpe_apply", "q_rrf_fusion", "q_mmr_select", "q_random_walk",
     "q_label_prop", "q_tv_drift", "pipeline_er", "q_ppr", "q_hits",
     "q_attribution", "q_quality_report", "q_agg_merge", "text_keywords",
-    "pipeline_rag", "q_split_leakage_safe")
+    "pipeline_rag", "q_split_leakage_safe",
+    "q_interval_merge", "q_changepoint", "q_knn_classify",
+    "text_search_topk", "pipeline_audit", "q_trend", "q_autocorr",
+    "q_grid_quantiles", "q_cdc_apply", "q_seq_patterns")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")

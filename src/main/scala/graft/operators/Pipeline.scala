@@ -199,4 +199,44 @@ object Pipeline {
         col("v").as("value"),
         col("valid_to").isNull.cast("int").as("is_current"))
   }
+
+  /** Changelog compaction: collapse an insert/update/delete log to the
+    * final snapshot — the read-side merge every log-structured table
+    * format (and [[scd2Intervals]]'s warehouse sibling) performs. Per
+    * key, the row with the greatest `seqCol` wins; a winning `opCol` of
+    * `"D"` means the key was deleted and is dropped from the snapshot.
+    *
+    * ONE hash aggregation: `max(struct(seq, payload...))` picks the
+    * per-key latest row without any window sort — the associative-
+    * aggregate shape that pre-merges map-side, so a 100 TB log with
+    * hot keys still reduces before it shuffles. `seqCol` must be unique
+    * per key (a log sequence number); with duplicated seqs the winner
+    * would fall to payload-field comparison.
+    *
+    * Output: one row per surviving key — `keys`, then `seqCol`, then the
+    * remaining payload columns in input order.
+    */
+  def applyChangelog(log: DataFrame, keys: Seq[String], seqCol: String,
+                     opCol: String): DataFrame =
+    latestByKey(log, keys, seqCol).filter(col(opCol) =!= "D")
+
+  /** The per-key latest row of a sequenced log, TOMBSTONES INCLUDED —
+    * [[applyChangelog]] without the delete filter. This is the form a
+    * MAINTAINED snapshot must store: dropping tombstones would let a
+    * late (or replayed) lower-seq row resurrect a deleted key on the
+    * next merge ([[graft.streaming.Streams.streamChangelogCompact]]
+    * relies on this). Same single max(struct) hash aggregation.
+    */
+  def latestByKey(log: DataFrame, keys: Seq[String],
+                  seqCol: String): DataFrame = {
+    require(keys.nonEmpty, "latestByKey needs at least one key column")
+    val payload = log.columns.filterNot(c =>
+      keys.contains(c) || c == seqCol).toSeq
+    val packed = struct((col(seqCol).as(seqCol) +:
+      payload.map(c => col(c).as(c))): _*)
+    log.groupBy(keys.map(col): _*)
+      .agg(max(packed).as("__last"))
+      .select(keys.map(col) ++ (seqCol +: payload)
+        .map(c => col(s"__last.$c").as(c)): _*)
+  }
 }

@@ -81,6 +81,59 @@ object Sketches {
       .agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** Equi-width grid quantile sketch: bucket counts over `value DIV
+    * bucketWidth` — the bounded-state, MERGEABLE approximate-percentile
+    * summary (shard sketches sum element-wise to the corpus sketch, the
+    * same algebra as [[cmsMerge]]). A quantile estimate is the bucket
+    * containing the target rank, so the error is bounded by one bucket
+    * width — pick the width from the value range you must resolve, not
+    * from the data volume: state is (range / width) counters at ANY
+    * scale.
+    *
+    * Everything is integer-exact and engine-portable: the target rank is
+    * `ceil(q·n)` computed as `(n·num + den − 1) DIV den` from a RATIONAL
+    * q = num/den, and the cumulative counts come from a bounded
+    * [[Prefix.exclusiveFold]] over the (bounded) non-empty buckets —
+    * never a global-order window.
+    *
+    * Output: one row per requested quantile — `(p, target_rank, est_lo,
+    * est_hi)`, the label and the closed value range `[lo, hi]` of the
+    * bucket holding rank `target_rank`. `valueCol` must be a
+    * non-negative integral.
+    */
+  def gridQuantiles(df: DataFrame, valueCol: Column, bucketWidth: Long,
+                    quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth=$bucketWidth must be >= 1")
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (l, num, den) =>
+      require(num >= 0 && den >= 1 && num <= den,
+        s"quantile $l: $num/$den out of [0, 1]")
+    }
+    val sk = df
+      .select(valueCol.cast("long").as("__v"))
+      .select(expr(s"__v DIV ${bucketWidth}L").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val carries = Prefix.exclusiveFold(sk, "bucket", "cnt",
+      lit(0L), (a, b) => a + b)
+    val tot = sk.agg(sum(col("cnt")).as("n_total"))
+    val qs = quantiles.map { case (l, num, den) =>
+      struct(lit(l).as("p"), lit(num.toLong).as("num"),
+        lit(den.toLong).as("den"))
+    }
+    sk.join(broadcast(carries), Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("cnt"), col("carry"), col("n_total"),
+        explode(array(qs: _*)).as("q"))
+      .withColumn("target_rank",
+        expr("(n_total * q.num + q.den - 1) DIV q.den"))
+      .filter(col("carry") < col("target_rank") &&
+        col("target_rank") <= col("carry") + col("cnt"))
+      .select(col("q.p").as("p"), col("target_rank"),
+        (col("bucket") * bucketWidth).as("est_lo"),
+        (col("bucket") * bucketWidth + lit(bucketWidth - 1)).as("est_hi"))
+  }
+
   /** Equi-join cardinality estimate from two sketches built with the SAME
     * (d, w, seed): |A ⋈ B on k| = Σ_k fA(k)·fB(k), estimated by the
     * sketch inner product min_r Σ_b A_r[b]·B_r[b] (Cormode &amp;

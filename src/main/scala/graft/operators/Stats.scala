@@ -244,6 +244,153 @@ object Stats {
         (abs(col("cusum_scaled")) === col("__m")).as("is_cp"))
   }
 
+  /** Per-group ordinary-least-squares trend slope over an integer series
+    * — "is this segment's volume rising or falling, and how fast" — as
+    * ONE hash aggregation: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),
+    * every term an exact integer moment, emitted as a ppm-scaled
+    * integer. x is rebased to the GLOBAL minimum first (broadcast 1-row
+    * aggregate) so the squared moments stay small; the sign is factored
+    * out before the integer division because Spark's DIV truncates
+    * toward zero while floor-division engines floor — |num| DIV den is
+    * the cross-engine-stable form. DECIMAL(38,0) carries the products.
+    *
+    * Output: `(group, n_points, slope_num, slope_den, slope_ppm)`;
+    * `slope_ppm` is NULL for degenerate groups (all x equal).
+    */
+  def trendSlopes(perPoint: DataFrame, groupCol: Column, xCol: Column,
+                  yCol: Column): DataFrame = {
+    val pts = perPoint.select(groupCol.as("group"), xCol.cast("long").as("x"),
+      yCol.cast("long").as("y"))
+    val base = pts.agg(min(col("x")).as("__x0"))
+    pts.crossJoin(broadcast(base))
+      .select(col("group"), (col("x") - col("__x0")).as("x"), col("y"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_points"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .select(col("group"), col("n_points"),
+        expr("CAST(n_points * sxy - sx * sy AS DECIMAL(38,0))").as("num"),
+        expr("CAST(n_points * sxx - sx * sx AS DECIMAL(38,0))").as("den"))
+      .select(col("group"), col("n_points"),
+        expr("CAST(num AS BIGINT)").as("slope_num"),
+        expr("CAST(den AS BIGINT)").as("slope_den"),
+        expr("""CASE WHEN den = 0 THEN NULL ELSE
+               |  CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
+               |    ((CAST(1000000 AS DECIMAL(38,0)) * abs(num)) DIV den)
+               |    AS BIGINT) END""".stripMargin).as("slope_ppm"))
+  }
+
+  /** Integer-exact sample autocorrelation of a BOUNDED series at lags
+    * 1..`maxLag`: with N = #points, T = Σx, and centered integer deltas
+    * d_i = x_i·N − T, the lag-k statistic is num_k/den = Σ d_i·d_{i+k} /
+    * Σ d_i² (both exact integers; the N² factors cancel). Lag pairing is
+    * an equi-join of the series against itself shifted by k — never a
+    * global-order window — so gaps in the key simply contribute no pair.
+    * Sign is factored out of the ppm division (truncate-vs-floor
+    * divergence on negatives across engines).
+    *
+    * Output: `(lag, n_pairs, num, den, acf_ppm)` — one row per lag.
+    */
+  def autocorrelation(perBucket: DataFrame, keyCol: String, valCol: String,
+                      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag=$maxLag must be >= 1")
+    val totals = perBucket.agg(sum(col(valCol)).as("__t"),
+      count(lit(1)).as("__n"))
+    val d = perBucket.crossJoin(broadcast(totals))
+      .select(col(keyCol).as("k"),
+        (col(valCol) * col("__n") - col("__t")).as("d"))
+      .localCheckpoint(true)
+    val den = d.agg(sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("den"))
+    val lagged = d.select(col("k"), col("d"),
+        explode(array((1 to maxLag).map(l => lit(l.toLong)): _*)).as("lag"))
+      .join(d.select(col("k").as("k2"), col("d").as("d2")),
+        col("k2") === col("k") + col("lag"))
+    lagged.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        expr("CAST(num AS BIGINT)").as("num"),
+        expr("CAST(den AS BIGINT)").as("den"),
+        expr("""CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
+               |  ((CAST(1000000 AS DECIMAL(38,0)) * abs(num)) DIV den)
+               |  AS BIGINT)""".stripMargin).as("acf_ppm"))
+  }
+
+  /** Top principal direction of an embedding column by power iteration —
+    * PCA's first component, computed ENTIRELY in fixed-point integers so
+    * the result is bit-identical across engines and partitionings:
+    *
+    *  - elements are floored to `x·scale` longs (a float times 10⁶ is
+    *    exact in a double — 24 + 20 bits < 53 — and floor is the same
+    *    everywhere, unlike round's tie modes);
+    *  - the centered covariance is the integer matrix M_ij = n·Σxᵢxⱼ −
+    *    Σxᵢ·Σxⱼ (n² times the real covariance — scale factors do not
+    *    change eigenvectors), accumulated in DECIMAL(38,0): one narrow
+    *    per-row generator emits all dims² products (no self-join), one
+    *    hash aggregation reduces them — corpus size only ever multiplies
+    *    the map side;
+    *  - each of the `rounds` iterations is v ← M·v re-normalized by
+    *    max|·| to ±scale: a broadcast join of the dims²-row matrix with
+    *    the dims-row vector, then an integer DIV with the sign factored
+    *    out (truncate-vs-floor portability). Bounded per-round frames,
+    *    checkpointed to keep the plan flat.
+    *
+    * Output: `(pos, component_scaled)` — the dominant eigenvector,
+    * max-normalized to ±scale, `dims` rows. Deterministic for a given
+    * corpus (start vector = all ones); the global sign follows the
+    * iteration, not a convention.
+    */
+  def topPrincipalDirection(df: DataFrame, vecCol: Column, dims: Int,
+                            rounds: Int = 8,
+                            scale: Long = 1000000L): DataFrame = {
+    require(dims >= 2, s"dims=$dims must be >= 2")
+    require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of [1, 64]")
+    val v0 = df.select(vecCol.as("__v")).localCheckpoint(true)
+    val singles = v0.select(posexplode(expr(
+        s"transform(slice(__v, 1, $dims), x -> " +
+        s"CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT))"))
+      .as(Seq("i", "x")))
+    val sx = singles.groupBy(col("i"))
+      .agg(sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"))
+    val n1 = v0.agg(count(lit(1)).as("n"))
+    val pairProducts = v0.select(explode(expr(
+        s"""flatten(transform(sequence(0, ${dims - 1}), i ->
+           |  transform(sequence(0, ${dims - 1}), j -> struct(
+           |    i AS i, j AS j,
+           |    CAST(floor(CAST(element_at(__v, i + 1) AS DOUBLE) * $scale)
+           |      AS BIGINT) *
+           |    CAST(floor(CAST(element_at(__v, j + 1) AS DOUBLE) * $scale)
+           |      AS BIGINT) AS xy))))""".stripMargin)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xy"))
+    val m = pairProducts.groupBy(col("i"), col("j"))
+      .agg(sum(expr("CAST(xy AS DECIMAL(38,0))")).as("sxy"))
+      .crossJoin(broadcast(n1))
+      .join(broadcast(sx), Seq("i"))
+      .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sxj"))),
+        Seq("j"))
+      .select(col("i"), col("j"),
+        expr("CAST(n * sxy - sx * sxj AS DECIMAL(38,0))").as("mij"))
+      .localCheckpoint(true)
+    var v = df.sparkSession.range(dims)
+      .select(col("id").as("i"), lit(scale).as("v"))
+    for (_ <- 1 to rounds) {
+      val w = m.join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))),
+          Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(expr("mij * vj")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("i"),
+          expr(s"""CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END *
+                  |  ((abs(w) * ${scale}L) DIV mx) AS BIGINT)""".stripMargin)
+            .as("v"))
+        .localCheckpoint(true)
+    }
+    v.select(col("i").cast("long").as("pos"), col("v").as("component_scaled"))
+  }
+
   /** The value at rank (n+1) DIV 2 of (xCol, uid) order — a 1-row,
     * 1-column frame. Rank via orderedRank, never a global-order window.
     */

@@ -317,6 +317,51 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming changelog compaction: maintain a materialized snapshot of
+    * an I/U/D changelog stream — the continuously-updated table every
+    * log-structured format derives at read time, kept fresh per
+    * micro-batch instead. Each batch merges into the state table via
+    * [[graft.operators.Pipeline.latestByKey]] over (previous state ∪
+    * batch), swapped in atomically (rename-aside, crash-recoverable —
+    * [[graft.sources.Sinks.overwriteWithDerived]]).
+    *
+    * The state table RETAINS tombstones (winning op = "D" rows): drop
+    * them and a replayed or late lower-seq row would resurrect a deleted
+    * key on the next merge. Read the live view with
+    * [[changelogSnapshot]]. Checkpoint replays and full source
+    * re-deliveries are therefore idempotent — the max(struct) merge is.
+    * Per-trigger cost: one shuffle of batch ∪ state on the key; at
+    * warehouse scale partition the state table on the key range so the
+    * merge rewrites only touched partitions.
+    */
+  def streamChangelogCompact(
+      stream: DataFrame, path: String, keys: Seq[String], seqCol: String,
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        if (!new java.io.File(path).exists())
+          graft.operators.Pipeline.latestByKey(b, keys, seqCol)
+            .write.parquet(path)
+        else
+          graft.sources.Sinks.overwriteWithDerived(batch.sparkSession, path,
+            prev => graft.operators.Pipeline.latestByKey(
+              prev.unionByName(b), keys, seqCol))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The live view of a [[streamChangelogCompact]] state table: latest
+    * rows minus tombstones. */
+  def changelogSnapshot(spark: SparkSession, path: String,
+                        opCol: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col(opCol) =!= "D")
+
   /** Semantic (embedding-space) twin of [[streamDedupIngest]]: each
     * micro-batch of embeddings is id-deduped, self-deduped semantically
     * (banded hyperplane LSH + exact cosine, cluster minima kept), probed

@@ -114,4 +114,19 @@ class PipelineSpec extends AnyFunSuite {
       col("k"), col("o"), col("v"))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("applyChangelog: latest seq wins, trailing delete drops the key, delete-then-insert revives") {
+    val log = Seq(
+      (1L, 1L, "I", 10L), (1L, 3L, "U", 30L), (1L, 2L, "U", 20L), // 1 -> 30
+      (2L, 1L, "I", 11L), (2L, 2L, "D", 0L),                      // 2 gone
+      (3L, 1L, "D", 0L), (3L, 2L, "I", 42L)                       // 3 revived
+    ).toDF("k", "seq", "op", "v")
+    val got = Pipeline.applyChangelog(log, Seq("k"), "seq", "op")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L, "U", 30L), (3L, 2L, "I", 42L)))
+    val rep = Pipeline.applyChangelog(log.repartition(5), Seq("k"),
+        "seq", "op")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(rep == got)
+  }
 }

@@ -579,4 +579,34 @@ class SketchSpec extends AnyFunSuite {
       .select(col("k_both"), col("est_jaccard")).as[(Long, Double)].head()
     assert(disj == ((0L, 0.0)))
   }
+
+  test("gridQuantiles: rank lands in the true bucket; estimate within one width") {
+    import graft.operators.Sketches
+    // 1..1000 with width 100: p50 rank 500 -> value 500 -> bucket 5
+    // ([500,599]); p99 rank 990 -> bucket 9; exact value inside [lo, hi]
+    val df = (1L to 1000L).toDF("v")
+    val got = Sketches.gridQuantiles(df, col("v"), 100L,
+        Seq(("p50", 1, 2), ("p99", 99, 100)))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq(("p50", 500L, 500L, 599L), ("p99", 990L, 900L, 999L)))
+    // the exact order statistic sits inside the reported range
+    got.foreach { case (_, rank, lo, hi) =>
+      assert(rank >= lo && rank <= hi) // values are 1..1000 -> v == rank
+    }
+    // mergeable: shard sketches summed == whole-corpus answer
+    val shards = Seq(df.filter(col("v") % 3 === 0),
+      df.filter(col("v") % 3 === 1), df.filter(col("v") % 3 === 2))
+    val merged = shards.map(_.select(expr("v DIV 100").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt")))
+      .reduce(_.unionByName(_))
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+    val whole = df.select(expr("v DIV 100").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+    // partition-independence of the estimates
+    val rep = Sketches.gridQuantiles(df.repartition(13), col("v"), 100L,
+        Seq(("p50", 1, 2), ("p99", 99, 100)))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(rep == got)
+  }
 }

@@ -343,4 +343,68 @@ class StatsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
     assert(f == Seq((1L, 4L, 0L, true), (2L, 4L, 0L, true)))
   }
+
+  test("topPrincipalDirection: recovers the dominant direction, exactly normalized") {
+    // rank-1 data along (0.3, 0.4): component ratio must be 3:4, the max
+    // component exactly ±scale (floor asymmetry on negatives shifts the
+    // small component by at most a few ulps of the 1e6 scale)
+    val line = Seq(Array(0.3f, 0.4f), Array(-0.3f, -0.4f),
+      Array(0.6f, 0.8f), Array(-0.6f, -0.8f)).toDF("v")
+    val got = Stats.topPrincipalDirection(line, col("v"), dims = 2,
+        rounds = 4)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(math.abs(got.find(_._1 == 1L).get._2.abs - 1000000L) == 0L)
+    assert(math.abs(got.find(_._1 == 0L).get._2.abs - 750000L) <= 3L)
+    // axis-aligned data: the other component is exactly 0
+    val axis = Seq(Array(1.0f, 0.0f), Array(-1.0f, 0.0f),
+      Array(2.0f, 0.0f)).toDF("v")
+    val ax = Stats.topPrincipalDirection(axis, col("v"), dims = 2,
+        rounds = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ax.find(_._1 == 0L).get._2.abs == 1000000L)
+    assert(ax.find(_._1 == 1L).get._2 == 0L)
+    // bit-identical under repartitioning (integer arithmetic throughout)
+    val rep = Stats.topPrincipalDirection(line.repartition(7), col("v"),
+        dims = 2, rounds = 4)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rep == got)
+  }
+
+  test("trendSlopes: exact ppm slopes, negative slopes, degenerate group NULL") {
+    // up: y = 2x+1 -> slope exactly 2; down: y = 5−2x -> exactly −2
+    // (sign-factored DIV must not truncate toward −∞); one-point group
+    // has den = 0 -> NULL slope
+    val pts = Seq(("up", 0L, 1L), ("up", 1L, 3L), ("up", 2L, 5L),
+      ("down", 0L, 5L), ("down", 1L, 3L), ("down", 2L, 1L),
+      ("one", 7L, 9L)).toDF("g", "x", "y")
+    val got = Stats.trendSlopes(pts, col("g"), col("x"), col("y"))
+      .select("group", "n_points", "slope_ppm")
+      .as[(String, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("down", 3L, Some(-2000000L)),
+      ("one", 1L, None), ("up", 3L, Some(2000000L))))
+    val rep = Stats.trendSlopes(pts.repartition(5), col("g"), col("x"),
+        col("y"))
+      .select("group", "n_points", "slope_ppm")
+      .as[(String, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(rep == got)
+  }
+
+  test("autocorrelation: alternating series anti-correlates at lag 1, correlates at lag 2") {
+    // 1,2,1,2: N=4, T=6, deltas −2,2,−2,2; den = 16
+    // lag 1: 3 pairs, num = −12 -> −750000 ppm (negative DIV stays exact)
+    // lag 2: 2 pairs, num = 8 -> 500000 ppm
+    val s = Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L)).toDF("day", "n")
+    val got = Stats.autocorrelation(s, "day", "n", maxLag = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L, -12L, 16L, -750000L),
+      (2L, 2L, 8L, 16L, 500000L)))
+    // a gap in the key drops exactly the pairs that straddle it
+    val gap = Seq((1L, 1L), (2L, 2L), (4L, 2L)).toDF("day", "n")
+    val g = Stats.autocorrelation(gap, "day", "n", maxLag = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(g.head._2 == 1L) // only (1,2) pairs; (2,4) is not lag-1
+    val rep = Stats.autocorrelation(s.repartition(3), "day", "n", maxLag = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rep == got)
+  }
 }

@@ -123,6 +123,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() == expected)
   }
 
+  test("streaming changelog compaction: snapshot == batch apply; replay and late deletes safe") {
+    import graft.operators.Pipeline
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-stream")
+    val state = s"$tmp/state"
+    val srcDir = s"$tmp/src"
+    new java.io.File(srcDir).mkdirs()
+    // changelog with deletes and a post-delete revival, delivered as two
+    // files so the merge crosses micro-batches (maxFilesPerTrigger = 1)
+    val part1 = Seq((1L, 1L, "I", 10L), (2L, 1L, "I", 20L),
+      (3L, 5L, "D", 0L)).toDF("k", "seq", "op", "v")
+    val part2 = Seq((1L, 2L, "U", 11L), (2L, 3L, "D", 0L),
+      (3L, 2L, "U", 99L), // LATE lower-seq update: must NOT resurrect 3
+      (4L, 1L, "I", 40L)).toDF("k", "seq", "op", "v")
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val t = s"$tmp/w_$name"
+      df.coalesce(1).write.parquet(t)
+      val f = new java.io.File(t).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
+    }
+    writeOne(part1, "a")
+    writeOne(part2, "b")
+    val schema = part1.schema
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    def run(cp: String): Unit = Streams.streamChangelogCompact(
+      src, state, Seq("k"), "seq", cp)
+
+    run(s"$tmp/cp1")
+    val batchAll = part1.unionByName(part2)
+    val expected = Pipeline.applyChangelog(batchAll, Seq("k"), "seq", "op")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    def snap = Streams.changelogSnapshot(spark, state, "op")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(snap == expected)
+    assert(snap.map(_._1) == Seq(1L, 4L),
+      "2 deleted, 3 stays deleted under the late lower-seq update")
+    // full source re-delivery with a fresh checkpoint: idempotent
+    run(s"$tmp/cp2")
+    assert(snap == expected)
+  }
+
   test("token-window chunking runs unchanged on a stream, equal to batch") {
     import spark.implicits._
     // stateless explode-only projection -> Append mode, no watermark, no
