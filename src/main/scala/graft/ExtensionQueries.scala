@@ -1439,6 +1439,25 @@ object ExtensionQueries {
       Graph.bfsHops(edges, seeds, maxHops = 4).orderBy("node")
     }),
 
+    // ---- Graph: weighted shortest paths (bounded Bellman-Ford) -----------
+    // Same transition graph and seed rule as q_bfs; edge cost = 10⁶ DIV
+    // weight (frequent transitions are cheap), so the answer is the
+    // most-likely route cost. 4 relaxation rounds — exact for all
+    // shortest paths of <= 4 edges, the weighted sibling of q_bfs's
+    // hop counts.
+    "q_shortest_path" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val edges = Graph.transitionEdges(ev, col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long"), col("event_id"))
+        .filter(col("weight") >= 2)
+        .select(col("src"), col("dst"),
+          expr("1000000L DIV weight").as("weight"))
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.filter(col("node") % 20 === 0)
+      Graph.shortestPaths(edges, seeds, rounds = 4).orderBy("node")
+    }),
+
     // ---- Graph: label-propagation communities over the transition graph -
     "q_label_prop" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -1572,6 +1591,18 @@ object ExtensionQueries {
     "mm_phash" -> ((s, d) => {
       Multimodal.imageHashes(
           Multimodal.synthesizeImages(s, Tables.documents(s, d)))
+        .orderBy("media_id")
+    }),
+
+    // ---- Multimodal: integer DSP features from REAL decoded PCM ----------
+    // 16-bit WAVE blobs are parsed byte-for-byte (RIFF walk -> fmt rate,
+    // data chunk -> sign-extended little-endian samples); peak, energy,
+    // zero-crossings, and duration are exact integers the oracle replays
+    // from the same sample formula. The decode is the one genuinely
+    // imperative stage; everything else is relational.
+    "mm_audio_energy" -> ((s, d) => {
+      Multimodal.audioFeatures(
+          Multimodal.synthesizeAudio(s, Tables.documents(s, d)))
         .orderBy("media_id")
     }),
 
@@ -2196,6 +2227,38 @@ object ExtensionQueries {
         |  FROM walk w JOIN ed e ON e.src = w.node WHERE w.hops < 4)
         |SELECT node, CAST(min(hops) AS BIGINT) AS hops
         |FROM walk GROUP BY 1 ORDER BY node""".stripMargin,
+
+    "q_shortest_path" -> {
+      val rounds = (1 to 4).map { k =>
+        s"""d$k AS MATERIALIZED (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM d${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, p.dist + e.w AS dist
+           |    FROM d${k - 1} p JOIN ed e ON e.src = p.node)
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS node
+         |  FROM events),
+         |tr AS (
+         |  SELECT node AS dst,
+         |    lag(node) OVER (PARTITION BY user_id ORDER BY event_id) AS src
+         |  FROM ev),
+         |ed AS (
+         |  SELECT src, dst, 1000000 // count(*) AS w FROM tr
+         |  WHERE src IS NOT NULL
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |seeds AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM ed UNION SELECT dst FROM ed)
+         |  WHERE node % 20 = 0),
+         |d0 AS (SELECT node, 0 AS dist FROM seeds),
+         |$rounds
+         |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4
+         |ORDER BY node""".stripMargin
+    },
 
     "q_label_prop" -> {
       val rounds = (1 to 4).map { k =>
@@ -4045,6 +4108,36 @@ object ExtensionQueries {
     // image geometry (width/height 0); WAV frame count = dataSize/blockAlign.
     "mm_binary" -> mmMetaOracle,
     "mm_meta" -> mmMetaOracle,
+
+    // Sample-exact replay of the PCM features: same sample formula as
+    // Multimodal.audioSample, lateral generate_series per id, windowed
+    // sign-change count (oracle side may window freely).
+    "mm_audio_energy" ->
+      """WITH par AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+        |    CAST(200 + doc_id % 56 AS BIGINT) AS n
+        |  FROM documents),
+        |ix AS (
+        |  SELECT media_id, sample_rate, n, unnest(range(0, n)) AS i
+        |  FROM par),
+        |s AS (
+        |  SELECT media_id, sample_rate, n, i,
+        |    ((i * 37 + media_id * 211 +
+        |      ((i + media_id) % 13) * (i % 97) * 5) % 65536) - 32768 AS v
+        |  FROM ix),
+        |w AS (
+        |  SELECT media_id, sample_rate, n, i, v,
+        |    lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT media_id, sample_rate, n AS n_samples,
+        |  n * 1000 // sample_rate AS duration_ms,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND (v >= 0) <> (pv >= 0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM w GROUP BY 1, 2, 3
+        |ORDER BY media_id""".stripMargin,
 
     "mm_phash" ->
       s"""$phashHashesSql

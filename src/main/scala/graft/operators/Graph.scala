@@ -209,6 +209,39 @@ object Graph {
     dist
   }
 
+  /** Single-source-set weighted shortest paths by `rounds` of
+    * Bellman–Ford relaxation — [[bfsHops]]'s weighted sibling. Each round
+    * relaxes EVERY currently-known distance through every edge
+    * (dist ⋈ edges on the node key, one hash join) and folds the result
+    * with a min aggregate; `rounds` bounds the path LENGTH considered,
+    * so distances are exact for all shortest paths of ≤ `rounds` edges
+    * (the classic bound: |V|−1 rounds = exact everywhere). Integer
+    * weights only — min over integer sums is order-independent, so the
+    * result is bit-reproducible under any partitioning; no
+    * priority-queue Dijkstra (inherently sequential) is needed when
+    * rounds are bounded and joins are hash-parallel.
+    *
+    * Per-round frames are checkpointed ([[pageRank]] pattern). Output:
+    * `(node, dist)` for every node reachable within `rounds` edges;
+    * seeds carry dist = 0.
+    */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of [1, 64]")
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast("long").as("w")).localCheckpoint(true)
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** HITS fixed-point scale: scores live in [0, 10⁶]. The half-step raw
     * sums are bounded by max-degree·10⁶ and the normalization multiply by
     * raw·10⁶ ≤ degree·10¹² — inside int64 for degrees to ~9·10⁶; beyond

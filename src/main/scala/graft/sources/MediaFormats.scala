@@ -98,6 +98,55 @@ object MediaFormats {
     out
   }
 
+  /** Canonical 44-byte PCM WAVE header + little-endian 16-bit mono
+    * samples (blockAlign = 2) — the layout every PCM decoder reads
+    * without a codec. Samples must fit a signed short.
+    */
+  def wavPcm16Bytes(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](44 + samples.length * 2)
+    putTag(out, 0, "RIFF"); putI32(out, 4, out.length - 8); putTag(out, 8, "WAVE")
+    putTag(out, 12, "fmt "); putI32(out, 16, 16)
+    putI16(out, 20, 1)                  // PCM
+    putI16(out, 22, 1)                  // channels
+    putI32(out, 24, sampleRate)
+    putI32(out, 28, sampleRate * 2)     // byteRate = rate * blockAlign
+    putI16(out, 32, 2)                  // blockAlign
+    putI16(out, 34, 16)                 // bitsPerSample
+    putTag(out, 36, "data"); putI32(out, 40, samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      putI16(out, 44 + i * 2, samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** Little-endian signed 16-bit PCM samples of a canonical-layout WAVE
+    * produced by [[wavPcm16Bytes]]: locate the `data` chunk by walking
+    * the RIFF list, then decode byte pairs. Empty on malformed input.
+    */
+  def pcm16Samples(bytes: Array[Byte]): Array[Int] = {
+    if (bytes.length < 12 || tagAt(bytes, 0) != "RIFF" ||
+        tagAt(bytes, 8) != "WAVE") return Array.empty
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val tag = tagAt(bytes, off)
+      val size = readI32(bytes, off + 4)
+      if (tag == "data") {
+        val n = math.min(size, bytes.length - off - 8) / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = (readI16(bytes, off + 8 + i * 2) << 16) >> 16 // sign-extend
+          i += 1
+        }
+        return out
+      }
+      off += 8 + size + (size & 1)
+    }
+    Array.empty
+  }
+
   /** Walk the RIFF chunk list: `fmt ` gives channels/rate/blockAlign,
     * `data` gives the byte count → frames = dataSize / blockAlign.
     */

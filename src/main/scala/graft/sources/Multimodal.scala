@@ -232,6 +232,67 @@ object Multimodal {
     }
   }
 
+  // ---- Audio features over REAL 16-bit PCM --------------------------------
+
+  /** Signed 16-bit sample `i` of audio id — a plain integer formula (the
+    * [[imagePixel]] discipline: NOT splitmix, the oracle replays every
+    * sample) with sign structure so zero-crossing counts are non-trivial.
+    */
+  @inline def audioSample(id: Long, i: Int): Int =
+    (((i * 37L + id * 211L + ((i + id) % 13L) * (i % 97L) * 5L)
+      % 65536L) - 32768L).toInt
+
+  /** Deterministic 16-bit PCM WAVE for a media id: 200 + id%56 samples at
+    * an id-derived rate — small enough to fixture, real enough that every
+    * feature below comes from decoding actual bytes.
+    */
+  def audioBytes(id: Long): Array[Byte] = {
+    val n = (200 + id % 56).toInt
+    val samples = Array.tabulate(n)(i => audioSample(id, i))
+    MediaFormats.wavPcm16Bytes((8000 + (id % 8) * 1000).toInt, samples)
+  }
+
+  /** Synthetic PCM audio table (one WAVE per document id) — the
+    * sample-bearing sibling of [[synthesizeImages]].
+    */
+  def synthesizeAudio(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      MediaRecord(id, s"audio/$id.wav", "audio/wav", audioBytes(id))
+    }
+  }
+
+  /** Integer DSP features from REAL decoded PCM: the header yields the
+    * sample rate, the data chunk yields the samples, and every feature
+    * is an exact integer — peak = max|s|, energy = Σs² (long: 2¹⁵² per
+    * sample, overflow past ~2⁶² samples per FILE, not per corpus),
+    * zero_crossings = sign(s_i)≠sign(s_{i−1}) count with s ≥ 0 as
+    * positive, duration_ms = n·1000 DIV rate. The per-file scan is the
+    * genuinely imperative codec path (typed map); everything relational
+    * stays in the plan.
+    */
+  def audioFeatures(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val header = MediaFormats.parseWav(r.content)
+      val rate = header.map(_.sampleRate).getOrElse(0)
+      val s = MediaFormats.pcm16Samples(r.content)
+      var peak = 0L; var energy = 0L; var zc = 0L
+      var i = 0
+      while (i < s.length) {
+        val v = s(i).toLong
+        if (math.abs(v) > peak) peak = math.abs(v)
+        energy += v * v
+        if (i > 0 && ((s(i) >= 0) != (s(i - 1) >= 0))) zc += 1
+        i += 1
+      }
+      (r.media_id, rate.toLong, s.length.toLong,
+        if (rate > 0) s.length.toLong * 1000L / rate else 0L,
+        peak, energy, zc)
+    }.toDF("media_id", "sample_rate", "n_samples", "duration_ms",
+      "peak", "energy", "zero_crossings")
+  }
+
   /** Difference hash (dHash) of a gray raster: nearest-neighbor resize to
     * a 9×8 grid, then one bit per horizontal neighbor pair (left < right).
     * Packed as two NON-NEGATIVE 32-bit halves so both engines can xor /

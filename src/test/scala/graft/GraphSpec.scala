@@ -314,4 +314,21 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(re == q)
   }
+
+  test("shortestPaths: cheap detour beats direct edge; rounds bound path length") {
+    // 1→3 direct costs 10; 1→2→3 costs 2+3=5. With 1 round only the
+    // direct edge is visible; 2 rounds find the detour. 4 unreachable.
+    val e = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L), (5L, 4L, 1L))
+      .toDF("src", "dst", "weight")
+    val seeds = Seq(1L).toDF("node")
+    val r1 = Graph.shortestPaths(e, seeds, rounds = 1)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(r1 == Seq((1L, 0L), (2L, 2L), (3L, 10L)))
+    val r2 = Graph.shortestPaths(e, seeds, rounds = 2)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(r2 == Seq((1L, 0L), (2L, 2L), (3L, 5L)))
+    val rep = Graph.shortestPaths(e.repartition(5), seeds, rounds = 2)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(rep == r2)
+  }
 }

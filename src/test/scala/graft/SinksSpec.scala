@@ -71,6 +71,32 @@ class SinksSpec extends AnyFunSuite {
     assert(feats.length == 20)
   }
 
+  test("audio features derive from real PCM bytes; wav16 encode/decode round-trips") {
+    import graft.sources.MediaFormats
+    // byte-level round trip incl. negative samples and sign extension
+    val samples = Array(0, 1, -1, 32767, -32768, 12345, -12345)
+    val wav = MediaFormats.wavPcm16Bytes(8000, samples)
+    assert(MediaFormats.pcm16Samples(wav).toSeq == samples.toSeq)
+    assert(MediaFormats.parseWav(wav).exists(h =>
+      h.sampleRate == 8000 && h.nFrames == samples.length))
+    // features recomputed from the raw decoded samples must agree exactly
+    val docs = Tables.documents(spark, TestSpark.sf).limit(20)
+    val audio = Multimodal.synthesizeAudio(spark, docs)
+    val feats = Multimodal.audioFeatures(audio)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val raw = audio.collect().map(r => r.media_id -> r.content).toMap
+    feats.foreach { case (id, rate, n, durMs, peak, energy, zc) =>
+      val s = MediaFormats.pcm16Samples(raw(id))
+      assert(n == s.length && rate == 8000 + (id % 8) * 1000)
+      assert(durMs == n * 1000 / rate)
+      assert(peak == s.map(v => math.abs(v.toLong)).max)
+      assert(energy == s.map(v => v.toLong * v).sum)
+      assert(zc == s.indices.drop(1)
+        .count(i => (s(i) >= 0) != (s(i - 1) >= 0)).toLong)
+    }
+    assert(feats.length == 20)
+  }
+
   test("CSV and JSON source legs round-trip with explicit schemas") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft-fmt").toString
