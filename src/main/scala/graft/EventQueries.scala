@@ -168,6 +168,51 @@ object EventQueries {
       Stats.cusumChangepoint(perDay, "day_idx", "n").orderBy("day_idx")
     }),
 
+    // ---- Time-weighted average (TWAP) per user ---------------------------
+    // Each event's value holds until the next event; the average weights
+    // by that holding duration — the finance/sensor aggregation a plain
+    // mean gets wrong. Exact integers: micros × cents in DECIMAL(38,0),
+    // one final DIV; windows partitioned by user, last event (no
+    // duration) excluded.
+    "q_twap" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("t_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("dur_us", lead(col("t_us"), 1).over(w) - col("t_us"))
+        .filter(col("dur_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dur_us")).as("total_dur_us"),
+          expr("""CAST(sum(CAST(cents AS DECIMAL(38,0)) * dur_us)
+                 |  DIV sum(CAST(dur_us AS DECIMAL(38,0))) AS BIGINT)"""
+            .stripMargin).as("twap_cents"))
+        .orderBy("user_id")
+    }),
+
+    // ---- Seasonal residuals: day-of-week-adjusted anomaly scan -----------
+    // residual·n_dow = n·n_dow − s_dow (exact integers — the day's count
+    // against its weekday's mean without a float mean); the |argmax| day
+    // is flagged. The seasonal sibling of q_changepoint.
+    "q_seasonal_residual" -> ((s, d) => {
+      val perDay = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", expr("day_idx % 7"))
+      val dowStats = perDay.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_dow"), sum(col("n")).as("s_dow"))
+      val resid = perDay.join(broadcast(dowStats), Seq("dow"))
+        .select(col("day_idx"), col("n"), col("dow"),
+          (col("n") * col("n_dow") - col("s_dow")).as("residual_scaled"))
+      val peak = resid.agg(max(abs(col("residual_scaled"))).as("__m"))
+      resid.crossJoin(broadcast(peak))
+        .select(col("day_idx"), col("n"), col("dow"), col("residual_scaled"),
+          (abs(col("residual_scaled")) === col("__m")).as("is_anomaly"))
+        .orderBy("day_idx")
+    }),
+
     // ---- Changelog compaction: I/U/D log -> final snapshot ---------------
     // The log-structured-table read merge: per key the greatest sequence
     // number wins, a winning 'D' drops the key. One max(struct) hash
@@ -379,6 +424,39 @@ object EventQueries {
         |m AS (SELECT max(abs(cusum_scaled)) AS mx FROM c)
         |SELECT day_idx, n, cusum_scaled, (abs(cusum_scaled) = mx) AS is_cp
         |FROM c CROSS JOIN m ORDER BY day_idx""".stripMargin,
+
+    "q_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, cents,
+        |    lead(t_us) OVER (PARTITION BY user_id
+        |      ORDER BY t_us, event_id) - t_us AS dur_us
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+        |  CAST(sum(CAST(cents AS HUGEINT) * dur_us)
+        |    // sum(CAST(dur_us AS HUGEINT)) AS BIGINT) AS twap_cents
+        |FROM d WHERE dur_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_seasonal_residual" ->
+      """WITH dc AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |dw AS (SELECT day_idx, n, day_idx % 7 AS dow FROM dc),
+        |ds AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_dow,
+        |         CAST(sum(n) AS BIGINT) AS s_dow FROM dw GROUP BY 1),
+        |r AS (
+        |  SELECT day_idx, n, dw.dow, n * n_dow - s_dow AS residual_scaled
+        |  FROM dw JOIN ds ON dw.dow = ds.dow),
+        |m AS (SELECT max(abs(residual_scaled)) AS mx FROM r)
+        |SELECT day_idx, n, dow, residual_scaled,
+        |  (abs(residual_scaled) = mx) AS is_anomaly
+        |FROM r CROSS JOIN m ORDER BY day_idx""".stripMargin,
 
     "q_cdc_apply" ->
       """WITH log AS (

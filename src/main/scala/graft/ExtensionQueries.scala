@@ -936,6 +936,58 @@ object ExtensionQueries {
         .orderBy("bucket")
     }),
 
+    // ---- Profiling: exact per-group quantiles without a global sort ------
+    // Ranks from orderedRank (range-bucketed, HOF-folded offsets) with
+    // the GROUP as the stratum; the quantile row is the rank hitting
+    // ceil(q·n_g) — p50/p90/p99 per return flag in one pass, no
+    // single-partition window anywhere.
+    "q_group_quantiles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("l_orderkey * 10 + l_linenumber").as("uid"))
+      val ranked = Sampling.orderedRank(li, col("g"), col("cents"),
+        col("uid"), nBuckets = 1024, keyBits = 24, out = "rk")
+      val counts = ranked.groupBy("g").agg(count(lit(1)).as("n_g"))
+      ranked.join(broadcast(counts), Seq("g"))
+        .select(col("g"), col("cents"), col("rk"), col("n_g"),
+          explode(array(
+            struct(lit("p50").as("p"), lit(1L).as("num"), lit(2L).as("den")),
+            struct(lit("p90").as("p"), lit(9L).as("num"), lit(10L).as("den")),
+            struct(lit("p99").as("p"), lit(99L).as("num"), lit(100L).as("den"))))
+            .as("q"))
+        .filter(col("rk") === expr("(n_g * q.num + q.den - 1) DIV q.den"))
+        .select(col("g"), col("q.p").as("p"), col("rk").as("target_rank"),
+          col("n_g"), col("cents").as("value_cents"))
+        .orderBy("g", "p")
+    }),
+
+    // ---- Corpus hygiene: URL canonicalization for crawl dedup ------------
+    // Five deliberately-messy deterministic URL shapes (case, default
+    // ports, tracking params, param order, fragments, trailing slash)
+    // collapse to their canonical identity; variants 0 and 1 MUST merge.
+    // Pure built-in expressions — one narrow projection + one hash agg.
+    "text_url_canon" -> ((s, d) => {
+      import graft.functions.TextFunctions
+      val url = expr(
+        """CASE CAST(c_custkey % 5 AS INT)
+          |  WHEN 0 THEN concat('HTTP://Shop.Example.COM:80/cat/',
+          |    c_mktsegment, '/?utm_source=ad&id=',
+          |    CAST(c_custkey % 40 AS STRING), '&b=2&a=1')
+          |  WHEN 1 THEN concat('http://shop.example.com/cat/',
+          |    c_mktsegment, '?a=1&b=2&id=', CAST(c_custkey % 40 AS STRING))
+          |  WHEN 2 THEN concat('https://Shop.Example.com:443/cat/',
+          |    c_mktsegment, '/#frag')
+          |  WHEN 3 THEN concat('https://shop.example.com:8443/cat/',
+          |    c_mktsegment)
+          |  ELSE concat('http://shop.example.com/cat/', c_mktsegment,
+          |    '/?fbclid=xyz')
+          |END""".stripMargin)
+      Tables.customer(s, d)
+        .select(TextFunctions.canonicalizeUrl(url).as("canonical_url"))
+        .groupBy("canonical_url").agg(count(lit(1)).as("n"))
+        .orderBy("canonical_url")
+    }),
+
     // ---- Profiling: mergeable grid quantile sketch -----------------------
     // Equi-width bucket counts (here $10k-wide over order totals) as the
     // bounded-state approximate-percentile summary: shard sketches SUM to
@@ -1594,6 +1646,20 @@ object ExtensionQueries {
         .orderBy("media_id")
     }),
 
+    // ---- Text: greedy longest-match segmentation (WordPiece inference) --
+    // One codegen'd pass per document (MaxMatchStats); the sibling
+    // pointer-doubling formulation (maxMatchSegmentsSharded — log2(len)
+    // hash-join rounds, for sequences sharded across rows) is proven
+    // row-identical in TextSamplingSpec. Vocab mixes nested prefixes
+    // (jo/join, ba/batch) so longest-match is load-bearing; fallback =
+    // 1-code-point escape.
+    "text_maxmatch" -> ((s, d) => {
+      TextAnalysis.maxMatchSegments(Tables.documents(s, d), "text",
+          "doc_id", vocab = ExtensionQueries.maxMatchVocab, maxPieceLen = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- Multimodal: integer DSP features from REAL decoded PCM ----------
     // 16-bit WAVE blobs are parsed byte-for-byte (RIFF walk -> fmt rate,
     // data chunk -> sign-extended little-endian samples); peak, energy,
@@ -1616,6 +1682,15 @@ object ExtensionQueries {
           maxHamming = 3)
         .orderBy("a", "b")
     }))
+
+  /** Shared vocabulary of text_maxmatch and its oracle/spec. */
+  val maxMatchVocab: Seq[String] = Seq(" ", "jo", "join", "ha", "hash",
+    "sc", "scan", "an", "ba", "batch", "row", "col", "column", "filt",
+    "er", "the", "da", "data", "ta", "table", "qu", "query", "st",
+    "stream", "me", "merge", "sort", "fa", "fast", "slow", "big", "small",
+    "or", "order", "li", "line", "va", "value", "key", "gr", "group",
+    "par", "part", "wi", "window", "ve", "vector", "cu", "customer",
+    "a", "e", "s", "du", "dup")
 
   private val stopList = TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")
 
@@ -2587,6 +2662,77 @@ object ExtensionQueries {
         |  min(cents) AS lo, max(cents) AS hi,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_group_quantiles" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    l_orderkey * 10 + l_linenumber AS uid
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT g, cents,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY cents, uid)
+        |      AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_g
+        |  FROM t),
+        |q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+        |        ('p99', 99, 100)) x(p, num, den))
+        |SELECT g, p, rk AS target_rank, n_g, cents AS value_cents
+        |FROM r CROSS JOIN q
+        |WHERE rk = (n_g * num + den - 1) // den
+        |ORDER BY g, p""".stripMargin,
+
+    "text_url_canon" ->
+      """WITH u AS (
+        |  SELECT CASE CAST(c_custkey % 5 AS INT)
+        |    WHEN 0 THEN 'HTTP://Shop.Example.COM:80/cat/' || c_mktsegment
+        |      || '/?utm_source=ad&id=' || CAST(c_custkey % 40 AS VARCHAR)
+        |      || '&b=2&a=1'
+        |    WHEN 1 THEN 'http://shop.example.com/cat/' || c_mktsegment
+        |      || '?a=1&b=2&id=' || CAST(c_custkey % 40 AS VARCHAR)
+        |    WHEN 2 THEN 'https://Shop.Example.com:443/cat/' || c_mktsegment
+        |      || '/#frag'
+        |    WHEN 3 THEN 'https://shop.example.com:8443/cat/' || c_mktsegment
+        |    ELSE 'http://shop.example.com/cat/' || c_mktsegment
+        |      || '/?fbclid=xyz'
+        |  END AS url FROM customer),
+        |p1 AS (
+        |  SELECT string_split(string_split(url, '#')[1], '?') AS parts
+        |  FROM u),
+        |p2 AS (
+        |  SELECT parts[1] AS base,
+        |    CASE WHEN len(parts) > 1 THEN parts[2] END AS rawq
+        |  FROM p1),
+        |p3 AS (
+        |  SELECT rawq,
+        |    lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        |  FROM p2),
+        |p4 AS (SELECT *, string_split(rest, '/')[1] AS hostport FROM p3),
+        |p5 AS (
+        |  SELECT *, lower(string_split(hostport, ':')[1]) AS host,
+        |    CASE WHEN len(string_split(hostport, ':')) > 1
+        |      THEN string_split(hostport, ':')[2] END AS port,
+        |    regexp_replace(substr(rest, length(hostport) + 1), '/$', '')
+        |      AS path,
+        |    CASE WHEN rawq IS NULL THEN NULL ELSE
+        |      array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+        |        x -> NOT (x LIKE 'utm\_%' ESCAPE '\' OR x LIKE 'gclid%'
+        |                  OR x LIKE 'fbclid%' OR x = ''))), '&') END AS sq
+        |  FROM p4),
+        |canon AS (
+        |  SELECT scheme || '://' || host ||
+        |    CASE WHEN port IS NOT NULL AND NOT
+        |        ((scheme = 'http' AND port = '80') OR
+        |         (scheme = 'https' AND port = '443'))
+        |      THEN ':' || port ELSE '' END ||
+        |    path ||
+        |    CASE WHEN rawq IS NOT NULL AND sq <> '' THEN '?' || sq
+        |      ELSE '' END AS canonical_url
+        |  FROM p5)
+        |SELECT canonical_url, count(*) AS n FROM canon
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_grid_quantiles" ->
       """WITH v AS (
@@ -4108,6 +4254,41 @@ object ExtensionQueries {
     // image geometry (width/height 0); WAV frame count = dataSize/blockAlign.
     "mm_binary" -> mmMetaOracle,
     "mm_meta" -> mmMetaOracle,
+
+    // Chain replay of the greedy walk: per-position longest match, then a
+    // recursive single-chain CTE from position 0 (the oracle may walk
+    // sequentially; the engine side must not).
+    "text_maxmatch" -> {
+      val pieces = maxMatchVocab
+        .map(p => s"('${p.replace("'", "''")}')").mkString(", ")
+      s"""WITH RECURSIVE v(piece) AS (VALUES $pieces),
+         |docs AS (
+         |  SELECT doc_id AS id, text AS t, length(text) AS len
+         |  FROM documents WHERE length(text) > 0),
+         |posn AS (
+         |  SELECT id, len, t, unnest(range(0, len)) AS pos FROM docs),
+         |cl AS (
+         |  SELECT id, len, t, pos, unnest(range(1, 9)) AS l FROM posn),
+         |cand AS MATERIALIZED (
+         |  SELECT id, pos, max(l) AS step
+         |  FROM cl JOIN v ON pos + l <= len AND substr(t, pos + 1, l) = piece
+         |  GROUP BY 1, 2),
+         |nxt AS MATERIALIZED (
+         |  SELECT p.id, p.pos, p.pos + coalesce(c.step, 1) AS nx,
+         |    (c.step IS NOT NULL) AS matched
+         |  FROM posn p LEFT JOIN cand c ON c.id = p.id AND c.pos = p.pos),
+         |walk(id, pos) AS (
+         |  SELECT id, 0 FROM docs
+         |  UNION
+         |  SELECT n.id, n.nx FROM walk w
+         |  JOIN nxt n ON n.id = w.id AND n.pos = w.pos)
+         |SELECT w.id AS doc_id,
+         |  CAST(count(n.pos) AS BIGINT) AS n_pieces,
+         |  CAST(sum(CASE WHEN NOT n.matched THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fallback
+         |FROM walk w JOIN nxt n ON n.id = w.id AND n.pos = w.pos
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // Sample-exact replay of the PCM features: same sample formula as
     // Multimodal.audioSample, lateral generate_series per id, windowed

@@ -44,7 +44,9 @@ object Plans {
     "q_interval_merge", "q_changepoint", "q_knn_classify",
     "text_search_topk", "pipeline_audit", "q_trend", "q_autocorr",
     "q_grid_quantiles", "q_cdc_apply", "q_seq_patterns",
-    "q_power_iteration", "mm_audio_energy", "q_shortest_path")
+    "q_power_iteration", "mm_audio_energy", "q_shortest_path",
+    "text_maxmatch", "q_group_quantiles", "text_url_canon",
+    "q_twap", "q_seasonal_residual")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")

@@ -77,4 +77,50 @@ object TextFunctions {
   /** English-ish stopword list used by quality scoring (public knowledge). */
   val stopwordsEn: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for", "on", "with")
+
+  /** Tracking query parameters stripped by [[canonicalizeUrl]]. */
+  val trackingParamPrefixes: Seq[String] = Seq("utm_", "gclid", "fbclid")
+
+  /** URL canonicalization for crawl dedup — the normalization every web
+    * corpus runs before URL-level dedup, as pure built-in expressions
+    * (one narrow codegen'd projection; every step replicable in the
+    * oracle SQL):
+    *
+    *  1. fragment dropped;
+    *  2. scheme and host lowercased (path case PRESERVED — it is
+    *     significant);
+    *  3. default ports stripped (http:80, https:443), explicit others
+    *     kept;
+    *  4. one trailing slash stripped from the path;
+    *  5. query parameters: tracking params (utm_*, gclid*, fbclid*)
+    *     dropped, the rest SORTED so parameter order never splits a
+    *     URL's identity; an emptied query drops its '?'.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = split(u, "#").getItem(0)
+    val qsplit = split(noFrag, "\\?")
+    val base = qsplit.getItem(0)
+    val rawQuery = when(size(qsplit) > 1, element_at(qsplit, 2))
+    val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(base, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = split(rest, "/").getItem(0)
+    val host = lower(split(hostport, ":").getItem(0))
+    val portArr = split(hostport, ":")
+    val port = when(size(portArr) > 1, element_at(portArr, 2))
+    val keepPort = port.isNotNull &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val path = regexp_replace(
+      rest.substr(length(hostport) + 1, length(rest)), "/$", "")
+    val kept = filter(split(rawQuery, "&"), p =>
+      !(p.like("utm\\_%") || p.like("gclid%") || p.like("fbclid%") ||
+        p === ""))
+    val sortedQ = array_join(array_sort(kept), "&")
+    concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(rawQuery.isNotNull && sortedQ =!= "", concat(lit("?"), sortedQ))
+        .otherwise(lit("")))
+  }
 }

@@ -511,6 +511,49 @@ class TextSamplingSpec extends AnyFunSuite {
     assert(sizes.max - sizes.min <= 1, s"equi-depth violated: ${sizes.toSeq}")
   }
 
+  test("canonicalizeUrl: case, ports, tracking params, order, fragments, slashes") {
+    import graft.functions.TextFunctions
+    def canon(u: String): String =
+      Seq(u).toDF("u")
+        .select(TextFunctions.canonicalizeUrl(col("u"))).as[String].head()
+    assert(canon("HTTP://Example.COM:80/a/?utm_source=x&b=2&a=1#f")
+      == "http://example.com/a?a=1&b=2")
+    assert(canon("https://example.com:8443/x/") == "https://example.com:8443/x")
+    assert(canon("http://example.com/?fbclid=z") == "http://example.com")
+    assert(canon("http://example.com/path") == "http://example.com/path")
+    // parameter order never splits identity
+    assert(canon("http://e.com/p?b=2&a=1") == canon("http://e.com/p?a=1&b=2"))
+    // an explicit NON-default port survives; default port on the other
+    // scheme is not stripped
+    assert(canon("http://e.com:443/p") == "http://e.com:443/p")
+  }
+
+  test("maxMatch: greedy longest-match semantics; expression == pointer-doubling") {
+    // 'abcab' with vocab {abc, ab, c}: greedy takes 'abc' (longest) then
+    // 'ab' -> 2 pieces, 0 fallback. 'xabc': fallback 'x', then 'abc'.
+    val docs = Seq((1L, "abcab"), (2L, "xabc"), (3L, "zzz"), (4L, "ab"))
+      .toDF("doc_id", "text")
+    val vocab = Seq("abc", "ab", "c")
+    val fast = TextAnalysis.maxMatchSegments(docs, "text", "doc_id", vocab)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fast == Seq((1L, 2L, 0L), (2L, 2L, 1L), (3L, 3L, 3L),
+      (4L, 1L, 0L)))
+    // the two implementations must agree row-for-row — including on the
+    // real fixture corpus with the query's nested-prefix vocabulary
+    val sharded = TextAnalysis.maxMatchSegmentsSharded(docs, "text",
+        "doc_id", vocab)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(sharded == fast)
+    val corpus = Tables.documents(spark, TestSpark.sf).limit(40)
+    val v2 = graft.ExtensionQueries.maxMatchVocab
+    val f2 = TextAnalysis.maxMatchSegments(corpus, "text", "doc_id", v2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val s2 = TextAnalysis.maxMatchSegmentsSharded(corpus, "text", "doc_id",
+        v2, doublingRounds = 10)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(s2 == f2 && f2.nonEmpty)
+  }
+
   test("searchTopK: tf ranks within a term, rare terms outscore common, ties to doc_id") {
     // docs: 1 repeats 'a'; 2/3 identical (score tie); 4 has rare 'z'
     val docs = Seq((1L, "a a a b"), (2L, "a b c d"), (3L, "a b c d"),
