@@ -79,11 +79,34 @@ object Bench {
       }
       name -> (if (failed) -1.0 else median(times.toSeq))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a file (the artifact for plan/perf
+    // audits); the PRINTED line must fit entirely inside the driver's
+    // 2000-char output-tail window or its JSON parse fails (observed in
+    // rounds 1-4: `"parsed": null` with the line's head truncated away).
+    // Budget ~1700 chars: keep the slowest queries by name until full.
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"errors":$errJson,"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      java.nio.file.Files.write(p,
+        fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Exception => () }
+    val budget = 1700
+    val slowFirst = results.toSeq.sortBy { case (_, v) => -v }
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"detail":"BENCH_FULL.json","errors":$errJson,"sf":"$sfDir","queries":{"""
+    val tail = "}}"
+    val entries = scala.collection.mutable.ListBuffer[String]()
+    var len = head.length + tail.length
+    slowFirst.foreach { case (k, v) =>
+      val e = s"\"$k\":${fmt(v)}"
+      if (len + e.length + 1 <= budget) { entries += e; len += e.length + 1 }
+    }
+    println(head + entries.mkString(",") + tail)
     spark.stop()
   }
 }

@@ -1230,6 +1230,17 @@ object ExtensionQueries {
         .orderBy("bench_id")
     }),
 
+    // ---- Dedup: exact-substring duplication profile (Lee et al. 2022) ----
+    // k=8 token windows: the fixture vocabulary is tiny, so shorter
+    // windows flag half the corpus by chance; 8-grams mark the genuinely
+    // repeated spans (near-dup doc pairs + templated runs). Per-doc
+    // coverage of duplicated windows, merged gaps-and-islands.
+    "dedup_substring" -> ((s, d) => {
+      Dedup.substringDupProfile(Tables.documents(s, d), "doc_id",
+          col("text"), k = 8)
+        .orderBy("id")
+    }),
+
     // ---- Text analysis: inverted index over word bigrams -----------------
     // bigram terms because the fixture WORD vocab is 31 tokens (nearly all
     // in 80% of docs — every posting list would be capped); bigrams give
@@ -1392,6 +1403,18 @@ object ExtensionQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           graft.functions.LayoutFunctions
             .zorderKey(col("l_partkey"), col("l_suppkey"), bits = 16).as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- Storage layout: Hilbert curve index (better locality than Z) ----
+    // Same two dimensions as q_zorder; the oracle replays the classic
+    // iterative xy2d loop as a 16-level recursive CTE (each row walks its
+    // own (x, y, d, s) state down the bit levels).
+    "q_hilbert" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.functions.LayoutFunctions
+            .hilbertKey(col("l_partkey"), col("l_suppkey"), bits = 16).as("hkey"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
@@ -2890,6 +2913,40 @@ object ExtensionQueries {
         |FROM documents d LEFT JOIN hits h ON h.bench_id = d.doc_id
         |WHERE d.doc_id % 10 = 0 ORDER BY bench_id""".stripMargin,
 
+    "dedup_substring" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    substring(md5(list_reduce(w[i:i+7], (a, b) -> a || ' ' || b)),
+        |      1, 15) AS gh
+        |  FROM w, unnest(range(1, len(w) - 6)) AS t(i)),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+        |sp AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM g JOIN dup USING (gh)),
+        |m AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM sp),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s, e
+        |        ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m),
+        |sl AS (
+        |  SELECT doc_id, min(s) AS st, max(e) AS en
+        |  FROM isl GROUP BY doc_id, island),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(en - st) AS BIGINT) AS dup_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_spans
+        |  FROM sl GROUP BY doc_id)
+        |SELECT w.doc_id AS id, CAST(len(w.w) AS BIGINT) AS n_words,
+        |  COALESCE(a.dup_tokens, 0) AS dup_tokens,
+        |  COALESCE(a.n_spans, 0) AS n_spans,
+        |  COALESCE(a.dup_tokens, 0) * 1000000 // CAST(len(w.w) AS BIGINT)
+        |    AS dup_ppm
+        |FROM w LEFT JOIN agg a USING (doc_id) ORDER BY id""".stripMargin,
+
     "text_inverted_index" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -4132,6 +4189,28 @@ object ExtensionQueries {
         |       + ((CAST(l_suppkey AS BIGINT) >> i) & 1) * (1::BIGINT << (2*i+1))))
         |    AS BIGINT) AS zkey
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_hilbert" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_partkey AS BIGINT) & 65535 AS x,
+        |    CAST(l_suppkey AS BIGINT) & 65535 AS y,
+        |    CAST(0 AS BIGINT) AS d, CAST(32768 AS BIGINT) AS s
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN (y & s) = 0 THEN
+        |      CASE WHEN (x & s) > 0 THEN 65535 - y ELSE y END
+        |    ELSE x END AS x,
+        |    CASE WHEN (y & s) = 0 THEN
+        |      CASE WHEN (x & s) > 0 THEN 65535 - x ELSE x END
+        |    ELSE y END AS y,
+        |    d + s * s * xor(3 * CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END,
+        |                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END) AS d,
+        |    s // 2 AS s
+        |  FROM h WHERE s > 0)
+        |SELECT l_orderkey, l_linenumber, d AS hkey
+        |FROM h WHERE s = 0 ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "text_bm25" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -76,6 +76,95 @@ case class ZOrderKey(left: Expression, right: Expression, bits: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Reference kernel for the Hilbert curve index so the interpreted and
+  * generated paths stay bit-identical by construction.
+  */
+object HilbertUtil {
+  /** Hilbert distance of `(x, y)` on the `2^bits × 2^bits` grid (classic
+    * iterative xy2d: per level, quadrant contribution `s·s·((3·rx)^ry)`
+    * plus the reflect-and-swap rotation). Inputs are masked to the low
+    * `bits` bits so out-of-range coordinates degrade deterministically
+    * instead of reflecting negative.
+    */
+  def xy2d(xIn: Long, yIn: Long, bits: Int): Long = {
+    val n = 1L << bits
+    var x = xIn & (n - 1)
+    var y = yIn & (n - 1)
+    var d = 0L
+    var s = n >>> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>>= 1
+    }
+    d
+  }
+}
+
+/** Hilbert-curve index of two long columns over the low `bits` bits of
+  * each — the layout sibling of [[ZOrderKey]] with strictly better
+  * locality: consecutive Hilbert indices are always Manhattan-adjacent
+  * cells (property-tested), whereas the Z curve takes long diagonal jumps
+  * at power-of-two boundaries. Tighter per-file min/max envelopes on both
+  * dimensions mean more files skipped for the same predicate, which is
+  * why Iceberg/Delta-style table optimizers offer Hilbert ordering above
+  * Z-order. Same usage: feed `repartitionByRange` / sortWithinPartitions,
+  * never a query result. Dimensions must be range-normalized to
+  * comparable bit widths first (see [[LayoutFunctions.zorderKey]]).
+  */
+case class HilbertKey(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits >= 1 && bits <= 31, s"bits=$bits must be in [1, 31]")
+  override def prettyName: String = "hilbert_key"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (bigint, bigint) inputs, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HilbertUtil.xy2d(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+
+  /** Same loop as [[HilbertUtil.xy2d]], emitted into whole-stage codegen. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = 1L << bits
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val rx = ctx.freshName("rx")
+      val ry = ctx.freshName("ry")
+      val t = ctx.freshName("t")
+      s"""
+         |long $x = $a & ${n - 1}L;
+         |long $y = $b & ${n - 1}L;
+         |long $d = 0L;
+         |for (long $s = ${n >>> 1}L; $s > 0; $s >>>= 1) {
+         |  long $rx = (($x & $s) > 0) ? 1L : 0L;
+         |  long $ry = (($y & $s) > 0) ? 1L : 0L;
+         |  $d += $s * $s * ((3 * $rx) ^ $ry);
+         |  if ($ry == 0) {
+         |    if ($rx == 1) { $x = ${n - 1}L - $x; $y = ${n - 1}L - $y; }
+         |    long $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object LayoutFunctions {
   /** Z-order key column over two integral columns (cast to long).
     *
@@ -88,4 +177,10 @@ object LayoutFunctions {
     */
   def zorderKey(a: Column, b: Column, bits: Int = 16): Column =
     column(ZOrderKey(expression(a.cast("long")), expression(b.cast("long")), bits))
+
+  /** Hilbert curve index over two integral columns (cast to long); same
+    * range-normalization caveat as [[zorderKey]].
+    */
+  def hilbertKey(a: Column, b: Column, bits: Int = 16): Column =
+    column(HilbertKey(expression(a.cast("long")), expression(b.cast("long")), bits))
 }

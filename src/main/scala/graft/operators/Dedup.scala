@@ -724,6 +724,72 @@ object Dedup {
         coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"))
   }
 
+  /** Exact-substring duplication profile (the relational re-expression of
+    * suffix-array substring dedup, Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022): for every document,
+    * how many of its tokens sit inside a token span that also occurs
+    * elsewhere in the corpus (or again in the same document).
+    *
+    * Method: every length-`k` token window is fingerprinted (md5-60 of
+    * the space-joined slice); a window whose fingerprint occurs `minOcc`+
+    * times corpus-wide is duplicated, and any duplicated substring of
+    * length ≥ k marks exactly its covering windows, so the union of
+    * flagged `[pos, pos+k)` windows — merged per document with the
+    * gaps-and-islands coalesce of [[Intervals.mergeIntervals]] — is the
+    * union of all duplicated substrings of length ≥ k. That is the same
+    * span set the suffix-array approach removes, computed as three
+    * shuffles instead of a global sort: (1) one hash-aggregate on the
+    * 15-char window fingerprint (map-side partial combine), (2) one
+    * equi-join of windows against the duplicated-fingerprint set (a mega-
+    * hot boilerplate gram lands on one reducer — AQE skew split handles
+    * it, and upstream [[graft.operators.CorpusFilters]] boilerplate
+    * removal is the structural fix), (3) one per-document merge keyed by
+    * id. The window frame is localCheckpoint-ed because it feeds both the
+    * count and the join — without the cut the tokenize+slice pipeline
+    * runs twice.
+    *
+    * Output, one row per input document (zero rows preserved so the
+    * result is a keep/trim mask): `(id, n_words, dup_tokens, n_spans,
+    * dup_ppm)` — all integers, reproducible under any partitioning.
+    */
+  def substringDupProfile(docs: DataFrame, idCol: String, textCol: Column,
+                          k: Int, minOcc: Long = 2L): DataFrame = {
+    require(k >= 2, s"k=$k must be >= 2")
+    require(minOcc >= 2L, s"minOcc=$minOcc must be >= 2")
+    val words = docs.select(col(idCol).as("id"),
+      split(textCol, " ").as("w"))
+    // (id, pos, gh): one row per k-token window, pos 0-based token index;
+    // slice is 1-based. Docs shorter than k emit no windows but stay in
+    // the profile via the left join below.
+    val wins = words
+      .select(col("id"), size(col("w")).as("n_words"),
+        when(size(col("w")) >= k,
+          expr(s"transform(sequence(0, size(w) - $k), " +
+            s"i -> struct(i AS pos, substring(md5(concat_ws(' ', slice(w, i + 1, $k))), 1, 15) AS gh))"))
+          .otherwise(lit(null)).as("gs"))
+      .select(col("id"), col("n_words"), explode_outer(col("gs")).as("g"))
+      .select(col("id"), col("n_words"), col("g.pos").as("pos"),
+        col("g.gh").as("gh"))
+      .localCheckpoint(true)
+    val dup = wins.filter(col("gh").isNotNull)
+      .groupBy(col("gh")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc)
+      .select(col("gh"))
+    val spans = wins.join(dup, Seq("gh"))
+      .select(col("id"), col("pos").as("s"), (col("pos") + k).as("e"))
+    val merged = Intervals.mergeIntervals(spans, col("id"), col("s"), col("e"))
+      .groupBy(col("key"))
+      .agg(sum(col("end") - col("start")).as("dup_tokens"),
+        count(lit(1)).as("n_spans"))
+    words.select(col("id"), size(col("w")).cast("long").as("n_words"))
+      .join(merged, col("id") === col("key"), "left")
+      .select(col("id"), col("n_words"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .withColumn("dup_ppm",
+        expr("dup_tokens * CAST(1000000 AS BIGINT) DIV n_words"))
+  }
+
   def decontaminate(
       corpus: DataFrame, idCol: String, corpusShingles: Column,
       benchmark: DataFrame, benchShingles: Column,

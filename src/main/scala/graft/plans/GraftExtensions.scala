@@ -59,6 +59,10 @@ object GraftFunctions {
       val bits = if (es.length == 3) intArg(es(2), "bits") else 16
       ZOrderKey(Cast(es(0), org.apache.spark.sql.types.LongType),
         Cast(es(1), org.apache.spark.sql.types.LongType), bits) }),
+    "hilbert_key" -> (es => { arity(es, "hilbert_key", 2, 3)
+      val bits = if (es.length == 3) intArg(es(2), "bits") else 16
+      HilbertKey(Cast(es(0), org.apache.spark.sql.types.LongType),
+        Cast(es(1), org.apache.spark.sql.types.LongType), bits) }),
     "minhash_signature" -> (es => { arity(es, "minhash_signature", 1, 3)
       es.length match {
         case 1 => MinHashSignature(es(0), 64, 42L)

@@ -31,6 +31,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("substringDupProfile: cross-doc + within-doc spans, merged coverage") {
+    val docs = Seq(
+      (1L, "p q r s t u v w"),                    // shared 8-run with doc 2
+      (2L, "z1 z2 p q r s t u v w z3"),           // ... embedded mid-doc
+      (3L, "c1 c2 c3 c4 c5"),                     // unique: zero coverage
+      (4L, "d1 d2 d3"),                           // shorter than k: no window
+      (5L, "r1 r2 r3 r4 x r1 r2 r3 r4")           // within-doc repeat
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupProfile(docs, "doc_id", col("text"), k = 4)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      // overlapping windows of one duplicated run merge into ONE span
+      // covering all 8 tokens, not 5 windows x 4 tokens
+      (1L, 8L, 8L, 1L, 1000000L),
+      (2L, 11L, 8L, 1L, 8L * 1000000L / 11L),
+      (3L, 5L, 0L, 0L, 0L),
+      (4L, 3L, 0L, 0L, 0L),
+      // "r1 r2 r3 r4" occurs at pos 0 and 5: two disjoint 4-token spans
+      (5L, 9L, 8L, 2L, 8L * 1000000L / 9L)))
+  }
+
   test("minhash-LSH near-dups equal brute-force exact Jaccard at sf0.001") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val sh = TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3)

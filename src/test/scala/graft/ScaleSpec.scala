@@ -103,12 +103,20 @@ class ScaleSpec extends AnyFunSuite {
           max(col("l_suppkey")).cast("long").as("hi"))
       (stats.count(), stats.filter(col("lo") <= v && col("hi") >= v).count())
     }
+    // Hilbert layout: same normalization, same skipping property (plus the
+    // unit-step locality SketchSpec proves on the exhaustive grid)
+    li.withColumn("hkey",
+        LayoutFunctions.hilbertKey(col("l_partkey"), col("l_suppkey") * 16))
+      .repartitionByRange(8, col("hkey")).sortWithinPartitions("hkey")
+      .drop("hkey").write.mode("overwrite").parquet(s"$dir/hilbert")
     val (zTotal, zNeeded) = filesNeeded(s"$dir/zorder", 5L)
+    val (hTotal, hNeeded) = filesNeeded(s"$dir/hilbert", 5L)
     val (sTotal, sNeeded) = filesNeeded(s"$dir/single", 5L)
     // the partkey-sorted layout smears every suppkey across every file; the
     // z-ordered layout confines each suppkey band to a subset of files
     assert(sNeeded == sTotal, s"single-dim control: expected no skipping, $sNeeded/$sTotal")
     assert(zNeeded < zTotal, s"zorder: expected some file skipped, $zNeeded/$zTotal")
+    assert(hNeeded < hTotal, s"hilbert: expected some file skipped, $hNeeded/$hTotal")
   }
 
   test("date-partitioned layout prunes partitions at planning time") {

@@ -301,6 +301,46 @@ class SketchSpec extends AnyFunSuite {
       ZOrderUtil.interleave(3L, 5L, 16))
   }
 
+  test("hilbert key: bijective + unit-step curve, codegen == interpreted") {
+    import graft.functions.{HilbertUtil, LayoutFunctions}
+    // exhaustive 16x16 grid at bits=4: a valid Hilbert index visits every
+    // cell exactly once and consecutive indices are Manhattan-adjacent —
+    // the locality property Z-order lacks (its power-of-two boundary
+    // jumps are exactly what Hilbert layout removes)
+    val byD = (for { x <- 0 until 16; y <- 0 until 16 }
+      yield HilbertUtil.xy2d(x.toLong, y.toLong, 4) -> (x, y)).toMap
+    assert(byD.size == 256, "xy2d must be a bijection on the grid")
+    assert((1 until 256).forall { d =>
+      val (x0, y0) = byD(d - 1L); val (x1, y1) = byD(d.toLong)
+      math.abs(x0 - x1) + math.abs(y0 - y1) == 1
+    }, "consecutive Hilbert indices must be adjacent cells")
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L),
+      (65535L, 65535L), (65536L, 1L), (123L, 45678L))
+    val df = pairs.toDF("a", "b")
+    def run(): Seq[Long] =
+      df.select(LayoutFunctions.hilbertKey(col("a"), col("b")).as("h"))
+        .as[Long].collect().toSeq
+    val gen = run()
+    val interp = {
+      val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try run()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", ws)
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    assert(gen == interp)
+    assert(gen == pairs.map { case (a, b) => HilbertUtil.xy2d(a, b, 16) })
+    assert(HilbertUtil.xy2d(0L, 0L, 16) == 0L, "origin starts the curve")
+    assert(HilbertUtil.xy2d(65536L, 1L, 16) == HilbertUtil.xy2d(0L, 1L, 16),
+      "high bits masked, not reflected negative")
+    graft.plans.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT hilbert_key(3, 5)").head().getLong(0) ==
+      HilbertUtil.xy2d(3L, 5L, 16))
+  }
+
   test("cdc chunks: spans partition the text, codegen == interpreted, edges") {
     import graft.functions.ChunkFunctions
     def run(): Seq[(Long, Seq[(Int, Int, Long)])] =
