@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ShingleFunctions, TextFunctions}
-import graft.operators.{AsOfJoin, Bpe, CorpusFilters, Dedup, Graph, RangeJoin, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, CorpusFilters, Dedup, Graph, RangeJoin, Sampling, Similarity, Sketches, Stats, TextAnalysis}
 import graft.sources.Multimodal
 
 /** North-star extension operators (dedup, similarity search, text analysis,
@@ -1704,6 +1704,78 @@ object ExtensionQueries {
             Multimodal.synthesizeImages(s, Tables.documents(s, d))),
           maxHamming = 3)
         .orderBy("a", "b")
+    }),
+
+    // ---- Feature engineering: leave-one-out target encoding -------------
+    // category = order priority, label = order finalized; exact rational
+    // ppm so the encoded feature is reproducible across engines and runs.
+    "q_target_encoding" -> ((s, d) => {
+      Stats.targetEncode(Tables.orders(s, d), col("o_orderkey"),
+          col("o_orderpriority"), (col("o_orderstatus") === "F").cast("int"),
+          smoothing = 10L)
+        .withColumnRenamed("key", "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- Experimentation: two-proportion z-test per event type ----------
+    // variant = user parity, conversion = deterministic k % 3 rule; the z
+    // statistic is one fixed-order double expression (IEEE sqrt is exact),
+    // reported in floored micros.
+    "q_ab_test" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Stats.abTestZ(ev, col("event_type"), pmod(col("user_id"), lit(2L)),
+          (get_json_object(col("props"), "$.k").cast("long") % 3 === 0)
+            .cast("long"))
+        .withColumnRenamed("group", "event_type")
+        .orderBy("event_type")
+    }),
+
+    // ---- Graph: community quality (modularity + conductance) ------------
+    // Label-prop communities over the q_triangles co-occurrence graph (the
+    // dense event-transition graph collapses to ONE community — useless);
+    // modularity contribution ×4m² and conductance ppm are exact integers
+    // (see Graph.communityMetrics). 332 communities at sf0.01.
+    "q_modularity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val und = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("a"), col("b"))
+      Graph.communityMetrics(und, Graph.labelPropagation(und, rounds = 4))
+        .orderBy("label")
+    }),
+
+    // ---- Feature engineering: hashing-trick text vectors -----------------
+    // 64 buckets over whitespace tokens; sparse (doc, bucket, value)
+    // triplets with md5-derived bucket and sign.
+    "q_feature_hash" -> ((s, d) => {
+      TextAnalysis.featureHash(Tables.documents(s, d), col("doc_id"),
+          TextFunctions.tokens(col("text")), numBuckets = 64)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "bucket")
+    }),
+
+    // ---- Training batches: power-of-two length-bucket padding report -----
+    "q_length_buckets" -> ((s, d) => {
+      Sampling.lengthBuckets(
+          Tables.documents(s, d)
+            .withColumn("nt", size(split(col("text"), " "))),
+          col("source"), col("nt"))
+        .orderBy("stratum", "bucket_tokens")
+    }),
+
+    // ---- Curation: DPO/RLHF preference-pair construction -----------------
+    // prompt group = user, candidates = the user's events scored by value;
+    // chosen/rejected by floored-micros ordering with id tie-breaks, pairs
+    // below a 0.01 score gap dropped.
+    "q_pref_pairs" -> ((s, d) => {
+      Sampling.preferencePairs(Tables.events(s, d), col("user_id"),
+          col("event_id"), col("value"), minGapMicros = 10000L)
+        .withColumnRenamed("group", "user_id")
+        .orderBy("user_id")
     }))
 
   /** Shared vocabulary of text_maxmatch and its oracle/spec. */
@@ -2220,6 +2292,79 @@ object ExtensionQueries {
        |SELECT v AS node, count(*) AS degree FROM (
        |  SELECT a AS v FROM und$rounds UNION ALL SELECT b FROM und$rounds)
        |GROUP BY 1 HAVING count(*) >= $k ORDER BY node""".stripMargin
+  }
+
+  /** Community-metrics oracle: label propagation (q_label_prop's CTE
+    * unrolling) over the q_triangles co-occurrence graph, then
+    * per-community internal/cut/volume counts and the integer modularity
+    * and conductance columns of
+    * [[graft.operators.Graph.communityMetrics]]. Sums are CAST to BIGINT
+    * (HUGEINT → pandas float64, the r04 lesson).
+    */
+  private def communityMetricsOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      val prev = s"lb${k - 1}"
+      s"""cnt$k AS (
+         |  SELECT e.src AS node, l.lbl, count(*) AS c
+         |  FROM e JOIN $prev l ON l.node = e.dst GROUP BY 1, 2),
+         |arg$k AS (
+         |  SELECT node, lbl AS newlbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, lbl) AS rn FROM cnt$k)
+         |  WHERE rn = 1),
+         |lb$k AS MATERIALIZED (
+         |  SELECT n.node, coalesce(a.newlbl, n.lbl) AS lbl
+         |  FROM $prev n LEFT JOIN arg$k a USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH co AS (
+       |  SELECT x.l_partkey AS s, y.l_partkey AS t, count(*) AS w
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2),
+       |und AS MATERIALIZED (SELECT s AS a, t AS b FROM co WHERE w >= 2),
+       |e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION
+       |  SELECT b, a FROM und),
+       |lb0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |$roundCtes,
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |lab AS MATERIALIZED (SELECT node, lbl AS label FROM lb$rounds),
+       |led AS MATERIALIZED (
+       |  SELECT u.a, u.b, la.label AS la, lb.label AS lbc
+       |  FROM und u
+       |  JOIN lab la ON la.node = u.a
+       |  JOIN lab lb ON lb.node = u.b),
+       |internal AS (
+       |  SELECT la AS label, CAST(count(*) AS BIGINT) AS internal_edges
+       |  FROM led WHERE la = lbc GROUP BY 1),
+       |cut AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS cut_edges FROM (
+       |    SELECT la AS label FROM led WHERE la <> lbc
+       |    UNION ALL SELECT lbc FROM led WHERE la <> lbc)
+       |  GROUP BY 1),
+       |deg AS (
+       |  SELECT v AS node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY 1),
+       |vol AS (
+       |  SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d.deg) AS BIGINT) AS volume
+       |  FROM lab l JOIN deg d USING (node) GROUP BY 1)
+       |SELECT v.label, v.n_nodes,
+       |  coalesce(i.internal_edges, 0) AS internal_edges,
+       |  coalesce(c.cut_edges, 0) AS cut_edges, v.volume,
+       |  CAST(4 * m.m * coalesce(i.internal_edges, 0)
+       |    - v.volume * v.volume AS BIGINT) AS modularity_num,
+       |  CASE WHEN least(v.volume, 2 * m.m - v.volume) = 0 THEN NULL
+       |       ELSE CAST(1000000 * coalesce(c.cut_edges, 0) //
+       |         least(v.volume, 2 * m.m - v.volume) AS BIGINT)
+       |  END AS conductance_ppm
+       |FROM vol v
+       |LEFT JOIN internal i USING (label)
+       |LEFT JOIN cut c USING (label)
+       |CROSS JOIN m
+       |ORDER BY label""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -4411,7 +4556,118 @@ object ExtensionQueries {
          |FROM hs x JOIN hs y ON x.media_id < y.media_id
          |WHERE bit_count(xor(x.h_hi, y.h_hi)) +
          |      bit_count(xor(x.h_lo, y.h_lo)) <= 3
-         |ORDER BY a, b""".stripMargin)
+         |ORDER BY a, b""".stripMargin,
+
+    "q_target_encoding" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderpriority AS category,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |c AS (SELECT category, CAST(sum(y) AS BIGINT) AS s_c,
+        |        CAST(count(*) AS BIGINT) AS n_c
+        |      FROM r GROUP BY 1),
+        |g AS (SELECT CAST(sum(y) AS BIGINT) AS s,
+        |        CAST(count(*) AS BIGINT) AS n FROM r)
+        |SELECT r.o_orderkey, r.category, CAST(r.y AS BIGINT) AS y,
+        |  CAST((1000000 * (g.n * (c.s_c - r.y) + 10 * g.s)) //
+        |    (g.n * (c.n_c - 1 + 10)) AS BIGINT) AS enc_ppm
+        |FROM r JOIN c USING (category) CROSS JOIN g
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the z expression is character-identical to Stats.abTestZ's — one
+    // fixed-order double tree, so the floored micros agree bit-for-bit
+    "q_ab_test" ->
+      """WITH r AS (
+        |  SELECT event_type, user_id % 2 AS v,
+        |    CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |      % 3 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN v <> 0 THEN y ELSE 0 END) AS BIGINT) AS c2
+        |  FROM r GROUP BY 1),
+        |z AS (
+        |  SELECT event_type, n1, c1, n2, c2,
+        |    CASE WHEN n1 = 0 OR n2 = 0
+        |        OR c1 + c2 = 0 OR c1 + c2 = n1 + n2 THEN NULL
+        |    ELSE CAST(floor(1000000.0 *
+        |      ((CAST(c1 * n2 - c2 * n1 AS DOUBLE) /
+        |        (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) /
+        |       sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
+        |         (1.0 - CAST(c1 + c2 AS DOUBLE) /
+        |           CAST(n1 + n2 AS DOUBLE)) *
+        |         (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))))
+        |      AS BIGINT) END AS z_micros
+        |  FROM a)
+        |SELECT event_type, n1, c1, n2, c2, z_micros,
+        |  CASE WHEN z_micros IS NULL THEN NULL
+        |       ELSE abs(z_micros) >= 1960000 END AS significant
+        |FROM z ORDER BY event_type""".stripMargin,
+
+    "q_modularity" -> communityMetricsOracle(4),
+
+    "q_feature_hash" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket,
+        |    CASE WHEN ('0x' || substr(md5(tok), 16, 1))::BIGINT % 2 = 0
+        |         THEN 1 ELSE -1 END AS sign
+        |  FROM t)
+        |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS value
+        |FROM h GROUP BY 1, 2 HAVING sum(sign) <> 0
+        |ORDER BY doc_id, bucket""".stripMargin,
+
+    "q_length_buckets" ->
+      """WITH t AS (
+        |  SELECT source AS stratum,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |b AS (
+        |  SELECT stratum,
+        |    CASE WHEN nt <= 1 THEN 1::BIGINT
+        |         ELSE 1::BIGINT << length(bin(nt - 1)) END AS bucket_tokens,
+        |    nt
+        |  FROM t),
+        |a AS (
+        |  SELECT stratum, bucket_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_seqs,
+        |    CAST(sum(nt) AS BIGINT) AS sum_tokens
+        |  FROM b GROUP BY 1, 2)
+        |SELECT stratum, bucket_tokens, n_seqs, sum_tokens,
+        |  n_seqs * bucket_tokens AS padded_tokens,
+        |  CAST(1000000 * (n_seqs * bucket_tokens - sum_tokens) //
+        |    (n_seqs * bucket_tokens) AS BIGINT) AS waste_ppm
+        |FROM a ORDER BY stratum, bucket_tokens""".stripMargin,
+
+    "q_pref_pairs" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id AS id,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS micros
+        |  FROM events),
+        |k AS (
+        |  SELECT user_id, id, micros,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+        |      AS n_candidates,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY micros DESC, id ASC) AS rtop,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY micros ASC, id ASC) AS rbot
+        |  FROM r)
+        |SELECT c.user_id, c.n_candidates,
+        |  c.id AS chosen_id, b.id AS rejected_id,
+        |  c.micros AS chosen_micros, b.micros AS rejected_micros,
+        |  c.micros - b.micros AS gap_micros
+        |FROM (SELECT * FROM k WHERE rtop = 1) c
+        |JOIN (SELECT * FROM k WHERE rbot = 1) b USING (user_id)
+        |WHERE c.n_candidates >= 2
+        |  AND c.micros - b.micros >= 10000
+        |ORDER BY user_id""".stripMargin)
 
   /** Shared pixel-exact dHash replay for the mm_phash oracles: rebuilds
     * each image's 9×8 resized gray grid straight from the generation

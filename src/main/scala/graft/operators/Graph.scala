@@ -486,4 +486,68 @@ object Graph {
         sum(expr(s"${Scale}L DIV deg")).as("ra_score"))
     scored.join(und, Seq("a", "b"), "left_anti")
   }
+
+  /** Community quality metrics — per-community size, internal-edge count,
+    * cut size, volume, Newman modularity contribution and conductance for
+    * a node→community assignment (e.g. [[labelPropagation]] output).
+    *
+    * All metrics are EXACT INTEGERS so external SQL replays them:
+    *  - modularity contribution ×4m² (m = |undirected edges|): the paper's
+    *    `e_c/m − (d_c/2m)²` scaled by 4m² is `4m·e_c − d_c²` — integer;
+    *    Q·4m² = Σ_c of this column, so ranking and sums are exact;
+    *  - conductance in ppm: `10⁶·cut_c DIV min(vol_c, 2m − vol_c)` (NULL
+    *    when one side has zero volume — single-community graphs).
+    *
+    * Plan shape: two equi-joins of the edge list against the (node, label)
+    * frame (labels are one row per node — broadcast when the node set is
+    * small, hash-partitioned otherwise; Spark's stats pick), then one hash
+    * aggregation on the community label. Degree/volume comes from the same
+    * doubled adjacency as [[linkPrediction]]. No windows, no cross joins —
+    * the whole thing is the canonical join+agg shape that scales linearly
+    * in |E|.
+    *
+    * `edges`: undirected edge list `(a, b)` with a < b, deduplicated.
+    * `labels`: `(node, label)` assignment covering every endpoint.
+    * Output: `(label, n_nodes, internal_edges, cut_edges, volume,
+    * modularity_num, conductance_ppm)` — one row per community.
+    */
+  def communityMetrics(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+    val lab = labels.select(col("node"), col("label"))
+    val m1 = und.agg(count(lit(1)).as("m"))
+    // each undirected edge labeled on both ends, exactly once
+    val labeled = und
+      .join(lab.select(col("node").as("a"), col("label").as("la")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+    // internal edges per community
+    val internal = labeled.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("internal_edges"))
+    // cut edges touch a community from either endpoint's side
+    val cut = labeled.filter(col("la") =!= col("lb"))
+      .select(col("la").as("label"))
+      .unionByName(labeled.filter(col("la") =!= col("lb"))
+        .select(col("lb").as("label")))
+      .groupBy(col("label")).agg(count(lit(1)).as("cut_edges"))
+    // volume = Σ deg over members; node count per community
+    val adj = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("node"))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val vol = lab.join(deg, Seq("node"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("volume"))
+    vol
+      .join(internal, Seq("label"), "left")
+      .join(cut, Seq("label"), "left")
+      .na.fill(0L, Seq("internal_edges", "cut_edges"))
+      .crossJoin(broadcast(m1))
+      .select(col("label"), col("n_nodes"), col("internal_edges"),
+        col("cut_edges"), col("volume"),
+        expr("4 * m * internal_edges - volume * volume")
+          .as("modularity_num"),
+        expr("""CASE WHEN least(volume, 2 * m - volume) = 0 THEN NULL
+               |ELSE CAST(1000000 * cut_edges DIV
+               |  least(volume, 2 * m - volume) AS BIGINT) END""".stripMargin)
+          .as("conductance_ppm"))
+  }
 }

@@ -247,4 +247,80 @@ object Sampling {
       .when(bucket < trainPct + valPct, "val")
       .otherwise("test")
   }
+
+  /** Next power of two ≥ n (n ≥ 1 → 1, 2, 4, 8, …) without libm:
+    * `length(bin(n−1))` is ⌈log₂ n⌉ for n ≥ 2 (bin() renders a BIGINT
+    * with no leading zeros in Spark AND DuckDB), and a left shift builds
+    * the bucket — pure integer ops, bit-identical everywhere.
+    */
+  def pow2Ceil(n: Column): Column =
+    when(n <= 1L, 1L)
+      .otherwise(call_function("shiftleft", lit(1L),
+        length(bin(n - 1)).cast("int")))
+
+  /** Padding-efficiency report for length-bucketed training batches: every
+    * sequence pads up to the next power-of-two token count (the standard
+    * bucketed-batching scheme), and the report says — per stratum and
+    * bucket — how many sequences land there and what fraction of the
+    * padded tokens is waste (`10⁶·(padded − real) DIV padded` ppm, exact
+    * integers end-to-end).
+    *
+    * Plan shape: one narrow projection (the bucket is a per-row integer
+    * expression) plus one hash aggregation on (stratum, bucket) — the
+    * grouped key space is tiny (≤ strata × 64 buckets for any length that
+    * fits an int64), so this is a pure map-side-combine pass at 100 TB.
+    *
+    * Output: `(stratum, bucket_tokens, n_seqs, sum_tokens, padded_tokens,
+    * waste_ppm)`.
+    */
+  def lengthBuckets(df: DataFrame, strataCol: Column,
+                    nTokensCol: Column): DataFrame =
+    df.select(strataCol.as("stratum"),
+        nTokensCol.cast("long").as("nt"))
+      .filter(col("nt") >= 1L)
+      .withColumn("bucket_tokens", pow2Ceil(col("nt")))
+      .groupBy(col("stratum"), col("bucket_tokens"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("nt")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("n_seqs") * col("bucket_tokens"))
+      .withColumn("waste_ppm",
+        expr("CAST(1000000 * (padded_tokens - sum_tokens) DIV padded_tokens" +
+          " AS BIGINT)"))
+
+  /** Preference-pair construction for RLHF/DPO-style training: within each
+    * prompt group, pair the highest-scored candidate (chosen) against the
+    * lowest (rejected), with fully deterministic tie-breaks — chosen takes
+    * the SMALLEST id among top scores, rejected the smallest id among
+    * bottom scores — and a minimum score gap filter so near-ties produce
+    * no pair.
+    *
+    * Scores are compared AND reported as `floor(score·10⁶)` longs (floor
+    * is portable; round's tie modes are not) so the selected ids, the gap
+    * filter and the reported columns are all derived from one integer
+    * ordering — engine-exact, and never the "id from one ordering, score
+    * from another" torn row.
+    *
+    * Plan shape: one hash aggregation on the group key — chosen/rejected
+    * are `max/min(struct(...))` (tie fields negated as needed), never a
+    * per-group window — then a row-local filter. One shuffle at any scale.
+    *
+    * Output: `(group, n_candidates, chosen_id, rejected_id, chosen_micros,
+    * rejected_micros, gap_micros)`.
+    */
+  def preferencePairs(df: DataFrame, groupCol: Column, idCol: Column,
+                      scoreCol: Column, minGapMicros: Long = 1L): DataFrame = {
+    require(minGapMicros >= 1, s"minGapMicros=$minGapMicros must be >= 1")
+    val rows = df.select(groupCol.as("group"), idCol.as("id"),
+      floor(scoreCol.cast("double") * 1000000.0).cast("long").as("micros"))
+    rows.groupBy(col("group"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(struct(col("micros"), (-col("id")).as("nid"))).as("top"),
+        min(struct(col("micros"), col("id"))).as("bot"))
+      .select(col("group"), col("n_candidates"),
+        (-col("top.nid")).as("chosen_id"), col("bot.id").as("rejected_id"),
+        col("top.micros").as("chosen_micros"),
+        col("bot.micros").as("rejected_micros"),
+        (col("top.micros") - col("bot.micros")).as("gap_micros"))
+      .filter(col("n_candidates") >= 2L &&
+        col("gap_micros") >= minGapMicros)
+  }
 }

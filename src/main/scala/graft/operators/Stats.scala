@@ -404,4 +404,87 @@ object Stats {
       .filter(col("__rk") === expr("(__n + 1) DIV 2"))
       .select(col(xCol))
   }
+
+  /** Leave-one-out target encoding with additive smoothing — the standard
+    * categorical feature for gradient-boosted / linear models, computed in
+    * EXACT RATIONAL ppm so any engine reproduces it bit-for-bit:
+    *
+    *   enc_i = (S_c − y_i + m·S/N) / (n_c − 1 + m)
+    *
+    * (S_c, n_c = per-category label sum/count excluding nothing yet; y_i
+    * the row's own 0/1 label — subtracted so the feature never leaks the
+    * row's own target; prior = global rate S/N; smoothing weight m).
+    * Clearing denominators by N gives the integer form
+    * `10⁶·(N·(S_c − y_i) + m·S) DIV (N·(n_c − 1 + m))` — exact for any
+    * corpus ≤ ~10¹² rows in DECIMAL(38,0).
+    *
+    * Plan shape: one hash aggregation over the (low-cardinality) category
+    * key, a 1-row global aggregate, and a broadcast join back onto the
+    * fact rows — the map side never shuffles the corpus, so the operator
+    * is a single small-agg pass at 100 TB.
+    *
+    * Output: input key/category/label plus `enc_ppm`.
+    */
+  def targetEncode(df: DataFrame, keyCol: Column, catCol: Column,
+                   labelCol: Column, smoothing: Long = 10L): DataFrame = {
+    require(smoothing >= 1, s"smoothing=$smoothing must be >= 1")
+    val rows = df.select(keyCol.as("key"), catCol.as("category"),
+      labelCol.cast("long").as("y"))
+    val perCat = rows.groupBy(col("category"))
+      .agg(sum(col("y")).as("s_c"), count(lit(1)).as("n_c"))
+    val global = rows.agg(sum(col("y")).as("s"), count(lit(1)).as("n"))
+    rows
+      .join(broadcast(perCat), Seq("category"))
+      .crossJoin(broadcast(global))
+      .select(col("key"), col("category"), col("y"),
+        expr(s"""CAST((CAST(1000000 AS DECIMAL(38,0)) *
+                |  (n * (s_c - y) + $smoothing * s)) DIV
+                |  (n * (n_c - 1 + $smoothing)) AS BIGINT)""".stripMargin)
+          .as("enc_ppm"))
+  }
+
+  /** Two-proportion z-test per experiment group — A/B testing over an
+    * event log. The z statistic is a SINGLE fixed-order double expression
+    * per group (the text_bm25 determinism rule: +, ×, /, IEEE sqrt are
+    * exact; only accumulation ORDER is not — and all sums here are
+    * integer counts):
+    *
+    *   z = ((c1·n2 − c2·n1) / (n1·n2)) / sqrt(p̂(1−p̂)(1/n1 + 1/n2)),
+    *   p̂ = (c1+c2)/(n1+n2)
+    *
+    * reported as `z_micros = floor(z·10⁶)` plus the raw integer counts
+    * (so any downstream recompute can re-derive significance at other
+    * thresholds without re-scanning the log).
+    *
+    * Plan shape: one conditional hash aggregation over the group key —
+    * variant splits become count-if columns, not separate scans. NULL z
+    * for degenerate groups (an empty variant or p̂ ∈ {0, 1}).
+    *
+    * Output: `(group, n1, c1, n2, c2, z_micros, significant)` with
+    * `significant = |z| ≥ 1.96` at the conventional 5% two-sided level.
+    */
+  def abTestZ(df: DataFrame, groupCol: Column, variantCol: Column,
+              convertedCol: Column): DataFrame = {
+    val rows = df.select(groupCol.as("group"),
+      variantCol.cast("int").as("v"), convertedCol.cast("long").as("y"))
+    rows.groupBy(col("group"))
+      .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("v") === 0, col("y")).otherwise(0L)).as("c1"),
+        sum(when(col("v") =!= 0, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("v") =!= 0, col("y")).otherwise(0L)).as("c2"))
+      .select(col("group"), col("n1"), col("c1"), col("n2"), col("c2"),
+        expr("""CASE WHEN n1 = 0 OR n2 = 0
+               |  OR c1 + c2 = 0 OR c1 + c2 = n1 + n2 THEN NULL
+               |ELSE CAST(floor(1000000.0 *
+               |  ((CAST(c1 * n2 - c2 * n1 AS DOUBLE) /
+               |    (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) /
+               |   sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
+               |     (1.0 - CAST(c1 + c2 AS DOUBLE) /
+               |       CAST(n1 + n2 AS DOUBLE)) *
+               |     (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))))
+               |  AS BIGINT) END""".stripMargin).as("z_micros"))
+      .withColumn("significant",
+        when(col("z_micros").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(col("z_micros")) >= 1960000L))
+  }
 }

@@ -799,4 +799,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Hashing-trick feature vectors (Weinberger et al. 2009): every token
+    * maps to `bucket = h(token) mod D` with a ±1 sign from an independent
+    * hash bit, and the document's feature value at a bucket is the signed
+    * token count — the fixed-width, vocabulary-free text representation
+    * linear models train on at corpus scale.
+    *
+    * Both hashes come from one md5 per DISTINCT token: bits 1–15 (hex)
+    * give the bucket, hex digit 16 the sign — SQL-replicable
+    * (`('0x' || substr(md5(t), 1, 15))::BIGINT`, the [[Sampling.md5Bucket]]
+    * convention), so the exact vectors replay in any engine.
+    *
+    * Plan shape: explode → ONE hash aggregation on (id, bucket). The md5
+    * is computed per token occurrence but costs less than a dictionary
+    * join would; no vocabulary state, no broadcast — nothing grows with
+    * corpus size except the data itself. Output rows are the sparse
+    * (id, bucket, value) triplets — empty buckets cost nothing.
+    */
+  def featureHash(df: DataFrame, idCol: Column, tokensCol: Column,
+                  numBuckets: Int): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets=$numBuckets must be >= 2")
+    df.select(idCol.as("id"), explode(tokensCol).as("tok"))
+      .select(col("id"),
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+          % numBuckets).as("bucket"),
+        when(conv(substring(md5(col("tok")), 16, 1), 16, 10)
+          .cast("long") % 2 === 0L, 1L).otherwise(-1L).as("sign"))
+      .groupBy(col("id"), col("bucket"))
+      .agg(sum(col("sign")).as("value"))
+      .filter(col("value") =!= 0L)
+  }
 }

@@ -331,4 +331,39 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().sorted.toSeq
     assert(rep == r2)
   }
+
+  test("communityMetrics: two bridged triangles, hand-checked integers") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4; m = 7
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val lab = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 20L)).toDF("node", "label")
+    val out = Graph.communityMetrics(und, lab).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (c <- Seq(10L, 20L)) {
+      val r = out(c)
+      assert(r.getLong(1) == 3L)                  // n_nodes
+      assert(r.getLong(2) == 3L)                  // internal
+      assert(r.getLong(3) == 1L)                  // cut: the bridge
+      assert(r.getLong(4) == 7L)                  // volume 2+2+3
+      assert(r.getLong(5) == 4 * 7 * 3 - 49L)     // 35
+      assert(r.getLong(6) == 1000000L / 7L)       // 142857
+    }
+    // modularity of the partition: Q·4m² = Σ = 70 -> Q = 70/196 ≈ 0.357
+    assert(out.values.map(_.getLong(5)).sum == 70L)
+    val rep = Graph.communityMetrics(und.repartition(5), lab.repartition(3))
+      .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(rep == out.map { case (k, r) => k -> r.getLong(6) })
+  }
+
+  test("communityMetrics: single community has zero cut and NULL conductance") {
+    val und = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "label")
+    val r = Graph.communityMetrics(und, lab).collect().head
+    assert(r.getLong(3) == 0L)  // no cut edges
+    assert(r.getLong(4) == 4L)  // volume = 2m
+    assert(r.isNullAt(6))       // conductance undefined: other side empty
+    // modularity_num = 4*2*2 - 16 = 0 — a single community scores zero
+    assert(r.getLong(5) == 0L)
+  }
 }

@@ -407,4 +407,54 @@ class StatsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(rep == got)
   }
+
+  test("targetEncode: leave-one-out rational ppm, hand-checked") {
+    // cat a: y = [1,0,1] (s_c=2, n_c=3); cat b: y = [0] (s_c=0, n_c=1)
+    // global S=2 N=4, m=10:
+    //  (a,y=1): 1e6*(4*(2-1)+10*2)/(4*(3-1+10)) = 1e6*24/48 = 500000
+    //  (a,y=0): 1e6*(4*2+20)/48 = 1e6*28/48 = 583333 (floor)
+    //  (b,y=0): 1e6*(0+20)/(4*10) = 500000
+    val df = Seq((1L, "a", 1), (2L, "a", 0), (3L, "a", 1), (4L, "b", 0))
+      .toDF("k", "c", "y")
+    val out = Stats.targetEncode(df, col("k"), col("c"), col("y"),
+        smoothing = 10L)
+      .select("key", "enc_ppm").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 500000L && out(3L) == 500000L)
+    assert(out(2L) == 583333L)
+    assert(out(4L) == 500000L)
+    // leave-one-out: row 2's own label is excluded, so its encoding is
+    // HIGHER than the same-category positive rows' (which exclude a 1)
+    assert(out(2L) > out(1L))
+    val rep = Stats.targetEncode(df.repartition(7), col("k"), col("c"),
+        col("y"), smoothing = 10L)
+      .select("key", "enc_ppm").as[(Long, Long)].collect().toMap
+    assert(rep == out)
+  }
+
+  test("abTestZ: hand-computed z in micros; degenerate groups are NULL") {
+    // group g: v0 100 trials / 60 conv, v1 100 / 50
+    val rows =
+      (1 to 100).map(i => ("g", 0, if (i <= 60) 1L else 0L)) ++
+      (1 to 100).map(i => ("g", 1, if (i <= 50) 1L else 0L)) ++
+      // group all1: every trial converts -> p=1 -> NULL z
+      Seq(("all1", 0, 1L), ("all1", 1, 1L)) ++
+      // group onearm: variant 1 empty -> NULL z
+      Seq(("onearm", 0, 1L), ("onearm", 0, 0L))
+    val df = rows.toDF("g", "v", "y")
+    val out = Stats.abTestZ(df, col("g"), col("v"), col("y")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (c1, n1, c2, n2) = (60.0, 100.0, 50.0, 100.0)
+    val z = ((c1 * n2 - c2 * n1) / (n1 * n2)) /
+      math.sqrt(((c1 + c2) / (n1 + n2)) * (1.0 - (c1 + c2) / (n1 + n2)) *
+        (1.0 / n1 + 1.0 / n2))
+    assert(out("g").getLong(5) == math.floor(1000000.0 * z).toLong)
+    assert(!out("g").getBoolean(6)) // |z| ~ 1.42 < 1.96
+    assert(out("all1").isNullAt(5) && out("all1").isNullAt(6))
+    assert(out("onearm").isNullAt(5))
+    // a large effect is significant
+    val big = ((1 to 100).map(i => ("h", 0, if (i <= 90) 1L else 0L)) ++
+      (1 to 100).map(i => ("h", 1, if (i <= 10) 1L else 0L))).toDF("g", "v", "y")
+    val bz = Stats.abTestZ(big, col("g"), col("v"), col("y")).collect().head
+    assert(bz.getBoolean(6) && bz.getLong(5) > 1960000L)
+  }
 }

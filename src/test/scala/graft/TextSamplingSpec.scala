@@ -581,4 +581,93 @@ class TextSamplingSpec extends AnyFunSuite {
       .sortBy(x => (x._1, x._3))
     assert(rep == got)
   }
+
+  /** JVM-side md5 hex, to independently derive featureHash's bucket/sign. */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("featureHash: buckets/signs match an independent JVM md5; counts signed") {
+    def bucketOf(t: String): Long =
+      java.lang.Long.parseLong(md5Hex(t).substring(0, 15), 16) % 64
+    def signOf(t: String): Long =
+      if (java.lang.Long.parseLong(md5Hex(t).substring(15, 16), 16) % 2 == 0)
+        1L else -1L
+    // doc 1: "alpha" x3 and "beta" x2 (avoid a bucket collision by
+    // construction check below)
+    assume(bucketOf("alpha") != bucketOf("beta"))
+    val df = Seq((1L, "alpha alpha alpha beta beta")).toDF("doc_id", "text")
+    val out = TextAnalysis.featureHash(df, col("doc_id"),
+        TextFunctions.tokens(col("text")), numBuckets = 64)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    val expected = Seq(
+      (1L, bucketOf("alpha"), 3L * signOf("alpha")),
+      (1L, bucketOf("beta"), 2L * signOf("beta"))).sortBy(_._2)
+    assert(out == expected)
+  }
+
+  test("featureHash: opposite-sign collisions cancel and vanish from output") {
+    // search a token pair landing in the same bucket with opposite signs —
+    // guaranteed to exist quickly (64 buckets, alternating signs)
+    def bs(t: String): (Long, Long) = {
+      val h = md5Hex(t)
+      (java.lang.Long.parseLong(h.substring(0, 15), 16) % 64,
+        if (java.lang.Long.parseLong(h.substring(15, 16), 16) % 2 == 0) 1L
+        else -1L)
+    }
+    val toks = (0 until 2000).map(i => s"t$i")
+    val byBucket = toks.groupBy(t => bs(t)._1)
+    val pair = byBucket.values.collectFirst {
+      case ts if ts.exists(bs(_)._2 == 1L) && ts.exists(bs(_)._2 == -1L) =>
+        (ts.find(bs(_)._2 == 1L).get, ts.find(bs(_)._2 == -1L).get)
+    }.get
+    val df = Seq((7L, s"${pair._1} ${pair._2}")).toDF("doc_id", "text")
+    val out = TextAnalysis.featureHash(df, col("doc_id"),
+      TextFunctions.tokens(col("text")), numBuckets = 64).collect()
+    assert(out.isEmpty) // +1 and -1 in the same bucket sum to 0 -> dropped
+  }
+
+  test("lengthBuckets: pow2 buckets and exact waste ppm") {
+    // strata s: token counts 1,2,3,4,5,9 -> buckets 1,2,4,4,8,16
+    val df = Seq(1, 2, 3, 4, 5, 9).zipWithIndex
+      .map { case (n, i) => (i.toLong, "s", n.toLong) }
+      .toDF("id", "src", "nt")
+    val out = Sampling.lengthBuckets(df, col("src"), col("nt"))
+      .select("bucket_tokens", "n_seqs", "sum_tokens", "padded_tokens",
+        "waste_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, 1L, 1L, 1L, 0L),            // exact fit
+      (2L, 1L, 2L, 2L, 0L),
+      (4L, 2L, 7L, 8L, 125000L),       // 3+4 into 2×4: 1/8 waste
+      (8L, 1L, 5L, 8L, 375000L),
+      (16L, 1L, 9L, 16L, 437500L)))
+  }
+
+  test("preferencePairs: floored-micros ordering, id tie-breaks, gap filter") {
+    // group 1: scores 0.5, 0.5, 0.1 -> chosen = id 10 (smallest among top
+    // ties), rejected = id 12; gap = 400000
+    // group 2: ties everywhere -> gap 0 -> dropped
+    // group 3: single candidate -> dropped
+    // group 4: negative scores; floor(-1.2345678e6) = -1234568
+    val df = Seq(
+      (1L, 10L, 0.5), (1L, 11L, 0.5), (1L, 12L, 0.1),
+      (2L, 20L, 0.3), (2L, 21L, 0.3),
+      (3L, 30L, 0.9),
+      (4L, 40L, -1.2345678), (4L, 41L, 0.0)).toDF("g", "id", "score")
+    val out = Sampling.preferencePairs(df, col("g"), col("id"), col("score"),
+        minGapMicros = 1L)
+      .select("group", "chosen_id", "rejected_id", "chosen_micros",
+        "rejected_micros", "gap_micros")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, 10L, 12L, 500000L, 100000L, 400000L),
+      (4L, 41L, 40L, 0L, -1234568L, 1234568L)))
+    val rep = Sampling.preferencePairs(df.repartition(5), col("g"), col("id"),
+      col("score"), minGapMicros = 1L)
+      .select("group", "chosen_id", "rejected_id", "chosen_micros",
+        "rejected_micros", "gap_micros")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(rep == out)
+  }
 }
