@@ -1776,6 +1776,44 @@ object ExtensionQueries {
           col("event_id"), col("value"), minGapMicros = 10000L)
         .withColumnRenamed("group", "user_id")
         .orderBy("user_id")
+    }),
+
+    // ---- Evaluation: exact ROC-AUC by Mann-Whitney rank sum --------------
+    // "Does event value predict conversion?" — integer midranks via the
+    // bucketed orderedRank, no global-order window; ties handled exactly.
+    "q_roc_auc" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Stats.rocAuc(ev, col("value"),
+        (get_json_object(col("props"), "$.k").cast("long") % 3 === 0)
+          .cast("long"),
+        col("event_id"))
+    }),
+
+    // ---- Evaluation: classifier reliability (calibration) table ----------
+    // Synthetic calibrated scores: p = (k % 100)/100, label drawn by the
+    // md5-bucket of the event id under p — so a correct implementation
+    // shows per-bin acc ≈ conf and the oracle replays label generation.
+    "q_calibration" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Stats.calibrationReport(
+          ev.select((pmod(k, lit(100L)) * 10000L).as("p_micros"),
+            (Sampling.md5Bucket(col("event_id"), 100) < pmod(k, lit(100L)))
+              .cast("long").as("y")),
+          col("p_micros"), col("y"), bins = 10)
+        .orderBy("bin")
+    }),
+
+    // ---- Robust stats: winsorized per-group aggregate --------------------
+    // Clamp line-item quantities at the exact per-flag [p5, p95] rank
+    // values; bounds via group-stratified orderedRank, never a global
+    // window.
+    "q_winsorize" -> ((s, d) => {
+      Stats.winsorizedStats(Tables.lineitem(s, d), col("l_returnflag"),
+          col("l_quantity"), col("l_orderkey") * 8 + col("l_linenumber"),
+          loPct = 5, hiPct = 95)
+        .withColumnRenamed("group", "l_returnflag")
+        .orderBy("l_returnflag")
     }))
 
   /** Shared vocabulary of text_maxmatch and its oracle/spec. */
@@ -4667,7 +4705,80 @@ object ExtensionQueries {
         |JOIN (SELECT * FROM k WHERE rbot = 1) b USING (user_id)
         |WHERE c.n_candidates >= 2
         |  AND c.micros - b.micros >= 10000
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+
+    "q_roc_auc" ->
+      """WITH r AS (
+        |  SELECT CAST(floor(value * 1000000.0) AS BIGINT) AS s,
+        |    CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |      % 3 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(y) AS BIGINT) AS pos
+        |  FROM r GROUP BY 1),
+        |k AS (
+        |  SELECT s, c, pos,
+        |    CAST(sum(c) OVER (ORDER BY s) AS BIGINT) AS cum
+        |  FROM g),
+        |t AS (
+        |  SELECT CAST(sum(pos * ((cum - c + 1) + cum)) AS BIGINT) AS r2,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(c - pos) AS BIGINT) AS n_neg
+        |  FROM k)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |  ELSE CAST((1000000 * (r2 - n_pos * (n_pos + 1))) //
+        |    (2 * n_pos * n_neg) AS BIGINT) END AS auc_ppm
+        |FROM t""".stripMargin,
+
+    "q_calibration" ->
+      """WITH r AS (
+        |  SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) % 100)
+        |      * 10000 AS p,
+        |    CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+        |        ::BIGINT % 100 <
+        |      CAST(json_extract_string(props, '$.k') AS BIGINT) % 100
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |b AS (
+        |  SELECT least(9, p * 10 // 1000000) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(p) AS BIGINT) AS psum
+        |  FROM r GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  psum // n AS conf_ppm,
+        |  1000000 * n_pos // n AS acc_ppm,
+        |  abs(psum // n - 1000000 * n_pos // n) AS gap_ppm
+        |FROM b ORDER BY bin""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+        |    l_orderkey * 8 + l_linenumber AS uid
+        |  FROM lineitem),
+        |k AS (
+        |  SELECT l_returnflag, v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY v, uid) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM r),
+        |b AS (
+        |  SELECT l_returnflag, min(v) AS lo_val, max(v) AS hi_val
+        |  FROM k
+        |  WHERE rk = greatest(1, (5 * n + 99) // 100)
+        |     OR rk = (95 * n + 99) // 100
+        |  GROUP BY 1)
+        |SELECT r.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  min(b.lo_val) AS lo_val, min(b.hi_val) AS hi_val,
+        |  CAST(sum(CASE WHEN r.v < b.lo_val THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_lo,
+        |  CAST(sum(CASE WHEN r.v > b.hi_val THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_hi,
+        |  CAST(sum(greatest(b.lo_val, least(b.hi_val, r.v))) AS BIGINT)
+        |    AS winsorized_sum
+        |FROM r JOIN b USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** Shared pixel-exact dHash replay for the mm_phash oracles: rebuilds
     * each image's 9×8 resized gray grid straight from the generation

@@ -443,6 +443,125 @@ object Stats {
           .as("enc_ppm"))
   }
 
+  /** Exact ROC-AUC by the Mann-Whitney rank-sum identity, in integer
+    * arithmetic end-to-end: with midranks r̄_i over the pooled scores
+    * (ties share (min+max)/2), AUC = (Σ_pos r̄ − n_p(n_p+1)/2) / (n_p·n_n).
+    * Doubling clears the halves:
+    *
+    *   auc_ppm = 10⁶·(Σ_pos 2·r̄ − n_p(n_p+1)) DIV (2·n_p·n_n)
+    *
+    * and 2·r̄ per tie-group is min_rank + max_rank — exact longs.
+    *
+    * Ranks come from [[Sampling.orderedRank]] (bucketed prefix-sum, never
+    * a global-order window): scores are floored to micros, shifted into
+    * the non-negative key space, ranked, then ONE hash aggregation per
+    * distinct score takes (min, max, Σy) and a 1-row aggregate closes the
+    * identity. Tie groups occupy contiguous rank ranges whatever the
+    * tie-break order, so the midrank sum is tie-break-independent.
+    * DECIMAL(38,0) carries the rank products (N² — overflows int64 past
+    * ~3·10⁹ rows).
+    *
+    * Output: 1 row `(n_pos, n_neg, auc_ppm)`; NULL auc when either class
+    * is empty. Scores must satisfy |floor(score·10⁶)| < 2^41.
+    */
+  def rocAuc(df: DataFrame, scoreCol: Column, labelCol: Column,
+             tieCol: Column): DataFrame = {
+    val rows = df.select(
+      floor(scoreCol.cast("double") * 1000000.0).cast("long").as("s"),
+      labelCol.cast("long").as("y"), tieCol.as("uid"))
+    val keyed = rows.withColumn("__k", col("s") + lit(1L << 41))
+    val ranked = Sampling.orderedRank(keyed, lit(0L), col("__k"), col("uid"),
+      nBuckets = 1024, keyBits = 42, out = "__rk")
+    val perScore = ranked.groupBy(col("s"))
+      .agg(min(col("__rk")).as("mn"), max(col("__rk")).as("mx"),
+        sum(col("y")).as("pos"))
+    perScore.agg(
+        sum(expr("CAST(pos AS DECIMAL(38,0)) * (mn + mx)")).as("r2"),
+        sum(col("pos")).as("n_pos"),
+        sum(expr("mx - mn + 1 - pos")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+               |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) *
+               |  (r2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))) DIV
+               |  (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)
+               |END""".stripMargin).as("auc_ppm"))
+  }
+
+  /** Reliability (calibration) table for a probabilistic classifier:
+    * scores arrive as micros in [0, 10⁶], bucketed into `bins` equi-width
+    * bins; per bin the table reports count, positives, mean confidence
+    * and accuracy in exact ppm, and the absolute calibration gap. The
+    * Expected Calibration Error is `Σ n_b·gap_b / N` — left to the reader
+    * in integers (`n`·`gap_ppm` sums exactly).
+    *
+    * One conditional hash aggregation on the (≤ bins)-row key; every
+    * division is a floored integer DIV on already-aggregated values.
+    *
+    * Output: `(bin, n, n_pos, conf_ppm, acc_ppm, gap_ppm)`.
+    */
+  def calibrationReport(df: DataFrame, probMicrosCol: Column,
+                        labelCol: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins=$bins must be >= 2")
+    df.select(probMicrosCol.cast("long").as("p"),
+        labelCol.cast("long").as("y"))
+      .withColumn("bin",
+        least(lit(bins - 1L), expr(s"p * $bins DIV 1000000")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("p")).as("psum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("psum DIV n").as("conf_ppm"),
+        expr("1000000 * n_pos DIV n").as("acc_ppm"),
+        expr("abs(psum DIV n - 1000000 * n_pos DIV n)").as("gap_ppm"))
+  }
+
+  /** Winsorized (clipped) robust statistics per group: values are clamped
+    * to the group's exact [loPct, hiPct] percentile values (rank
+    * ceil(pct·n_g/100) of the (value, tie) order — the q_group_quantiles
+    * rank convention) and the table reports the clip bounds, how many
+    * rows each side clipped, and the clipped integer sum — the robust
+    * alternative to mean/stddev fences when heavy tails would drag a
+    * plain average.
+    *
+    * Ranks via [[Sampling.orderedRank]] with the group as stratum (no
+    * global window; a hot group spreads over nBuckets sort partitions);
+    * the two boundary rows per group broadcast back onto the data for a
+    * row-local clamp, then one hash aggregation per group.
+    *
+    * Output: `(group, n, lo_val, hi_val, n_clipped_lo, n_clipped_hi,
+    * winsorized_sum)`. Values must be non-negative longs below 2^41
+    * (the orderedRank key-space contract).
+    */
+  def winsorizedStats(df: DataFrame, groupCol: Column, valueCol: Column,
+                      tieCol: Column, loPct: Int = 5,
+                      hiPct: Int = 95): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"invalid percentile bounds [$loPct, $hiPct]")
+    val rows = df.select(groupCol.as("group"),
+      valueCol.cast("long").as("v"), tieCol.as("uid"))
+    val ranked = Sampling.orderedRank(rows, col("group"), col("v"),
+      col("uid"), nBuckets = 1024, keyBits = 42, out = "__rk")
+    val sizes = ranked.groupBy(col("group")).agg(count(lit(1)).as("n"))
+    // ceil(pct·n/100) as (pct·n + 99) DIV 100 — positive operands, where
+    // truncating DIV (Spark) and flooring // (DuckDB) agree; the negated
+    // floor-division ceiling trick would NOT survive Spark's
+    // truncate-toward-zero DIV
+    val bounds = ranked.join(broadcast(sizes), Seq("group"))
+      .filter(col("__rk") ===
+          greatest(lit(1L), expr(s"($loPct * n + 99) DIV 100")) ||
+        col("__rk") === expr(s"($hiPct * n + 99) DIV 100"))
+      .groupBy(col("group"))
+      .agg(min(col("v")).as("lo_val"), max(col("v")).as("hi_val"))
+    rows.join(broadcast(bounds), Seq("group"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo_val")).as("lo_val"), min(col("hi_val")).as("hi_val"),
+        sum((col("v") < col("lo_val")).cast("long")).as("n_clipped_lo"),
+        sum((col("v") > col("hi_val")).cast("long")).as("n_clipped_hi"),
+        sum(greatest(col("lo_val"), least(col("hi_val"), col("v"))))
+          .as("winsorized_sum"))
+  }
+
   /** Two-proportion z-test per experiment group — A/B testing over an
     * event log. The z statistic is a SINGLE fixed-order double expression
     * per group (the text_bm25 determinism rule: +, ×, /, IEEE sqrt are

@@ -457,4 +457,73 @@ class StatsSpec extends AnyFunSuite {
     val bz = Stats.abTestZ(big, col("g"), col("v"), col("y")).collect().head
     assert(bz.getBoolean(6) && bz.getLong(5) > 1960000L)
   }
+
+  test("rocAuc: separation 1.0, tie-heavy 0.5, reversal 0.0, degenerate NULL") {
+    def auc(rows: Seq[(Double, Long)]): org.apache.spark.sql.Row = {
+      val df = rows.zipWithIndex.map { case ((s, y), i) => (s, y, i.toLong) }
+        .toDF("s", "y", "uid")
+      Stats.rocAuc(df, col("s"), col("y"), col("uid")).collect().head
+    }
+    val perfect = auc(Seq((1.0, 0L), (2.0, 0L), (3.0, 1L), (4.0, 1L)))
+    assert(perfect.getLong(2) == 1000000L)
+    // all-tied groups: midranks 1.5/1.5/3.5/3.5 -> AUC exactly 1/2
+    val tied = auc(Seq((1.0, 0L), (1.0, 1L), (2.0, 0L), (2.0, 1L)))
+    assert(tied.getLong(2) == 500000L)
+    val reversed = auc(Seq((1.0, 1L), (2.0, 1L), (3.0, 0L), (4.0, 0L)))
+    assert(reversed.getLong(2) == 0L)
+    val onlyPos = auc(Seq((1.0, 1L), (2.0, 1L)))
+    assert(onlyPos.isNullAt(2))
+    // partition-independent (bucketed rank, no global window)
+    val df = (1 to 500).map(i => ((i % 37).toDouble, (i % 3 == 0).compare(false).toLong, i.toLong))
+      .toDF("s", "y", "uid")
+    val a = Stats.rocAuc(df, col("s"), col("y"), col("uid")).collect().head
+    val b = Stats.rocAuc(df.repartition(13), col("s"), col("y"), col("uid"))
+      .collect().head
+    assert(a.getLong(2) == b.getLong(2))
+  }
+
+  test("calibrationReport: exact per-bin conf/acc/gap and edge binning") {
+    // bin 2: four rows at p=0.25, one positive -> conf 250000, acc 250000
+    // bin 9: p=999999 and p=1000000 both clamp into the last bin
+    val rows = Seq((250000L, 0L), (250000L, 0L), (250000L, 1L),
+      (250000L, 0L), (999999L, 1L), (1000000L, 1L))
+    val out = Stats.calibrationReport(rows.toDF("p", "y"), col("p"), col("y"),
+        bins = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(2L, 9L))
+    val b2 = out(2L)
+    assert(b2.getLong(1) == 4L && b2.getLong(2) == 1L)
+    assert(b2.getLong(3) == 250000L && b2.getLong(4) == 250000L &&
+      b2.getLong(5) == 0L)
+    val b9 = out(9L)
+    assert(b9.getLong(1) == 2L && b9.getLong(2) == 2L)
+    assert(b9.getLong(3) == (999999L + 1000000L) / 2)
+    assert(b9.getLong(4) == 1000000L)
+    assert(b9.getLong(5) == 1000000L - 1999999L / 2)
+  }
+
+  test("winsorizedStats: exact rank bounds, clip counts, clipped sum") {
+    // group a: 1..20 -> lo rank ceil(1)=1 -> 1, hi rank ceil(19)=19 -> 19;
+    // only the 20 clips (to 19): sum = 210 - 20 + 19 = 209
+    val a = (1L to 20L).map(("a", _))
+    // group b: constant -> bounds equal, nothing clips
+    val b = Seq.fill(5)(("b", 7L))
+    val df = (a ++ b).zipWithIndex
+      .map { case ((g, v), i) => (g, v, i.toLong) }.toDF("g", "v", "uid")
+    val out = Stats.winsorizedStats(df, col("g"), col("v"), col("uid"),
+        loPct = 5, hiPct = 95)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ra = out("a")
+    assert(ra.getLong(1) == 20L)
+    assert(ra.getLong(2) == 1L && ra.getLong(3) == 19L)
+    assert(ra.getLong(4) == 0L && ra.getLong(5) == 1L)
+    assert(ra.getLong(6) == 209L)
+    val rb = out("b")
+    assert(rb.getLong(2) == 7L && rb.getLong(3) == 7L)
+    assert(rb.getLong(4) == 0L && rb.getLong(5) == 0L && rb.getLong(6) == 35L)
+    val rep = Stats.winsorizedStats(df.repartition(9), col("g"), col("v"),
+        col("uid"), loPct = 5, hiPct = 95)
+      .collect().map(r => r.getString(0) -> r.getLong(6)).toMap
+    assert(rep == out.map { case (k, r) => k -> r.getLong(6) })
+  }
 }
