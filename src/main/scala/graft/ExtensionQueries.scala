@@ -1814,6 +1814,43 @@ object ExtensionQueries {
           loPct = 5, hiPct = 95)
         .withColumnRenamed("group", "l_returnflag")
         .orderBy("l_returnflag")
+    }),
+
+    // ---- Normalization: per-source quantile normalization ----------------
+    // Map every source's n_chars distribution onto the pooled corpus
+    // distribution — two bucketed rank passes + one rank equi-join.
+    "q_quantile_norm" -> ((s, d) => {
+      Stats.quantileNormalize(Tables.documents(s, d), col("doc_id"),
+          col("source"), col("n_chars"), col("doc_id"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- Embeddings: ±1 random projection (Achlioptas JL) ----------------
+    // 64 -> 8 dims under the seeded md5 sign matrix; integer fixed-point
+    // outputs as flat columns.
+    "q_rand_proj" -> ((s, d) => {
+      Similarity.randomProjection(Tables.embeddings(s, d), col("vec_id"),
+          col("embedding"), dim = 64, outDims = 8, seed = 42L)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
+
+    // ---- Evaluation: kNN confusion matrix with class totals --------------
+    // Same brute-cosine vote pipeline as q_knn_classify over a 50-probe
+    // holdout (vec_id % 10), aggregated to (true, pred) cells with exact
+    // ppm recall/precision on the diagonal.
+    "q_confusion" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val probes = emb.filter(col("vec_id") % 10 === 0)
+      val preds = Similarity.knnClassify(corpus, probes, "vec_id",
+        "embedding", "label", k = 10)
+      Stats.confusionMatrix(
+          preds.join(broadcast(probes.select(col("vec_id").as("query_id"),
+            col("label").as("t"))), Seq("query_id")),
+          col("t"), col("pred_label"))
+        .orderBy("true_label", "pred_label")
     }))
 
   /** Shared vocabulary of text_maxmatch and its oracle/spec. */
@@ -2403,6 +2440,33 @@ object ExtensionQueries {
        |LEFT JOIN cut c USING (label)
        |CROSS JOIN m
        |ORDER BY label""".stripMargin
+  }
+
+  /** Random-projection oracle: the seeded ±1 sign matrix regenerates from
+    * [[graft.operators.Similarity.projectionSigns]] into a VALUES table,
+    * inputs floor to x·10⁶ exactly as the Spark side, and the per-dim
+    * sums pivot to flat d0..dk columns (integer sums are
+    * order-independent — no fold-order caveat here).
+    */
+  private def randProjOracle(dim: Int, outDims: Int, seed: Long): String = {
+    val signs = graft.operators.Similarity.projectionSigns(dim, outDims, seed)
+    val values = (for (j <- 0 until outDims; i <- 0 until dim)
+      yield s"($i,$j,${signs(j)(i)})").mkString(", ")
+    val pivot = (0 until outDims)
+      .map(j => s"CAST(max(CASE WHEN j = $j THEN pj END) AS BIGINT) AS d$j")
+      .mkString(",\n  ")
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+       |    CAST(floor(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE)
+       |      * 1000000.0) AS BIGINT) AS xi
+       |  FROM embeddings, unnest(range(0, $dim)) AS t(i)),
+       |signs(i, j, s) AS (VALUES $values),
+       |p AS (
+       |  SELECT vec_id, j, CAST(sum(s * xi) AS BIGINT) AS pj
+       |  FROM ex JOIN signs USING (i) GROUP BY 1, 2)
+       |SELECT vec_id,
+       |  $pivot
+       |FROM p GROUP BY 1 ORDER BY vec_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -4778,7 +4842,76 @@ object ExtensionQueries {
         |  CAST(sum(greatest(b.lo_val, least(b.hi_val, r.v))) AS BIGINT)
         |    AS winsorized_sum
         |FROM r JOIN b USING (l_returnflag)
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_quantile_norm" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, v,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY v, doc_id) AS BIGINT) AS rs,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM r),
+        |g AS (
+        |  SELECT v AS v_norm,
+        |    CAST(row_number() OVER (ORDER BY v, doc_id) AS BIGINT) AS gr
+        |  FROM r)
+        |SELECT s.doc_id, s.source, s.v, g.v_norm
+        |FROM s JOIN g ON g.gr = (s.rs * s.n + s.ns - 1) // s.ns
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_rand_proj" -> randProjOracle(64, 8, 42L),
+
+    "q_confusion" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, label AS true_label
+        |      FROM e WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id, v, label FROM e WHERE vec_id % 10 <> 0),
+        |sc AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id, c.label,
+        |    list_dot_product(qv, c.v) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+        |      AS score
+        |  FROM q CROSS JOIN c),
+        |rr AS (
+        |  SELECT query_id, label,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id) AS rnk
+        |  FROM sc),
+        |vv AS (
+        |  SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+        |  FROM rr WHERE rnk <= 10 GROUP BY 1, 2),
+        |p AS (
+        |  SELECT query_id, label AS pred_label FROM (
+        |    SELECT query_id, label, votes,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY votes DESC, label) AS rn
+        |    FROM vv) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT q.true_label, p.pred_label
+        |  FROM q JOIN p USING (query_id)),
+        |cells AS (
+        |  SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs GROUP BY 1, 2),
+        |rt AS (SELECT true_label, CAST(count(*) AS BIGINT) AS n_true
+        |       FROM pairs GROUP BY 1),
+        |ct AS (SELECT pred_label, CAST(count(*) AS BIGINT) AS n_pred
+        |       FROM pairs GROUP BY 1)
+        |SELECT cells.true_label, cells.pred_label, cells.n,
+        |  rt.n_true, ct.n_pred,
+        |  CASE WHEN cells.true_label = cells.pred_label
+        |       THEN 1000000 * cells.n // rt.n_true END AS recall_ppm,
+        |  CASE WHEN cells.true_label = cells.pred_label
+        |       THEN 1000000 * cells.n // ct.n_pred END AS precision_ppm
+        |FROM cells
+        |JOIN rt USING (true_label)
+        |JOIN ct USING (pred_label)
+        |ORDER BY true_label, pred_label""".stripMargin)
 
   /** Shared pixel-exact dHash replay for the mm_phash oracles: rebuilds
     * each image's 9×8 resized gray grid straight from the generation

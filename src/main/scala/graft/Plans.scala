@@ -46,7 +46,11 @@ object Plans {
     "q_grid_quantiles", "q_cdc_apply", "q_seq_patterns",
     "q_power_iteration", "mm_audio_energy", "q_shortest_path",
     "text_maxmatch", "q_group_quantiles", "text_url_canon",
-    "q_twap", "q_seasonal_residual")
+    "q_twap", "q_seasonal_residual",
+    "q_target_encoding", "q_ab_test", "q_modularity", "q_feature_hash",
+    "q_length_buckets", "q_pref_pairs", "q_roc_auc", "q_calibration",
+    "q_winsorize", "q_hilbert", "dedup_substring",
+    "q_quantile_norm", "q_rand_proj", "q_confusion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")

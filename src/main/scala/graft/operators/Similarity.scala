@@ -81,6 +81,57 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Deterministic ±1 projection signs from the md5 convention
+    * (`('0x' || substr(md5('seed|i|j'), 1, 15))::BIGINT % 2`) — the ONE
+    * definition both the Spark literals and the SQL oracle derive from,
+    * so any engine regenerates the identical matrix from (seed, shape).
+    */
+  def projectionSigns(dim: Int, outDims: Int,
+                      seed: Long = 42L): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDims)(j => Array.tabulate(dim) { i =>
+      val hex = md.digest(s"$seed|$i|$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+    })
+  }
+
+  /** Sparse-friendly random projection (the ±1 Achlioptas / JL family,
+    * Achlioptas 2003): k output coordinates, each the SIGNED SUM of the
+    * fixed-point input coordinates under a deterministic ±1 matrix —
+    * the cheap dimensionality reduction applied before clustering or
+    * coarse ANN when the full embedding width is wasteful.
+    *
+    * Exactness: inputs floor to `x·10⁶` longs (float×10⁶ is exact in a
+    * double; floor is portable), signs come from [[projectionSigns]], and
+    * each output is an order-FIXED fold over `dim` terms (zip_with +
+    * aggregate, left-to-right) — integers only, bit-identical anywhere.
+    *
+    * Plan shape: one narrow projection, zero shuffles — the sign matrix
+    * lives in the plan as `outDims` small literal arrays (dim ints each;
+    * at dim=1024, k=16 that is 16 KB of plan — nowhere near the
+    * HyperplaneSignatures literal-bloat regime of per-plane DOUBLE
+    * vectors).
+    *
+    * Output: `(id, d0 … d{outDims−1})` — flat BIGINT columns, not an
+    * array (array outputs break pandas-side result comparison, the r04
+    * lesson).
+    */
+  def randomProjection(df: DataFrame, idCol: Column, vecCol: Column,
+                       dim: Int, outDims: Int,
+                       seed: Long = 42L): DataFrame = {
+    require(dim >= 1 && outDims >= 1, s"bad shape dim=$dim out=$outDims")
+    val signs = projectionSigns(dim, outDims, seed)
+    val fixed = transform(slice(vecCol, 1, dim),
+      x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    val projections = signs.zipWithIndex.map { case (row, j) =>
+      val signsLit = array(row.map(s => lit(s.toLong)): _*)
+      aggregate(zip_with(fixed, signsLit, (x, sg) => x * sg),
+        lit(0L), (acc, t) => acc + t).as(s"d$j")
+    }
+    df.select(idCol.as("id") +: projections: _*)
+  }
+
   /** Sign-bit signature of a vector column against the given hyperplanes,
     * packed into a Long — vectors with small angles agree on most bits.
     * At most 64 planes fit one Long; JVM shifts wrap at 64, so more would

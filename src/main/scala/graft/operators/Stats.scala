@@ -562,6 +562,71 @@ object Stats {
           .as("winsorized_sum"))
   }
 
+  /** Quantile normalization across sources: each row's value is replaced
+    * by the GLOBAL value at the equivalent rank position, so every
+    * source's score distribution maps onto the pooled distribution —
+    * the batch-effect correction used when per-annotator / per-shard
+    * score scales drift. Convention: a row at within-source rank r of
+    * n_s maps to the global value at rank ⌈r·N/n_s⌉ (source max → global
+    * max; `(r·N + n_s − 1) DIV n_s` keeps truncating and flooring
+    * engines in agreement on positive operands).
+    *
+    * Both rank passes are [[Sampling.orderedRank]] (bucketed prefix sums,
+    * no global-order window); the mapping is then ONE equi-join on the
+    * target rank — everything hash-partitions at any scale.
+    *
+    * Output: `(id, source, v, v_norm)`. Values must be non-negative longs
+    * below 2^41 (orderedRank key-space contract).
+    */
+  def quantileNormalize(df: DataFrame, idCol: Column, srcCol: Column,
+                        valueCol: Column, tieCol: Column): DataFrame = {
+    val rows = df.select(idCol.as("id"), srcCol.as("source"),
+      valueCol.cast("long").as("v"), tieCol.as("uid"))
+    val perSrc = Sampling.orderedRank(rows, col("source"), col("v"),
+      col("uid"), nBuckets = 1024, keyBits = 42, out = "__rs")
+    val sizes = rows.groupBy(col("source")).agg(count(lit(1)).as("__ns"))
+    val total = rows.agg(count(lit(1)).as("__n"))
+    val globalRanks = Sampling.orderedRank(rows, lit(0L), col("v"),
+        col("uid"), nBuckets = 1024, keyBits = 42, out = "__gr")
+      .select(col("__gr"), col("v").as("v_norm"))
+    perSrc
+      .join(broadcast(sizes), Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("__t", expr("(__rs * __n + __ns - 1) DIV __ns"))
+      .join(globalRanks, col("__t") === col("__gr"))
+      .select(col("id"), col("source"), col("v"), col("v_norm"))
+  }
+
+  /** Confusion matrix with per-cell class totals: one hash aggregation on
+    * the (true, predicted) label pair plus two bounded class-total
+    * aggregates broadcast back. Diagonal cells carry recall/precision in
+    * exact ppm (`10⁶·n DIV class_total`); off-diagonal cells leave them
+    * NULL — the consumer derives macro metrics from the integer columns
+    * without re-scanning predictions.
+    *
+    * Output: `(true_label, pred_label, n, n_true, n_pred, recall_ppm,
+    * precision_ppm)`.
+    */
+  def confusionMatrix(df: DataFrame, trueCol: Column,
+                      predCol: Column): DataFrame = {
+    val rows = df.select(trueCol.as("true_label"), predCol.as("pred_label"))
+    val cells = rows.groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = rows.groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_true"))
+    val colTot = rows.groupBy(col("pred_label"))
+      .agg(count(lit(1)).as("n_pred"))
+    cells
+      .join(broadcast(rowTot), Seq("true_label"))
+      .join(broadcast(colTot), Seq("pred_label"))
+      .select(col("true_label"), col("pred_label"), col("n"),
+        col("n_true"), col("n_pred"),
+        when(col("true_label") === col("pred_label"),
+          expr("1000000 * n DIV n_true")).as("recall_ppm"),
+        when(col("true_label") === col("pred_label"),
+          expr("1000000 * n DIV n_pred")).as("precision_ppm"))
+  }
+
   /** Two-proportion z-test per experiment group — A/B testing over an
     * event log. The z statistic is a SINGLE fixed-order double expression
     * per group (the text_bm25 determinism rule: +, ×, /, IEEE sqrt are

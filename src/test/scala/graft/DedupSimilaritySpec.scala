@@ -546,4 +546,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Long, Int, Long)].collect().toSeq
     assert(rep == gotD)
   }
+
+  test("randomProjection: exact signed integer sums under the seeded matrix") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val vec = Array(1.0f, -2.0f, 0.5f, 3.25f)
+    val df = Seq((1L, vec.toSeq)).toDF("vec_id", "embedding")
+    val signs = Similarity.projectionSigns(dim = 4, outDims = 2, seed = 7L)
+    val expected = signs.map(row =>
+      row.zip(vec).map { case (s, x) =>
+        s * math.floor(x.toDouble * 1000000.0).toLong }.sum)
+    val out = Similarity.randomProjection(df, col("vec_id"), col("embedding"),
+        dim = 4, outDims = 2, seed = 7L)
+      .as[(Long, Long, Long)].collect().head
+    assert(out == ((1L, expected(0), expected(1))))
+    // signs are ±1 and deterministic for a (seed, shape)
+    assert(signs.flatten.forall(s => s == 1 || s == -1))
+    assert(Similarity.projectionSigns(4, 2, 7L).map(_.toSeq).toSeq ==
+      signs.map(_.toSeq).toSeq)
+    // a different seed produces a different matrix (with 8 signs the
+    // collision chance is 1/256 per seed pair; these two differ)
+    assert(Similarity.projectionSigns(4, 2, 8L).map(_.toSeq).toSeq !=
+      signs.map(_.toSeq).toSeq)
+  }
 }

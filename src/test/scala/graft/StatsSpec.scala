@@ -526,4 +526,43 @@ class StatsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(6)).toMap
     assert(rep == out.map { case (k, r) => k -> r.getLong(6) })
   }
+
+  test("quantileNormalize: both sources map onto the pooled distribution") {
+    // a: [10,20,30], b: [100,200,300]; N=6, n_s=3 -> target ranks 2,4,6 ->
+    // pooled values 20,100,300 for BOTH sources (that is the point)
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 100L), (5L, "b", 200L), (6L, "b", 300L))
+      .toDF("id", "src", "v")
+    val out = Stats.quantileNormalize(df, col("id"), col("src"), col("v"),
+        col("id"))
+      .select("id", "v_norm").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 20L, 2L -> 100L, 3L -> 300L,
+      4L -> 20L, 5L -> 100L, 6L -> 300L))
+    // idempotence on a single source: normalizing against itself is the
+    // identity (rank r of n maps to global rank r)
+    val one = df.filter(col("src") === "a")
+    val idm = Stats.quantileNormalize(one, col("id"), col("src"), col("v"),
+        col("id"))
+      .select("v", "v_norm").as[(Long, Long)].collect()
+    assert(idm.forall { case (v, n) => v == n })
+    val rep = Stats.quantileNormalize(df.repartition(7), col("id"),
+        col("src"), col("v"), col("id"))
+      .select("id", "v_norm").as[(Long, Long)].collect().toMap
+    assert(rep == out)
+  }
+
+  test("confusionMatrix: exact cells, class totals, diagonal ppm only") {
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"))
+      .toDF("t", "p")
+    val out = Stats.confusionMatrix(df, col("t"), col("p")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val aa = out(("a", "a"))
+    assert(aa.getLong(2) == 1L && aa.getLong(3) == 2L && aa.getLong(4) == 1L)
+    assert(aa.getLong(5) == 500000L && aa.getLong(6) == 1000000L)
+    val ab = out(("a", "b"))
+    assert(ab.getLong(2) == 1L && ab.isNullAt(5) && ab.isNullAt(6))
+    val bb = out(("b", "b"))
+    assert(bb.getLong(2) == 2L && bb.getLong(3) == 2L && bb.getLong(4) == 3L)
+    assert(bb.getLong(5) == 1000000L && bb.getLong(6) == 666666L)
+  }
 }
