@@ -1836,6 +1836,37 @@ object ExtensionQueries {
         .orderBy("vec_id")
     }),
 
+    // ---- Data quality: Benford first-digit audit over order totals ------
+    // Integer cents before digit extraction (double->string rendering is
+    // engine-specific; integer->string is not); expectations are
+    // compile-time ppm constants.
+    "q_benford" -> ((s, d) => {
+      Stats.benfordReport(Tables.orders(s, d),
+          floor(col("o_totalprice") * lit(100.0)))
+        .orderBy("digit")
+    }),
+
+    // ---- Text: Flesch readability from pure counting ---------------------
+    // Over the deterministic multi-line rebuild (text_c4's linedText), so
+    // sentence segmentation is real; scores are single fixed-order double
+    // expressions over integer counts, floored to milli-units.
+    "q_readability" -> ((s, d) => {
+      TextAnalysis.readability(
+          Tables.documents(s, d).withColumn("text2", linedText), "text2")
+        .select(col("doc_id"), col("n_sentences"), col("n_words"),
+          col("n_syllables"), col("fre_milli"), col("fk_grade_milli"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Embeddings: per-class centroid drift between corpus halves ------
+    // L1 distance between slice centroids per label, exact integers after
+    // clearing denominators; the monitoring primitive for embedding drift.
+    "q_centroid_shift" -> ((s, d) => {
+      Similarity.centroidShift(Tables.embeddings(s, d), col("label"),
+          pmod(col("vec_id"), lit(2L)), col("embedding"), dim = 64)
+        .orderBy("label")
+    }),
+
     // ---- Evaluation: kNN confusion matrix with class totals --------------
     // Same brute-cosine vote pipeline as q_knn_classify over a 50-probe
     // holdout (vec_id % 10), aggregated to (true, pred) cells with exact
@@ -4911,7 +4942,85 @@ object ExtensionQueries {
         |FROM cells
         |JOIN rt USING (true_label)
         |JOIN ct USING (pred_label)
-        |ORDER BY true_label, pred_label""".stripMargin)
+        |ORDER BY true_label, pred_label""".stripMargin,
+
+    "q_benford" -> {
+      val expCase =
+        """CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+          |  WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+          |  WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+          |  WHEN 9 THEN 45757 END""".stripMargin
+      s"""WITH r AS (
+         |  SELECT CAST(floor(o_totalprice * 100.0) AS BIGINT) AS x
+         |  FROM orders),
+         |d AS (
+         |  SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM r WHERE x > 0),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM d),
+         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+         |      FROM d GROUP BY 1)
+         |SELECT digit, n,
+         |  1000000 * n // n_tot AS obs_ppm,
+         |  $expCase AS exp_ppm,
+         |  (1000000 * n // n_tot) - ($expCase) AS dev_ppm
+         |FROM g CROSS JOIN t ORDER BY digit""".stripMargin
+    },
+
+    "q_readability" ->
+      s"""WITH $linedTextSql,
+         |doc AS (
+         |  SELECT doc_id, array_to_string(ls, chr(10)) AS t FROM ld),
+         |w AS (
+         |  SELECT doc_id, t,
+         |    list_filter(string_split_regex(t, '\\s+'), x -> x <> '')
+         |      AS words
+         |  FROM doc),
+         |c AS (
+         |  SELECT doc_id,
+         |    greatest(1, CAST(len(string_split_regex(t, '[.!?]')) - 1
+         |      AS BIGINT)) AS n_sentences,
+         |    CAST(len(words) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(words,
+         |      x -> greatest(1, len(regexp_extract_all(lower(x),
+         |        '[aeiouy]+'))))), 0) AS BIGINT) AS n_syllables
+         |  FROM w)
+         |SELECT doc_id, n_sentences, n_words, n_syllables,
+         |  CASE WHEN n_words = 0 THEN NULL
+         |  ELSE CAST(floor(1000.0 * (206.835
+         |    - 1.015 * (CAST(n_words AS DOUBLE) /
+         |        CAST(n_sentences AS DOUBLE))
+         |    - 84.6 * (CAST(n_syllables AS DOUBLE) /
+         |        CAST(n_words AS DOUBLE)))) AS BIGINT) END AS fre_milli,
+         |  CASE WHEN n_words = 0 THEN NULL
+         |  ELSE CAST(floor(1000.0 * (0.39 * (CAST(n_words AS DOUBLE) /
+         |        CAST(n_sentences AS DOUBLE))
+         |    + 11.8 * (CAST(n_syllables AS DOUBLE) /
+         |        CAST(n_words AS DOUBLE)) - 15.59)) AS BIGINT)
+         |  END AS fk_grade_milli
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_centroid_shift" ->
+      """WITH ex AS (
+        |  SELECT label, vec_id % 2 AS sp, CAST(t.i AS INTEGER) AS d,
+        |    CAST(floor(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE)
+        |      * 1000000.0) AS BIGINT) AS xi
+        |  FROM embeddings, unnest(range(0, 64)) AS t(i)),
+        |pd AS (
+        |  SELECT label, d,
+        |    CAST(sum(CASE WHEN sp = 0 THEN xi ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN sp <> 0 THEN xi ELSE 0 END) AS BIGINT) AS sb,
+        |    CAST(sum(CASE WHEN sp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN sp <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM ex GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT label, max(na) AS n_a, max(nb) AS n_b,
+        |    CAST(sum(abs(sa * nb - sb * na)) AS BIGINT) AS l1_num
+        |  FROM pd GROUP BY 1)
+        |SELECT label, n_a, n_b, l1_num,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |    ELSE CAST((1000 * l1_num) // (n_a * n_b * 64 * 1000000)
+        |      AS BIGINT) END AS shift_milli
+        |FROM ag ORDER BY label""".stripMargin)
 
   /** Shared pixel-exact dHash replay for the mm_phash oracles: rebuilds
     * each image's 9×8 resized gray grid straight from the generation

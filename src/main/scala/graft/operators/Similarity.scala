@@ -96,6 +96,54 @@ object Similarity {
     })
   }
 
+  /** Per-class embedding-centroid drift between two corpus slices — the
+    * monitoring primitive for "did this class's embedding distribution
+    * move between snapshots / data sources?". For each label the L1
+    * distance between the two slices' mean vectors is reported as an
+    * EXACT integer after clearing denominators:
+    *
+    *   l1_num = Σ_d |S_a[d]·n_b − S_b[d]·n_a|,  true L1 = l1_num/(n_a·n_b)
+    *
+    * with S the per-dim sums of floored fixed-point coordinates (float
+    * ×10⁶ exact in a double, floor portable). Sums are order-independent
+    * integers — engine- and partitioning-exact; DECIMAL(38,0) carries the
+    * cross products.
+    *
+    * Plan shape: posexplode → one hash aggregation on (label, dim) with
+    * conditional slice sums → one dims-sized aggregation per label. The
+    * corpus is touched once; aggregate key space is labels × dim.
+    *
+    * Output: `(label, n_a, n_b, l1_num, shift_milli)` where shift_milli
+    * = ⌊1000·l1_num/(n_a·n_b·dim·10⁶)⌋ — the per-dimension mean absolute
+    * shift in milli-units of the original coordinate scale. NULL when a
+    * slice is empty for the label.
+    */
+  def centroidShift(df: DataFrame, labelCol: Column, splitCol: Column,
+                    vecCol: Column, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim=$dim must be >= 1")
+    val fixed = transform(slice(vecCol, 1, dim),
+      x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    val exploded = df.select(labelCol.as("label"),
+        splitCol.cast("int").as("sp"), posexplode(fixed).as(Seq("d", "xi")))
+    val perDim = exploded.groupBy(col("label"), col("d"))
+      .agg(sum(when(col("sp") === 0, col("xi")).otherwise(0L)).as("sa"),
+        sum(when(col("sp") =!= 0, col("xi")).otherwise(0L)).as("sb"),
+        sum(when(col("sp") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("sp") =!= 0, 1L).otherwise(0L)).as("nb"))
+    // na/nb are constant across a label's dims (every row emits all dims);
+    // max() just carries them through the reduce
+    perDim.groupBy(col("label"))
+      .agg(max(col("na")).as("__nad"), max(col("nb")).as("__nbd"),
+        sum(expr("abs(CAST(sa AS DECIMAL(38,0)) * nb - " +
+          "CAST(sb AS DECIMAL(38,0)) * na)")).as("__l1"))
+      .select(col("label"), col("__nad").as("n_a"), col("__nbd").as("n_b"),
+        expr("CAST(__l1 AS BIGINT)").as("l1_num"),
+        expr(s"""CASE WHEN __nad = 0 OR __nbd = 0 THEN NULL
+                |ELSE CAST((1000 * __l1) DIV
+                |  (CAST(__nad AS DECIMAL(38,0)) * __nbd * $dim * 1000000)
+                |  AS BIGINT) END""".stripMargin).as("shift_milli"))
+  }
+
   /** Sparse-friendly random projection (the ±1 Achlioptas / JL family,
     * Achlioptas 2003): k output coordinates, each the SIGNED SUM of the
     * fixed-point input coordinates under a deterministic ±1 matrix —

@@ -627,6 +627,38 @@ object Stats {
           expr("1000000 * n DIV n_pred")).as("precision_ppm"))
   }
 
+  /** Benford first-digit audit — the classic fraud / data-entry anomaly
+    * screen: observed leading-digit frequencies of a positive integer
+    * measure vs the Benford expectation P(d) = log₁₀(1 + 1/d). The
+    * expectations are COMPILE-TIME ppm constants (no runtime libm — the
+    * text_bm25 portability rule), and the leading digit is taken
+    * numerically-via-string on an INTEGER (integer→string rendering is
+    * identical across engines; double→string is not, which is why the
+    * caller must pre-scale doubles to integer cents).
+    *
+    * One hash aggregation on a 9-row key. Output: `(digit, n, obs_ppm,
+    * exp_ppm, dev_ppm)` with dev = obs − exp (signed).
+    */
+  def benfordReport(df: DataFrame, intValueCol: Column): DataFrame = {
+    // floor(10⁶·log10(1 + 1/d)) for d = 1..9, precomputed
+    val expPpm = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val expExpr = expPpm.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}L" }
+      .mkString("CASE digit ", " ", " END")
+    val rows = df.select(intValueCol.cast("long").as("x"))
+      .filter(col("x") > 0L)
+      .select(substring(col("x").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+    val total = rows.agg(count(lit(1)).as("__n"))
+    rows.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("1000000 * n DIV __n").as("obs_ppm"),
+        expr(expExpr).as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+  }
+
   /** Two-proportion z-test per experiment group — A/B testing over an
     * event log. The z statistic is a SINGLE fixed-order double expression
     * per group (the text_bm25 determinism rule: +, ×, /, IEEE sqrt are

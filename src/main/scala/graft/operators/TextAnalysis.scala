@@ -800,6 +800,56 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Flesch readability scores from pure counting — the cheap fluency /
+    * complexity feature for corpus filtering when an LM scorer is
+    * overkill. Counts per document:
+    *
+    *  - sentences: `[.!?]`-delimited segments (min 1);
+    *  - words: whitespace-split non-empty tokens;
+    *  - syllables: vowel groups (`[aeiouy]+`) per word, min 1 per word —
+    *    the standard heuristic (exact syllabification needs a dictionary).
+    *
+    * Flesch Reading Ease `206.835 − 1.015·W/S − 84.6·Y/W` and
+    * Flesch-Kincaid grade `0.39·W/S + 11.8·Y/W − 15.59` are each ONE
+    * fixed-order double expression over the integer counts, reported as
+    * floored milli-units — the text_bm25 determinism rule (+, ×, / on
+    * integer-derived doubles are exact-ordered; only accumulation order
+    * is not, and there is none here).
+    *
+    * One narrow projection, no shuffle. Output: input columns plus
+    * `(n_sentences, n_words, n_syllables, fre_milli, fk_grade_milli)`;
+    * the scores are NULL for word-less documents.
+    */
+  def readability(df: DataFrame, textCol: String): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
+    val counted = df
+      .withColumn("n_sentences",
+        greatest(lit(1L),
+          (size(split(col(textCol), "[.!?]")) - 1).cast("long")))
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("n_syllables",
+        aggregate(
+          transform(words, w =>
+            greatest(lit(1),
+              size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))))),
+          lit(0L), (acc, c) => acc + c))
+    counted
+      .withColumn("fre_milli",
+        expr("""CASE WHEN n_words = 0 THEN NULL
+               |ELSE CAST(floor(1000.0 * (206.835
+               |  - 1.015 * (CAST(n_words AS DOUBLE) /
+               |      CAST(n_sentences AS DOUBLE))
+               |  - 84.6 * (CAST(n_syllables AS DOUBLE) /
+               |      CAST(n_words AS DOUBLE)))) AS BIGINT) END""".stripMargin))
+      .withColumn("fk_grade_milli",
+        expr("""CASE WHEN n_words = 0 THEN NULL
+               |ELSE CAST(floor(1000.0 * (0.39 * (CAST(n_words AS DOUBLE) /
+               |      CAST(n_sentences AS DOUBLE))
+               |  + 11.8 * (CAST(n_syllables AS DOUBLE) /
+               |      CAST(n_words AS DOUBLE)) - 15.59)) AS BIGINT)
+               |END""".stripMargin))
+  }
+
   /** Hashing-trick feature vectors (Weinberger et al. 2009): every token
     * maps to `bucket = h(token) mod D` with a ±1 sign from an independent
     * hash bit, and the document's feature value at a bucket is the signed

@@ -547,6 +547,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rep == gotD)
   }
 
+  test("centroidShift: exact L1 between slice centroids; empty slice NULL") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // label 1: slice0 (1,0), slice1 (0,1) -> per-dim mean shift 1.0 each
+    // label 2: only slice0 -> NULL shift
+    val df = Seq(
+      (0L, 1, Seq(1.0f, 0.0f)), (1L, 1, Seq(0.0f, 1.0f)),
+      (2L, 2, Seq(0.5f, 0.5f))).toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidShift(df, col("label"),
+        pmod(col("vec_id"), lit(2L)), col("embedding"), dim = 2)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val l1 = out(1)
+    assert(l1.getLong(1) == 1L && l1.getLong(2) == 1L)
+    assert(l1.getLong(3) == 2000000L)   // |1e6·1-0| + |0-1e6·1|
+    assert(l1.getLong(4) == 1000L)      // mean abs shift 1.0 -> 1000 milli
+    val l2 = out(2)
+    assert(l2.getLong(1) == 1L && l2.getLong(2) == 0L && l2.isNullAt(4))
+    val rep = Similarity.centroidShift(df.repartition(5), col("label"),
+        pmod(col("vec_id"), lit(2L)), col("embedding"), dim = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(rep == out.map { case (k, r) => k -> r.getLong(3) })
+  }
+
   test("randomProjection: exact signed integer sums under the seeded matrix") {
     val spark0 = TestSpark.spark
     import spark0.implicits._

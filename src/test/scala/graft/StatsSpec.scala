@@ -551,6 +551,23 @@ class StatsSpec extends AnyFunSuite {
     assert(rep == out)
   }
 
+  test("benfordReport: leading digits of positives only, constant expectations") {
+    val df = Seq(1L, 19L, 25L, 33L, 999L, 0L, -5L).toDF("x")
+    val out = Stats.benfordReport(df, col("x")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 9L)) // 0 and -5 dropped
+    val d1 = out(1L)
+    assert(d1.getLong(1) == 2L)            // 1 and 19
+    assert(d1.getLong(2) == 400000L)       // 2 of 5
+    assert(d1.getLong(3) == 301029L)       // floor(1e6·log10(2))
+    assert(d1.getLong(4) == 98971L)
+    assert(out(9L).getLong(3) == 45757L)
+    // expectations sum to ~1e6 (floor loss < 9 ppm)
+    val exps = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L,
+      57991L, 51152L, 45757L)
+    assert(exps.sum > 999990L && exps.sum <= 1000000L)
+  }
+
   test("confusionMatrix: exact cells, class totals, diagonal ppm only") {
     val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"))
       .toDF("t", "p")

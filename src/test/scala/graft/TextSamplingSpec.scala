@@ -644,6 +644,31 @@ class TextSamplingSpec extends AnyFunSuite {
       (16L, 1L, 9L, 16L, 437500L)))
   }
 
+  test("readability: counts and Flesch scores match hand arithmetic") {
+    val df = Seq((1L, "Hello world. A cat ran."), (2L, "xyz"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readability(df, "text")
+      .select("doc_id", "n_sentences", "n_words", "n_syllables",
+        "fre_milli", "fk_grade_milli")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    // sentences: 2 periods; words: 5; vowel groups: he-llo=2, world.=1,
+    // A=1, cat=1, ran=1 -> 6
+    assert(r1.getLong(1) == 2L && r1.getLong(2) == 5L && r1.getLong(3) == 6L)
+    val fre = math.floor(1000.0 *
+      (206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (6.0 / 5.0))).toLong
+    val fk = math.floor(1000.0 *
+      (0.39 * (5.0 / 2.0) + 11.8 * (6.0 / 5.0) - 15.59)).toLong
+    assert(r1.getLong(4) == fre && r1.getLong(5) == fk)
+    // vowel-less word still counts one syllable
+    val r2 = out(2L)
+    assert(r2.getLong(1) == 1L && r2.getLong(2) == 1L && r2.getLong(3) == 1L)
+    // empty doc: min one sentence, zero words, NULL scores
+    val r3 = out(3L)
+    assert(r3.getLong(1) == 1L && r3.getLong(2) == 0L && r3.getLong(3) == 0L)
+    assert(r3.isNullAt(4) && r3.isNullAt(5))
+  }
+
   test("preferencePairs: floored-micros ordering, id tie-breaks, gap filter") {
     // group 1: scores 0.5, 0.5, 0.1 -> chosen = id 10 (smallest among top
     // ties), rejected = id 12; gap = 400000
