@@ -1737,6 +1737,8 @@ object ExtensionQueries {
     // (see Graph.communityMetrics). 332 communities at sf0.01.
     "q_modularity" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      // materialize the (small) min-support graph once: label propagation
+      // and every metric branch read the checkpoint, not the self-join
       val und = li.alias("x").join(li.alias("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
             col("x.l_partkey") < col("y.l_partkey"))
@@ -1744,6 +1746,7 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select(col("a"), col("b"))
+        .localCheckpoint(true)
       Graph.communityMetrics(und, Graph.labelPropagation(und, rounds = 4))
         .orderBy("label")
     }),

@@ -512,8 +512,12 @@ object Graph {
     * modularity_num, conductance_ppm)` — one row per community.
     */
   def communityMetrics(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val und = edges.select(col("a"), col("b"))
-    val lab = labels.select(col("node"), col("label"))
+    // the edge frame feeds FOUR branches (labeled join, doubled adjacency,
+    // m count, volume); materialize once so an expensive upstream
+    // derivation (e.g. a co-occurrence self-join) is not re-executed per
+    // branch — the filtered graph is small by construction
+    val und = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val lab = labels.select(col("node"), col("label")).localCheckpoint(true)
     val m1 = und.agg(count(lit(1)).as("m"))
     // each undirected edge labeled on both ends, exactly once
     val labeled = und
