@@ -1695,6 +1695,15 @@ object ExtensionQueries {
         .orderBy("media_id")
     }),
 
+    // Exact pixel stats from the real decoded raster — the brightness /
+    // contrast pre-training screen; the oracle replays every pixel of the
+    // generation formula including the one-pixel perturbation.
+    "mm_image_stats" -> ((s, d) => {
+      Multimodal.imageStats(
+          Multimodal.synthesizeImages(s, Tables.documents(s, d)))
+        .orderBy("media_id")
+    }),
+
     // Near-dup image pairs at Hamming <= 3: each id-group of 4 images
     // differs by one inverted pixel, so groups collapse into cliques;
     // candidates come from 16-bit chunk equi-joins, never a cross join.
@@ -1837,6 +1846,17 @@ object ExtensionQueries {
           col("embedding"), dim = 64, outDims = 8, seed = 42L)
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
+    }),
+
+    // ---- Tokenizer planning: vocabulary coverage curve -------------------
+    // Corpus token mass covered by a top-k bigram vocabulary at four
+    // candidate sizes; ranks via the bucketed orderedRank over the
+    // VOCABULARY (one row per distinct term), one conditional agg pass.
+    "q_vocab_coverage" -> ((s, d) => {
+      TextAnalysis.vocabCoverage(Tables.documents(s, d),
+          TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), 2),
+          ks = Seq(10, 100, 500, 2000))
+        .orderBy("k")
     }),
 
     // ---- Data quality: Benford first-digit audit over order totals ------
@@ -5001,6 +5021,57 @@ object ExtensionQueries {
          |        CAST(n_words AS DOUBLE)) - 15.59)) AS BIGINT)
          |  END AS fk_grade_milli
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1])) AS token FROM t),
+        |counts AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1),
+        |r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rk
+        |  FROM counts),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+        |ks(k) AS (VALUES (10), (100), (500), (2000))
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(coalesce(sum(CASE WHEN rk <= k THEN 1 END), 0) AS BIGINT)
+        |    AS vocab_size,
+        |  CAST(coalesce(sum(CASE WHEN rk <= k THEN c END), 0) AS BIGINT)
+        |    AS covered,
+        |  tot.total,
+        |  1000000 * CAST(coalesce(sum(CASE WHEN rk <= k THEN c END), 0)
+        |    AS BIGINT) // tot.total AS coverage_ppm
+        |FROM ks CROSS JOIN tot LEFT JOIN r ON r.rk <= ks.k
+        |GROUP BY ks.k, tot.total
+        |ORDER BY k""".stripMargin,
+
+    // full-raster (18×16) replay of Multimodal.imagePixel + the one-pixel
+    // perturbation — the phashHashesSql formula at native resolution
+    "mm_image_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS j,
+        |    ((doc_id // 4) * 31 + (doc_id % 4) * 97) % 288 AS p
+        |  FROM documents),
+        |px AS (
+        |  SELECT media_id,
+        |    CASE WHEN j > 0 AND t.i = p
+        |      THEN 255 - (((t.i % 18) * 29 + (t.i // 18) * 53 + g * 101
+        |        + (((t.i % 18) + g) % 7) * (((t.i // 18) + g) % 11) * 3)
+        |        % 256)
+        |      ELSE (((t.i % 18) * 29 + (t.i // 18) * 53 + g * 101
+        |        + (((t.i % 18) + g) % 7) * (((t.i // 18) + g) % 11) * 3)
+        |        % 256)
+        |    END AS v
+        |  FROM b, unnest(range(0, 288)) AS t(i))
+        |SELECT media_id, CAST(18 AS INTEGER) AS width,
+        |  CAST(16 AS INTEGER) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_pixels,
+        |  CAST(sum(v) AS BIGINT) AS sum_gray,
+        |  CAST(min(v) AS BIGINT) AS min_gray,
+        |  CAST(max(v) AS BIGINT) AS max_gray,
+        |  CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT)
+        |    AS var_num
+        |FROM px GROUP BY 1 ORDER BY media_id""".stripMargin,
 
     "q_centroid_shift" ->
       """WITH ex AS (

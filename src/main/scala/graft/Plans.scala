@@ -51,7 +51,8 @@ object Plans {
     "q_length_buckets", "q_pref_pairs", "q_roc_auc", "q_calibration",
     "q_winsorize", "q_hilbert", "dedup_substring",
     "q_quantile_norm", "q_rand_proj", "q_confusion",
-    "q_benford", "q_readability", "q_centroid_shift")
+    "q_benford", "q_readability", "q_centroid_shift",
+    "q_vocab_coverage", "mm_image_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")

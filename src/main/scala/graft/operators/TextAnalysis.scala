@@ -850,6 +850,43 @@ object TextAnalysis {
                |END""".stripMargin))
   }
 
+  /** Vocabulary coverage curve — "what fraction of the corpus token mass
+    * does a top-k vocabulary cover?", the planning number behind
+    * tokenizer vocab-size and UNK-rate decisions. Tokens rank by
+    * (occurrences DESC, token) through the bucketed
+    * [[Sampling.orderedRank]] (key = 2⁴¹ − count is monotone-descending
+    * and non-negative; the VOCABULARY is ranked, not the corpus — rank
+    * input is one row per distinct token at any corpus size), then one
+    * conditional aggregation answers every requested k in a single pass.
+    *
+    * Output: one row per k — `(k, vocab_size, covered, total,
+    * coverage_ppm)` with coverage = 10⁶·covered DIV total (exact
+    * integers end-to-end).
+    */
+  def vocabCoverage(df: DataFrame, tokensCol: Column,
+                    ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"bad ks=$ks")
+    val counts = df.select(explode(tokensCol).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val ranked = Sampling.orderedRank(counts, lit(0L),
+      lit(1L << 41) - col("c"), col("t"), nBuckets = 1024, keyBits = 42,
+      out = "rk")
+    val aggCols =
+      ks.map(k => sum(when(col("rk") <= k, col("c")).otherwise(0L))
+        .as(s"cov$k")) ++
+      ks.map(k => sum(when(col("rk") <= k, 1L).otherwise(0L))
+        .as(s"vs$k")) :+
+      sum(col("c")).as("total")
+    val one = ranked.agg(aggCols.head, aggCols.tail: _*)
+    val perK = explode(array(ks.map(k => struct(
+      lit(k.toLong).as("k"), col(s"vs$k").as("vocab_size"),
+      col(s"cov$k").as("covered"))): _*)).as("e")
+    one.select(perK, col("total"))
+      .select(col("e.k"), col("e.vocab_size"), col("e.covered"),
+        col("total"),
+        expr("1000000 * e.covered DIV total").as("coverage_ppm"))
+  }
+
   /** Hashing-trick feature vectors (Weinberger et al. 2009): every token
     * maps to `bucket = h(token) mod D` with a ±1 sign from an independent
     * hash bit, and the document's feature value at a bucket is the signed

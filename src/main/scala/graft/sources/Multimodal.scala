@@ -316,6 +316,37 @@ object Multimodal {
     (hi, lo)
   }
 
+  /** Exact integer pixel statistics from the REAL decoded raster — the
+    * brightness / contrast screen a vision-data pipeline runs before
+    * training (all-black / all-white / low-dynamic-range images are
+    * dropped on these numbers). Per image: dimensions, pixel count,
+    * gray sum, min/max, and the variance NUMERATOR `n·Σx² − (Σx)²`
+    * (n² times the population variance — exact in int64 for any raster
+    * below ~2³¹ pixels, and order-independent where a float variance
+    * is not). Non-decodable blobs are absent, as in [[imageHashes]].
+    */
+  def imageStats(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        MediaFormats.decodeBmp24Gray(r.content).map { case (w, h, gray) =>
+          var s = 0L; var s2 = 0L; var mn = 256L; var mx = -1L
+          var i = 0
+          while (i < gray.length) {
+            val v = gray(i).toLong
+            s += v; s2 += v * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          val n = gray.length.toLong
+          (r.media_id, w, h, n, s, mn, mx, n * s2 - s * s)
+        }
+      }
+    }.toDF("media_id", "width", "height", "n_pixels", "sum_gray",
+      "min_gray", "max_gray", "var_num")
+  }
+
   /** Per-image perceptual hashes: decode the REAL BMP container
     * (bottom-up rows, stride padding, luma conversion) and dHash the
     * pixels. Output (media_id, h_hi, h_lo); images that are not complete

@@ -203,4 +203,25 @@ class SinksSpec extends AnyFunSuite {
     assert(got == brute)
     assert(got.nonEmpty)
   }
+
+  test("imageStats: exact stats from decoded pixels; perturbation visible") {
+    import spark.implicits._
+    val docs = (0L to 7L).toDF("doc_id")
+    val stats = Multimodal.imageStats(
+        Multimodal.synthesizeImages(spark, docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(stats.size == 8)
+    // recompute id 0's stats from the generation formula directly
+    val gray = Array.tabulate(Multimodal.ImgW * Multimodal.ImgH)(i =>
+      Multimodal.imagePixel(0L, i % Multimodal.ImgW, i / Multimodal.ImgW))
+    val s = gray.map(_.toLong).sum
+    val s2 = gray.map(v => v.toLong * v).sum
+    val r0 = stats(0L)
+    assert(r0.getInt(1) == 18 && r0.getInt(2) == 16)
+    assert(r0.getLong(3) == 288L && r0.getLong(4) == s)
+    assert(r0.getLong(5) == gray.min.toLong && r0.getLong(6) == gray.max.toLong)
+    assert(r0.getLong(7) == 288L * s2 - s * s)
+    // member 1 of the group differs from member 0 in exactly one pixel
+    assert(stats(1L).getLong(4) != r0.getLong(4))
+  }
 }

@@ -644,6 +644,23 @@ class TextSamplingSpec extends AnyFunSuite {
       (16L, 1L, 9L, 16L, 437500L)))
   }
 
+  test("vocabCoverage: exact mass coverage at each k, ties ranked lexically") {
+    val df = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(df,
+        TextFunctions.tokens(col("text")), ks = Seq(1, 2, 5))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, 1L, 3L, 6L, 500000L),     // top-1 = 'a' (3 of 6)
+      (2L, 2L, 5L, 6L, 833333L),
+      (5L, 3L, 6L, 6L, 1000000L)))   // k past |V| covers everything
+    // count ties rank lexically: 'a' and 'b' both 2 -> top-1 is 'a'
+    val tied = Seq((1L, "b b a a c")).toDF("doc_id", "text")
+    val t1 = TextAnalysis.vocabCoverage(tied,
+        TextFunctions.tokens(col("text")), ks = Seq(1))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(t1._3 == 2L && t1._5 == 400000L)
+  }
+
   test("readability: counts and Flesch scores match hand arithmetic") {
     val df = Seq((1L, "Hello world. A cat ran."), (2L, "xyz"), (3L, ""))
       .toDF("doc_id", "text")
