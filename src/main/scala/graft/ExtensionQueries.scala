@@ -1848,6 +1848,22 @@ object ExtensionQueries {
         .orderBy("vec_id")
     }),
 
+    // ---- API surface: SQL text through the registered Catalyst functions -
+    // The SparkSessionExtensions path end-to-end: a temp view + pure
+    // `spark.sql` text calling zorder_key/hilbert_key exactly like
+    // built-ins (no UDF indirection; both are codegen'd expressions).
+    "q_sql_surface" -> ((s, d) => {
+      // sessions built outside GraftSession (the driver's Verify main)
+      // lack the injected functions — registration is idempotent
+      graft.plans.GraftFunctions.register(s)
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_orderkey, l_linenumber,
+              |  zorder_key(l_partkey, l_suppkey, 16) AS zkey,
+              |  hilbert_key(l_partkey, l_suppkey, 16) AS hkey
+              |FROM lineitem_v
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    }),
+
     // ---- Tokenizer planning: vocabulary coverage curve -------------------
     // Corpus token mass covered by a top-k bigram vocabulary at four
     // candidate sizes; ranks via the bucketed orderedRank over the
@@ -1888,6 +1904,15 @@ object ExtensionQueries {
       Similarity.centroidShift(Tables.embeddings(s, d), col("label"),
           pmod(col("vec_id"), lit(2L)), col("embedding"), dim = 64)
         .orderBy("label")
+    }),
+
+    // ---- Curation: per-class embedding outliers (mislabel screen) --------
+    // Top-3 farthest members from their own class centroid, exact
+    // cleared-denominator integer distances.
+    "q_label_outliers" -> ((s, d) => {
+      Similarity.labelOutliers(Tables.embeddings(s, d), col("vec_id"),
+          col("label"), col("embedding"), dim = 64, k = 3)
+        .orderBy("label", "rank")
     }),
 
     // ---- Evaluation: kNN confusion matrix with class totals --------------
@@ -5022,6 +5047,37 @@ object ExtensionQueries {
          |  END AS fk_grade_milli
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // the q_zorder interleave replay CARRIED through the q_hilbert
+    // recursive walk — (l_orderkey, l_linenumber) is NOT unique in the
+    // fixture, so a join of the two replays would multiply rows; one pass
+    // computes both keys per physical row instead
+    "q_sql_surface" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(list_sum(list_transform(range(0, 16),
+        |      i -> ((CAST(l_partkey AS BIGINT) >> i) & 1) * (1::BIGINT << (2*i))
+        |         + ((CAST(l_suppkey AS BIGINT) >> i) & 1) * (1::BIGINT << (2*i+1))))
+        |      AS BIGINT) AS zkey,
+        |    CAST(l_partkey AS BIGINT) & 65535 AS x,
+        |    CAST(l_suppkey AS BIGINT) & 65535 AS y,
+        |    CAST(0 AS BIGINT) AS d, CAST(32768 AS BIGINT) AS s
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, zkey,
+        |    CASE WHEN (y & s) = 0 THEN
+        |      CASE WHEN (x & s) > 0 THEN 65535 - y ELSE y END
+        |    ELSE x END AS x,
+        |    CASE WHEN (y & s) = 0 THEN
+        |      CASE WHEN (x & s) > 0 THEN 65535 - x ELSE x END
+        |    ELSE y END AS y,
+        |    d + s * s * xor(3 * CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END,
+        |                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END) AS d,
+        |    s // 2 AS s
+        |  FROM h WHERE s > 0)
+        |SELECT l_orderkey, l_linenumber, zkey, d AS hkey
+        |FROM h WHERE s = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q_vocab_coverage" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
@@ -5072,6 +5128,33 @@ object ExtensionQueries {
         |  CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT)
         |    AS var_num
         |FROM px GROUP BY 1 ORDER BY media_id""".stripMargin,
+
+    "q_label_outliers" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, CAST(t.i AS INTEGER) AS d,
+        |    CAST(floor(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE)
+        |      * 1000000.0) AS BIGINT) AS xi
+        |  FROM embeddings, unnest(range(0, 64)) AS t(i)),
+        |sums AS (
+        |  SELECT label, d, CAST(sum(xi) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ex GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT ex.vec_id, ex.label, max(sums.n) AS n_members,
+        |    sum((CAST(ex.xi AS HUGEINT) * sums.n - sums.s) *
+        |        (CAST(ex.xi AS HUGEINT) * sums.n - sums.s)) AS d2n2
+        |  FROM ex JOIN sums USING (label, d)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT label, vec_id, n_members, d2n2,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY d2n2 DESC, vec_id) AS rank
+        |  FROM d2)
+        |SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, n_members,
+        |  CAST(d2n2 // (CAST(n_members AS HUGEINT) * n_members) AS BIGINT)
+        |    AS dist2_scaled
+        |FROM r WHERE rank <= 3
+        |ORDER BY label, rank""".stripMargin,
 
     "q_centroid_shift" ->
       """WITH ex AS (

@@ -144,6 +144,55 @@ object Similarity {
                 |  AS BIGINT) END""".stripMargin).as("shift_milli"))
   }
 
+  /** Per-class embedding outliers — the farthest members from their own
+    * class centroid, the standard screen for mislabeled / out-of-
+    * distribution examples before training. Distances are EXACT integers
+    * with denominators cleared: for fixed-point coordinates x and class
+    * sums S over n members,
+    *
+    *   d²·n² = Σ_d (x_d·n − S_d)²
+    *
+    * ranks identically to the real centroid distance (n is constant per
+    * class) and never touches a float. DECIMAL(38,0) carries the squares
+    * (x·n reaches ~10⁹ at thousands of members; its square overflows
+    * int64). The REPORTED distance divides the n² back out —
+    * `d²·n² DIV n²` ≈ 10¹²·d² — which fits int64 for unit-scale
+    * embeddings.
+    *
+    * Plan shape: posexplode → per-(label, dim) sum (one hash agg) →
+    * broadcast back onto the exploded rows → per-vector aggregation →
+    * per-label top-k window (partitioned by label — classes are the
+    * parallelism). Corpus touched twice (sums + distances), never joined
+    * to itself.
+    *
+    * Output: `(label, rank, vec_id, n_members, dist2_scaled)`, top
+    * `k` per label by (distance DESC, vec_id).
+    */
+  def labelOutliers(df: DataFrame, idCol: Column, labelCol: Column,
+                    vecCol: Column, dim: Int, k: Int): DataFrame = {
+    require(dim >= 1 && k >= 1, s"bad dim=$dim k=$k")
+    val fixed = transform(slice(vecCol, 1, dim),
+      x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    val exploded = df.select(idCol.as("vec_id"), labelCol.as("label"),
+      posexplode(fixed).as(Seq("d", "xi")))
+    val sums = exploded.groupBy(col("label"), col("d"))
+      .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
+    val d2 = exploded.join(broadcast(sums), Seq("label", "d"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("n")).as("n_members"),
+        sum(expr("""(CAST(xi AS DECIMAL(38,0)) * n - s) *
+                   |(CAST(xi AS DECIMAL(38,0)) * n - s)""".stripMargin))
+          .as("d2n2"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("d2n2").desc, col("vec_id").asc)
+    d2.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("n_members"),
+        expr("CAST(d2n2 DIV (CAST(n_members AS DECIMAL(38,0)) * n_members)" +
+          " AS BIGINT)").as("dist2_scaled"))
+  }
+
   /** Sparse-friendly random projection (the ±1 Achlioptas / JL family,
     * Achlioptas 2003): k output coordinates, each the SIGNED SUM of the
     * fixed-point input coordinates under a deterministic ±1 matrix —

@@ -571,6 +571,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rep == out.map { case (k, r) => k -> r.getLong(3) })
   }
 
+  test("labelOutliers: farthest-from-centroid first, exact integer ranking") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, 1, Seq(0.0f, 0.0f)), (2L, 1, Seq(0.1f, 0.0f)),
+      (3L, 1, Seq(-0.1f, 0.0f)), (4L, 1, Seq(5.0f, 5.0f)),
+      (5L, 2, Seq(1.0f, 1.0f)), (6L, 2, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.labelOutliers(df, col("vec_id"), col("label"),
+        col("embedding"), dim = 2, k = 2)
+      .select("label", "rank", "vec_id", "dist2_scaled")
+      .as[(Int, Long, Long, Long)].collect().toSeq.sorted
+    // label 1: vec 4 is the outlier by far; among 1..3 the centroid is
+    // pulled toward (1.225, 1.25), so vec 3 at (-0.1, 0) is next-farthest
+    assert(out.filter(_._1 == 1).map(x => (x._2, x._3)) ==
+      Seq((1L, 4L), (2L, 3L)))
+    // label 2: two identical members -> zero distance, ties by id
+    val l2 = out.filter(_._1 == 2)
+    assert(l2.map(x => (x._2, x._3)) == Seq((1L, 5L), (2L, 6L)))
+    assert(l2.forall(_._4 == 0L))
+    val rep = Similarity.labelOutliers(df.repartition(5), col("vec_id"),
+        col("label"), col("embedding"), dim = 2, k = 2)
+      .select("label", "rank", "vec_id", "dist2_scaled")
+      .as[(Int, Long, Long, Long)].collect().toSeq.sorted
+    assert(rep == out)
+  }
+
   test("randomProjection: exact signed integer sums under the seeded matrix") {
     val spark0 = TestSpark.spark
     import spark0.implicits._
