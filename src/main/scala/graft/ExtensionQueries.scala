@@ -1875,6 +1875,30 @@ object ExtensionQueries {
         .orderBy("k")
     }),
 
+    // ---- Graph: degree distribution in pow2 bins -------------------------
+    // Over the q_triangles co-occurrence graph; the hub/power-law audit.
+    "q_degree_dist" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val und = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("a"), col("b"))
+      Graph.degreeHistogram(und).orderBy("bucket_degree")
+    }),
+
+    // ---- Multimodal: silence runs in REAL decoded PCM --------------------
+    // Gaps-and-islands over |sample| < 4000 positions, runs >= 2 only;
+    // trim/segmentation primitive for audio curation.
+    "mm_audio_silence" -> ((s, d) => {
+      Multimodal.audioSilence(
+          Multimodal.synthesizeAudio(s, Tables.documents(s, d)),
+          threshold = 4000, minRun = 2)
+        .orderBy("media_id")
+    }),
+
     // ---- Data quality: Benford first-digit audit over order totals ------
     // Integer cents before digit extraction (double->string rendering is
     // engine-specific; integer->string is not); expectations are
@@ -5128,6 +5152,59 @@ object ExtensionQueries {
         |  CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT)
         |    AS var_num
         |FROM px GROUP BY 1 ORDER BY media_id""".stripMargin,
+
+    "q_degree_dist" ->
+      """WITH co AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS w
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2),
+        |und AS (SELECT a, b FROM co WHERE w >= 2),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+        |b AS (
+        |  SELECT CASE WHEN degree <= 1 THEN 1::BIGINT
+        |         ELSE 1::BIGINT << length(bin(degree - 1)) END
+        |      AS bucket_degree,
+        |    degree
+        |  FROM deg)
+        |SELECT bucket_degree, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(min(degree) AS BIGINT) AS min_degree,
+        |  CAST(max(degree) AS BIGINT) AS max_degree,
+        |  1000000 * CAST(count(*) AS BIGINT) // tot.n AS share_ppm
+        |FROM b CROSS JOIN tot GROUP BY bucket_degree, tot.n
+        |ORDER BY bucket_degree""".stripMargin,
+
+    "mm_audio_silence" ->
+      """WITH par AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(200 + doc_id % 56 AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, i,
+        |    ((i * 37 + media_id * 211 +
+        |      ((i + media_id) % 13) * (i % 97) * 5) % 65536) - 32768 AS v
+        |  FROM (SELECT media_id, n, unnest(range(0, n)) AS i FROM par)),
+        |sil AS (
+        |  SELECT media_id, i,
+        |    i - row_number() OVER (PARTITION BY media_id ORDER BY i) AS grp
+        |  FROM s WHERE abs(v) < 4000),
+        |runs AS (
+        |  SELECT media_id, grp, CAST(count(*) AS BIGINT) AS run_len
+        |  FROM sil GROUP BY 1, 2 HAVING count(*) >= 2),
+        |agg AS (
+        |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_runs,
+        |    CAST(max(run_len) AS BIGINT) AS max_run,
+        |    CAST(sum(run_len) AS BIGINT) AS silent_samples
+        |  FROM runs GROUP BY 1)
+        |SELECT p.media_id, coalesce(a.n_runs, 0) AS n_runs,
+        |  coalesce(a.max_run, 0) AS max_run,
+        |  coalesce(a.silent_samples, 0) AS silent_samples
+        |FROM par p LEFT JOIN agg a USING (media_id)
+        |ORDER BY media_id""".stripMargin,
 
     "q_label_outliers" ->
       """WITH ex AS (

@@ -487,6 +487,30 @@ object Graph {
     scored.join(und, Seq("a", "b"), "left_anti")
   }
 
+  /** Degree distribution in power-of-two bins — the first audit anyone
+    * runs on a new graph (hub detection, power-law eyeballing, skew-guard
+    * sizing). One doubled-adjacency count per node, one hash aggregation
+    * on ≤ 64 bins ([[graft.operators.Sampling.pow2Ceil]] bins without
+    * libm), share in exact ppm.
+    *
+    * Output: `(bucket_degree, n_nodes, min_degree, max_degree,
+    * share_ppm)` — bucket d covers degrees (d/2, d].
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val adj = edges.select(col("a"))
+      .unionByName(edges.select(col("b").as("a")))
+    val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("degree"))
+    val tot = deg.agg(count(lit(1)).as("__n"))
+    deg.withColumn("bucket_degree", Sampling.pow2Ceil(col("degree")))
+      .groupBy(col("bucket_degree"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("degree")).as("min_degree"),
+        max(col("degree")).as("max_degree"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket_degree"), col("n_nodes"), col("min_degree"),
+        col("max_degree"),
+        expr("1000000 * n_nodes DIV __n").as("share_ppm"))
+  }
+
   /** Community quality metrics — per-community size, internal-edge count,
     * cut size, volume, Newman modularity contribution and conductance for
     * a node→community assignment (e.g. [[labelPropagation]] output).

@@ -293,6 +293,42 @@ object Multimodal {
       "peak", "energy", "zero_crossings")
   }
 
+  /** Silence-run detection over REAL decoded PCM — the trim/segmentation
+    * primitive of audio-data curation (leading/trailing silence removal,
+    * long-pause splitting). The decode is the imperative stage (one typed
+    * flatMap to (media, i, sample) rows); runs are pure relational
+    * gaps-and-islands — `i − row_number()` over silent samples groups
+    * consecutive positions, a per-media window (media files are the
+    * parallelism; a window never spans media).
+    *
+    * Output: one row per media — `(media_id, n_runs, max_run,
+    * silent_samples)` counting only runs of ≥ `minRun` samples with
+    * |sample| &lt; `threshold`; silence-free media report zeros.
+    */
+  def audioSilence(ds: Dataset[MediaRecord], threshold: Int,
+                   minRun: Int): DataFrame = {
+    require(threshold >= 1 && minRun >= 1,
+      s"bad threshold=$threshold minRun=$minRun")
+    import ds.sparkSession.implicits._
+    val samples = ds.flatMap { r =>
+      val s = MediaFormats.pcm16Samples(r.content)
+      Iterator.range(0, s.length).map(i => (r.media_id, i, s(i)))
+    }.toDF("media_id", "i", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("i"))
+    val runs = samples.filter(abs(col("v")) < threshold)
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy(col("media_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= minRun)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("max_run"),
+        sum(col("run_len")).as("silent_samples"))
+    ds.map(_.media_id).toDF("media_id")
+      .join(runs, Seq("media_id"), "left")
+      .na.fill(0L, Seq("n_runs", "max_run", "silent_samples"))
+  }
+
   /** Difference hash (dHash) of a gray raster: nearest-neighbor resize to
     * a 9×8 grid, then one bit per horizontal neighbor pair (left < right).
     * Packed as two NON-NEGATIVE 32-bit halves so both engines can xor /

@@ -356,6 +356,22 @@ class GraphSpec extends AnyFunSuite {
     assert(rep == out.map { case (k, r) => k -> r.getLong(6) })
   }
 
+  test("degreeHistogram: pow2 bins, exact shares, star hub isolated") {
+    // star: hub 1 with 4 leaves -> degrees {4, 1, 1, 1, 1}
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val out = Graph.degreeHistogram(und)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, 4L, 1L, 1L, 800000L),
+      (4L, 1L, 4L, 4L, 200000L)))
+    // degree 3 lands in the (2, 4] bucket
+    val tri = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("a", "b")
+    val b = Graph.degreeHistogram(tri)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(b.map(_._1) == Seq(1L, 2L, 4L))
+    assert(b.last == (4L, 1L, 3L, 3L, 250000L))
+  }
+
   test("communityMetrics: single community has zero cut and NULL conductance") {
     val und = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     val lab = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "label")

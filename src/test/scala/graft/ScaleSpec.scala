@@ -372,4 +372,49 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.count() == 0)
     assert(out.schema == schema)
   }
+
+  test("rocAuc plans without a global-order window over the score rows") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    val out = graft.operators.Stats.rocAuc(ev, col("value"),
+      (col("event_id") % 3 === 0).cast("long"), col("event_id"))
+    val plan = out.queryExecution.executedPlan.toString
+    // orderedRank's only window partitions by (stratum, bucket) — a
+    // global-order Window would show an empty partition spec with an
+    // ordering over the raw score
+    val globalWindows = "Window \\[.*\\], \\[\\]".r.findAllIn(plan).size
+    assert(globalWindows == 0,
+      s"AUC ranks must come from bucketed prefix sums:\n$plan")
+  }
+
+  test("feature hash / length buckets / preference pairs plan without windows") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val fh = graft.operators.TextAnalysis.featureHash(docs, col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")), numBuckets = 64)
+    assert(!fh.queryExecution.executedPlan.toString.contains("Window"))
+    val lb = graft.operators.Sampling.lengthBuckets(
+      docs.withColumn("nt", size(split(col("text"), " "))),
+      col("source"), col("nt"))
+    assert(!lb.queryExecution.executedPlan.toString.contains("Window"))
+    val ev = Tables.events(spark, TestSpark.sf)
+    val pp = graft.operators.Sampling.preferencePairs(ev, col("user_id"),
+      col("event_id"), col("value"))
+    val ppPlan = pp.queryExecution.executedPlan.toString
+    assert(!ppPlan.contains("Window"),
+      s"chosen/rejected must come from max/min(struct), not windows:\n$ppPlan")
+  }
+
+  test("centroidShift and labelOutliers never self-join the corpus") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    for (df <- Seq(
+        graft.operators.Similarity.centroidShift(emb, col("label"),
+          pmod(col("vec_id"), lit(2L)), col("embedding"), dim = 64),
+        graft.operators.Similarity.labelOutliers(emb, col("vec_id"),
+          col("label"), col("embedding"), dim = 64, k = 3))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"centroid paths must broadcast bounded sums, not join the corpus:\n$plan")
+    }
+  }
 }

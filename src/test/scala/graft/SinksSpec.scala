@@ -204,6 +204,27 @@ class SinksSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("audioSilence: islands over decoded PCM, minRun cut, zero rows kept") {
+    import spark.implicits._
+    import graft.sources.{MediaFormats, Multimodal}
+    // file 1: two silence runs of 3 (positions 0-2 and 4-6) at |v|<1000
+    // file 2: all loud -> zeros row still present
+    val s1 = Array(0, 100, -50, 9000, 0, 0, 0, 9000)
+    val s2 = Array(5000, -5000, 5000)
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, "a.wav", "audio/wav",
+        MediaFormats.wavPcm16Bytes(8000, s1)),
+      Multimodal.MediaRecord(2L, "b.wav", "audio/wav",
+        MediaFormats.wavPcm16Bytes(8000, s2))).toDS()
+    val out = Multimodal.audioSilence(ds, threshold = 1000, minRun = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1L, 2L, 3L, 6L), (2L, 0L, 0L, 0L)))
+    // raising minRun past the longest run empties the counts
+    val strict = Multimodal.audioSilence(ds, threshold = 1000, minRun = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(strict.forall(_._2 == 0L))
+  }
+
   test("imageStats: exact stats from decoded pixels; perturbation visible") {
     import spark.implicits._
     val docs = (0L to 7L).toDF("doc_id")
