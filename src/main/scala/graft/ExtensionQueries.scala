@@ -884,6 +884,23 @@ object ExtensionQueries {
         .orderBy("id_1", "id_2")
     }),
 
+    // ---- Dedup tuning: Jaccard threshold-sweep report --------------------
+    // Exact pairs (prefix filtering, no recall caveat) from J >= 0.1,
+    // banded by floor(10·J); the cumulative column answers "how many
+    // pairs merge at each threshold" before committing to one. On THIS
+    // corpus the sweep lands everything in band 9 — the honest finding
+    // that the fixture is bimodal (near-identical pairs vs ~disjoint
+    // docs) and any threshold in [0.1, 0.9] dedups identically; the
+    // spec shows the multi-band behavior on graded-overlap documents.
+    // Trigram shingles keep posting lists rare-term-dominated (bigrams
+    // at this low threshold blow the candidate join up 40x).
+    "dedup_sweep" -> ((s, d) => {
+      Dedup.jaccardThresholdSweep(Tables.documents(s, d), "doc_id",
+          TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3),
+          p = 1, q = 10, bands = 10)
+        .orderBy("band")
+    }),
+
     // ---- Entity resolution: blocked edit-distance join -------------------
     // Part names blocked on their first two words; exact Levenshtein
     // verifies within blocks only. Both engines implement unit-cost
@@ -1937,6 +1954,21 @@ object ExtensionQueries {
       Similarity.labelOutliers(Tables.embeddings(s, d), col("vec_id"),
           col("label"), col("embedding"), dim = 64, k = 3)
         .orderBy("label", "rank")
+    }),
+
+    // ---- Evaluation: Adjusted Rand Index, predicted vs true labels ------
+    // Chance-corrected pair-counting agreement over the q_confusion
+    // holdout predictions — exact integer combinatorics end-to-end.
+    "q_rand_index" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val probes = emb.filter(col("vec_id") % 10 === 0)
+      val preds = Similarity.knnClassify(corpus, probes, "vec_id",
+        "embedding", "label", k = 10)
+      Stats.adjustedRandIndex(
+        preds.join(broadcast(probes.select(col("vec_id").as("query_id"),
+          col("label").as("t"))), Seq("query_id")),
+        col("t"), col("pred_label"))
     }),
 
     // ---- Evaluation: kNN confusion matrix with class totals --------------
@@ -5015,6 +5047,103 @@ object ExtensionQueries {
         |JOIN rt USING (true_label)
         |JOIN ct USING (pred_label)
         |ORDER BY true_label, pred_label""".stripMargin,
+
+    "dedup_sweep" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t0 AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS t
+        |  FROM toks WHERE len(w) >= 3),
+        |dfq AS (SELECT t, count(*) AS dfq FROM t0 GROUP BY 1),
+        |kept AS (SELECT id, t0.t, dfq FROM t0 JOIN dfq USING (t)
+        |         WHERE dfq <= 10000),
+        |ranked AS (
+        |  SELECT id, t,
+        |    row_number() OVER (PARTITION BY id ORDER BY dfq, t) AS pos,
+        |    count(*) OVER (PARTITION BY id) AS n
+        |  FROM kept),
+        |prefix AS (SELECT id, t, n FROM ranked
+        |           WHERE pos <= n - ((n * 1 + 10 - 1) // 10) + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_1, b.id AS id_2, a.n AS n_1, b.n AS n_2
+        |  FROM prefix a JOIN prefix b ON a.t = b.t AND a.id < b.id
+        |  WHERE 10 * least(a.n, b.n) >= 1 * greatest(a.n, b.n)),
+        |inter AS (
+        |  SELECT c.id_1, c.id_2, c.n_1, c.n_2, count(*) AS n_shared
+        |  FROM cand c
+        |  JOIN kept x ON x.id = c.id_1
+        |  JOIN kept y ON y.id = c.id_2 AND y.t = x.t
+        |  GROUP BY 1, 2, 3, 4),
+        |pairs AS (
+        |  SELECT 10 * n_shared // (n_1 + n_2 - n_shared) AS band
+        |  FROM inter
+        |  WHERE 10 * n_shared >= 1 * (n_1 + n_2 - n_shared)),
+        |pb AS (
+        |  SELECT band, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM pairs GROUP BY 1)
+        |SELECT x.band, x.n_pairs,
+        |  CAST(sum(y.n_pairs) AS BIGINT) AS n_pairs_merged
+        |FROM pb x JOIN pb y ON y.band >= x.band
+        |GROUP BY x.band, x.n_pairs
+        |ORDER BY x.band""".stripMargin,
+
+    "q_rand_index" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, label AS true_label
+        |      FROM e WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id, v, label FROM e WHERE vec_id % 10 <> 0),
+        |sc AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id, c.label,
+        |    list_dot_product(qv, c.v) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+        |      AS score
+        |  FROM q CROSS JOIN c),
+        |rr AS (
+        |  SELECT query_id, label,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id) AS rnk
+        |  FROM sc),
+        |vv AS (
+        |  SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+        |  FROM rr WHERE rnk <= 10 GROUP BY 1, 2),
+        |p AS (
+        |  SELECT query_id, label AS pred_label FROM (
+        |    SELECT query_id, label, votes,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY votes DESC, label) AS rn
+        |    FROM vv) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT q.true_label AS a, p.pred_label AS b
+        |  FROM q JOIN p USING (query_id)),
+        |cells AS (
+        |  SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS s_cells,
+        |    CAST(sum(nij) AS BIGINT) AS n
+        |  FROM (SELECT count(*) AS nij FROM pairs GROUP BY a, b)),
+        |ma AS (
+        |  SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS s_a
+        |  FROM (SELECT count(*) AS ai FROM pairs GROUP BY a)),
+        |mb AS (
+        |  SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS s_b
+        |  FROM (SELECT count(*) AS bj FROM pairs GROUP BY b)),
+        |f AS (
+        |  SELECT n, s_cells, s_a, s_b,
+        |    CAST(n AS HUGEINT) * (n - 1) // 2 AS t
+        |  FROM cells CROSS JOIN ma CROSS JOIN mb)
+        |SELECT n, s_cells, s_a, s_b,
+        |  CASE WHEN t * (s_a + s_b) - 2 * CAST(s_a AS HUGEINT) * s_b = 0
+        |    THEN NULL
+        |  ELSE CAST(
+        |    (CASE WHEN 2 * t * s_cells - 2 * CAST(s_a AS HUGEINT) * s_b < 0
+        |      THEN -1 ELSE 1 END) *
+        |    ((1000000 * abs(2 * t * s_cells -
+        |        2 * CAST(s_a AS HUGEINT) * s_b)) //
+        |     (t * (s_a + s_b) - 2 * CAST(s_a AS HUGEINT) * s_b))
+        |    AS BIGINT) END AS ari_ppm
+        |FROM f""".stripMargin,
 
     "q_benford" -> {
       val expCase =

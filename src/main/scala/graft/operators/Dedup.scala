@@ -410,7 +410,8 @@ object Dedup {
     */
   def prefixJaccardPairs(df: DataFrame, idCol: String, tokens: Column,
                          p: Int, q: Int,
-                         maxDocFreq: Long = 10000L): DataFrame = {
+                         maxDocFreq: Long = 10000L,
+                         keepSizes: Boolean = false): DataFrame = {
     require(p >= 1 && q >= p, s"threshold $p/$q must be in (0, 1]")
     val tf = df.select(col(idCol).as("id"),
         explode(array_distinct(tokens)).as("t"))
@@ -458,12 +459,48 @@ object Dedup {
       .join(kept.select(col("id").as("id_2"), col("t")), Seq("id_2", "t"))
       .groupBy(col("id_1"), col("id_2"), col("n_1"), col("n_2"))
       .agg(count(lit(1)).as("n_shared"))
-    inter
+    val verified = inter
       .filter(lit(q.toLong) * col("n_shared") >=
         lit(p.toLong) * (col("n_1") + col("n_2") - col("n_shared")))
-      .select(col("id_1"), col("id_2"), col("n_shared"),
+    if (keepSizes)
+      verified.select(col("id_1"), col("id_2"), col("n_shared"),
+        (col("n_1") + col("n_2") - col("n_shared")).as("n_union"),
         (col("n_shared").cast("double") /
           (col("n_1") + col("n_2") - col("n_shared"))).as("jaccard"))
+    else
+      verified.select(col("id_1"), col("id_2"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n_1") + col("n_2") - col("n_shared"))).as("jaccard"))
+  }
+
+  /** Dedup threshold-sweep report — "how many pairs would merge at each
+    * Jaccard threshold?", the tuning table you consult BEFORE committing
+    * to a dedup aggressiveness. Exact pairs come from
+    * [[prefixJaccardPairs]] at the low bound `p/q` (prefix filtering is
+    * exact-complete — no LSH recall caveat), each pair lands in integer
+    * band `⌊bands·J⌋` via `(bands·|∩|) DIV |∪|`, and the cumulative
+    * column counts pairs with J ≥ band/bands EXACTLY (the DIV band
+    * boundary coincides with the rational threshold test).
+    *
+    * The cumulative sum runs over the ≤ bands+1 aggregated rows — a
+    * bounded self-join, never a window over data.
+    *
+    * Output: `(band, n_pairs, n_pairs_merged)` — merged = pairs that a
+    * dedup at threshold band/bands would collapse.
+    */
+  def jaccardThresholdSweep(df: DataFrame, idCol: String, tokens: Column,
+                            p: Int, q: Int, bands: Int = 10,
+                            maxDocFreq: Long = 10000L): DataFrame = {
+    require(bands >= 2, s"bands=$bands must be >= 2")
+    val pairs = prefixJaccardPairs(df, idCol, tokens, p, q, maxDocFreq,
+      keepSizes = true)
+    val perBand = pairs
+      .select(expr(s"$bands * n_shared DIV n_union").as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+    perBand.alias("x")
+      .join(perBand.alias("y"), col("y.band") >= col("x.band"))
+      .groupBy(col("x.band").as("band"), col("x.n_pairs").as("n_pairs"))
+      .agg(sum(col("y.n_pairs")).as("n_pairs_merged"))
   }
 
   /** Blocked edit-distance pairs — the entity-resolution / record-linkage

@@ -627,6 +627,56 @@ object Stats {
           expr("1000000 * n DIV n_pred")).as("precision_ppm"))
   }
 
+  /** Adjusted Rand Index between two clusterings (Hubert & Arabie 1985)
+    * — THE pair-counting agreement metric for evaluating a clustering /
+    * predicted labeling against a reference, chance-corrected. Entirely
+    * integer pair combinatorics: with contingency counts n_ij, row/col
+    * sums a_i, b_j, n rows, and C(x) = x·(x−1)/2,
+    *
+    *   ARI = (Σ C(n_ij) − Σ C(a_i)·Σ C(b_j)/C(n))
+    *       / (½(Σ C(a_i)+Σ C(b_j)) − Σ C(a_i)·Σ C(b_j)/C(n))
+    *
+    * and clearing C(n) and the half gives the exact integer form
+    * `num = 2·C(n)·Σ C(n_ij) − 2·Σa·Σb`, `den = C(n)·(Σa+Σb) − 2·Σa·Σb`
+    * — reported with the sign factored out of the ppm DIV (truncate vs
+    * floor on negatives). DECIMAL(38,0) carries the C(n)-scale products.
+    *
+    * Plan shape: one hash agg on (a, b) cells, two bounded hash aggs on
+    * the marginals, three 1-row broadcasts — the corpus shuffles pair
+    * labels once. Output: 1 row `(n, s_cells, s_a, s_b, ari_ppm)`; NULL
+    * when den = 0 (both clusterings trivial — all-singletons or
+    * all-one-cluster on both sides).
+    */
+  def adjustedRandIndex(df: DataFrame, aCol: Column,
+                        bCol: Column): DataFrame = {
+    val rows = df.select(aCol.as("a"), bCol.as("b"))
+    // C(x,2) via integral DIV — Column `/` is DOUBLE division in Spark
+    // and loses exactness past 2^53
+    val cells = rows.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("nij"))
+      .agg(sum(expr("nij * (nij - 1) DIV 2")).as("s_cells"),
+        sum(col("nij")).as("n"))
+    val sa = rows.groupBy(col("a")).agg(count(lit(1)).as("ai"))
+      .agg(sum(expr("ai * (ai - 1) DIV 2")).as("s_a"))
+    val sb = rows.groupBy(col("b")).agg(count(lit(1)).as("bj"))
+      .agg(sum(expr("bj * (bj - 1) DIV 2")).as("s_b"))
+    cells.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .select(col("n"), col("s_cells"), col("s_a"), col("s_b"),
+        // decimal division by 2 is exact here — n(n−1) is always even;
+        // an integral DIV would return LONG and overflow past n ~ 4·10⁹
+        expr("CAST(n AS DECIMAL(38,0)) * (n - 1) / 2").as("t"))
+      .select(col("n"), col("s_cells"), col("s_a"), col("s_b"),
+        expr("CAST(2 * t * s_cells - 2 * CAST(s_a AS DECIMAL(38,0)) * s_b" +
+          " AS DECIMAL(38,0))").as("num"),
+        expr("CAST(t * (s_a + s_b) - 2 * CAST(s_a AS DECIMAL(38,0)) * s_b" +
+          " AS DECIMAL(38,0))").as("den"))
+      .select(col("n"), col("s_cells"), col("s_a"), col("s_b"),
+        expr("""CASE WHEN den = 0 THEN NULL
+               |ELSE CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
+               |  ((CAST(1000000 AS DECIMAL(38,0)) * abs(num)) DIV den)
+               |  AS BIGINT) END""".stripMargin).as("ari_ppm"))
+  }
+
   /** Benford first-digit audit — the classic fraud / data-entry anomaly
     * screen: observed leading-digit frequencies of a positive integer
     * measure vs the Benford expectation P(d) = log₁₀(1 + 1/d). The

@@ -571,6 +571,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rep == out.map { case (k, r) => k -> r.getLong(3) })
   }
 
+  test("jaccardThresholdSweep: graded overlaps land in exact bands, cumulative") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc1/doc3 identical (J=1 -> band 10); doc1-doc2 share 4 of 12
+    // distinct trigrams (J=1/3 -> band 3); doc4 disjoint -> no pair
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f x y z w"),
+      (3L, "a b c d e f g h i j"),
+      (4L, "p q r s t u v")).toDF("doc_id", "text")
+    val out = Dedup.jaccardThresholdSweep(df, "doc_id",
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3),
+        p = 1, q = 10, bands = 10)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // pairs: (1,2) band 3, (2,3) band 3, (1,3) band 10
+    assert(out == Seq((3L, 2L, 3L), (10L, 1L, 1L)))
+    val rep = Dedup.jaccardThresholdSweep(df.repartition(5), "doc_id",
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3),
+        p = 1, q = 10, bands = 10)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(rep == out)
+  }
+
   test("labelOutliers: farthest-from-centroid first, exact integer ranking") {
     val spark0 = TestSpark.spark
     import spark0.implicits._

@@ -551,6 +551,27 @@ class StatsSpec extends AnyFunSuite {
     assert(rep == out)
   }
 
+  test("adjustedRandIndex: hand example 1/6, perfect = 1e6, degenerate NULL") {
+    // a=[1,1,1,2,2], b=[1,1,2,2,2]: s_cells=2, s_a=4, s_b=4, t=10 ->
+    // ARI = (2·10·2 − 2·16)/(10·8 − 32) = 8/48 = 1/6
+    val df = Seq((1, 1), (1, 1), (1, 2), (2, 2), (2, 2)).toDF("a", "b")
+    val r = Stats.adjustedRandIndex(df, col("a"), col("b")).collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 4L)
+    assert(r.getLong(4) == 166666L)
+    // identical partitions under renamed labels score exactly 1
+    val perm = Seq((1, 9), (1, 9), (2, 7), (2, 7), (3, 5)).toDF("a", "b")
+    val p = Stats.adjustedRandIndex(perm, col("a"), col("b")).collect().head
+    assert(p.getLong(4) == 1000000L)
+    // both sides one cluster: chance correction divides by zero -> NULL
+    val one = Seq((1, 1), (1, 1), (1, 1)).toDF("a", "b")
+    assert(Stats.adjustedRandIndex(one, col("a"), col("b"))
+      .collect().head.isNullAt(4))
+    val rep = Stats.adjustedRandIndex(df.repartition(7), col("a"), col("b"))
+      .collect().head
+    assert(rep.getLong(4) == 166666L)
+  }
+
   test("benfordReport: leading digits of positives only, constant expectations") {
     val df = Seq(1L, 19L, 25L, 33L, 999L, 0L, -5L).toDF("x")
     val out = Stats.benfordReport(df, col("x")).collect()
