@@ -1818,6 +1818,19 @@ object ExtensionQueries {
         col("event_id"))
     }),
 
+    // ---- Evaluation: per-segment ROC-AUC ---------------------------------
+    // The q_roc_auc statistic per event type — per-segment model eval in
+    // one stratified rank pass.
+    "q_group_auc" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Stats.groupedRocAuc(ev, col("event_type"), col("value"),
+          (get_json_object(col("props"), "$.k").cast("long") % 3 === 0)
+            .cast("long"),
+          col("event_id"))
+        .withColumnRenamed("group", "event_type")
+        .orderBy("event_type")
+    }),
+
     // ---- Evaluation: classifier reliability (calibration) table ----------
     // Synthetic calibrated scores: p = (k % 100)/100, label drawn by the
     // md5-bucket of the event id under p — so a correct implementation
@@ -4930,6 +4943,34 @@ object ExtensionQueries {
         |  ELSE CAST((1000000 * (r2 - n_pos * (n_pos + 1))) //
         |    (2 * n_pos * n_neg) AS BIGINT) END AS auc_ppm
         |FROM t""".stripMargin,
+
+    "q_group_auc" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS s,
+        |    CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |      % 3 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, s, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(y) AS BIGINT) AS pos
+        |  FROM r GROUP BY 1, 2),
+        |k AS (
+        |  SELECT event_type, s, c, pos,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY s)
+        |      AS BIGINT) AS cum
+        |  FROM g),
+        |t AS (
+        |  SELECT event_type,
+        |    CAST(sum(pos * ((cum - c + 1) + cum)) AS BIGINT) AS r2,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(c - pos) AS BIGINT) AS n_neg
+        |  FROM k GROUP BY 1)
+        |SELECT event_type, n_pos, n_neg,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |  ELSE CAST((1000000 * (r2 - n_pos * (n_pos + 1))) //
+        |    (2 * n_pos * n_neg) AS BIGINT) END AS auc_ppm
+        |FROM t ORDER BY event_type""".stripMargin,
 
     "q_calibration" ->
       """WITH r AS (

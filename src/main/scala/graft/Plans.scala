@@ -54,7 +54,7 @@ object Plans {
     "q_benford", "q_readability", "q_centroid_shift",
     "q_vocab_coverage", "mm_image_stats", "q_sql_surface",
     "q_label_outliers", "q_degree_dist", "mm_audio_silence",
-    "q_rand_index", "dedup_sweep")
+    "q_rand_index", "dedup_sweep", "q_group_auc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")

@@ -487,6 +487,39 @@ object Stats {
                |END""".stripMargin).as("auc_ppm"))
   }
 
+  /** Per-group ROC-AUC — [[rocAuc]] with the group as the rank STRATUM,
+    * so every segment's Mann-Whitney statistic computes in one pass
+    * (per-segment model evaluation: "does the score work for every
+    * event type / market / language?"). Same integer midrank identity;
+    * groups are the parallelism of both the bucketed rank and the
+    * closing aggregates.
+    *
+    * Output: one row per group `(group, n_pos, n_neg, auc_ppm)`, NULL
+    * auc for single-class groups.
+    */
+  def groupedRocAuc(df: DataFrame, groupCol: Column, scoreCol: Column,
+                    labelCol: Column, tieCol: Column): DataFrame = {
+    val rows = df.select(groupCol.as("group"),
+      floor(scoreCol.cast("double") * 1000000.0).cast("long").as("s"),
+      labelCol.cast("long").as("y"), tieCol.as("uid"))
+    val keyed = rows.withColumn("__k", col("s") + lit(1L << 41))
+    val ranked = Sampling.orderedRank(keyed, col("group"), col("__k"),
+      col("uid"), nBuckets = 1024, keyBits = 42, out = "__rk")
+    val perScore = ranked.groupBy(col("group"), col("s"))
+      .agg(min(col("__rk")).as("mn"), max(col("__rk")).as("mx"),
+        sum(col("y")).as("pos"))
+    perScore.groupBy(col("group"))
+      .agg(sum(expr("CAST(pos AS DECIMAL(38,0)) * (mn + mx)")).as("r2"),
+        sum(col("pos")).as("n_pos"),
+        sum(expr("mx - mn + 1 - pos")).as("n_neg"))
+      .select(col("group"), col("n_pos"), col("n_neg"),
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+               |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) *
+               |  (r2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))) DIV
+               |  (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)
+               |END""".stripMargin).as("auc_ppm"))
+  }
+
   /** Reliability (calibration) table for a probabilistic classifier:
     * scores arrive as micros in [0, 10⁶], bucketed into `bins` equi-width
     * bins; per bin the table reports count, positives, mean confidence

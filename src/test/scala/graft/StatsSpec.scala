@@ -482,6 +482,28 @@ class StatsSpec extends AnyFunSuite {
     assert(a.getLong(2) == b.getLong(2))
   }
 
+  test("groupedRocAuc: per-group AUCs match per-group rocAuc runs") {
+    val rows =
+      Seq(("a", 1.0, 0L), ("a", 2.0, 0L), ("a", 3.0, 1L), ("a", 4.0, 1L),
+        ("b", 1.0, 1L), ("b", 2.0, 1L), ("b", 3.0, 0L), ("b", 4.0, 0L),
+        ("c", 1.0, 1L), ("c", 2.0, 1L)) // single-class -> NULL
+    val df = rows.zipWithIndex
+      .map { case ((g, s, y), i) => (g, s, y, i.toLong) }
+      .toDF("g", "s", "y", "uid")
+    val out = Stats.groupedRocAuc(df, col("g"), col("s"), col("y"),
+        col("uid"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(3) == 1000000L)
+    assert(out("b").getLong(3) == 0L)
+    assert(out("c").isNullAt(3))
+    // agrees with the single-group operator run per slice
+    for (g <- Seq("a", "b")) {
+      val single = Stats.rocAuc(df.filter(col("g") === g), col("s"),
+        col("y"), col("uid")).collect().head
+      assert(single.getLong(2) == out(g).getLong(3))
+    }
+  }
+
   test("calibrationReport: exact per-bin conf/acc/gap and edge binning") {
     // bin 2: four rows at p=0.25, one positive -> conf 250000, acc 250000
     // bin 9: p=999999 and p=1000000 both clamp into the last bin
