@@ -617,7 +617,7 @@ object ExtensionQueries {
       val docs = Tables.documents(s, d)
         .withColumn("k", Sampling.md5OrderKey(col("text")))
       Sampling.orderedRank(docs, lit(0), col("k"), col("doc_id"),
-          out = "shuffle_rank")
+          keyRange = Sampling.Md5KeyRange, out = "shuffle_rank")
         .select(col("doc_id"), col("shuffle_rank"))
         .orderBy("doc_id")
     }),
@@ -631,7 +631,7 @@ object ExtensionQueries {
       val docs = Tables.documents(s, d)
         .withColumn("k", Sampling.md5OrderKey(col("text")))
       Sampling.orderedRank(docs, col("source"), col("k"), col("doc_id"),
-          out = "cap_rank")
+          keyRange = Sampling.Md5KeyRange, out = "cap_rank")
         .filter(col("cap_rank") <= 100)
         .select(col("doc_id"), col("source"), col("cap_rank"))
         .orderBy("doc_id")
@@ -943,7 +943,7 @@ object ExtensionQueries {
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
         expr("l_orderkey * 10 + l_linenumber").as("uid"))
       val ranked = Sampling.orderedRank(li, lit("all"), col("cents"),
-        col("uid"), nBuckets = 1024, keyBits = 24, out = "rk")
+        col("uid"), nBuckets = 1024, out = "rk")
       val n = ranked.agg(count(lit(1)).as("n_total"))
       ranked.crossJoin(broadcast(n))
         .withColumn("bucket", expr("((rk - 1) * 16) DIV n_total"))
@@ -963,7 +963,7 @@ object ExtensionQueries {
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
         expr("l_orderkey * 10 + l_linenumber").as("uid"))
       val ranked = Sampling.orderedRank(li, col("g"), col("cents"),
-        col("uid"), nBuckets = 1024, keyBits = 24, out = "rk")
+        col("uid"), nBuckets = 1024, out = "rk")
       val counts = ranked.groupBy("g").agg(count(lit(1)).as("n_g"))
       ranked.join(broadcast(counts), Seq("g"))
         .select(col("g"), col("cents"), col("rk"), col("n_g"),
@@ -1975,7 +1975,10 @@ object ExtensionQueries {
     "q_rand_index" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val corpus = emb.filter(col("vec_id") % 10 =!= 0)
-      val probes = emb.filter(col("vec_id") % 10 === 0)
+      // the holdout is CAPPED by a literal id bound: the probe side is
+      // broadcast into a nested-loop cosine scan, so it must be a fixed
+      // probe BUDGET (≤500), never a fixed FRACTION of the corpus
+      val probes = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 5000)
       val preds = Similarity.knnClassify(corpus, probes, "vec_id",
         "embedding", "label", k = 10)
       Stats.adjustedRandIndex(
@@ -1991,7 +1994,9 @@ object ExtensionQueries {
     "q_confusion" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val corpus = emb.filter(col("vec_id") % 10 =!= 0)
-      val probes = emb.filter(col("vec_id") % 10 === 0)
+      // fixed probe budget (≤500 by literal id bound), not a corpus
+      // fraction — the probe side broadcasts (see q_rand_index)
+      val probes = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 5000)
       val preds = Similarity.knnClassify(corpus, probes, "vec_id",
         "embedding", "label", k = 10)
       Stats.confusionMatrix(
@@ -5046,7 +5051,7 @@ object ExtensionQueries {
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
         |  FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv, label AS true_label
-        |      FROM e WHERE vec_id % 10 = 0),
+        |      FROM e WHERE vec_id % 10 = 0 AND vec_id < 5000),
         |c AS (SELECT vec_id, v, label FROM e WHERE vec_id % 10 <> 0),
         |sc AS (
         |  SELECT query_id, c.vec_id AS neighbor_id, c.label,
@@ -5135,7 +5140,7 @@ object ExtensionQueries {
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
         |  FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv, label AS true_label
-        |      FROM e WHERE vec_id % 10 = 0),
+        |      FROM e WHERE vec_id % 10 = 0 AND vec_id < 5000),
         |c AS (SELECT vec_id, v, label FROM e WHERE vec_id % 10 <> 0),
         |sc AS (
         |  SELECT query_id, c.vec_id AS neighbor_id, c.label,

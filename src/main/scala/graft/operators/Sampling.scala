@@ -41,7 +41,38 @@ object Sampling {
   def md5OrderKey(content: Column): Column =
     conv(substring(md5(content.cast("string")), 1, 15), 16, 10).cast("long")
 
-  /** Deterministic global (or per-stratum) rank by a uniform hash key —
+  /** Key range of [[md5OrderKey]] keys — pass as `keyRange` to
+    * [[orderedRank]] so a key already known to be uniform in [0, 2^60)
+    * skips the min/max probe scan.
+    */
+  val Md5KeyRange: Option[(Long, Long)] = Some((0L, (1L << 60) - 1))
+
+  /** (lo, width) of [[orderedRank]]'s range bucketing: width =
+    * span/nBuckets + 1 over the supplied or probed key range, so the
+    * occupied bucket count tracks nBuckets for ANY key scale (micros
+    * scores and 60-bit hashes alike). The probe is a 1-row bounded
+    * collect of (min, max) — one extra narrow column scan.
+    */
+  private[graft] def bucketBounds(df: DataFrame, orderCol: Column,
+                                  nBuckets: Int,
+                                  keyRange: Option[(Long, Long)]): (Long, Long) = {
+    def widthOf(mn: Long, mx: Long): Long = {
+      require(mn <= mx, s"key range ($mn, $mx) must have min <= max")
+      require(BigInt(mx) - BigInt(mn) <= BigInt(Long.MaxValue),
+        s"key range ($mn, $mx) spans more than the long range")
+      ((BigInt(mx) - BigInt(mn)) / nBuckets + 1).toLong
+    }
+    keyRange match {
+      case Some((mn, mx)) => (mn, widthOf(mn, mx))
+      case None =>
+        val r = df.select(orderCol.cast("long").as("__ork"))
+          .agg(min(col("__ork")), max(col("__ork"))).head()
+        if (r.isNullAt(0)) (0L, 1L)
+        else (r.getLong(0), widthOf(r.getLong(0), r.getLong(1)))
+    }
+  }
+
+  /** Deterministic global (or per-stratum) rank by an integer order key —
     * the "reproducible epoch shuffle" primitive: rank every example by
     * `hash(seed, content)` and you have a training order that is a pure
     * function of the corpus, independent of partitioning, cluster size and
@@ -51,8 +82,9 @@ object Sampling {
     * sort — the one shape that cannot survive 100 TB. This computes the
     * same rank with no global window:
     *
-    *  1. range-bucket the key space (`key >> (keyBits − log2 nBuckets)` is
-    *     monotone in the key, so bucket order == key order);
+    *  1. range-bucket the key space — `(key − lo) DIV width` is monotone
+    *     in the key (truncating division is monotone non-decreasing over
+    *     the whole long range), so bucket order == key order;
     *  2. count rows per (stratum, bucket) — one partial-agg shuffle of
     *     counts, ≤ strata × nBuckets rows total;
     *  3. exclusive prefix-sum of the counts in bucket order — an indexed
@@ -62,28 +94,38 @@ object Sampling {
     *     window whose partitions are 1/nBuckets of a stratum each, so a
     *     hot stratum spreads over nBuckets sort partitions.
     *
-    * `orderCol` must be uniform in [0, 2^keyBits) ([[md5OrderKey]] gives
-    * keyBits = 60 by construction); `tieBreak` makes the rank total when
-    * distinct rows share a key (duplicate content). The offsets frame is
-    * broadcast — strata × nBuckets rows; for extreme stratum cardinality
-    * drop the hint and the join degrades to a small shuffle, still never a
-    * global sort.
+    * The bucket width ADAPTS to the observed key range: by default a
+    * 1-row (min, max) probe of `orderCol` sizes `width = span/nBuckets + 1`
+    * (one extra narrow column scan; the collect is bounded at one row).
+    * The previous static bit-shift (`key >> (keyBits − log2 nBuckets)`)
+    * silently degenerated to ONE bucket — a single-partition sort per
+    * stratum — whenever the real key range undershot the assumed
+    * 2^keyBits width (micros-scale scores under a 2^42 assumption; the
+    * round-5 advisory). Callers whose key range is known by construction
+    * pass `keyRange` (e.g. [[Md5KeyRange]]) and skip the probe. Ranks are
+    * identical under ANY monotone bucketing — only window parallelism
+    * varies — so the choice is a pure performance knob.
+    *
+    * `tieBreak` makes the rank total when distinct rows share a key
+    * (duplicate content). The offsets frame is broadcast — strata ×
+    * nBuckets rows; for extreme stratum cardinality drop the hint and the
+    * join degrades to a small shuffle, still never a global sort.
     */
   def orderedRank(df: DataFrame, strataCol: Column, orderCol: Column,
-                  tieBreak: Column, nBuckets: Int = 1024, keyBits: Int = 60,
+                  tieBreak: Column, nBuckets: Int = 1024,
+                  keyRange: Option[(Long, Long)] = None,
                   out: String = "stratum_rank"): DataFrame = {
-    require(nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0,
-      s"nBuckets=$nBuckets must be a power of two")
-    require(keyBits >= 1 && keyBits <= 62, s"keyBits=$keyBits out of [1, 62]")
-    require((1L << keyBits) >= nBuckets,
-      s"key space 2^$keyBits smaller than nBuckets=$nBuckets")
-    // bucket = top log2(nBuckets) bits of the key — integer shift, not
-    // double division (a double mantissa cannot hold 60-bit keys exactly)
-    val shift = keyBits - java.lang.Long.numberOfTrailingZeros(nBuckets.toLong)
+    require(nBuckets >= 1 && nBuckets <= (1 << 20),
+      s"nBuckets=$nBuckets out of [1, 2^20]")
+    val (lo, width) = bucketBounds(df, orderCol, nBuckets, keyRange)
+    // (key − lo) DIV width — integer division, not double (a double
+    // mantissa cannot hold 60-bit keys exactly); keys OUTSIDE a supplied
+    // keyRange stay correct (monotone for any long), they only land in
+    // under-split edge buckets
     val bucketed = df
       .withColumn("__ork", orderCol)
       .withColumn("__os", strataCol)
-      .withColumn("__ob", shiftright(col("__ork"), shift).cast("long"))
+      .withColumn("__ob", expr(s"(__ork - ${lo}L) DIV ${width}L"))
     val counts = bucketed.groupBy(col("__os"), col("__ob"))
       .agg(count(lit(1)).as("__oc"))
     // Exclusive prefix sum over the bounded aggregate: collect each

@@ -72,23 +72,20 @@ object Stats {
     * Both medians come from [[Sampling.orderedRank]] — range-bucketed
     * ranks with HOF-folded offsets — so the plan is two bounded rank
     * passes plus broadcast joins of 1-row frames; nothing single-sorts
-    * the data. `valueCol` must be non-negative fixed-point integral in
-    * [0, 2^keyBits) (the bucket shift is monotone only over
-    * non-negative keys; cents at keyBits=24 covers values to ~167k).
+    * the data. Bucket widths adapt to the observed value range.
     *
     * Output: one row per outlier — (uid, x, med, abs_dev, mad).
     */
   def madOutliers(df: DataFrame, valueCol: Column, tieCol: Column,
-                  num: Long = 3L, den: Long = 1L,
-                  keyBits: Int = 24): DataFrame = {
+                  num: Long = 3L, den: Long = 1L): DataFrame = {
     require(num >= 1 && den >= 1, s"cut $num/$den must be positive")
     val t = df.select(valueCol.cast("long").as("x"), tieCol.as("uid"))
       .localCheckpoint(true)
-    val dev = t.crossJoin(broadcast(lowerMedian(t, "x", keyBits).toDF("med")))
+    val dev = t.crossJoin(broadcast(lowerMedian(t, "x").toDF("med")))
       .withColumn("abs_dev", abs(col("x") - col("med")))
       .localCheckpoint(true)
     val mad = lowerMedian(dev.select(col("abs_dev").as("x"), col("uid")),
-      "x", keyBits).toDF("mad")
+      "x").toDF("mad")
     dev.crossJoin(broadcast(mad))
       .filter(lit(den) * col("abs_dev") > lit(num) * col("mad"))
       .select(col("uid"), col("x"), col("med"), col("abs_dev"), col("mad"))
@@ -106,15 +103,14 @@ object Stats {
     * onto the ranked stream; suited to grouping keys whose cardinality
     * fits a broadcast (profiling dimensions, not user ids).
     *
-    * `valueCol` must be non-negative integral below 2^keyBits.
     * Output: (g, med, n) — one row per group.
     */
   def groupedLowerMedian(df: DataFrame, groupCol: Column, valueCol: Column,
-                         tieCol: Column, keyBits: Int = 28): DataFrame = {
+                         tieCol: Column): DataFrame = {
     val t = df.select(groupCol.as("g"), valueCol.cast("long").as("x"),
       tieCol.as("uid"))
     val ranked = Sampling.orderedRank(t, col("g"), col("x"), col("uid"),
-      nBuckets = 1024, keyBits = keyBits, out = "__rk")
+      nBuckets = 1024, out = "__rk")
     val counts = t.groupBy(col("g")).agg(count(lit(1)).as("__n"))
     ranked.join(broadcast(counts), Seq("g"))
       .filter(col("__rk") === expr("(__n + 1) DIV 2"))
@@ -394,10 +390,9 @@ object Stats {
   /** The value at rank (n+1) DIV 2 of (xCol, uid) order — a 1-row,
     * 1-column frame. Rank via orderedRank, never a global-order window.
     */
-  private def lowerMedian(t: DataFrame, xCol: String,
-                          keyBits: Int): DataFrame = {
+  private def lowerMedian(t: DataFrame, xCol: String): DataFrame = {
     val ranked = Sampling.orderedRank(t, lit(0L), col(xCol), col("uid"),
-      nBuckets = 1024, keyBits = keyBits, out = "__rk")
+      nBuckets = 1024, out = "__rk")
     // (n+1) DIV 2, integer division — `/` on longs is DOUBLE division in
     // Spark and loses exactness past 2^53
     ranked.crossJoin(broadcast(t.agg(count(lit(1)).as("__n"))))
@@ -453,25 +448,25 @@ object Stats {
     * and 2·r̄ per tie-group is min_rank + max_rank — exact longs.
     *
     * Ranks come from [[Sampling.orderedRank]] (bucketed prefix-sum, never
-    * a global-order window): scores are floored to micros, shifted into
-    * the non-negative key space, ranked, then ONE hash aggregation per
-    * distinct score takes (min, max, Σy) and a 1-row aggregate closes the
-    * identity. Tie groups occupy contiguous rank ranges whatever the
-    * tie-break order, so the midrank sum is tie-break-independent.
-    * DECIMAL(38,0) carries the rank products (N² — overflows int64 past
-    * ~3·10⁹ rows).
+    * a global-order window): scores are floored to micros, ranked, then
+    * ONE hash aggregation per distinct score takes (min, max, Σy) and a
+    * 1-row aggregate closes the identity. Tie groups occupy contiguous
+    * rank ranges whatever the tie-break order, so the midrank sum is
+    * tie-break-independent. DECIMAL(38,0) carries the rank products
+    * (N² — overflows int64 past ~3·10⁹ rows). The rank's bucket width
+    * adapts to the observed micros range — probability scores spread
+    * over the full bucket count, not one degenerate sort partition.
     *
     * Output: 1 row `(n_pos, n_neg, auc_ppm)`; NULL auc when either class
-    * is empty. Scores must satisfy |floor(score·10⁶)| < 2^41.
+    * is empty.
     */
   def rocAuc(df: DataFrame, scoreCol: Column, labelCol: Column,
              tieCol: Column): DataFrame = {
     val rows = df.select(
       floor(scoreCol.cast("double") * 1000000.0).cast("long").as("s"),
       labelCol.cast("long").as("y"), tieCol.as("uid"))
-    val keyed = rows.withColumn("__k", col("s") + lit(1L << 41))
-    val ranked = Sampling.orderedRank(keyed, lit(0L), col("__k"), col("uid"),
-      nBuckets = 1024, keyBits = 42, out = "__rk")
+    val ranked = Sampling.orderedRank(rows, lit(0L), col("s"), col("uid"),
+      nBuckets = 1024, out = "__rk")
     val perScore = ranked.groupBy(col("s"))
       .agg(min(col("__rk")).as("mn"), max(col("__rk")).as("mx"),
         sum(col("y")).as("pos"))
@@ -502,9 +497,8 @@ object Stats {
     val rows = df.select(groupCol.as("group"),
       floor(scoreCol.cast("double") * 1000000.0).cast("long").as("s"),
       labelCol.cast("long").as("y"), tieCol.as("uid"))
-    val keyed = rows.withColumn("__k", col("s") + lit(1L << 41))
-    val ranked = Sampling.orderedRank(keyed, col("group"), col("__k"),
-      col("uid"), nBuckets = 1024, keyBits = 42, out = "__rk")
+    val ranked = Sampling.orderedRank(rows, col("group"), col("s"),
+      col("uid"), nBuckets = 1024, out = "__rk")
     val perScore = ranked.groupBy(col("group"), col("s"))
       .agg(min(col("__rk")).as("mn"), max(col("__rk")).as("mx"),
         sum(col("y")).as("pos"))
@@ -562,8 +556,8 @@ object Stats {
     * row-local clamp, then one hash aggregation per group.
     *
     * Output: `(group, n, lo_val, hi_val, n_clipped_lo, n_clipped_hi,
-    * winsorized_sum)`. Values must be non-negative longs below 2^41
-    * (the orderedRank key-space contract).
+    * winsorized_sum)`. The rank's bucket width adapts to the observed
+    * value range (no key-space contract).
     */
   def winsorizedStats(df: DataFrame, groupCol: Column, valueCol: Column,
                       tieCol: Column, loPct: Int = 5,
@@ -573,7 +567,7 @@ object Stats {
     val rows = df.select(groupCol.as("group"),
       valueCol.cast("long").as("v"), tieCol.as("uid"))
     val ranked = Sampling.orderedRank(rows, col("group"), col("v"),
-      col("uid"), nBuckets = 1024, keyBits = 42, out = "__rk")
+      col("uid"), nBuckets = 1024, out = "__rk")
     val sizes = ranked.groupBy(col("group")).agg(count(lit(1)).as("n"))
     // ceil(pct·n/100) as (pct·n + 99) DIV 100 — positive operands, where
     // truncating DIV (Spark) and flooring // (DuckDB) agree; the negated
@@ -608,19 +602,19 @@ object Stats {
     * no global-order window); the mapping is then ONE equi-join on the
     * target rank — everything hash-partitions at any scale.
     *
-    * Output: `(id, source, v, v_norm)`. Values must be non-negative longs
-    * below 2^41 (orderedRank key-space contract).
+    * Output: `(id, source, v, v_norm)`. The rank's bucket width adapts
+    * to the observed value range (no key-space contract).
     */
   def quantileNormalize(df: DataFrame, idCol: Column, srcCol: Column,
                         valueCol: Column, tieCol: Column): DataFrame = {
     val rows = df.select(idCol.as("id"), srcCol.as("source"),
       valueCol.cast("long").as("v"), tieCol.as("uid"))
     val perSrc = Sampling.orderedRank(rows, col("source"), col("v"),
-      col("uid"), nBuckets = 1024, keyBits = 42, out = "__rs")
+      col("uid"), nBuckets = 1024, out = "__rs")
     val sizes = rows.groupBy(col("source")).agg(count(lit(1)).as("__ns"))
     val total = rows.agg(count(lit(1)).as("__n"))
     val globalRanks = Sampling.orderedRank(rows, lit(0L), col("v"),
-        col("uid"), nBuckets = 1024, keyBits = 42, out = "__gr")
+        col("uid"), nBuckets = 1024, out = "__gr")
       .select(col("__gr"), col("v").as("v_norm"))
     perSrc
       .join(broadcast(sizes), Seq("source"))

@@ -869,8 +869,7 @@ object TextAnalysis {
     val counts = df.select(explode(tokensCol).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
     val ranked = Sampling.orderedRank(counts, lit(0L),
-      lit(1L << 41) - col("c"), col("t"), nBuckets = 1024, keyBits = 42,
-      out = "rk")
+      lit(1L << 41) - col("c"), col("t"), nBuckets = 1024, out = "rk")
     val aggCols =
       ks.map(k => sum(when(col("rk") <= k, col("c")).otherwise(0L))
         .as(s"cov$k")) ++
