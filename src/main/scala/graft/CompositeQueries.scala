@@ -625,43 +625,43 @@ object CompositeQueries {
         |FROM fin GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "pipeline_audit" ->
-      """WITH RECURSIVE toks AS (
+      """WITH RECURSIVE toks AS MATERIALIZED (
         |  SELECT doc_id, source, text, string_split(text, ' ') AS w
         |  FROM documents),
-        |corp AS (SELECT * FROM toks WHERE doc_id % 10 <> 0),
-        |q AS (SELECT * FROM corp WHERE len(w) BETWEEN 20 AND 1000),
-        |rk AS (SELECT *, row_number() OVER (PARTITION BY text
+        |corp AS MATERIALIZED (SELECT * FROM toks WHERE doc_id % 10 <> 0),
+        |q AS MATERIALIZED (SELECT * FROM corp WHERE len(w) BETWEEN 20 AND 1000),
+        |rk AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY text
         |         ORDER BY doc_id) AS rn FROM q),
-        |ex AS (SELECT * FROM rk WHERE rn = 1),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |ex AS MATERIALIZED (SELECT * FROM rk WHERE rn = 1),
+        |sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
         |         generate_series(1, len(w) - 2),
         |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
         |       FROM ex WHERE len(w) >= 3),
-        |p AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2
+        |p AS MATERIALIZED (SELECT a.doc_id AS id_1, b.doc_id AS id_2
         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |      WHERE len(list_intersect(a.g, b.g)) /
         |          len(list_distinct(list_concat(a.g, b.g))) >= 0.5),
-        |ed AS (SELECT id_1 AS s, id_2 AS t FROM p
+        |ed AS MATERIALIZED (SELECT id_1 AS s, id_2 AS t FROM p
         |       UNION SELECT id_2, id_1 FROM p),
         |reach(s, t) AS (
         |  SELECT s, t FROM ed UNION SELECT s, s FROM ed
         |  UNION SELECT r.s, ed.t FROM reach r JOIN ed ON r.t = ed.s),
-        |cn AS (SELECT s AS id, min(t) AS canonical_id FROM reach GROUP BY s),
-        |kept AS (SELECT ex.* FROM ex LEFT JOIN cn ON cn.id = ex.doc_id
+        |cn AS MATERIALIZED (SELECT s AS id, min(t) AS canonical_id FROM reach GROUP BY s),
+        |kept AS MATERIALIZED (SELECT ex.* FROM ex LEFT JOIN cn ON cn.id = ex.doc_id
         |         WHERE cn.id IS NULL OR cn.canonical_id = ex.doc_id),
-        |b5 AS (SELECT DISTINCT unnest(list_transform(
+        |b5 AS MATERIALIZED (SELECT DISTINCT unnest(list_transform(
         |         generate_series(1, len(w) - 4),
         |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
         |              w[i+3] || ' ' || w[i+4])) AS gr
         |       FROM toks WHERE doc_id % 10 = 0 AND len(w) >= 5),
-        |cont AS (SELECT DISTINCT k.doc_id FROM
+        |cont AS MATERIALIZED (SELECT DISTINCT k.doc_id FROM
         |         (SELECT doc_id, unnest(list_distinct(list_transform(
         |            generate_series(1, len(w) - 4),
         |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
         |                 w[i+3] || ' ' || w[i+4]))) AS gr
         |          FROM kept WHERE len(w) >= 5) k
         |         JOIN b5 USING (gr)),
-        |reasons AS (
+        |reasons AS MATERIALIZED (
         |  SELECT doc_id, source, 'quality' AS reason FROM corp
         |    WHERE len(w) NOT BETWEEN 20 AND 1000
         |  UNION ALL

@@ -2612,7 +2612,8 @@ object ExtensionQueries {
        |  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
        |    CAST(floor(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE)
        |      * 1000000.0) AS BIGINT) AS xi
-       |  FROM embeddings, unnest(range(0, $dim)) AS t(i)),
+       |  FROM embeddings, unnest(range(0, $dim)) AS t(i)
+       |  WHERE len(embedding) >= $dim),
        |signs(i, j, s) AS (VALUES $values),
        |p AS (
        |  SELECT vec_id, j, CAST(sum(s * xi) AS BIGINT) AS pj
@@ -5386,7 +5387,8 @@ object ExtensionQueries {
         |  SELECT vec_id, label, CAST(t.i AS INTEGER) AS d,
         |    CAST(floor(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE)
         |      * 1000000.0) AS BIGINT) AS xi
-        |  FROM embeddings, unnest(range(0, 64)) AS t(i)),
+        |  FROM embeddings, unnest(range(0, 64)) AS t(i)
+        |  WHERE len(embedding) >= 64),
         |sums AS (
         |  SELECT label, d, CAST(sum(xi) AS BIGINT) AS s,
         |    CAST(count(*) AS BIGINT) AS n
@@ -5413,7 +5415,8 @@ object ExtensionQueries {
         |  SELECT label, vec_id % 2 AS sp, CAST(t.i AS INTEGER) AS d,
         |    CAST(floor(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE)
         |      * 1000000.0) AS BIGINT) AS xi
-        |  FROM embeddings, unnest(range(0, 64)) AS t(i)),
+        |  FROM embeddings, unnest(range(0, 64)) AS t(i)
+        |  WHERE len(embedding) >= 64),
         |pd AS (
         |  SELECT label, d,
         |    CAST(sum(CASE WHEN sp = 0 THEN xi ELSE 0 END) AS BIGINT) AS sa,

@@ -518,7 +518,12 @@ object Graph {
     * All metrics are EXACT INTEGERS so external SQL replays them:
     *  - modularity contribution ×4m² (m = |undirected edges|): the paper's
     *    `e_c/m − (d_c/2m)²` scaled by 4m² is `4m·e_c − d_c²` — integer;
-    *    Q·4m² = Σ_c of this column, so ranking and sums are exact;
+    *    Q·4m² = Σ_c of this column, so ranking and sums are exact. The
+    *    products run in DECIMAL(38,0) (a bare int64 `4·m·e_c` wraps
+    *    silently in Spark but ERRORS in DuckDB once m ≈ 1.5·10⁹ —
+    *    engine divergence); the BIGINT output column is exact while
+    *    |4m·e_c − d_c²| &lt; 2⁶³, i.e. for any graph below ~1.5·10⁹
+    *    undirected edges — the documented contract;
     *  - conductance in ppm: `10⁶·cut_c DIV min(vol_c, 2m − vol_c)` (NULL
     *    when one side has zero volume — single-community graphs).
     *
@@ -571,7 +576,9 @@ object Graph {
       .crossJoin(broadcast(m1))
       .select(col("label"), col("n_nodes"), col("internal_edges"),
         col("cut_edges"), col("volume"),
-        expr("4 * m * internal_edges - volume * volume")
+        expr("""CAST(CAST(4 AS DECIMAL(38,0)) * m * internal_edges -
+               |  CAST(volume AS DECIMAL(38,0)) * volume AS BIGINT)"""
+            .stripMargin)
           .as("modularity_num"),
         expr("""CASE WHEN least(volume, 2 * m - volume) = 0 THEN NULL
                |ELSE CAST(1000000 * cut_edges DIV

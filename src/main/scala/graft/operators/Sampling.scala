@@ -351,6 +351,15 @@ object Sampling {
   def preferencePairs(df: DataFrame, groupCol: Column, idCol: Column,
                       scoreCol: Column, minGapMicros: Long = 1L): DataFrame = {
     require(minGapMicros >= 1, s"minGapMicros=$minGapMicros must be >= 1")
+    // the chosen-side tie-break negates the id inside max(struct(...));
+    // unary minus on a non-numeric id null-casts under non-ANSI mode and
+    // would silently NULL chosen_id — reject at plan time (schema-only
+    // resolution, no job)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = df.select(idCol).schema.head.dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"idCol must be an integral type for the negated tie-break, got $idType")
     val rows = df.select(groupCol.as("group"), idCol.as("id"),
       floor(scoreCol.cast("double") * 1000000.0).cast("long").as("micros"))
     rows.groupBy(col("group"))

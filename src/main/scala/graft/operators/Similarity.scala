@@ -116,14 +116,21 @@ object Similarity {
     * Output: `(label, n_a, n_b, l1_num, shift_milli)` where shift_milli
     * = ⌊1000·l1_num/(n_a·n_b·dim·10⁶)⌋ — the per-dimension mean absolute
     * shift in milli-units of the original coordinate scale. NULL when a
-    * slice is empty for the label.
+    * slice is empty for the label. `l1_num` is reported as BIGINT and
+    * NULLs past 2⁶³ (≈4·10⁵ unit-scale vectors per label per slice —
+    * the documented contract; `shift_milli` divides inside DECIMAL and
+    * stays exact regardless). Rows whose vector is shorter than `dim`
+    * are EXCLUDED (a silent `slice` truncation would skew per-dim
+    * counts and break the constant-n carry — mirror the predicate in
+    * any external replay).
     */
   def centroidShift(df: DataFrame, labelCol: Column, splitCol: Column,
                     vecCol: Column, dim: Int): DataFrame = {
     require(dim >= 1, s"dim=$dim must be >= 1")
     val fixed = transform(slice(vecCol, 1, dim),
       x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
-    val exploded = df.select(labelCol.as("label"),
+    val exploded = df.filter(size(vecCol) >= dim)
+      .select(labelCol.as("label"),
         splitCol.cast("int").as("sp"), posexplode(fixed).as(Seq("d", "xi")))
     val perDim = exploded.groupBy(col("label"), col("d"))
       .agg(sum(when(col("sp") === 0, col("xi")).otherwise(0L)).as("sa"),
@@ -166,15 +173,19 @@ object Similarity {
     * to itself.
     *
     * Output: `(label, rank, vec_id, n_members, dist2_scaled)`, top
-    * `k` per label by (distance DESC, vec_id).
+    * `k` per label by (distance DESC, vec_id). Rows whose vector is
+    * shorter than `dim` are EXCLUDED (a silent `slice` truncation would
+    * rank a short vector by a partial distance — mirror the predicate
+    * in any external replay).
     */
   def labelOutliers(df: DataFrame, idCol: Column, labelCol: Column,
                     vecCol: Column, dim: Int, k: Int): DataFrame = {
     require(dim >= 1 && k >= 1, s"bad dim=$dim k=$k")
     val fixed = transform(slice(vecCol, 1, dim),
       x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
-    val exploded = df.select(idCol.as("vec_id"), labelCol.as("label"),
-      posexplode(fixed).as(Seq("d", "xi")))
+    val exploded = df.filter(size(vecCol) >= dim)
+      .select(idCol.as("vec_id"), labelCol.as("label"),
+        posexplode(fixed).as(Seq("d", "xi")))
     val sums = exploded.groupBy(col("label"), col("d"))
       .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
     val d2 = exploded.join(broadcast(sums), Seq("label", "d"))
@@ -226,7 +237,9 @@ object Similarity {
       aggregate(zip_with(fixed, signsLit, (x, sg) => x * sg),
         lit(0L), (acc, t) => acc + t).as(s"d$j")
     }
-    df.select(idCol.as("id") +: projections: _*)
+    // a vector shorter than dim would NULL every output through the
+    // zip_with padding — exclude it so operator and replay agree
+    df.filter(size(vecCol) >= dim).select(idCol.as("id") +: projections: _*)
   }
 
   /** Sign-bit signature of a vector column against the given hyperplanes,

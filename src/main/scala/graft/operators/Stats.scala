@@ -745,6 +745,10 @@ object Stats {
     *   z = ((c1·n2 − c2·n1) / (n1·n2)) / sqrt(p̂(1−p̂)(1/n1 + 1/n2)),
     *   p̂ = (c1+c2)/(n1+n2)
     *
+    * The difference `c1·n2 − c2·n1` runs in DECIMAL(38,0) before the
+    * DOUBLE cast — the bare int64 product wraps silently past ~3·10⁹
+    * rows per arm (DuckDB's HUGEINT doesn't — engine divergence).
+    *
     * reported as `z_micros = floor(z·10⁶)` plus the raw integer counts
     * (so any downstream recompute can re-derive significance at other
     * thresholds without re-scanning the log).
@@ -769,7 +773,8 @@ object Stats {
         expr("""CASE WHEN n1 = 0 OR n2 = 0
                |  OR c1 + c2 = 0 OR c1 + c2 = n1 + n2 THEN NULL
                |ELSE CAST(floor(1000000.0 *
-               |  ((CAST(c1 * n2 - c2 * n1 AS DOUBLE) /
+               |  ((CAST(CAST(c1 AS DECIMAL(38,0)) * n2 -
+               |         CAST(c2 AS DECIMAL(38,0)) * n1 AS DOUBLE) /
                |    (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) /
                |   sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
                |     (1.0 - CAST(c1 + c2 AS DOUBLE) /

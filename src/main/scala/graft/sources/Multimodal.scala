@@ -357,9 +357,14 @@ object Multimodal {
     * training (all-black / all-white / low-dynamic-range images are
     * dropped on these numbers). Per image: dimensions, pixel count,
     * gray sum, min/max, and the variance NUMERATOR `n·Σx² − (Σx)²`
-    * (n² times the population variance — exact in int64 for any raster
-    * below ~2³¹ pixels, and order-independent where a float variance
-    * is not). Non-decodable blobs are absent, as in [[imageHashes]].
+    * (n² times the population variance — order-independent where a
+    * float variance is not). The subtraction runs in BigInt: the NAIVE
+    * long products `n·Σx²` and `(Σx)²` wrap at ~1.2·10⁷ pixels (worst
+    * case 65025·n² &gt; 2⁶³ — NOT the 2³¹ a previous doc claimed), while
+    * the DIFFERENCE n²·var ≤ 16256·n² stays in int64 up to ~2.4·10⁷
+    * pixels worst-case (far more for low-variance rasters); a raster
+    * whose true numerator overflows int64 throws rather than wrapping.
+    * Non-decodable blobs are absent, as in [[imageHashes]].
     */
   def imageStats(ds: Dataset[MediaRecord]): DataFrame = {
     import ds.sparkSession.implicits._
@@ -376,7 +381,11 @@ object Multimodal {
             i += 1
           }
           val n = gray.length.toLong
-          (r.media_id, w, h, n, s, mn, mx, n * s2 - s * s)
+          val varNum = BigInt(n) * BigInt(s2) - BigInt(s) * BigInt(s)
+          require(varNum.isValidLong,
+            s"variance numerator $varNum of media ${r.media_id} " +
+              s"($n px) overflows int64")
+          (r.media_id, w, h, n, s, mn, mx, varNum.toLong)
         }
       }
     }.toDF("media_id", "width", "height", "n_pixels", "sum_gray",
