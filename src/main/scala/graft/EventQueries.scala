@@ -109,6 +109,31 @@ object EventQueries {
         .orderBy("bucket_start", "event_type")
     }),
 
+    // ---- Tumbling window THROUGH Structured Streaming --------------------
+    // The same 1-hour aggregation as w_tumbling, but executed end-to-end
+    // on the streaming path: file-source discovery over the events parquet
+    // (maxFilesPerTrigger bounds per-batch work), watermarked stateful
+    // window aggregation across micro-batches, Trigger.AvailableNow to
+    // drain the backlog, a complete-mode memory sink holding the final
+    // state. The oracle is the BATCH SQL — stream ≡ batch is the
+    // correctness claim (StreamingSpec asserts it in-process; this row
+    // makes it driver-visible through the DuckDB gate). At scale the sink
+    // becomes parquet/Kafka; the stateful-aggregation plan is identical.
+    "w_stream_tumbling" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val counts = graft.streaming.Streams.tumblingCounts(
+        graft.streaming.Streams.eventsStream(s, d))
+      val q = counts.writeStream
+        .format("memory")
+        .queryName("w_stream_tumbling_sink")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("w_stream_tumbling_sink")
+        .orderBy("bucket_start", "event_type")
+    }),
+
     // ---- Sessionization (gaps-and-islands, 30-minute gap) -----------------
     "q_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
@@ -351,6 +376,14 @@ object EventQueries {
         |ORDER BY event_id""".stripMargin,
 
     "w_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // stream ≡ batch: the streaming rendition must reproduce the batch
+    // tumbling aggregation bit-for-bit
+    "w_stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start,
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -1450,6 +1450,22 @@ object ExtensionQueries {
       Graph.pageRank(edges, iterations = 8).orderBy("node")
     }),
 
+    // ---- Graph: PageRank with exact dangling-mass conservation -----------
+    // The full Page et al. model: dangling rank redistributes uniformly
+    // each iteration instead of leaking. Edges are the q_pagerank
+    // transitions DAG-ified by src < dst, so the max node is dangling BY
+    // CONSTRUCTION at every scale (a weight threshold would make the
+    // dangling set an accident of the data). Filtering on the (src, dst)
+    // group keys commutes with the weight aggregation, so the oracle
+    // applies the same predicate post-group.
+    "q_pagerank_exact" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val edges = Graph.transitionEdges(ev, col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long"), col("event_id"))
+        .filter(col("src") < col("dst"))
+      Graph.pageRankExact(edges, iterations = 8).orderBy("node")
+    }),
+
     // ---- Events: linear multi-touch attribution (7-day lookback) ---------
     "q_attribution" -> ((s, d) => {
       graft.operators.Attribution.linearCredits(Tables.events(s, d),
@@ -2493,6 +2509,56 @@ object ExtensionQueries {
        |SELECT node, rank FROM r$iterations ORDER BY node""".stripMargin
   }
 
+  /** Unrolled replay of [[graft.operators.Graph.pageRankExact]] over the
+    * src &lt; dst DAG: each iteration adds a 1-row dangling-mass CTE and
+    * redistributes `d // n` into every node's inbound mass. CTEs are
+    * MATERIALIZED — DuckDB re-executes multiply-referenced CTEs per
+    * reference, and `ew`/`nodes`/`dang` are referenced once per
+    * iteration.
+    */
+  private def pageRankExactOracle(iterations: Int): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT CAST(COALESCE((SELECT sum(rank) FROM r${i - 1}
+         |    WHERE node IN (SELECT node FROM dang)), 0) AS BIGINT) AS d),
+         |r$i AS MATERIALIZED (
+         |  SELECT n.node, CAST(150000000000 + ((COALESCE(sum(
+         |      (r.rank // e.wout) * e.weight +
+         |      ((r.rank % e.wout) * e.weight) // e.wout), 0)
+         |      + (SELECT d FROM d$i) // (SELECT nv FROM nn)) * 17) // 20
+         |    AS BIGINT) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN ew e ON e.dst = n.node
+         |  LEFT JOIN r${i - 1} r ON r.node = e.src
+         |  GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT user_id, event_id,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS node
+       |  FROM events),
+       |tr AS MATERIALIZED (
+       |  SELECT node AS dst,
+       |    lag(node) OVER (PARTITION BY user_id ORDER BY event_id) AS src
+       |  FROM ev),
+       |ed AS MATERIALIZED (
+       |  SELECT src, dst, count(*) AS weight
+       |  FROM tr WHERE src IS NOT NULL GROUP BY 1, 2),
+       |edf AS MATERIALIZED (SELECT * FROM ed WHERE src < dst),
+       |wo AS MATERIALIZED (SELECT src, CAST(sum(weight) AS BIGINT) AS wout
+       |       FROM edf GROUP BY 1),
+       |ew AS MATERIALIZED (SELECT e.src, e.dst, e.weight, w.wout
+       |       FROM edf e JOIN wo w USING (src)),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edf
+       |          UNION SELECT DISTINCT dst FROM edf),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv FROM nodes),
+       |dang AS MATERIALIZED (SELECT node FROM nodes
+       |        WHERE node NOT IN (SELECT src FROM wo)),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, 1000000000000::BIGINT AS rank FROM nodes),
+       |$iterCtes
+       |SELECT node, rank FROM r$iterations ORDER BY node""".stripMargin
+  }
+
   /** Unrolled k-core peel oracle over the min-support co-occurrence
     * graph: one (degree, keep, filter) CTE triple per round. The
     * per-round CTEs are MATERIALIZED — DuckDB inlines plain CTEs, and
@@ -2625,6 +2691,7 @@ object ExtensionQueries {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle(8),
+    "q_pagerank_exact" -> pageRankExactOracle(8),
     "q_ppr" -> pageRankOracle(8,
       "CASE WHEN n.node % 20 = 0 THEN 150000000000 ELSE 0 END"),
     "q_hits" -> hitsOracle(4),

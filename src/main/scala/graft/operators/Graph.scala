@@ -126,6 +126,62 @@ object Graph {
     ranks
   }
 
+  /** [[pageRank]] with EXACT dangling-mass conservation (Page et al.
+    * 1999's full model rather than the simplified leak-the-mass variant):
+    * each iteration sums the rank held by nodes with no out-edges and
+    * redistributes it uniformly — `rank' = base + 0.85·(in_mass + D DIV n)`
+    * in the same fixed-point integers, so total mass is conserved up to
+    * the truncation units (&lt; 1 unit per node per DIV, plus D mod n per
+    * iteration — "to the fixed-point unit").
+    *
+    * Plan shape per iteration: the [[pageRank]] join+agg PLUS one 1-row
+    * dangling-mass aggregate broadcast back (a grouping-free aggregate —
+    * the guard-allowed shape). The rank frame feeds TWO branches per
+    * iteration (contributions and the dangling sum), so it is
+    * checkpointed every round — n-row frames, the bounded case of the
+    * branch-re-execution rule.
+    */
+  def pageRankExact(edges: DataFrame, iterations: Int = 8): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations=$iterations out of [1, 100]")
+    val base = (Scale * 3L) / 20L
+    val e = edges.localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val wout = e.groupBy(col("src")).agg(sum(col("weight")).as("wout"))
+    val withOut = e.join(wout, "src").localCheckpoint(true)
+    // nodes that appear only as destinations hold rank but emit none
+    val dangling = nodes
+      .join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    val nFrame = nodes.agg(count(lit(1)).as("__n"))
+    var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = withOut
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          expr("(rank DIV wout) * weight + " +
+            "((rank % wout) * weight) DIV wout").as("share"))
+        .groupBy(col("dst"))
+        .agg(sum(col("share")).as("in_mass"))
+      val dmass = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("__d"))
+      // non-negative operands throughout, so Spark's truncating DIV and
+      // a flooring replay agree
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(dmass))
+        .crossJoin(broadcast(nFrame))
+        .select(col("node"),
+          (lit(base) +
+            expr("((coalesce(in_mass, CAST(0 AS BIGINT)) + __d DIV __n)" +
+              " * 17) DIV 20")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Exact triangle counting per node over an UNDIRECTED simple graph
     * given as (a, b) pairs with a &lt; b (one row per edge). Uses the
     * degree-ordered orientation (Schank &amp; Wagner 2005, "Finding,

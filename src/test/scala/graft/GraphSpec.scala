@@ -20,6 +20,33 @@ class GraphSpec extends AnyFunSuite {
     assert(r == Map(1L -> Graph.Scale, 2L -> Graph.Scale, 3L -> Graph.Scale))
   }
 
+  test("pageRankExact: dangling mass is conserved to the fixed-point unit") {
+    // star-into-sink: node 4 has no out-edges; the leaky variant bleeds
+    // its whole 0.85 share every iteration, the exact variant returns it
+    val es = Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 1L), (1L, 2L, 1L))
+    val iters = 8
+    val exact = Graph.pageRankExact(edges(es: _*), iterations = iters)
+      .as[(Long, Long)].collect().toMap
+    val leaky = Graph.pageRank(edges(es: _*), iterations = iters)
+      .as[(Long, Long)].collect().toMap
+    val n = 4L
+    val ideal = n * Graph.Scale
+    // loss bound: each of the ≤ 2·|E| share DIVs, the D DIV n split and
+    // the per-node ·17 DIV 20 floor drops < 1 unit per iteration
+    val bound = iters.toLong * (2L * es.length + n + n)
+    assert(ideal - exact.values.sum <= bound && exact.values.sum <= ideal,
+      s"exact total ${exact.values.sum} vs ideal $ideal (bound $bound)")
+    assert(leaky.values.sum < exact.values.sum - Graph.Scale / 10,
+      "the leaky variant must visibly bleed the sink's mass")
+    // no dangling nodes -> the two variants are identical
+    val cyc = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+    val a = Graph.pageRankExact(edges(cyc: _*), iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.pageRank(edges(cyc: _*), iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "without dangling nodes exact must equal classic")
+  }
+
   test("personalized pagerank: all-seeds equals classic; unseeded mass decays exactly") {
     val es = edges((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L),
       (4L, 5L, 1L), (5L, 4L, 1L)) // 3-cycle + separate 2-cycle
