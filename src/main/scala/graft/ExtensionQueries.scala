@@ -2003,6 +2003,42 @@ object ExtensionQueries {
         col("t"), col("pred_label"))
     }),
 
+    // ---- Audit: cross-source contamination matrix ------------------------
+    // "How much of source A's content re-appears in source B?" — the
+    // fingerprint is the 5-word OPENING (shared boilerplate audit; full-
+    // text md5 finds zero cross-source repeats in this fixture, so the
+    // prefix variant exercises the real pairwise path).
+    "q_source_overlap" -> ((s, d) => {
+      Dedup.sourceOverlap(Tables.documents(s, d), col("source"),
+          array_join(slice(split(col("text"), " "), 1, 5), " "))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // ---- Evaluation: simplified (centroid) silhouette per label ----------
+    // Label separation quality in embedding space; integer-exact route
+    // with only fixed-order IEEE sqrt/divide at the per-vector step.
+    "q_silhouette" -> ((s, d) => {
+      Similarity.silhouette(Tables.embeddings(s, d), col("vec_id"),
+          col("label"), col("embedding"), dim = 64)
+        .orderBy("label")
+    }),
+
+    // ---- Drift: two-sample chi-square over a categorical bucketing -------
+    // The categorical complement of q_ks_drift/q_tv_drift: even-vs-odd
+    // user cohorts compared on the event-type distribution.
+    "q_chi2_drift" -> ((s, d) => {
+      Stats.chiSquareDrift(Tables.events(s, d),
+        col("user_id") % 2, col("event_type"))
+    }),
+
+    // ---- Text: lexical diversity (type-token / hapax ratios) -------------
+    "text_ttr" -> ((s, d) => {
+      TextAnalysis.typeTokenRatio(Tables.documents(s, d), col("source"),
+          TextFunctions.tokens(col("text")))
+        .withColumnRenamed("stratum", "source")
+        .orderBy("source")
+    }),
+
     // ---- Evaluation: kNN confusion matrix with class totals --------------
     // Same brute-cosine vote pipeline as q_knn_classify over a 50-probe
     // holdout (vec_id % 10), aggregated to (true, pred) cells with exact
@@ -5161,6 +5197,105 @@ object ExtensionQueries {
         |JOIN rt USING (true_label)
         |JOIN ct USING (pred_label)
         |ORDER BY true_label, pred_label""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH fps AS MATERIALIZED (
+        |  SELECT DISTINCT source AS src,
+        |    md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp
+        |  FROM documents),
+        |ps AS MATERIALIZED (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.src AS source_a, b.src AS source_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |  pa.n_fp AS n_fp_a, pb.n_fp AS n_fp_b,
+        |  CAST(1000000 * n_shared // pa.n_fp AS BIGINT) AS contain_a_ppm,
+        |  CAST(1000000 * n_shared // pb.n_fp AS BIGINT) AS contain_b_ppm
+        |FROM pairs
+        |JOIN ps pa ON pa.src = source_a
+        |JOIN ps pb ON pb.src = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "q_silhouette" ->
+      """WITH ex AS MATERIALIZED (
+        |  SELECT vec_id, label AS own, CAST(t.i AS INTEGER) AS d,
+        |    CAST(floor(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE)
+        |      * 1000000.0) AS BIGINT) AS xi
+        |  FROM embeddings, unnest(range(0, 64)) AS t(i)
+        |  WHERE len(embedding) >= 64),
+        |sums AS MATERIALIZED (
+        |  SELECT own AS cand, d, CAST(sum(xi) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ex GROUP BY 1, 2),
+        |pc AS MATERIALIZED (
+        |  SELECT ex.vec_id, ex.own, sums.cand,
+        |    CAST(sum((CAST(ex.xi AS HUGEINT) * sums.n - sums.s) *
+        |             (CAST(ex.xi AS HUGEINT) * sums.n - sums.s))
+        |      // (CAST(max(sums.n) AS HUGEINT) * max(sums.n)) AS BIGINT)
+        |      AS dist2
+        |  FROM ex JOIN sums ON ex.d = sums.d
+        |  GROUP BY 1, 2, 3),
+        |pv AS MATERIALIZED (
+        |  SELECT vec_id, own,
+        |    max(CASE WHEN cand = own THEN dist2 END) AS a2,
+        |    min(CASE WHEN cand <> own THEN dist2 END) AS b2
+        |  FROM pc GROUP BY 1, 2),
+        |sv AS (
+        |  SELECT own,
+        |    CASE WHEN b2 IS NULL THEN NULL
+        |      WHEN greatest(a2, b2) = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(floor(1000000.0 *
+        |        (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE))) /
+        |        greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))))
+        |        AS BIGINT) END AS s_ppm
+        |  FROM pv)
+        |SELECT own AS label, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(sum(s_ppm) AS BIGINT) AS sum_s_ppm,
+        |  CASE WHEN sum(s_ppm) IS NULL THEN NULL
+        |    WHEN sum(s_ppm) >= 0 THEN CAST(sum(s_ppm) // count(*) AS BIGINT)
+        |    ELSE CAST(-((-sum(s_ppm) + count(*) - 1) // count(*)) AS BIGINT)
+        |  END AS mean_s_ppm
+        |FROM sv GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q_chi2_drift" ->
+      """WITH pb AS (
+        |  SELECT event_type AS bucket,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b
+        |  FROM events GROUP BY 1),
+        |tt AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+        |              CAST(sum(b) AS BIGINT) AS nb FROM pb),
+        |terms AS (
+        |  SELECT na, nb,
+        |    CASE WHEN na = 0 OR nb = 0 THEN NULL
+        |      ELSE CAST((CAST(1000000 AS HUGEINT) *
+        |        (CAST(a AS HUGEINT) * nb - CAST(b AS HUGEINT) * na) *
+        |        (CAST(a AS HUGEINT) * nb - CAST(b AS HUGEINT) * na))
+        |        // (CAST(na AS HUGEINT) * nb * (a + b)) AS BIGINT) END AS t
+        |  FROM pb CROSS JOIN tt)
+        |SELECT na AS n_a, nb AS n_b, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(t) AS BIGINT) AS chi2_micros
+        |FROM terms GROUP BY 1, 2""".stripMargin,
+
+    "text_ttr" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |counts AS (
+        |  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(1000000 * count(*) // sum(c) AS BIGINT) AS ttr_ppm,
+        |  CAST(1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) // count(*)
+        |    AS BIGINT) AS hapax_ppm
+        |FROM counts GROUP BY 1 ORDER BY source""".stripMargin,
 
     "dedup_sweep" ->
       """WITH toks AS (

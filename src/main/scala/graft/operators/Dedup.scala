@@ -852,4 +852,45 @@ object Dedup {
         (coalesce(col("n_shared_grams"), lit(0L)) >= minOverlap)
           .cast("int").as("contaminated"))
   }
+
+  /** Cross-source contamination matrix — for every (source_a, source_b)
+    * pair, how many distinct content fingerprints appear in BOTH: the
+    * audit behind "Common Crawl re-crawls X% of the wiki dump" / "these
+    * two vendors sold us the same data". The asymmetric containment is
+    * reported from both directions in exact ppm against each side's
+    * distinct-fingerprint count.
+    *
+    * Plan shape: one distinct on (source, fingerprint) (hash aggregate),
+    * a self equi-join ON THE FINGERPRINT (hash-partitioned — never a
+    * source×source cross; a fingerprint shared by k sources expands to
+    * k² pairs, bounded by the source count, not the corpus), one count
+    * aggregation on the pair key, and a broadcast of the per-source
+    * totals (sources are configuration-scale). The fingerprint is the
+    * shuffle key — 32 hex bytes, not document bytes.
+    *
+    * Output: `(source_a, source_b, n_shared, n_fp_a, n_fp_b,
+    * contain_a_ppm, contain_b_ppm)` with source_a &lt; source_b and
+    * contain_x_ppm = 10⁶·n_shared DIV n_fp_x.
+    */
+  def sourceOverlap(df: DataFrame, sourceCol: Column,
+                    contentCol: Column): DataFrame = {
+    val fps = df.select(sourceCol.as("src"),
+        md5(contentCol.cast("string")).as("fp"))
+      .distinct()
+    val perSource = fps.groupBy(col("src")).agg(count(lit(1)).as("n_fp"))
+    val pairs = fps.alias("x")
+      .join(fps.alias("y"), col("x.fp") === col("y.fp") &&
+        col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("source_a"), col("y.src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(perSource.select(col("src").as("source_a"),
+        col("n_fp").as("n_fp_a"))), Seq("source_a"))
+      .join(broadcast(perSource.select(col("src").as("source_b"),
+        col("n_fp").as("n_fp_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_fp_a"), col("n_fp_b"),
+        expr("1000000 * n_shared DIV n_fp_a").as("contain_a_ppm"),
+        expr("1000000 * n_shared DIV n_fp_b").as("contain_b_ppm"))
+  }
 }

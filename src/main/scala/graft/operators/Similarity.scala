@@ -204,6 +204,71 @@ object Similarity {
           " AS BIGINT)").as("dist2_scaled"))
   }
 
+  /** Simplified (centroid) silhouette per label — the label-quality score
+    * behind "are these classes actually separated in embedding space?":
+    * for each vector, a = distance to its OWN label centroid, b = the
+    * minimum distance to any OTHER label centroid, s = (b − a)/max(a, b)
+    * ∈ [−1, 1] (Rousseeuw 1987's silhouette with centroids standing in
+    * for mean pairwise distances — the O(N·L) variant, not O(N²)).
+    *
+    * Exactness route: fixed-point micros coordinates, per-(label, dim)
+    * integer sums, cleared-denominator squared distances in DECIMAL(38,0)
+    * ([[labelOutliers]]'s identity), then `d²·n² DIV n²` brings the
+    * magnitude under 2⁵³ so the ONLY float steps — sqrt, subtract,
+    * divide, floor — are single fixed-order IEEE expressions over exactly
+    * representable integers (the text_bm25 portability rule). Per-label
+    * means aggregate the INTEGER s_ppm, never doubles.
+    *
+    * Plan shape: posexplode → one hash agg on (label, dim) → broadcast
+    * the L·dim centroid-sum table back onto the exploded rows joined on
+    * dim (each row meets all L candidate labels — O(N·L·dim), linear in
+    * the corpus; labels are parameter-scale) → per-(vector, candidate)
+    * agg → per-vector pivot → per-label agg. No self-joins, no windows.
+    *
+    * Output: `(label, n_vectors, sum_s_ppm, mean_s_ppm)`; NULL scores
+    * when only one label exists. Vectors shorter than `dim` are excluded
+    * (the ragged-input contract).
+    */
+  def silhouette(df: DataFrame, idCol: Column, labelCol: Column,
+                 vecCol: Column, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim=$dim must be >= 1")
+    val fixed = transform(slice(vecCol, 1, dim),
+      x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    val exploded = df.filter(size(vecCol) >= dim)
+      .select(idCol.as("vec_id"), labelCol.as("own"),
+        posexplode(fixed).as(Seq("d", "xi")))
+    val sums = exploded.groupBy(col("own").as("cand"), col("d"))
+      .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
+    val perCand = exploded.join(broadcast(sums), Seq("d"))
+      .groupBy(col("vec_id"), col("own"), col("cand"))
+      .agg(max(col("n")).as("n_c"),
+        sum(expr("""(CAST(xi AS DECIMAL(38,0)) * n - s) *
+                   |(CAST(xi AS DECIMAL(38,0)) * n - s)""".stripMargin))
+          .as("d2n2"))
+      // ≈ 10¹²·d² — under 2⁵³ for unit-scale embeddings, so the DOUBLE
+      // conversion below is exact in any engine
+      .withColumn("dist2",
+        expr("CAST(d2n2 DIV (CAST(n_c AS DECIMAL(38,0)) * n_c) AS BIGINT)"))
+    val perVec = perCand.groupBy(col("vec_id"), col("own"))
+      .agg(max(when(col("cand") === col("own"), col("dist2"))).as("a2"),
+        min(when(col("cand") =!= col("own"), col("dist2"))).as("b2"))
+      .select(col("vec_id"), col("own"),
+        expr("""CASE WHEN b2 IS NULL THEN NULL
+               |WHEN greatest(a2, b2) = 0 THEN CAST(0 AS BIGINT)
+               |ELSE CAST(floor(1000000.0 *
+               |  (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE))) /
+               |  greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))))
+               |  AS BIGINT) END""".stripMargin).as("s_ppm"))
+    perVec.groupBy(col("own").as("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("s_ppm")).as("sum_s_ppm"))
+      .withColumn("mean_s_ppm",
+        expr("""CASE WHEN sum_s_ppm IS NULL THEN NULL
+               |WHEN sum_s_ppm >= 0 THEN sum_s_ppm DIV n_vectors
+               |ELSE -((-sum_s_ppm + n_vectors - 1) DIV n_vectors)
+               |END""".stripMargin))
+  }
+
   /** Sparse-friendly random projection (the ±1 Achlioptas / JL family,
     * Achlioptas 2003): k output coordinates, each the SIGNED SUM of the
     * fixed-point input coordinates under a deterministic ±1 matrix —

@@ -760,6 +760,51 @@ object Stats {
     * Output: `(group, n1, c1, n2, c2, z_micros, significant)` with
     * `significant = |z| ≥ 1.96` at the conventional 5% two-sided level.
     */
+  /** Two-sample chi-square homogeneity statistic over a categorical
+    * bucketing — the distribution-drift test that complements the exact
+    * KS ([[q_ks_drift]]'s operator) for CATEGORICAL features, where KS's
+    * ordering is meaningless. For slices A/B with per-bucket counts
+    * a_b/b_b:
+    *
+    *   χ² = Σ_b (a_b·N_B − b_b·N_A)² / (N_A·N_B·(a_b + b_b))
+    *
+    * reported as `chi2_micros = Σ_b ⌊10⁶·num_b / den_b⌋` — the per-bucket
+    * floor makes the statistic a pure integer function of the counts
+    * (deterministic and replayable anywhere; the ≤ n_buckets·1 µ-unit
+    * downward bias is irrelevant against critical values). DECIMAL(38,0)
+    * carries the squared cross products — exact while
+    * (a_b·N_B − b_b·N_A)² &lt; 10³⁸, i.e. slice sizes to ~10⁹ rows;
+    * beyond that, pre-aggregate counts to a coarser unit first.
+    *
+    * Plan shape: one conditional hash aggregation on the bucket key, one
+    * grouping-free 1-row totals aggregate broadcast back, one 1-row
+    * closing sum. Degrees of freedom = n_buckets − 1.
+    *
+    * Output: 1 row `(n_a, n_b, n_buckets, chi2_micros)`; NULL statistic
+    * when either slice is empty.
+    */
+  def chiSquareDrift(df: DataFrame, sliceCol: Column,
+                     bucketCol: Column): DataFrame = {
+    val rows = df.select(bucketCol.as("bucket"),
+      sliceCol.cast("int").as("sl"))
+    val perBucket = rows.groupBy(col("bucket"))
+      .agg(sum(when(col("sl") === 0, 1L).otherwise(0L)).as("a"),
+        sum(when(col("sl") =!= 0, 1L).otherwise(0L)).as("b"))
+    val totals = perBucket.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    perBucket.crossJoin(broadcast(totals))
+      .select(col("na"), col("nb"),
+        expr("""CASE WHEN na = 0 OR nb = 0 THEN NULL
+               |ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) *
+               |  (CAST(a AS DECIMAL(38,0)) * nb - CAST(b AS DECIMAL(38,0)) * na) *
+               |  (CAST(a AS DECIMAL(38,0)) * nb - CAST(b AS DECIMAL(38,0)) * na))
+               |  DIV (CAST(na AS DECIMAL(38,0)) * nb * (a + b)) AS BIGINT)
+               |END""".stripMargin).as("t"))
+      .groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("t")).as("chi2_micros"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("n_buckets"), col("chi2_micros"))
+  }
+
   def abTestZ(df: DataFrame, groupCol: Column, variantCol: Column,
               convertedCol: Column): DataFrame = {
     val rows = df.select(groupCol.as("group"),

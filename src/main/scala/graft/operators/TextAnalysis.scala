@@ -863,6 +863,27 @@ object TextAnalysis {
     * coverage_ppm)` with coverage = 10⁶·covered DIV total (exact
     * integers end-to-end).
     */
+  /** Lexical-diversity profile per stratum: token count, distinct types,
+    * hapax legomena (frequency-1 types) and the type-token / hapax ratios
+    * in exact ppm — the cheap screens for template spam (TTR collapses)
+    * and OCR noise / boilerplate variety (hapax share spikes). Two hash
+    * aggregations — (stratum, token) then stratum; integers end-to-end.
+    *
+    * Output: `(stratum, n_tokens, n_types, n_hapax, ttr_ppm, hapax_ppm)`.
+    */
+  def typeTokenRatio(df: DataFrame, strataCol: Column,
+                     tokensCol: Column): DataFrame = {
+    val counts = df.select(strataCol.as("stratum"), explode(tokensCol).as("t"))
+      .groupBy(col("stratum"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("stratum"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("stratum"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("1000000 * n_types DIV n_tokens").as("ttr_ppm"),
+        expr("1000000 * n_hapax DIV n_types").as("hapax_ppm"))
+  }
+
   def vocabCoverage(df: DataFrame, tokensCol: Column,
                     ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), s"bad ks=$ks")

@@ -645,4 +645,57 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Similarity.projectionSigns(4, 2, 8L).map(_.toSeq).toSeq !=
       signs.map(_.toSeq).toSeq)
   }
+
+  test("sourceOverlap: pairwise shared fingerprints with both containments") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // A: {x, y, z}; B: {x, y, w}; C: {q} - A-B share 2, C shares nothing
+    val df = Seq(("A", "x"), ("A", "y"), ("A", "z"), ("A", "x"),
+        ("B", "x"), ("B", "y"), ("B", "w"), ("C", "q"))
+      .toDF("source", "content")
+    val out = Dedup.sourceOverlap(df, col("source"), col("content"))
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("B", "A", 2L, 3L, 3L, 666666L, 666666L)) ||
+      out == Seq(("A", "B", 2L, 3L, 3L, 666666L, 666666L)),
+      s"got $out")
+    // duplicate content within a source counts once (distinct fingerprints)
+    val asym = Seq(("A", "x"), ("B", "x"), ("B", "y"), ("B", "z"), ("B", "w"))
+      .toDF("source", "content")
+    val r = Dedup.sourceOverlap(asym, col("source"), col("content"))
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().head
+    assert(r._3 == 1L && r._6 != r._7,
+      "containment must be asymmetric when the sides differ in size")
+  }
+
+  test("silhouette: separated clusters score high, one label is NULL") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // two tight, far-apart 2-d clusters
+    val rows = Seq(
+      (1L, "a", Seq(0.0f, 0.01f)), (2L, "a", Seq(0.01f, 0.0f)),
+      (3L, "b", Seq(1.0f, 0.99f)), (4L, "b", Seq(0.99f, 1.0f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out = Similarity.silhouette(df, col("vec_id"), col("label"),
+        col("embedding"), dim = 2)
+      .orderBy("label")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq("a", "b") && out.forall(_._2 == 2L))
+    assert(out.forall(_._4 > 900000L),
+      s"separated clusters must score near 1e6, got $out")
+    // a single label has no 'other' centroid: NULL scores
+    val one = Similarity.silhouette(
+        rows.filter(_._2 == "a").toDF("vec_id", "label", "embedding"),
+        col("vec_id"), col("label"), col("embedding"), dim = 2)
+      .as[(String, Long, Option[Long], Option[Long])].collect().head
+    assert(one._3.isEmpty && one._4.isEmpty)
+    // overlapping clusters score low
+    val mixed = Seq(
+      (1L, "a", Seq(0.0f, 0.0f)), (2L, "a", Seq(1.0f, 1.0f)),
+      (3L, "b", Seq(0.0f, 0.05f)), (4L, "b", Seq(1.0f, 0.95f)))
+      .toDF("vec_id", "label", "embedding")
+    val lo = Similarity.silhouette(mixed, col("vec_id"), col("label"),
+        col("embedding"), dim = 2)
+      .as[(String, Long, Long, Long)].collect()
+    assert(lo.forall(_._4 < 500000L), s"overlapping clusters got ${lo.toSeq}")
+  }
 }

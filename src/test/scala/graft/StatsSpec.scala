@@ -625,4 +625,25 @@ class StatsSpec extends AnyFunSuite {
     assert(bb.getLong(2) == 2L && bb.getLong(3) == 2L && bb.getLong(4) == 3L)
     assert(bb.getLong(5) == 1000000L && bb.getLong(6) == 666666L)
   }
+
+  test("chiSquareDrift: zero on identical slices, grows with divergence") {
+    val same = (1 to 300).map(i => (i % 2, s"t${i % 3}"))
+      .toDF("slice", "bucket")
+    val r0 = Stats.chiSquareDrift(same, col("slice"), col("bucket"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r0 == ((150L, 150L, 3L, 0L)),
+      s"identical per-bucket shares must give chi2 = 0, got $r0")
+    // disjoint supports: chi2 = N in micros (each bucket contributes its
+    // full count share)
+    val disjoint = ((1 to 100).map(_ => (0, "only_a")) ++
+      (1 to 100).map(_ => (1, "only_b"))).toDF("slice", "bucket")
+    val r1 = Stats.chiSquareDrift(disjoint, col("slice"), col("bucket"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r1._4 == 200000000L, s"disjoint slices: chi2 == N, got $r1")
+    // an empty slice yields NULL
+    val empty = (1 to 50).map(_ => (0, "x")).toDF("slice", "bucket")
+    val r2 = Stats.chiSquareDrift(empty, col("slice"), col("bucket"))
+      .select("chi2_micros").as[Option[Long]].collect().head
+    assert(r2.isEmpty)
+  }
 }

@@ -738,4 +738,19 @@ class TextSamplingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
     assert(rep == out)
   }
+
+  test("typeTokenRatio: exact type/hapax counts per stratum") {
+    val df = Seq(
+      ("a", "x x y"),        // tokens 3, types {x:2, y:1}, hapax {y}
+      ("a", "z"),            // + type z (hapax)
+      ("b", "w w w w"))      // tokens 4, 1 type, 0 hapax
+      .toDF("source", "text")
+    val out = TextAnalysis.typeTokenRatio(df, col("source"),
+        graft.functions.TextFunctions.tokens(col("text")))
+      .orderBy("stratum")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 4L, 3L, 2L, 750000L, 666666L),
+      ("b", 4L, 1L, 0L, 250000L, 0L)), s"got $out")
+  }
 }
