@@ -1728,6 +1728,30 @@ object ExtensionQueries {
         .orderBy("media_id")
     }),
 
+    // Shot-boundary detection over REAL AVI movi frames: 00db BGR24
+    // chunks are parsed byte-for-byte (LIST walk, stride, bottom-up rows,
+    // luma); per-pair L1 diffs happen inside the decode pass, the
+    // boundary threshold stays a relational knob. Shot cuts are
+    // structural (every 4th frame rekeys the pattern) so the oracle
+    // replays every pixel of every frame.
+    "mm_shot_bounds" -> ((s, d) => {
+      Multimodal.shotBoundaries(
+          Multimodal.synthesizeVideos(s, Tables.documents(s, d)),
+          threshold = 1000L)
+        .orderBy("media_id", "f")
+    }),
+
+    // Windowed loudness profile (peak / energy / clipping / Q8.8
+    // normalization gain per 50-sample window) — pure hash aggregation on
+    // (media, i DIV 50), no window function; oracle replays the sample
+    // formula per position.
+    "mm_audio_windows" -> ((s, d) => {
+      Multimodal.audioWindows(
+          Multimodal.synthesizeAudio(s, Tables.documents(s, d)),
+          windowSamples = 50, clipThreshold = 30000)
+        .orderBy("media_id", "win")
+    }),
+
     // Exact pixel stats from the real decoded raster — the brightness /
     // contrast pre-training screen; the oracle replays every pixel of the
     // generation formula including the one-pixel perturbation.
@@ -4902,6 +4926,57 @@ object ExtensionQueries {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         |FROM w GROUP BY 1, 2, 3
         |ORDER BY media_id""".stripMargin,
+
+    "mm_shot_bounds" ->
+      """WITH par AS (
+        |  SELECT doc_id AS media_id, CAST(8 + doc_id % 5 AS BIGINT) AS n
+        |  FROM documents),
+        |fr AS (SELECT media_id, unnest(range(0, n)) AS f FROM par),
+        |px AS (SELECT media_id, f, unnest(range(0, 48)) AS i FROM fr),
+        |keyed AS (
+        |  SELECT media_id, f, i, i % 8 AS x, i // 8 AS y,
+        |    media_id * 7 + (f // 4) * 31 AS g
+        |  FROM px),
+        |v AS (
+        |  SELECT media_id, f, i,
+        |    ((x * 29 + y * 53 + g * 101 +
+        |       ((x + g) % 7) * ((y + g) % 11) * 3) % 256
+        |     + (f + x + y) % 2) % 256 AS gray
+        |  FROM keyed),
+        |d AS (
+        |  SELECT a.media_id, b.f, CAST(sum(abs(a.gray - b.gray)) AS BIGINT)
+        |    AS l1_diff
+        |  FROM v a JOIN v b
+        |    ON a.media_id = b.media_id AND a.i = b.i AND b.f = a.f + 1
+        |  GROUP BY 1, 2)
+        |SELECT media_id, f, l1_diff,
+        |  CAST(l1_diff > 1000 AS INTEGER) AS boundary
+        |FROM d ORDER BY media_id, f""".stripMargin,
+
+    "mm_audio_windows" ->
+      """WITH par AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(200 + doc_id % 56 AS BIGINT) AS n
+        |  FROM documents),
+        |ix AS (
+        |  SELECT media_id, unnest(range(0, n)) AS i FROM par),
+        |s AS (
+        |  SELECT media_id, i,
+        |    ((i * 37 + media_id * 211 +
+        |      ((i + media_id) % 13) * (i % 97) * 5) % 65536) - 32768 AS v
+        |  FROM ix),
+        |w AS (
+        |  SELECT media_id, i // 50 AS win,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(max(abs(v)) AS BIGINT) AS peak,
+        |    CAST(sum(v * v) AS BIGINT) AS energy,
+        |    CAST(sum(CASE WHEN abs(v) >= 30000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_clipped
+        |  FROM s GROUP BY 1, 2)
+        |SELECT media_id, win, n_samples, peak, energy, n_clipped,
+        |  CASE WHEN peak = 0 THEN NULL
+        |    ELSE CAST(32767 * 256 // peak AS BIGINT) END AS gain_q8
+        |FROM w ORDER BY media_id, win""".stripMargin,
 
     "mm_phash" ->
       s"""$phashHashesSql

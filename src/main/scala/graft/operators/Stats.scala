@@ -609,12 +609,17 @@ object Stats {
                         valueCol: Column, tieCol: Column): DataFrame = {
     val rows = df.select(idCol.as("id"), srcCol.as("source"),
       valueCol.cast("long").as("v"), tieCol.as("uid"))
+    // both rank passes order the SAME value column — probe its range once
+    // and hand it to both, instead of two probe scans
+    val probe = rows.agg(min(col("v")), max(col("v"))).head()
+    val range = if (probe.isNullAt(0)) Some((0L, 0L))
+                else Some((probe.getLong(0), probe.getLong(1)))
     val perSrc = Sampling.orderedRank(rows, col("source"), col("v"),
-      col("uid"), nBuckets = 1024, out = "__rs")
+      col("uid"), nBuckets = 1024, keyRange = range, out = "__rs")
     val sizes = rows.groupBy(col("source")).agg(count(lit(1)).as("__ns"))
     val total = rows.agg(count(lit(1)).as("__n"))
     val globalRanks = Sampling.orderedRank(rows, lit(0L), col("v"),
-        col("uid"), nBuckets = 1024, out = "__gr")
+        col("uid"), nBuckets = 1024, keyRange = range, out = "__gr")
       .select(col("__gr"), col("v").as("v_norm"))
     perSrc
       .join(broadcast(sizes), Seq("source"))

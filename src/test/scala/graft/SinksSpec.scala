@@ -245,4 +245,58 @@ class SinksSpec extends AnyFunSuite {
     // member 1 of the group differs from member 0 in exactly one pixel
     assert(stats(1L).getLong(4) != r0.getLong(4))
   }
+
+  test("aviWithFrames round-trips through aviFramesGray; shot cuts detected") {
+    import spark.implicits._
+    import graft.sources.{MediaFormats, Multimodal}
+    // container round trip: encode 3 hand-made frames, decode them back
+    val f0 = Array.tabulate(48)(i => i % 256)
+    val f1 = Array.tabulate(48)(i => (i * 3 + 1) % 256)
+    val f2 = Array.tabulate(48)(_ => 200)
+    val avi = MediaFormats.aviWithFrames(8, 6, Array(f0, f1, f2))
+    val Some((w, h, back)) = MediaFormats.aviFramesGray(avi)
+    assert(w == 8 && h == 6 && back.length == 3)
+    assert(back(0).toSeq == f0.toSeq && back(1).toSeq == f1.toSeq &&
+      back(2).toSeq == f2.toSeq)
+    // the metadata parser still reads the same container
+    assert(MediaFormats.parseAvi(avi).exists(m =>
+      m.width == 8 && m.height == 6 && m.nFrames == 3))
+    // JUNK-payload fixtures (no movi) yield None, not garbage frames
+    assert(MediaFormats.aviFramesGray(
+      MediaFormats.aviBytes(8, 6, 3, new Array[Byte](16))).isEmpty)
+    // shot boundaries: cuts at every ShotLen-th frame, nowhere else
+    val docs = (0L to 9L).toDF("doc_id")
+    val out = Multimodal.shotBoundaries(
+        Multimodal.synthesizeVideos(spark, docs), threshold = 1000L)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, f, d, b) =>
+      val expectCut = f % Multimodal.ShotLen == 0
+      assert(b == (if (expectCut) 1 else 0),
+        s"media $id frame $f: l1=$d boundary=$b expected cut=$expectCut")
+    }
+    // every video contributes nFrames-1 pairs
+    val pairCounts = out.groupBy(_._1).view.mapValues(_.length).toMap
+    (0L to 9L).foreach { id =>
+      assert(pairCounts(id) == (8 + id % 5).toInt - 1)
+    }
+  }
+
+  test("audioWindows: exact per-window peak/energy/clipping from decoded PCM") {
+    import spark.implicits._
+    import graft.sources.{MediaFormats, Multimodal}
+    val s1 = Array(100, -200, 31000, 5, -31000, 7, 8, 9) // clips at 30000
+    val ds = Seq(Multimodal.MediaRecord(1L, "a.wav", "audio/wav",
+      MediaFormats.wavPcm16Bytes(8000, s1))).toDS()
+    val out = Multimodal.audioWindows(ds, windowSamples = 4,
+        clipThreshold = 30000)
+      .orderBy("win")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    def en(xs: Seq[Int]) = xs.map(v => v.toLong * v).sum
+    assert(out == Seq(
+      (1L, 0L, 4L, 31000L, en(Seq(100, -200, 31000, 5)), 1L,
+        32767L * 256 / 31000),
+      (1L, 1L, 4L, 31000L, en(Seq(-31000, 7, 8, 9)), 1L,
+        32767L * 256 / 31000)))
+  }
 }
