@@ -134,6 +134,28 @@ object EventQueries {
         .orderBy("bucket_start", "event_type")
     }),
 
+    // ---- Session windows THROUGH Structured Streaming --------------------
+    // session_window(ts, 30 min) executed on the streaming path (state
+    // merges sessions across micro-batches), drained with AvailableNow
+    // into a complete-mode memory sink. The oracle is batch SQL
+    // gaps-and-islands with the EXACT session_window semantics: events
+    // merge iff the micro-truncated gap is STRICTLY below 30 min (the
+    // window end is exclusive), session_end = last event + gap.
+    "w_stream_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val sess = graft.streaming.Streams.sessionAggregate(
+        graft.streaming.Streams.eventsStream(s, d))
+      val q = sess.writeStream
+        .format("memory")
+        .queryName("w_stream_sessions_sink")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("w_stream_sessions_sink")
+        .orderBy("user_id", "session_start")
+    }),
+
     // ---- Sessionization (gaps-and-islands, 30-minute gap) -----------------
     "q_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
@@ -380,6 +402,31 @@ object EventQueries {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // stream ≡ batch for session windows: gap comparison in MICROSECONDS
+    // (Spark truncates the nano fixture timestamps to micros; comparing
+    // raw nanos could flip a within-1µs boundary pair), merge iff
+    // strictly under the gap, end = last event + gap
+    "w_stream_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |           OR epoch_us(CAST(ts AS TIMESTAMP)) -
+        |              epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+        |              >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),
+        |sess AS (
+        |  SELECT user_id, tsu,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT min(tsu) AS session_start,
+        |  max(tsu) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // stream ≡ batch: the streaming rendition must reproduce the batch
     // tumbling aggregation bit-for-bit

@@ -2038,6 +2038,29 @@ object ExtensionQueries {
         .orderBy("source_a", "source_b")
     }),
 
+    // ---- Audit: what does exact dedup buy (capacity planning) ------------
+    // The fixture corpus has no exact text repeats (dedup_exact = 500
+    // singleton clusters), so every 7th document is re-appended to give
+    // the histogram a real multiplicity-2 row; the oracle replays the
+    // same union.
+    "dedup_savings" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupSavings(
+          docs.unionByName(docs.filter(col("doc_id") % 7 === 0)),
+          col("text"), octet_length(col("text")))
+        .orderBy("n_copies")
+    }),
+
+    // ---- Stats: Spearman rank correlation (midranks, no global sort) -----
+    // Monotone association between quantity and price on the line items;
+    // doubled midranks keep the whole statistic integral until one
+    // fixed-order double expression.
+    "q_spearman" -> ((s, d) => {
+      Stats.spearmanRho(Tables.lineitem(s, d), col("l_quantity"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        expr("l_orderkey * 10 + l_linenumber"))
+    }),
+
     // ---- Evaluation: simplified (centroid) silhouette per label ----------
     // Label separation quality in embedding space; integer-exact route
     // with only fixed-order IEEE sqrt/divide at the per-vector step.
@@ -5272,6 +5295,56 @@ object ExtensionQueries {
         |JOIN rt USING (true_label)
         |JOIN ct USING (pred_label)
         |ORDER BY true_label, pred_label""".stripMargin,
+
+    "dedup_savings" ->
+      """WITH corpus AS (
+        |  SELECT text FROM documents
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 7 = 0),
+        |cl AS (
+        |  SELECT text, CAST(count(*) AS BIGINT) AS n_copies,
+        |    CAST(max(strlen(text)) AS BIGINT) AS b
+        |  FROM corpus GROUP BY 1)
+        |SELECT n_copies, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(n_copies - 1) AS BIGINT) AS dup_docs,
+        |  CAST(sum((n_copies - 1) * b) AS BIGINT) AS dup_bytes
+        |FROM cl GROUP BY 1 ORDER BY n_copies""".stripMargin,
+
+    "q_spearman" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+        |    l_orderkey * 10 + l_linenumber AS uid
+        |  FROM lineitem),
+        |rx AS MATERIALIZED (
+        |  SELECT x, y, uid, row_number() OVER (ORDER BY x, uid) AS rnx
+        |  FROM r),
+        |px AS MATERIALIZED (
+        |  SELECT x, CAST(min(rnx) + max(rnx) AS BIGINT) AS m2x
+        |  FROM rx GROUP BY 1),
+        |ry AS MATERIALIZED (
+        |  SELECT rx.y, px.m2x,
+        |    row_number() OVER (ORDER BY rx.y, rx.uid) AS rny
+        |  FROM rx JOIN px USING (x)),
+        |py AS MATERIALIZED (
+        |  SELECT y, CAST(min(rny) + max(rny) AS BIGINT) AS m2y
+        |  FROM ry GROUP BY 1),
+        |ag AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(m2x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(m2y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(m2x AS HUGEINT) * m2y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(m2x AS HUGEINT) * m2x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(m2y AS HUGEINT) * m2y) AS HUGEINT) AS syy
+        |  FROM ry JOIN py USING (y))
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |    THEN NULL
+        |  ELSE CAST(floor(0.5 + 1000000.0 *
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+        |  END AS rho_micros
+        |FROM ag""".stripMargin,
 
     "q_source_overlap" ->
       """WITH fps AS MATERIALIZED (

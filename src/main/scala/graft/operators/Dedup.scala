@@ -853,6 +853,26 @@ object Dedup {
           .cast("int").as("contaminated"))
   }
 
+  /** Dedup savings report — the capacity-planning numbers behind "what
+    * does exact dedup buy us?": cluster-size histogram with, per
+    * multiplicity, how many documents and how many bytes deduplication
+    * would remove (copies beyond the first). Two hash aggregations —
+    * content (use the fingerprint at scale, [[withFingerprint]]) then the
+    * bounded multiplicity key.
+    *
+    * Output: `(n_copies, n_clusters, dup_docs, dup_bytes)`, one row per
+    * observed multiplicity; singletons report zero savings.
+    */
+  def dedupSavings(df: DataFrame, contentCol: Column,
+                   bytesCol: Column): DataFrame =
+    df.select(contentCol.as("__c"), bytesCol.cast("long").as("__b"))
+      .groupBy(col("__c"))
+      .agg(count(lit(1)).as("n_copies"), max(col("__b")).as("__bytes"))
+      .groupBy(col("n_copies"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("n_copies") - 1).as("dup_docs"),
+        sum((col("n_copies") - 1) * col("__bytes")).as("dup_bytes"))
+
   /** Cross-source contamination matrix — for every (source_a, source_b)
     * pair, how many distinct content fingerprints appear in BOTH: the
     * audit behind "Common Crawl re-crawls X% of the wiki dump" / "these

@@ -765,6 +765,55 @@ object Stats {
     * Output: `(group, n1, c1, n2, c2, z_micros, significant)` with
     * `significant = |z| ≥ 1.96` at the conventional 5% two-sided level.
     */
+  /** Spearman rank correlation with midranks (average ranks over ties) —
+    * the monotone-association screen that survives outliers and
+    * nonlinearity where Pearson on raw values does not. Doubled midranks
+    * keep everything integral: per distinct value, 2·r̄ = min_rank +
+    * max_rank (ranks from [[Sampling.orderedRank]], tie-group ranges are
+    * tie-break-independent), and Pearson over the 2r̄ integers equals ρ
+    * (scale invariance). The closing statistic is ONE fixed-order double
+    * expression over DECIMAL(38,0) sums — exact products while
+    * n·Σ(2r̄)² &lt; 10³⁸, i.e. rows to ~10⁹ (the q_spearman contract;
+    * past that, pre-aggregate or sample).
+    *
+    * Plan shape: two bucketed rank passes, two per-distinct-value hash
+    * aggs equi-joined back on the value (never broadcast — value
+    * cardinality is data-sized), one 1-row closing aggregate. No global
+    * sort anywhere.
+    *
+    * Output: 1 row `(n, rho_micros)`; NULL when either column is
+    * constant.
+    */
+  def spearmanRho(df: DataFrame, xCol: Column, yCol: Column,
+                  tieCol: Column): DataFrame = {
+    val rows = df.select(xCol.cast("long").as("x"),
+      yCol.cast("long").as("y"), tieCol.as("uid"))
+    val rx = Sampling.orderedRank(rows, lit(0L), col("x"), col("uid"),
+      nBuckets = 1024, out = "__rx")
+    val perX = rx.groupBy(col("x"))
+      .agg((min(col("__rx")) + max(col("__rx"))).as("__m2x"))
+    val withX = rx.join(perX, Seq("x")).drop("__rx")
+    val ry = Sampling.orderedRank(withX, lit(0L), col("y"), col("uid"),
+      nBuckets = 1024, out = "__ry")
+    val perY = ry.groupBy(col("y"))
+      .agg((min(col("__ry")) + max(col("__ry"))).as("__m2y"))
+    ry.join(perY, Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(__m2x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(__m2y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(__m2x AS DECIMAL(38,0)) * __m2y")).as("sxy"),
+        sum(expr("CAST(__m2x AS DECIMAL(38,0)) * __m2x")).as("sxx"),
+        sum(expr("CAST(__m2y AS DECIMAL(38,0)) * __m2y")).as("syy"))
+      .select(col("n"),
+        expr("""CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+               |  THEN NULL
+               |ELSE CAST(floor(0.5 + 1000000.0 *
+               |  CAST(n * sxy - sx * sy AS DOUBLE) /
+               |  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+               |   sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+               |END""".stripMargin).as("rho_micros"))
+  }
+
   /** Two-sample chi-square homogeneity statistic over a categorical
     * bucketing — the distribution-drift test that complements the exact
     * KS ([[q_ks_drift]]'s operator) for CATEGORICAL features, where KS's

@@ -698,4 +698,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(String, Long, Long, Long)].collect()
     assert(lo.forall(_._4 < 500000L), s"overlapping clusters got ${lo.toSeq}")
   }
+
+  test("dedupSavings: multiplicity histogram with byte savings") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val df = Seq("aaaa", "aaaa", "aaaa", "bb", "bb", "c")
+      .toDF("text").withColumn("b", octet_length(col("text")))
+    val out = graft.operators.Dedup.dedupSavings(df, col("text"), col("b"))
+      .orderBy("n_copies")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 0L, 0L),    // "c"
+      (2L, 1L, 1L, 2L),    // "bb": one extra copy of 2 bytes
+      (3L, 1L, 2L, 8L)))   // "aaaa": two extra copies of 4 bytes
+  }
 }

@@ -646,4 +646,27 @@ class StatsSpec extends AnyFunSuite {
       .select("chi2_micros").as[Option[Long]].collect().head
     assert(r2.isEmpty)
   }
+
+  test("spearmanRho: monotone = 1e6, reversed = -1e6, ties use midranks") {
+    val n = 200
+    val mono = (1 to n).map(i => (i.toLong, (i * i).toLong, i.toLong))
+      .toDF("x", "y", "uid")
+    def rho(df: org.apache.spark.sql.DataFrame): Option[Long] =
+      Stats.spearmanRho(df, col("x"), col("y"), col("uid"))
+        .select("rho_micros").as[Option[Long]].collect().head
+    assert(rho(mono).contains(1000000L), "any monotone map has rho = 1")
+    val rev = (1 to n).map(i => (i.toLong, (n - i).toLong, i.toLong))
+      .toDF("x", "y", "uid")
+    assert(rho(rev).contains(-1000000L))
+    assert(rho((1 to n).map(i => (i.toLong, 7L, i.toLong))
+      .toDF("x", "y", "uid")).isEmpty, "constant column -> NULL")
+    // tie handling: hand-check against scipy's definition on a tiny case
+    // x = 1,2,2,3; y = 10,20,20,40 -> perfectly concordant with ties on
+    // both sides at the same rows -> rho = 1
+    val tied = Seq((1L, 10L, 1L), (2L, 20L, 2L), (2L, 20L, 3L), (3L, 40L, 4L))
+      .toDF("x", "y", "uid")
+    assert(rho(tied).contains(1000000L))
+    // partition independence
+    assert(rho(mono.repartition(13)) == rho(mono))
+  }
 }
