@@ -2070,6 +2070,44 @@ object ExtensionQueries {
         .orderBy("label")
     }),
 
+    // ---- Mining: mutual nearest neighbors (reciprocal best match) --------
+    // Bitext-style pair mining: LSH-banded candidates (dedup_semantic's
+    // plane config), per-id cosine argmax, reciprocal filter. Never an
+    // all-pairs cross.
+    "q_mutual_nn" -> ((s, d) => {
+      Similarity.mutualTopMatches(Tables.embeddings(s, d), "vec_id",
+          "embedding", bandBits = 6, numBands = 16)
+        .orderBy("id_1")
+    }),
+
+    // ---- Audit flagship: per-source dataset card -------------------------
+    // The one-row-per-source corpus summary a dataset release ships with:
+    // volume, token mass, exact-dup exposure, median length, lexical
+    // diversity — composed from the library's own operators in ONE plan.
+    "pipeline_datacard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      val base = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      val perText = docs.groupBy(col("text")).agg(count(lit(1)).as("__c"))
+      val dup = docs.join(perText, Seq("text"))
+        .groupBy(col("source"))
+        .agg(sum((col("__c") > 1).cast("long")).as("dup_docs"))
+      val med = Stats.groupedLowerMedian(docs, col("source"),
+          col("n_tokens"), col("doc_id"))
+        .select(col("g").as("source"), col("med").as("med_tokens"))
+      val tt = TextAnalysis.typeTokenRatio(docs, col("source"),
+          TextFunctions.tokens(col("text")))
+        .select(col("stratum").as("source"), col("ttr_ppm"))
+      base.join(dup, Seq("source")).join(med, Seq("source"))
+        .join(tt, Seq("source"))
+        .select(col("source"), col("n_docs"), col("sum_tokens"),
+          expr("sum_tokens DIV n_docs").as("mean_tokens"),
+          col("dup_docs"), col("med_tokens"), col("ttr_ppm"))
+        .orderBy("source")
+    }),
+
     // ---- Drift: two-sample chi-square over a categorical bucketing -------
     // The categorical complement of q_ks_drift/q_tv_drift: even-vs-odd
     // user cohorts compared on the event-type distribution.
@@ -2351,6 +2389,60 @@ object ExtensionQueries {
        |    AS is_canonical
        |FROM e LEFT JOIN cn ON cn.id = e.vec_id
        |ORDER BY id""".stripMargin
+  }
+
+  /** DuckDB oracle for `q_mutual_nn`: the [[semanticDedupOracle]] banded
+    * candidate replay (same planes, guard on both sides), then per-id
+    * best-candidate and the reciprocal join.
+    */
+  private def mutualNnOracle: String = {
+    val bandBits = 6
+    val planes = graft.operators.Similarity.hyperplanes(
+      dim = 64, numPlanes = bandBits * 16, seed = 42L)
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"(${i / bandBits}, ${i % bandBits}, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |planes(band, bit, p) AS (VALUES
+       |  $planeRows),
+       |sigs AS MATERIALIZED (
+       |  SELECT e.vec_id, pl.band,
+       |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+       |      THEN (1::BIGINT << pl.bit) ELSE 0 END) AS BIGINT) AS bsig
+       |  FROM e CROSS JOIN planes pl
+       |  GROUP BY e.vec_id, pl.band),
+       |ok AS MATERIALIZED (
+       |  SELECT band, bsig FROM sigs
+       |  GROUP BY band, bsig HAVING count(*) <= 100000),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+       |  FROM sigs a
+       |  JOIN ok oa ON oa.band = a.band AND oa.bsig = a.bsig
+       |  JOIN sigs b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id
+       |  JOIN ok ob ON ob.band = b.band AND ob.bsig = b.bsig),
+       |p AS MATERIALIZED (
+       |  SELECT id_1, id_2,
+       |    list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) *
+       |       sqrt(list_dot_product(b.v, b.v))) AS cosine
+       |  FROM cand
+       |  JOIN e a ON a.vec_id = cand.id_1
+       |  JOIN e b ON b.vec_id = cand.id_2),
+       |bth AS (
+       |  SELECT id_1 AS id, id_2 AS nb, cosine FROM p
+       |  UNION ALL SELECT id_2, id_1, cosine FROM p),
+       |t1 AS (
+       |  SELECT id, nb, cosine,
+       |    row_number() OVER (PARTITION BY id
+       |      ORDER BY cosine DESC, nb ASC) AS rn
+       |  FROM bth),
+       |b1 AS (SELECT id, nb AS best, cosine AS best_cos FROM t1 WHERE rn = 1)
+       |SELECT x.id AS id_1, y.id AS id_2, x.best_cos AS cosine
+       |FROM b1 x JOIN b1 y
+       |  ON x.best = y.id AND y.best = x.id AND x.id < y.id
+       |ORDER BY id_1""".stripMargin
   }
 
   /** DuckDB oracle for `q_heavy_hitters`: the sketch's (a_r, b_r) row
@@ -5345,6 +5437,50 @@ object ExtensionQueries {
         |     sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
         |  END AS rho_micros
         |FROM ag""".stripMargin,
+
+    "q_mutual_nn" -> mutualNnOracle,
+
+    "pipeline_datacard" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |base AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |  FROM d GROUP BY 1),
+        |tc AS MATERIALIZED (
+        |  SELECT text, count(*) AS c FROM d GROUP BY 1),
+        |dup AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+        |  FROM d JOIN tc USING (text) GROUP BY 1),
+        |rk AS MATERIALIZED (
+        |  SELECT source, n_tokens,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_tokens, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM d),
+        |med AS (
+        |  SELECT source, n_tokens AS med_tokens FROM rk
+        |  WHERE rn = (n + 1) // 2),
+        |toks AS MATERIALIZED (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t FROM d),
+        |tcounts AS (
+        |  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2),
+        |tt AS (
+        |  SELECT source,
+        |    CAST(1000000 * count(*) // sum(c) AS BIGINT) AS ttr_ppm
+        |  FROM tcounts GROUP BY 1)
+        |SELECT base.source, n_docs, sum_tokens,
+        |  CAST(sum_tokens // n_docs AS BIGINT) AS mean_tokens,
+        |  dup_docs, med_tokens, ttr_ppm
+        |FROM base
+        |JOIN dup USING (source)
+        |JOIN med USING (source)
+        |JOIN tt USING (source)
+        |ORDER BY source""".stripMargin,
 
     "q_source_overlap" ->
       """WITH fps AS MATERIALIZED (

@@ -344,6 +344,45 @@ object Similarity {
       .withColumn("rank", lit(0))
       .withColumn("score", lit(0.0))
 
+  /** Mutual nearest neighbors (reciprocal best match) over one embedding
+    * corpus — the bitext/pair-mining primitive: keep (a, b) only when b
+    * is a's best candidate AND a is b's (Artetxe &amp; Schwenk 2019's
+    * margin-free base criterion). Candidates come from the banded
+    * hyperplane self-join ([[graft.operators.Dedup.semanticNearDups]]
+    * with no cosine floor) — never an all-pairs cross; best-match is a
+    * `max(struct(cosine, −neighbor))` argmax per id (ties to the
+    * smallest neighbor id; ids must be integral), and the reciprocal
+    * filter is one self equi-join of the 1-row-per-id bests.
+    *
+    * The candidate frame is checkpointed once: it feeds both direction
+    * aggregations, and re-deriving it would re-run the dominant banded
+    * join (the branch-re-execution rule).
+    *
+    * Output: `(id_1, id_2, cosine)` with id_1 &lt; id_2 — each id appears
+    * in at most one row.
+    */
+  def mutualTopMatches(emb: DataFrame, idCol: String, vecCol: String,
+                       bandBits: Int = 8, numBands: Int = 16,
+                       seed: Long = 42L): DataFrame = {
+    val pairs = graft.operators.Dedup.semanticNearDups(emb, idCol, vecCol,
+        threshold = -1.0, bandBits = bandBits, numBands = numBands,
+        seed = seed)
+      .localCheckpoint(true)
+    val both = pairs
+      .select(col("id_1").as("id"), col("id_2").as("nb"), col("cosine"))
+      .unionByName(pairs
+        .select(col("id_2").as("id"), col("id_1").as("nb"), col("cosine")))
+    val top1 = both.groupBy(col("id"))
+      .agg(max(struct(col("cosine"), (-col("nb")).as("mnb"))).as("t"))
+      .select(col("id"), (-col("t.mnb")).as("best"),
+        col("t.cosine").as("best_cos"))
+    top1.alias("x").join(top1.alias("y"),
+        col("x.best") === col("y.id") && col("y.best") === col("x.id") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_1"), col("y.id").as("id_2"),
+        col("x.best_cos").as("cosine"))
+  }
+
   /** K-means centroids over a bounded, deterministically-sampled subset of
     * the corpus, entirely as DataFrame ops (no driver-side vectors):
     * hash-ordered sample → first `nlist` rows as init → `iters` Lloyd

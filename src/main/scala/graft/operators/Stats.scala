@@ -788,13 +788,20 @@ object Stats {
                   tieCol: Column): DataFrame = {
     val rows = df.select(xCol.cast("long").as("x"),
       yCol.cast("long").as("y"), tieCol.as("uid"))
+    // one probe pass sizes BOTH rank bucketings — the y-rank otherwise
+    // probes its input through the x-midrank join (a full re-execution)
+    val pr = rows.agg(min(col("x")), max(col("x")),
+      min(col("y")), max(col("y"))).head()
+    def rg(lo: Int): Option[(Long, Long)] =
+      if (pr.isNullAt(lo)) Some((0L, 0L))
+      else Some((pr.getLong(lo), pr.getLong(lo + 1)))
     val rx = Sampling.orderedRank(rows, lit(0L), col("x"), col("uid"),
-      nBuckets = 1024, out = "__rx")
+      nBuckets = 1024, keyRange = rg(0), out = "__rx")
     val perX = rx.groupBy(col("x"))
       .agg((min(col("__rx")) + max(col("__rx"))).as("__m2x"))
     val withX = rx.join(perX, Seq("x")).drop("__rx")
     val ry = Sampling.orderedRank(withX, lit(0L), col("y"), col("uid"),
-      nBuckets = 1024, out = "__ry")
+      nBuckets = 1024, keyRange = rg(2), out = "__ry")
     val perY = ry.groupBy(col("y"))
       .agg((min(col("__ry")) + max(col("__ry"))).as("__m2y"))
     ry.join(perY, Seq("y"))

@@ -712,4 +712,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (2L, 1L, 1L, 2L),    // "bb": one extra copy of 2 bytes
       (3L, 1L, 2L, 8L)))   // "aaaa": two extra copies of 4 bytes
   }
+
+  test("mutualTopMatches: reciprocal pairs only, each id at most once") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // three tight pairs plus a lone outlier; every pair member's best
+    // match is its partner, the outlier has no reciprocal partner
+    def v(a: Double, b: Double, c: Double, d: Double) = Seq(a.toFloat,
+      b.toFloat, c.toFloat, d.toFloat)
+    val rows = Seq(
+      (1L, v(1, 0, 0, 0.00)), (2L, v(1, 0, 0, 0.01)),
+      (3L, v(0, 1, 0, 0.00)), (4L, v(0, 1, 0, 0.01)),
+      (5L, v(0, 0, 1, 0.00)), (6L, v(0, 0, 1, 0.01)),
+      (7L, v(0.6, 0.6, 0.6, 0.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.mutualTopMatches(df, "vec_id",
+        "embedding", bandBits = 2, numBands = 16)
+      .orderBy("id_1")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L), (3L, 4L), (5L, 6L)),
+      s"got $out")
+    // no id can appear in two mutual pairs by construction
+    val ids = out.flatMap(p => Seq(p._1, p._2))
+    assert(ids.distinct.size == ids.size)
+    assert(out.forall(_._3 > 0.99), "pair cosines are near 1 by design")
+  }
 }
