@@ -2108,6 +2108,15 @@ object ExtensionQueries {
         .orderBy("source")
     }),
 
+    // ---- Embeddings: exact covariance matrix (first 8 dims) --------------
+    // PCA/whitening precursor in cleared-denominator integers; dims pair
+    // through a per-vector-id self-join (dims^2 fan-out, never NxN).
+    "q_cov_matrix" -> ((s, d) => {
+      Stats.covarianceMatrix(Tables.embeddings(s, d), col("vec_id"),
+          col("embedding"), dims = 8)
+        .orderBy("d1", "d2")
+    }),
+
     // ---- Drift: two-sample chi-square over a categorical bucketing -------
     // The categorical complement of q_ks_drift/q_tv_drift: even-vs-odd
     // user cohorts compared on the event-type distribution.
@@ -5439,6 +5448,29 @@ object ExtensionQueries {
         |FROM ag""".stripMargin,
 
     "q_mutual_nn" -> mutualNnOracle,
+
+    "q_cov_matrix" ->
+      """WITH ex AS MATERIALIZED (
+        |  SELECT vec_id AS id, CAST(t.i AS INTEGER) AS d,
+        |    CAST(floor(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE)
+        |      * 1000000.0) AS BIGINT) AS x
+        |  FROM embeddings, unnest(range(0, 8)) AS t(i)
+        |  WHERE len(embedding) >= 8),
+        |pairs AS (
+        |  SELECT a.d AS d1, b.d AS d2, a.x AS x, b.x AS y
+        |  FROM ex a JOIN ex b ON a.id = b.id AND a.d <= b.d),
+        |ag AS (
+        |  SELECT d1, d2, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN n * sxy - sx * sy >= 0
+        |    THEN (n * sxy - sx * sy) // (n * n)
+        |    ELSE -((sx * sy - n * sxy) // (n * n))
+        |  END AS BIGINT) AS cov_scaled
+        |FROM ag ORDER BY d1, d2""".stripMargin,
 
     "pipeline_datacard" ->
       """WITH d AS MATERIALIZED (

@@ -765,6 +765,44 @@ object Stats {
     * Output: `(group, n1, c1, n2, c2, z_micros, significant)` with
     * `significant = |z| ≥ 1.96` at the conventional 5% two-sided level.
     */
+  /** Exact covariance matrix over the first `dims` embedding components —
+    * the PCA/whitening precursor, upper triangle only, in integer
+    * fixed-point: per dim pair, `cov_scaled = sign·(|n·Σxy − Σx·Σy| DIV
+    * n²)` ≈ 10¹²·cov for unit-scale inputs — exact products in
+    * DECIMAL(38,0) (n to ~10¹²), sign factored out so truncating DIV and
+    * flooring `//` agree (the negative-operand rule). Rows shorter than
+    * `dims` are excluded (the ragged-input contract).
+    *
+    * Plan shape: posexplode to (id, dim, x) — `dims` rows per vector —
+    * then a self equi-join ON THE VECTOR ID pairing dims (dims² bounded
+    * fan-out per vector, never vector×vector), one hash aggregation on
+    * the ≤ dims² pair key. Linear in the corpus.
+    *
+    * Output: `(d1, d2, n, cov_scaled)` for d1 ≤ d2.
+    */
+  def covarianceMatrix(df: DataFrame, idCol: Column, vecCol: Column,
+                       dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 64, s"dims=$dims out of [1, 64]")
+    val fixed = transform(slice(vecCol, 1, dims),
+      x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    val ex = df.filter(size(vecCol) >= dims)
+      .select(idCol.as("id"), posexplode(fixed).as(Seq("d", "x")))
+    ex.alias("a").join(ex.alias("b"),
+        col("a.id") === col("b.id") && col("a.d") <= col("b.d"))
+      .select(col("a.d").as("d1"), col("b.d").as("d2"),
+        col("a.x").as("x"), col("b.x").as("y"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .select(col("d1"), col("d2"), col("n"),
+        expr("""CAST(CASE WHEN n * sxy - sx * sy >= 0
+               |  THEN (n * sxy - sx * sy) DIV (CAST(n AS DECIMAL(38,0)) * n)
+               |  ELSE -((sx * sy - n * sxy) DIV (CAST(n AS DECIMAL(38,0)) * n))
+               |END AS BIGINT)""".stripMargin).as("cov_scaled"))
+  }
+
   /** Spearman rank correlation with midranks (average ranks over ties) —
     * the monotone-association screen that survives outliers and
     * nonlinearity where Pearson on raw values does not. Doubled midranks

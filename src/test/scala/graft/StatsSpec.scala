@@ -669,4 +669,31 @@ class StatsSpec extends AnyFunSuite {
     // partition independence
     assert(rho(mono.repartition(13)) == rho(mono))
   }
+
+  test("covarianceMatrix: exact fixed-point moments on constructed dims") {
+    // dim0 = i, dim1 = -i (perfect anti-correlation), dim2 = constant
+    val n = 100
+    val rows = (1 to n).map { i =>
+      (i.toLong, Seq(i / 1000.0f, -i / 1000.0f, 0.5f))
+    }
+    val out = Stats.covarianceMatrix(rows.toDF("vec_id", "embedding"),
+        col("vec_id"), col("embedding"), dims = 3)
+      .orderBy("d1", "d2")
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) ==
+      Seq((0, 1), (0, 2), (1, 2)).flatMap(_ => Nil) ++
+      Seq((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)))
+    val m = out.map(r => (r._1, r._2) -> r._4).toMap
+    // recompute cov(0,0) exactly from the fixed-point values
+    val xs = (1 to n).map(i =>
+      math.floor((i / 1000.0f).toDouble * 1000000).toLong)
+    val sx = xs.sum; val sxx = xs.map(v => v * v).sum
+    val expected00 = (n.toLong * sxx - sx * sx) / (n.toLong * n)
+    assert(m((0, 0)) == expected00)
+    assert(m((1, 1)) == expected00, "negated dim has identical variance")
+    assert(m((0, 1)) <= -expected00 + 1 && m((0, 1)) >= -expected00 - 1,
+      s"anti-correlated dims: cov = -var, got ${m((0, 1))} vs -$expected00")
+    assert(m((2, 2)) == 0L && m((0, 2)) == 0L && m((1, 2)) == 0L,
+      "constant dim has zero (co)variance")
+  }
 }
