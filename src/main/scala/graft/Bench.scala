@@ -63,11 +63,22 @@ object Bench {
       }
     // a failed query reports -1 and contributes nothing to the total, so
     // the headline number reflects successful executions only
+    // Adaptive extension: when even the two FASTEST reps disagree by
+    // >10%, the measurement is still load-contaminated — spend up to
+    // `extraReps` more attempts chasing a stable minimum (two clean
+    // consecutive runs measured 47/221 queries outside ±20% under plain
+    // min-of-3 on a shared box; the drift was uniform ambient load).
+    val extraReps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "2").toInt
+    def unstable(ts: Seq[Double]): Boolean = {
+      val s = ts.sorted
+      s.length < 2 || s(1) > s(0) * 1.10
+    }
     val results = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ListBuffer[Double]()
       var failed = false
       var i = 0
-      while (i < reps && !failed) {
+      while (i < reps + extraReps && !failed &&
+             (i < reps || unstable(times.toSeq))) {
         val t0 = System.nanoTime()
         try { run(fn, sfDir); times += (System.nanoTime() - t0) / 1e9 }
         catch { case e: Exception =>
