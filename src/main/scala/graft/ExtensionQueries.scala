@@ -2108,6 +2108,21 @@ object ExtensionQueries {
         .orderBy("source")
     }),
 
+    // ---- Audit: approximate-dedup precision/recall self-check ------------
+    // The dedup_minhash estimate scored against the exact PPJoin pair set
+    // at the same 0.5 word-3-gram Jaccard threshold — run before trusting
+    // an LSH config on a new corpus.
+    "q_dedup_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val est = Dedup.minHashNearDups(docs, "doc_id",
+        ShingleFunctions.wordShingleHashes(TextFunctions.tokens(col("text")), 3),
+        threshold = 0.5, Dedup.LshConfig(numHashes = 64, bandRows = 2))
+      val exact = Dedup.prefixJaccardPairs(docs, "doc_id",
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3),
+        p = 1, q = 2)
+      Dedup.dedupEval(est, exact)
+    }),
+
     // ---- Embeddings: exact covariance matrix (first 8 dims) --------------
     // PCA/whitening precursor in cleared-denominator integers; dims pair
     // through a per-vector-id self-join (dims^2 fan-out, never NxN).
@@ -2404,6 +2419,57 @@ object ExtensionQueries {
     * candidate replay (same planes, guard on both sides), then per-id
     * best-candidate and the reciprocal join.
     */
+  /** Shared with q_dedup_eval, which embeds this replay. */
+  private val dedupMinhashOracleSql: String =
+    """WITH toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |sh AS (
+          |  SELECT doc_id, list_distinct(list_transform(
+          |    generate_series(1, len(w) - 2),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          |  FROM toks WHERE len(w) >= 3)
+          |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+          |  len(list_intersect(a.g, b.g)) /
+          |    len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |WHERE len(list_intersect(a.g, b.g)) /
+          |    len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+          |ORDER BY id_1, id_2""".stripMargin
+
+  /** Shared with q_dedup_eval, which embeds this replay. */
+  private val dedupPpjoinOracleSql: String =
+    """WITH toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |t0 AS (
+          |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+          |    generate_series(1, len(w) - 2),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS t
+          |  FROM toks WHERE len(w) >= 3),
+          |dfq AS (SELECT t, count(*) AS dfq FROM t0 GROUP BY 1),
+          |kept AS (SELECT id, t0.t, dfq FROM t0 JOIN dfq USING (t)
+          |         WHERE dfq <= 10000),
+          |ranked AS (
+          |  SELECT id, t,
+          |    row_number() OVER (PARTITION BY id ORDER BY dfq, t) AS pos,
+          |    count(*) OVER (PARTITION BY id) AS n
+          |  FROM kept),
+          |prefix AS (SELECT id, t, n FROM ranked
+          |           WHERE pos <= n - ((n * 1 + 2 - 1) // 2) + 1),
+          |cand AS (
+          |  SELECT DISTINCT a.id AS id_1, b.id AS id_2, a.n AS n_1, b.n AS n_2
+          |  FROM prefix a JOIN prefix b ON a.t = b.t AND a.id < b.id
+          |  WHERE 2 * least(a.n, b.n) >= 1 * greatest(a.n, b.n)),
+          |inter AS (
+          |  SELECT c.id_1, c.id_2, c.n_1, c.n_2, count(*) AS n_shared
+          |  FROM cand c
+          |  JOIN kept x ON x.id = c.id_1
+          |  JOIN kept y ON y.id = c.id_2 AND y.t = x.t
+          |  GROUP BY 1, 2, 3, 4)
+          |SELECT id_1, id_2, CAST(n_shared AS BIGINT) AS n_shared,
+          |  CAST(n_shared AS DOUBLE) / (n_1 + n_2 - n_shared) AS jaccard
+          |FROM inter WHERE 2 * n_shared >= 1 * (n_1 + n_2 - n_shared)
+          |ORDER BY id_1, id_2""".stripMargin
+
   private def mutualNnOracle: String = {
     val bandBits = 6
     val planes = graft.operators.Similarity.hyperplanes(
@@ -3109,38 +3175,7 @@ object ExtensionQueries {
         |  COALESCE(k.tok_kept, 0) AS tok_kept
         |FROM a LEFT JOIN k USING (source) ORDER BY a.source""".stripMargin,
 
-    "dedup_ppjoin" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |t0 AS (
-        |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
-        |    generate_series(1, len(w) - 2),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS t
-        |  FROM toks WHERE len(w) >= 3),
-        |dfq AS (SELECT t, count(*) AS dfq FROM t0 GROUP BY 1),
-        |kept AS (SELECT id, t0.t, dfq FROM t0 JOIN dfq USING (t)
-        |         WHERE dfq <= 10000),
-        |ranked AS (
-        |  SELECT id, t,
-        |    row_number() OVER (PARTITION BY id ORDER BY dfq, t) AS pos,
-        |    count(*) OVER (PARTITION BY id) AS n
-        |  FROM kept),
-        |prefix AS (SELECT id, t, n FROM ranked
-        |           WHERE pos <= n - ((n * 1 + 2 - 1) // 2) + 1),
-        |cand AS (
-        |  SELECT DISTINCT a.id AS id_1, b.id AS id_2, a.n AS n_1, b.n AS n_2
-        |  FROM prefix a JOIN prefix b ON a.t = b.t AND a.id < b.id
-        |  WHERE 2 * least(a.n, b.n) >= 1 * greatest(a.n, b.n)),
-        |inter AS (
-        |  SELECT c.id_1, c.id_2, c.n_1, c.n_2, count(*) AS n_shared
-        |  FROM cand c
-        |  JOIN kept x ON x.id = c.id_1
-        |  JOIN kept y ON y.id = c.id_2 AND y.t = x.t
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT id_1, id_2, CAST(n_shared AS BIGINT) AS n_shared,
-        |  CAST(n_shared AS DOUBLE) / (n_1 + n_2 - n_shared) AS jaccard
-        |FROM inter WHERE 2 * n_shared >= 1 * (n_1 + n_2 - n_shared)
-        |ORDER BY id_1, id_2""".stripMargin,
+    "dedup_ppjoin" -> dedupPpjoinOracleSql,
 
     "q_outliers" ->
       """WITH t AS (
@@ -3676,21 +3711,7 @@ object ExtensionQueries {
         |    len(list_distinct(list_concat(n.g, c.g))) >= 0.5
         |ORDER BY id_new, id_corpus""".stripMargin,
 
-    "dedup_minhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, len(w) - 2),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
-        |  FROM toks WHERE len(w) >= 3)
-        |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
-        |  len(list_intersect(a.g, b.g)) /
-        |    len(list_distinct(list_concat(a.g, b.g))) AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.g, b.g)) /
-        |    len(list_distinct(list_concat(a.g, b.g))) >= 0.5
-        |ORDER BY id_1, id_2""".stripMargin,
+    "dedup_minhash" -> dedupMinhashOracleSql,
 
     "dedup_ngram" ->
       """WITH sh AS (
@@ -5448,6 +5469,34 @@ object ExtensionQueries {
         |FROM ag""".stripMargin,
 
     "q_mutual_nn" -> mutualNnOracle,
+
+    // embeds the dedup_minhash and dedup_ppjoin replays as subqueries and
+    // scores one against the other
+    "q_dedup_eval" ->
+      s"""WITH est AS MATERIALIZED (
+         |  SELECT id_1, id_2 FROM ($dedupMinhashOracleSql) __mh),
+         |ext AS MATERIALIZED (
+         |  SELECT id_1, id_2 FROM ($dedupPpjoinOracleSql) __pp),
+         |j AS (
+         |  SELECT e.id_1 IS NOT NULL AS in_e, x.id_1 IS NOT NULL AS in_x
+         |  FROM est e FULL OUTER JOIN ext x USING (id_1, id_2)),
+         |c AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN in_e AND in_x THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS tp,
+         |    CAST(sum(CASE WHEN in_e AND NOT in_x THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN NOT in_e AND in_x THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fn
+         |  FROM j)
+         |SELECT tp + fp AS n_est, tp + fn AS n_exact, tp, fp, fn,
+         |  CASE WHEN tp + fp = 0 THEN NULL
+         |    ELSE CAST(1000000 * tp // (tp + fp) AS BIGINT)
+         |  END AS precision_ppm,
+         |  CASE WHEN tp + fn = 0 THEN NULL
+         |    ELSE CAST(1000000 * tp // (tp + fn) AS BIGINT)
+         |  END AS recall_ppm
+         |FROM c""".stripMargin,
 
     "q_cov_matrix" ->
       """WITH ex AS MATERIALIZED (

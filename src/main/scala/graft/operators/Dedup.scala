@@ -853,6 +853,40 @@ object Dedup {
           .cast("int").as("contaminated"))
   }
 
+  /** Dedup-pipeline evaluation: estimated near-dup pairs (e.g. the
+    * MinHash-LSH path) scored against an exact reference pair set (e.g.
+    * [[prefixJaccardPairs]]) at the same threshold — TP/FP/FN counts and
+    * precision/recall in exact ppm, the self-audit run before trusting an
+    * approximate dedup config on a new corpus. One full-outer equi-join
+    * on the (id_1, id_2) pair key plus a 1-row closing aggregate.
+    *
+    * Output: 1 row `(n_est, n_exact, tp, fp, fn, precision_ppm,
+    * recall_ppm)`; NULL ratios for empty denominators.
+    */
+  def dedupEval(estimated: DataFrame, exact: DataFrame): DataFrame = {
+    val e = estimated.select(col("id_1"), col("id_2"))
+      .distinct().withColumn("__e", lit(1L))
+    val x = exact.select(col("id_1"), col("id_2"))
+      .distinct().withColumn("__x", lit(1L))
+    e.join(x, Seq("id_1", "id_2"), "full_outer")
+      .agg(
+        sum(when(col("__e").isNotNull && col("__x").isNotNull, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__e").isNotNull && col("__x").isNull, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__e").isNull && col("__x").isNotNull, 1L)
+          .otherwise(0L)).as("fn"))
+      .select((col("tp") + col("fp")).as("n_est"),
+        (col("tp") + col("fn")).as("n_exact"),
+        col("tp"), col("fp"), col("fn"),
+        expr("""CASE WHEN tp + fp = 0 THEN NULL
+               |ELSE 1000000 * tp DIV (tp + fp) END""".stripMargin)
+          .as("precision_ppm"),
+        expr("""CASE WHEN tp + fn = 0 THEN NULL
+               |ELSE 1000000 * tp DIV (tp + fn) END""".stripMargin)
+          .as("recall_ppm"))
+  }
+
   /** Dedup savings report — the capacity-planning numbers behind "what
     * does exact dedup buy us?": cluster-size histogram with, per
     * multiplicity, how many documents and how many bytes deduplication

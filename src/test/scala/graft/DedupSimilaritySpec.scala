@@ -737,4 +737,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ids.distinct.size == ids.size)
     assert(out.forall(_._3 > 0.99), "pair cosines are near 1 by design")
   }
+
+  test("dedupEval: TP/FP/FN bookkeeping over pair sets") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val est = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_1", "id_2")
+    val exact = Seq((1L, 2L), (3L, 4L), (7L, 8L)).toDF("id_1", "id_2")
+    val r = graft.operators.Dedup.dedupEval(est, exact)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((3L, 3L, 2L, 1L, 1L, 666666L, 666666L)), s"got $r")
+    // empty estimate: precision NULL, recall 0
+    val r2 = graft.operators.Dedup.dedupEval(est.limit(0), exact)
+      .select("precision_ppm", "recall_ppm")
+      .as[(Option[Long], Option[Long])].collect().head
+    assert(r2 == ((None, Some(0L))))
+  }
 }
