@@ -73,6 +73,7 @@ object Bench {
       val s = ts.sorted
       s.length < 2 || s(1) > s(0) * 1.10
     }
+    val repsUsed = scala.collection.mutable.Map[String, Int]()
     val results = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ListBuffer[Double]()
       var failed = false
@@ -88,6 +89,7 @@ object Bench {
         }
         i += 1
       }
+      repsUsed(name) = times.size
       name -> (if (failed) -1.0 else repStat(times.toSeq))
     }
     def fmt(v: Double): String = BigDecimal(v)
@@ -101,7 +103,12 @@ object Bench {
     // Budget ~1700 chars: keep the slowest queries by name until full.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"errors":$errJson,"sf":"$sfDir"}"""
+    // estimator + per-query rep counts are RECORDED so cross-round
+    // comparisons can never silently mix median- and min-based figures
+    // (rounds ≤5 were median-of-reps; round 6 onward is min-of-reps)
+    val repsJson = repsUsed.map { case (k, n) => s"\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"min","n_queries":${results.size},"queries":$fullQs,"reps_used":$repsJson,"errors":$errJson,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p,
@@ -109,7 +116,7 @@ object Bench {
     } catch { case _: Exception => () }
     val budget = 1700
     val slowFirst = results.toSeq.sortBy { case (_, v) => -v }
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"detail":"BENCH_FULL.json","errors":$errJson,"sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"min","n_queries":${results.size},"detail":"BENCH_FULL.json","errors":$errJson,"sf":"$sfDir","queries":{"""
     val tail = "}}"
     val entries = scala.collection.mutable.ListBuffer[String]()
     var len = head.length + tail.length

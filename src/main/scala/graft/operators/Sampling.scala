@@ -55,7 +55,7 @@ object Sampling {
     */
   private[graft] def bucketBounds(df: DataFrame, orderCol: Column,
                                   nBuckets: Int,
-                                  keyRange: Option[(Long, Long)]): (Long, Long) = {
+                                  keyRange: Option[(Long, Long)]): (Long, Long, Long) = {
     def widthOf(mn: Long, mx: Long): Long = {
       require(mn <= mx, s"key range ($mn, $mx) must have min <= max")
       require(BigInt(mx) - BigInt(mn) <= BigInt(Long.MaxValue),
@@ -63,12 +63,12 @@ object Sampling {
       ((BigInt(mx) - BigInt(mn)) / nBuckets + 1).toLong
     }
     keyRange match {
-      case Some((mn, mx)) => (mn, widthOf(mn, mx))
+      case Some((mn, mx)) => (mn, mx, widthOf(mn, mx))
       case None =>
         val r = df.select(orderCol.cast("long").as("__ork"))
           .agg(min(col("__ork")), max(col("__ork"))).head()
-        if (r.isNullAt(0)) (0L, 1L)
-        else (r.getLong(0), widthOf(r.getLong(0), r.getLong(1)))
+        if (r.isNullAt(0)) (0L, 0L, 1L)
+        else (r.getLong(0), r.getLong(1), widthOf(r.getLong(0), r.getLong(1)))
     }
   }
 
@@ -117,15 +117,20 @@ object Sampling {
                   out: String = "stratum_rank"): DataFrame = {
     require(nBuckets >= 1 && nBuckets <= (1 << 20),
       s"nBuckets=$nBuckets out of [1, 2^20]")
-    val (lo, width) = bucketBounds(df, orderCol, nBuckets, keyRange)
-    // (key − lo) DIV width — integer division, not double (a double
-    // mantissa cannot hold 60-bit keys exactly); keys OUTSIDE a supplied
-    // keyRange stay correct (monotone for any long), they only land in
-    // under-split edge buckets
+    val (lo, hi, width) = bucketBounds(df, orderCol, nBuckets, keyRange)
+    // (clamp(key) − lo) DIV width — integer division, not double (a double
+    // mantissa cannot hold 60-bit keys exactly). Keys OUTSIDE a supplied
+    // keyRange are clamped into [lo, hi] FOR BUCKETING ONLY: raw
+    // subtraction would wrap for a key more than 2^63 below a positive lo
+    // and silently break bucket monotonicity; the clamp keeps bucket order
+    // == key order for ANY long (out-of-range keys pile into the edge
+    // buckets — a performance degradation, never a wrong rank, since
+    // within-bucket ordering still uses the raw key).
     val bucketed = df
       .withColumn("__ork", orderCol)
       .withColumn("__os", strataCol)
-      .withColumn("__ob", expr(s"(__ork - ${lo}L) DIV ${width}L"))
+      .withColumn("__ob", expr(
+        s"(greatest(${lo}L, least(${hi}L, __ork)) - ${lo}L) DIV ${width}L"))
     val counts = bucketed.groupBy(col("__os"), col("__ob"))
       .agg(count(lit(1)).as("__oc"))
     // Exclusive prefix sum over the bounded aggregate: collect each

@@ -364,6 +364,15 @@ object Similarity {
   def mutualTopMatches(emb: DataFrame, idCol: String, vecCol: String,
                        bandBits: Int = 8, numBands: Int = 16,
                        seed: Long = 42L): DataFrame = {
+    // the argmax tie-break negates the id inside max(struct(...)); unary
+    // minus on a non-numeric id null-casts under non-ANSI mode and would
+    // silently corrupt best-match selection — reject at plan time (the
+    // preferencePairs guard, same hazard)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = emb.select(col(idCol)).schema.head.dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"$idCol must be an integral type for the negated tie-break, got $idType")
     val pairs = graft.operators.Dedup.semanticNearDups(emb, idCol, vecCol,
         threshold = -1.0, bandBits = bandBits, numBands = numBands,
         seed = seed)

@@ -107,8 +107,13 @@ object Stats {
     */
   def groupedLowerMedian(df: DataFrame, groupCol: Column, valueCol: Column,
                          tieCol: Column): DataFrame = {
+    // three consumers of the projection (orderedRank's min/max probe, the
+    // ranked stream, the per-group counts) — checkpoint once so the
+    // caller's upstream lineage (often a join/agg, e.g. pipeline_datacard's
+    // tokenize+size projection) is not re-executed per consumer (the
+    // probe-re-execution trap measured at 2.2x in vocabCoverage)
     val t = df.select(groupCol.as("g"), valueCol.cast("long").as("x"),
-      tieCol.as("uid"))
+      tieCol.as("uid")).localCheckpoint(true)
     val ranked = Sampling.orderedRank(t, col("g"), col("x"), col("uid"),
       nBuckets = 1024, out = "__rk")
     val counts = t.groupBy(col("g")).agg(count(lit(1)).as("__n"))
@@ -884,8 +889,13 @@ object Stats {
     */
   def chiSquareDrift(df: DataFrame, sliceCol: Column,
                      bucketCol: Column): DataFrame = {
+    // NULL-slice rows belong to NEITHER arm: without the filter a bucket
+    // populated only by NULL slices still emits an a=b=0 row, inflating
+    // n_buckets (and the caller-derived degrees of freedom) while adding
+    // a NULL χ² term. Contract: rows with a NULL slice are excluded.
     val rows = df.select(bucketCol.as("bucket"),
-      sliceCol.cast("int").as("sl"))
+        sliceCol.cast("int").as("sl"))
+      .filter(col("sl").isNotNull)
     val perBucket = rows.groupBy(col("bucket"))
       .agg(sum(when(col("sl") === 0, 1L).otherwise(0L)).as("a"),
         sum(when(col("sl") =!= 0, 1L).otherwise(0L)).as("b"))

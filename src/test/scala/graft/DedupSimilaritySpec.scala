@@ -736,6 +736,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val ids = out.flatMap(p => Seq(p._1, p._2))
     assert(ids.distinct.size == ids.size)
     assert(out.forall(_._3 > 0.99), "pair cosines are near 1 by design")
+    // non-integral ids are rejected at plan time: the argmax negates the
+    // id, and unary minus on a string null-casts under non-ANSI mode
+    val strIds = rows.map { case (i, e) => (s"doc_$i", e) }
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.mutualTopMatches(strIds, "vec_id",
+        "embedding", bandBits = 2, numBands = 16)
+    }
+    assert(ex.getMessage.contains("integral"))
   }
 
   test("dedupEval: TP/FP/FN bookkeeping over pair sets") {

@@ -645,6 +645,15 @@ class StatsSpec extends AnyFunSuite {
     val r2 = Stats.chiSquareDrift(empty, col("slice"), col("bucket"))
       .select("chi2_micros").as[Option[Long]].collect().head
     assert(r2.isEmpty)
+    // NULL-slice rows are in NEITHER arm: a bucket populated only by them
+    // must not appear (it would inflate n_buckets / degrees of freedom)
+    val withNulls = ((1 to 100).map(i => (Some(i % 2), s"t${i % 3}")) ++
+      (1 to 40).map(_ => (None: Option[Int], "null_only")))
+      .toDF("slice", "bucket")
+    val r3 = Stats.chiSquareDrift(withNulls, col("slice"), col("bucket"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r3._1 == 50L && r3._2 == 50L && r3._3 == 3L,
+      s"NULL-slice rows must not count or create buckets, got $r3")
   }
 
   test("spearmanRho: monotone = 1e6, reversed = -1e6, ties use midranks") {

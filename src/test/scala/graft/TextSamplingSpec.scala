@@ -292,19 +292,34 @@ class TextSamplingSpec extends AnyFunSuite {
     // a data-distribution property no plan-shape assertion can see).
     val df = (0 until 5000).map(i => ((i.toLong * 199) % 1000001L, i.toLong))
       .toDF("s", "uid")
-    val (lo, width) = Sampling.bucketBounds(df, col("s"), 1024, None)
+    val (lo, _, width) = Sampling.bucketBounds(df, col("s"), 1024, None)
     val occupied = df.select(((col("s") - lo) / width).cast("long"))
       .distinct().count()
     assert(occupied >= 512,
       s"micros keys spread over only $occupied buckets — degenerate again")
     // tiny integer domains (quantities 1..50) occupy one bucket per value
     val tiny = (1 to 50).map(v => (v.toLong, v.toLong)).toDF("s", "uid")
-    val (lo2, w2) = Sampling.bucketBounds(tiny, col("s"), 1024, None)
+    val (lo2, _, w2) = Sampling.bucketBounds(tiny, col("s"), 1024, None)
     assert(w2 == 1L && lo2 == 1L, s"tiny domain got width=$w2 lo=$lo2")
     // a supplied keyRange skips the probe and is honored verbatim
-    val (lo3, w3) = Sampling.bucketBounds(tiny, col("s"), 1024,
+    val (lo3, _, w3) = Sampling.bucketBounds(tiny, col("s"), 1024,
       Sampling.Md5KeyRange)
     assert(lo3 == 0L && w3 == ((1L << 60) - 1) / 1024 + 1)
+  }
+
+  test("orderedRank: out-of-range keys under a supplied keyRange stay monotone") {
+    // a key 2^62 below a positive lo would WRAP under raw (key − lo)
+    // subtraction and misrank; the clamp pins it to the low edge bucket
+    // instead (round-6 advisory)
+    val lo = (1L << 61)
+    val rows = Seq(-(1L << 62), lo - 5L, lo + 10L, lo + (1L << 40), Long.MaxValue - 3L)
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+    val df = rows.toDF("k", "uid")
+    val ranked = Sampling.orderedRank(df, lit(0), col("k"), col("uid"),
+        nBuckets = 64, keyRange = Some((lo, lo + (1L << 50))), out = "rk")
+      .select(col("k"), col("rk")).as[(Long, Long)].collect().sortBy(_._2)
+    assert(ranked.map(_._1).toSeq == rows.map(_._1).sorted.toSeq,
+      s"ranks must follow key order even for keys outside keyRange: ${ranked.toSeq}")
   }
 
   test("importanceSample: deterministic, monotone in keepProb, rate tracks prob") {
