@@ -156,6 +156,75 @@ object EventQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // ---- Stream-stream interval join THROUGH Structured Streaming --------
+    // The impressions ⋈ conversions class: click events joined to purchase
+    // events by the same user within the following hour, executed as a
+    // watermarked stream-stream inner join (both sides file-source streams
+    // over the same events parquet, state expirable because the join is
+    // time-bounded in both directions), drained with AvailableNow into an
+    // append-mode memory sink. Stream ≡ batch is the correctness claim;
+    // the oracle is the equivalent batch self-join. The AvailableNow drain
+    // is a historical catch-up, so the watermark delay is sized to the
+    // backlog's disorder (the reference's 15-day lookback semantics) —
+    // live deployments tighten it to the real late-arrival bound.
+    "w_stream_interval_join" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      def ev = graft.streaming.Streams.eventsStream(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("buy_id"),
+          col("ts").as("buy_ts"))
+      val joined = graft.streaming.Streams.intervalJoin(
+          clicks, buys, Seq("user_id"), "click_ts", "buy_ts",
+          within = "1 hour", watermark = "30 days")
+        .select(col("l.user_id").as("user_id"), col("click_id"),
+          col("buy_id"), col("click_ts"), col("buy_ts"))
+      val q = joined.writeStream
+        .format("memory")
+        .queryName("w_stream_interval_join_sink")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("w_stream_interval_join_sink")
+        .orderBy("click_id", "buy_id")
+    }),
+
+    // ---- Changelog compaction THROUGH Structured Streaming ----------------
+    // Maintain a materialized latest-row-per-key snapshot of an I/U/D
+    // changelog stream (events recast: key = user_id, seq = ts_ns, op = D
+    // on error events else U). TWO AvailableNow drains split at mid-month:
+    // the first creates the state table, the second exercises the real
+    // merge leg — latestByKey(previous state ∪ batch) swapped in by
+    // rename-aside — so the driver-visible row covers the compaction path,
+    // not just the bootstrap. Tombstones are RETAINED in the state table
+    // (dropping them would let a replayed lower-seq row resurrect a
+    // deleted key); the oracle is the batch argmax-per-key over all
+    // events with the same D/U mapping.
+    "w_stream_changelog" -> ((s, d) => {
+      val base = graft.streaming.Streams.freshScratch("changelog", d)
+      val state = s"$base/state"
+      val cut = lit("2024-01-16").cast(TimestampType)
+      def ch(phase: Int) = {
+        val ev = graft.streaming.Streams.eventsStream(s, d)
+        val sliced = if (phase == 0) ev.filter(col("ts") < cut)
+                     else ev.filter(col("ts") >= cut)
+        sliced.select(col("user_id"), col("ts_ns").cast("long").as("seq"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+            .as("op"),
+          col("event_id"), col("value"))
+      }
+      graft.streaming.Streams.streamChangelogCompact(
+        ch(0), state, Seq("user_id"), "seq", s"$base/ck0")
+      graft.streaming.Streams.streamChangelogCompact(
+        ch(1), state, Seq("user_id"), "seq", s"$base/ck1")
+      s.read.parquet(state)
+        .select("user_id", "seq", "op", "event_id", "value")
+        .orderBy("user_id")
+    }),
+
     // ---- Sessionization (gaps-and-islands, 30-minute gap) -----------------
     "q_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
@@ -427,6 +496,36 @@ object EventQueries {
         |  user_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // stream ≡ batch for the stream-stream interval join: micro-truncated
+    // timestamps on both sides (Spark reads the nano fixture as micros),
+    // purchase within [click, click + 1h] inclusive
+    "w_stream_interval_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts,
+        |  CAST(p.ts AS TIMESTAMP) AS buy_ts
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(CAST(p.ts AS TIMESTAMP))
+        |     >= epoch_us(CAST(c.ts AS TIMESTAMP))
+        | AND epoch_us(CAST(p.ts AS TIMESTAMP))
+        |     <= epoch_us(CAST(c.ts AS TIMESTAMP)) + 3600000000
+        |ORDER BY click_id, buy_id""".stripMargin,
+
+    // stream ≡ batch for changelog compaction: the two-drain merge must
+    // equal the one-shot argmax-per-key (max is associative); tombstones
+    // (winning op = 'D') are retained rows, not dropped
+    "w_stream_changelog" ->
+      """SELECT user_id, epoch_ns(ts) AS seq,
+        |  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |  event_id, value
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY epoch_ns(ts) DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
 
     // stream ≡ batch: the streaming rendition must reproduce the batch
     // tumbling aggregation bit-for-bit

@@ -70,6 +70,33 @@ object ExtensionQueries {
         .orderBy("id_new", "id_corpus")
     }),
 
+    // ---- Dedup-at-the-door THROUGH Structured Streaming -------------------
+    // The flagship curation-as-a-stream path ([[graft.streaming.Streams
+    // .streamDedupIngest]]) made driver-visible: TWO AvailableNow drains
+    // split by doc parity — the first bootstraps the corpus from its own
+    // canonical near-dup survivors, the second exercises every door check
+    // in order (in-batch exact dedupe, in-batch near-dup canonicalization,
+    // id anti-join vs the sink, asymmetric banded MinHash probe vs the
+    // STANDING corpus) before appending. The oracle replays the whole
+    // composition exactly: recursive min-label closure per phase + an
+    // exact-Jaccard cross-phase kill (same band config as dedup_minhash,
+    // whose recall the brute-force oracle verifies to be complete here).
+    "w_stream_dedup_ingest" -> ((s, d) => {
+      val base = graft.streaming.Streams.freshScratch("dedup_ingest", d)
+      val sink = s"$base/corpus"
+      def sh = ShingleFunctions.wordShingleHashes(
+        TextFunctions.tokens(col("text")), 3)
+      val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+      def docs = graft.streaming.Streams.documentsStream(s, d)
+      graft.streaming.Streams.streamDedupIngest(
+        docs.filter(col("doc_id") % 2 === 0), sink, "doc_id", sh,
+        threshold = 0.5, cfg, s"$base/ck0")
+      graft.streaming.Streams.streamDedupIngest(
+        docs.filter(col("doc_id") % 2 === 1), sink, "doc_id", sh,
+        threshold = 0.5, cfg, s"$base/ck1")
+      s.read.parquet(sink).select("doc_id").orderBy("doc_id")
+    }),
+
     // ---- Dedup: directed containment (sub-document detection) ------------
     // |A∩B|/|A| over word-3-gram shingles — catches whole-quotation /
     // subset documents that Jaccard misses; sparse term join + df-cut.
@@ -3712,6 +3739,63 @@ object ExtensionQueries {
         |ORDER BY id_new, id_corpus""".stripMargin,
 
     "dedup_minhash" -> dedupMinhashOracleSql,
+
+    // full replay of the two-drain ingest: canonical survivors of phase A
+    // (min-label closure over exact-Jaccard ≥ 0.5 pairs), then phase B's
+    // own canonical survivors minus any with exact Jaccard ≥ 0.5 against
+    // an INGESTED phase-A doc. sh is referenced by both phases and the
+    // cross kill — MATERIALIZED, or DuckDB re-executes it per reference.
+    "w_stream_dedup_ingest" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM toks WHERE len(w) >= 3),
+        |pa AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 0
+        |  WHERE len(list_intersect(a.g, b.g)) /
+        |      len(list_distinct(list_concat(a.g, b.g))) >= 0.5),
+        |ea AS MATERIALIZED (
+        |  SELECT id_1 AS s, id_2 AS t FROM pa UNION SELECT id_2, id_1 FROM pa),
+        |reacha(s, t) AS (
+        |  SELECT s, t FROM ea UNION SELECT s, s FROM ea
+        |  UNION SELECT r.s, ea.t FROM reacha r JOIN ea ON r.t = ea.s),
+        |dropa AS MATERIALIZED (
+        |  SELECT s AS doc_id FROM reacha GROUP BY s HAVING s <> min(t)),
+        |keepa AS MATERIALIZED (
+        |  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM dropa)),
+        |pb AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |    AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+        |  WHERE len(list_intersect(a.g, b.g)) /
+        |      len(list_distinct(list_concat(a.g, b.g))) >= 0.5),
+        |eb AS MATERIALIZED (
+        |  SELECT id_1 AS s, id_2 AS t FROM pb UNION SELECT id_2, id_1 FROM pb),
+        |reachb(s, t) AS (
+        |  SELECT s, t FROM eb UNION SELECT s, s FROM eb
+        |  UNION SELECT r.s, eb.t FROM reachb r JOIN eb ON r.t = eb.s),
+        |dropb AS MATERIALIZED (
+        |  SELECT s AS doc_id FROM reachb GROUP BY s HAVING s <> min(t)),
+        |canb AS MATERIALIZED (
+        |  SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+        |    AND doc_id NOT IN (SELECT doc_id FROM dropb)),
+        |hitb AS MATERIALIZED (
+        |  SELECT DISTINCT n.doc_id
+        |  FROM sh n, sh c
+        |  WHERE n.doc_id IN (SELECT doc_id FROM canb)
+        |    AND c.doc_id IN (SELECT doc_id FROM keepa)
+        |    AND len(list_intersect(n.g, c.g)) /
+        |        len(list_distinct(list_concat(n.g, c.g))) >= 0.5)
+        |SELECT doc_id FROM keepa
+        |UNION ALL
+        |SELECT doc_id FROM canb WHERE doc_id NOT IN (SELECT doc_id FROM hitb)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram" ->
       """WITH sh AS (

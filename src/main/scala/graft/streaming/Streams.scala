@@ -38,6 +38,43 @@ object Streams {
         .parquet(dir))
   }
 
+  /** File-source stream over the documents fixture — the corpus-ingest
+    * face of [[eventsStream]] (no event-time normalization; documents are
+    * not timestamped). Schema comes from a bounded batch footer read.
+    */
+  def documentsStream(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Int = 10): DataFrame = {
+    val schema = spark.read
+      .option("pathGlobFilter", "documents*.parquet")
+      .parquet(dir)
+      .schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "documents*.parquet")
+      .parquet(dir)
+  }
+
+  /** Deterministic per-(name, source-dir) scratch root for declared
+    * streaming queries that need a disk sink + checkpoint: wiped ON ENTRY
+    * so repeated invocations (bench reps, verify re-runs, a warmup at a
+    * different sf) always replay from a clean slate instead of appending
+    * to a stale sink or resuming a consumed checkpoint.
+    */
+  def freshScratch(name: String, sfDir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_${name}_$digest")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete(); ()
+    }
+    if (root.exists()) rm(root)
+    root.mkdirs()
+    root.getAbsolutePath
+  }
+
   /** Watermarked tumbling-window aggregation per event type. */
   def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
                      watermark: String = "2 hours"): DataFrame =
