@@ -18,6 +18,10 @@ import org.apache.spark.sql.SparkSession
   * were inflated together); the min survives as long as any single rep
   * ran unimpeded. (Round 2's single-rep artifact had it worse still —
   * one GC pause turned a sub-second query into a 15 s entry.)
+  *
+  * With `SPARK_GRAFT_SCALING_DIRS=<small>,<large>` set, the same
+  * machinery instead times every query at both scale factors and writes
+  * per-query growth ratios to SCALING.json (see [[scalingMain]]).
   */
 object Bench {
   /** Load-robust per-query statistic: the fastest recorded rep. */
@@ -25,6 +29,18 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Scaling-audit mode: SPARK_GRAFT_SCALING_DIRS="<smallDir>,<largeDir>"
+    // times every query at BOTH scale factors with the identical
+    // min-of-reps machinery and writes per-query growth ratios to
+    // SCALING.json — the empirical answer to "would this plan survive a
+    // scale-up" that a plan audit cannot give (a super-linear candidate
+    // join LOOKS identical at any sf; only t_large/t_small exposes it).
+    sys.env.get("SPARK_GRAFT_SCALING_DIRS").foreach { dirs =>
+      val parts = dirs.split(",").map(_.trim)
+      require(parts.length == 2, s"SPARK_GRAFT_SCALING_DIRS must be <small>,<large>: $dirs")
+      scalingMain(parts(0), parts(1), args)
+      return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
     val spark = GraftSession.create(
@@ -50,50 +66,12 @@ object Bench {
     catch { case _: Exception => () }
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val errors = scala.collection.mutable.ListBuffer[String]()
-    // optional query-name args restrict the timed set (dev iteration on a
-    // hot query, same contract as Verify's subset mode); the driver's
-    // no-arg invocation times everything
-    val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else {
-        val unknown = args.filterNot(SparkEntry.queries.contains)
-        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
-        SparkEntry.queries.view.filterKeys(args.toSet).toMap
-      }
+    val extraReps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "2").toInt
+    val selected = selectQueries(args)
     // a failed query reports -1 and contributes nothing to the total, so
     // the headline number reflects successful executions only
-    // Adaptive extension: when even the two FASTEST reps disagree by
-    // >10%, the measurement is still load-contaminated — spend up to
-    // `extraReps` more attempts chasing a stable minimum (two clean
-    // consecutive runs measured 47/221 queries outside ±20% under plain
-    // min-of-3 on a shared box; the drift was uniform ambient load).
-    val extraReps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "2").toInt
-    def unstable(ts: Seq[Double]): Boolean = {
-      val s = ts.sorted
-      s.length < 2 || s(1) > s(0) * 1.10
-    }
-    val repsUsed = scala.collection.mutable.Map[String, Int]()
-    val results = selected.map { case (name, fn) =>
-      val times = scala.collection.mutable.ListBuffer[Double]()
-      var failed = false
-      var i = 0
-      while (i < reps + extraReps && !failed &&
-             (i < reps || unstable(times.toSeq))) {
-        val t0 = System.nanoTime()
-        try { run(fn, sfDir); times += (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Exception =>
-          failed = true
-          errors += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        i += 1
-      }
-      repsUsed(name) = times.size
-      name -> (if (failed) -1.0 else repStat(times.toSeq))
-    }
-    def fmt(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    val (results, repsUsed, errors) =
+      timeQueries(spark, sfDir, selected, reps, extraReps)
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     // Full per-query detail goes to a file (the artifact for plan/perf
@@ -125,6 +103,117 @@ object Bench {
       if (len + e.length + 1 <= budget) { entries += e; len += e.length + 1 }
     }
     println(head + entries.mkString(",") + tail)
+    spark.stop()
+  }
+
+  private def fmt(v: Double): String = BigDecimal(v)
+    .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+
+  private def selectQueries(args: Array[String])
+      : Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    // optional query-name args restrict the timed set (dev iteration on a
+    // hot query, same contract as Verify's subset mode); the driver's
+    // no-arg invocation times everything
+    if (args.isEmpty) SparkEntry.queries
+    else {
+      val unknown = args.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+      SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    }
+
+  /** Times each query at `sfDir` with min-of-reps + adaptive extension:
+    * when even the two FASTEST reps disagree by >10%, the measurement is
+    * still load-contaminated — spend up to `extraReps` more attempts
+    * chasing a stable minimum (two clean consecutive runs measured 47/221
+    * queries outside ±20% under plain min-of-3 on a shared box; the drift
+    * was uniform ambient load).
+    */
+  private def timeQueries(
+      spark: SparkSession, sfDir: String,
+      selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+      reps: Int, extraReps: Int)
+      : (Map[String, Double], Map[String, Int], Seq[String]) = {
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    def unstable(ts: Seq[Double]): Boolean = {
+      val s = ts.sorted
+      s.length < 2 || s(1) > s(0) * 1.10
+    }
+    val errors = scala.collection.mutable.ListBuffer[String]()
+    val repsUsed = scala.collection.mutable.Map[String, Int]()
+    val results = selected.map { case (name, fn) =>
+      val times = scala.collection.mutable.ListBuffer[Double]()
+      var failed = false
+      var i = 0
+      while (i < reps + extraReps && !failed &&
+             (i < reps || unstable(times.toSeq))) {
+        val t0 = System.nanoTime()
+        try { run(fn); times += (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Exception =>
+          failed = true
+          errors += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        i += 1
+      }
+      repsUsed(name) = times.size
+      name -> (if (failed) -1.0 else repStat(times.toSeq))
+    }
+    (results, repsUsed.toMap, errors.toSeq)
+  }
+
+  /** Scaling-audit mode: one session, warmup at sf0.001, then the full
+    * min-of-reps pass at the SMALL dir followed by the LARGE dir, and a
+    * SCALING.json with per-query {t_small, t_large, ratio}. Ratio
+    * denominators are floored at 50 ms so a sub-fixed-overhead small-sf
+    * time cannot manufacture a scary exponent out of noise; -1 marks a
+    * failed side. Interpretation belongs in SCALE.md: for a 10× data step,
+    * linear operators with fixed overhead land well UNDER 10×, n·log n
+    * allows ~13×, anything persistently above needs a named data-inherent
+    * reason (e.g. candidate-pair volume growing with duplicate density) or
+    * a fix.
+    */
+  private def scalingMain(smallDir: String, largeDir: String,
+                          args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
+    val spark = GraftSession.create(
+      appName = "graft-scaling",
+      master = s"local[$cpus]",
+      shufflePartitions = Some(cpus.toInt))
+    spark.sparkContext.setLogLevel("WARN")
+    val warmDir = "/root/testdata/sf0.001"
+    val selected = selectQueries(args)
+    if (new java.io.File(warmDir).isDirectory)
+      selected.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Exception => () }
+      }
+    for (d <- Seq(smallDir, largeDir))
+      try graft.sources.Multimodal.ensureFixtureFiles(spark,
+        Tables.documents(spark, d), graft.sources.Multimodal.fixtureDir(d))
+      catch { case _: Exception => () }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val extraReps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "2").toInt
+    val (tSmall, _, errS) = timeQueries(spark, smallDir, selected, reps, extraReps)
+    val (tLarge, _, errL) = timeQueries(spark, largeDir, selected, reps, extraReps)
+    val names = selected.keys.toSeq.sorted
+    val rows = names.map { n =>
+      val (s, l) = (tSmall.getOrElse(n, -1.0), tLarge.getOrElse(n, -1.0))
+      val ratio = if (s < 0 || l < 0) -1.0 else l / math.max(s, 0.05)
+      s""""$n":{"t_small":${fmt(s)},"t_large":${fmt(l)},"ratio":${fmt(ratio)}}"""
+    }
+    val errJson = (errS ++ errL).distinct.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"estimator":"min","small":"$smallDir","large":"$largeDir","n_queries":${names.size},"errors":$errJson,"ratio_denominator_floor_sec":0.05,"queries":{${rows.mkString(",")}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val ok = names.filter(n => tSmall.getOrElse(n, -1.0) >= 0 &&
+      tLarge.getOrElse(n, -1.0) >= 0)
+    val worst = ok.sortBy(n => -(tLarge(n) / math.max(tSmall(n), 0.05))).take(8)
+      .map(n => s""""$n":${fmt(tLarge(n) / math.max(tSmall(n), 0.05))}""")
+    println(s"""{"metric":"scaling","n_queries":${names.size},"detail":"SCALING.json","errors":$errJson,"worst_ratios":{${worst.mkString(",")}}}""")
     spark.stop()
   }
 }

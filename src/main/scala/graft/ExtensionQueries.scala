@@ -97,6 +97,18 @@ object ExtensionQueries {
       s.read.parquet(sink).select("doc_id").orderBy("doc_id")
     }),
 
+    // ---- Dedup: exact duplicated-substring spans (suffix ordering) -------
+    // Lee et al. (ACL 2022) exact-substring dedup: maximal spans whose
+    // every 30-char window occurs ≥ 2 times corpus-wide, by equality-class
+    // prefix doubling — no fingerprints, so unlike the winnow/df-cut path
+    // it cannot miss the MOST-duplicated content (the df cap's blind spot;
+    // DedupSimilaritySpec plants exactly that miss).
+    "dedup_suffix" -> ((s, d) => {
+      Dedup.suffixDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+          minLen = 30)
+        .orderBy("id", "span_start")
+    }),
+
     // ---- Dedup: directed containment (sub-document detection) ------------
     // |A∩B|/|A| over word-3-gram shingles — catches whole-quotation /
     // subset documents that Jaccard misses; sparse term join + df-cut.
@@ -3739,6 +3751,35 @@ object ExtensionQueries {
         |ORDER BY id_new, id_corpus""".stripMargin,
 
     "dedup_minhash" -> dedupMinhashOracleSql,
+
+    // brute-force window extraction: a position is duplicated iff its
+    // 30-char substring occurs >= 2 times anywhere; runs coalesce via
+    // gaps-and-islands. INTEGER casts match Spark's posexplode int offsets.
+    "dedup_suffix" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos, substr(text, CAST(i + 1 AS INTEGER), 30) AS gram
+        |  FROM documents,
+        |       unnest(range(0, greatest(length(text) - 29, 0))) t(i)),
+        |g AS MATERIALIZED (
+        |  SELECT gram FROM p GROUP BY gram HAVING count(*) >= 2),
+        |dup AS MATERIALIZED (
+        |  SELECT doc_id, pos FROM p WHERE gram IN (SELECT gram FROM g)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 1
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |grp AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        |  FROM isl)
+        |SELECT doc_id AS id,
+        |  CAST(min(pos) AS INTEGER) AS span_start,
+        |  CAST(max(pos) + 30 AS INTEGER) AS span_end,
+        |  CAST(max(pos) + 30 - min(pos) AS INTEGER) AS span_len
+        |FROM grp GROUP BY doc_id, gid
+        |ORDER BY id, span_start""".stripMargin,
 
     // full replay of the two-drain ingest: canonical survivors of phase A
     // (min-label closure over exact-Jaccard ≥ 0.5 pairs), then phase B's

@@ -947,4 +947,107 @@ object Dedup {
         expr("1000000 * n_shared DIV n_fp_a").as("contain_a_ppm"),
         expr("1000000 * n_shared DIV n_fp_b").as("contain_b_ppm"))
   }
+
+  /** Exact duplicated-substring spans of length ≥ `minLen` code points —
+    * the suffix-ordering dedup of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" (ACL 2022): a position is duplicated
+    * when its `minLen`-window occurs at ≥ 2 distinct (doc, offset) sites
+    * anywhere in the corpus (other docs OR elsewhere in the same doc), and
+    * runs of duplicated positions coalesce into maximal spans. EXACT — no
+    * fingerprints, no hashing, no sampling — so it catches what
+    * [[graft.operators.TextAnalysis.winnowedFingerprints]]-based
+    * containment structurally cannot: a df-cut drops the corpus's
+    * most-frequent grams, i.e. precisely the most-duplicated content.
+    *
+    * Distributed construction (no suffix array materialized): equality
+    * classes of fixed-length windows by PREFIX DOUBLING over (doc, pos)
+    * keys — the pointer-doubling machinery of
+    * [[graft.operators.TextAnalysis.maxMatchSegmentsSharded]], applied to
+    * Manber–Myers rank doubling. Round k holds, for every surviving
+    * position, an equality LABEL for its 2^k-window (the label is the
+    * class's minimum (doc, pos) struct — injective per class, a pure
+    * function of the corpus); round k+1 relabels by the pair
+    * (label[p], label[p + 2^k]). Because only EQUALITY is ever consulted
+    * (never order), the labels need no global sort — each round is one
+    * hash aggregation + one equi-join on O(N) rows, ⌈log₂ minLen⌉ rounds
+    * total. Positions whose current window is corpus-unique are pruned
+    * every round (a window containing a unique sub-window is itself
+    * unique), so real-corpus volume collapses after the first rounds.
+    * The final window of exactly `minLen` is the standard composite of
+    * two overlapping 2^k-windows (s ≥ minLen/2):
+    * [p, p+s) ∪ [p+minLen−s, p+minLen).
+    *
+    * Output: (id, span_start, span_end, span_len) — 0-based code-point
+    * offsets, end exclusive, one row per MAXIMAL duplicated span. The
+    * closing islands window partitions by doc id (per-doc positions,
+    * bounded by doc length — never a global window).
+    */
+  def suffixDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           minLen: Int): DataFrame = {
+    require(minLen >= 2 && minLen <= (1 << 20),
+      s"minLen=$minLen out of [2, 2^20]")
+    val docs = df
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        length(col(textCol)).as("len"))
+      .filter(col("len") >= minLen)
+    // one row per code point; labels live as (id, pos, lab) frames
+    val chars = docs.select(col("id"),
+      posexplode(split(col("t"), "")).as(Seq("pos", "c")))
+
+    // Equality-preserving injective relabel + uniqueness pruning: each
+    // (k1, k2) class gets min(struct(id, pos)) of its members as label;
+    // singleton classes are dropped (their windows can never be part of a
+    // duplicated longer window). One partial-agg shuffle + one equi-join.
+    def relabel(keyed: DataFrame): DataFrame = {
+      val reps = keyed.groupBy(col("k1"), col("k2"))
+        .agg(min(struct(col("id"), col("pos"))).as("lab"),
+          count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2)
+        .select(col("k1"), col("k2"), col("lab"))
+      keyed.join(reps, Seq("k1", "k2"))
+        .select(col("id"), col("pos"), col("lab"))
+    }
+
+    // target window half-size: smallest power of two ≥ ⌈minLen/2⌉
+    var tgt = 1
+    while (tgt < (minLen + 1) / 2) tgt *= 2
+    var s = 1
+    var lab = relabel(chars.select(col("id"), col("pos"),
+        col("c").as("k1"), lit(0L).as("k2")))
+      .localCheckpoint(true) // feeds self-join both sides next round
+    while (s < tgt) {
+      val partner = lab.select(col("id"), (col("pos") - s).as("pos"),
+        col("lab").as("k2p"))
+      lab = relabel(lab.join(partner, Seq("id", "pos"))
+          .select(col("id"), col("pos"), col("lab").as("k1"),
+            col("k2p").as("k2")))
+        .localCheckpoint(true)
+      s *= 2
+    }
+    // composite at exactly minLen (s ≥ minLen − s, so the two windows tile)
+    val partner = lab.select(col("id"),
+      (col("pos") - (minLen - s)).as("pos"), col("lab").as("k2p"))
+    val dupPos = relabel(lab.join(partner, Seq("id", "pos"))
+        .select(col("id"), col("pos"), col("lab").as("k1"),
+          col("k2p").as("k2")))
+      .select(col("id"), col("pos"))
+
+    // coalesce runs of duplicated window starts into maximal spans
+    // (gaps-and-islands per doc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("__prev", lag(col("pos"), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("pos") - col("__prev") > 1, 1L)
+          .otherwise(0L))
+      .withColumn("__grp", sum(col("__brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(minLen)).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
+  }
 }

@@ -761,4 +761,78 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Option[Long], Option[Long])].collect().head
     assert(r2 == ((None, Some(0L))))
   }
+
+  test("suffixDuplicateSpans equals brute-force window extraction") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // within-doc repetition, cross-doc sharing, adjacent-run merging, and
+    // docs with nothing duplicated — checked against an in-memory oracle
+    val docs = Seq(
+      (1L, "abcabcabcabc"),          // periodic: within-doc duplication
+      (2L, "xxTHEQUICKBROWNFOXyy"),  // shares the middle with doc 3
+      (3L, "ppTHEQUICKBROWNFOXqq"),
+      (4L, "nothing-in-common-here"),
+      (5L, "abcabc1234"))            // shares a short prefix with doc 1
+    // L = 5 (not a power of two: exercises the composite-overlap step)
+    val L = 5
+    def brute(rows: Seq[(Long, String)], minLen: Int): Set[(Long, Int, Int, Int)] = {
+      val wins = for {
+        (id, t) <- rows
+        p <- 0 to t.length - minLen
+      } yield (id, p, t.substring(p, p + minLen))
+      val counts = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      val dup = wins.filter(w => counts(w._3) >= 2)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+      dup.toSeq.flatMap { case (id, ps) =>
+        // coalesce consecutive positions
+        val runs = ps.foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: rest, p) if p == e0 + 1 => (s0, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.reverse
+        runs.map { case (s0, e0) =>
+          (id, s0, e0 + minLen, e0 + minLen - s0) }
+      }.toSet
+    }
+    val got = graft.operators.Dedup.suffixDuplicateSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", minLen = L)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(got == brute(docs, L), s"got $got\nexp ${brute(docs, L)}")
+    // and at L = 8 (power of two: the two composite windows tile exactly)
+    val got8 = graft.operators.Dedup.suffixDuplicateSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", minLen = 8)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(got8 == brute(docs, 8), s"got $got8\nexp ${brute(docs, 8)}")
+  }
+
+  test("suffixDuplicateSpans catches the duplicated span the winnow df-cut drops") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // 250 docs all share a 60-char boilerplate — the MOST duplicated
+    // content in the corpus. The winnow-containment path df-caps shingles
+    // at maxDocFreq=200, so every boilerplate fingerprint is dropped and
+    // NO pair survives: the df cut's structural blind spot is precisely
+    // the heaviest duplication. The exact suffix pass reports the span in
+    // every doc.
+    val boiler = "the quick brown fox jumps over the lazy dog again and again."
+    assert(boiler.length == 60)
+    // per-doc prefix: a 2-char base-26 code repeated 5x. Two docs agree on
+    // a window iff it touches at most the LAST prefix char (250 docs over
+    // 26 residues ⇒ every last-char class has ≥ 2 members), so the maximal
+    // shared span is [9, 70): last prefix char + the whole boilerplate.
+    def code(i: Int) = ("" + ('a' + i / 26).toChar + ('a' + i % 26).toChar) * 5
+    val docs = (0 until 250)
+      .map(i => (i.toLong, code(i) + boiler))
+      .toDF("doc_id", "text")
+    val winnowPairs = graft.operators.Dedup.containmentPairs(
+      graft.operators.TextAnalysis.winnowedFingerprints(docs, "text", "doc_id"),
+      "id", col("fps"), threshold = 0.6, maxDocFreq = 200L)
+    assert(winnowPairs.count() == 0,
+      "df-capped winnow containment must miss the mass-duplicated span")
+    val spans = graft.operators.Dedup.suffixDuplicateSpans(
+        docs, "doc_id", "text", minLen = 40)
+      .as[(Long, Int, Int, Int)].collect()
+    assert(spans.length == 250, s"expected a span per doc, got ${spans.length}")
+    assert(spans.forall(s => s._2 == 9 && s._3 == 70 && s._4 == 61),
+      s"every doc's duplicated span is [9, 70) (last code char + boilerplate): ${spans.take(3).toSeq}")
+  }
 }
