@@ -225,6 +225,55 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // ---- Per-key streaming top-k THROUGH Structured Streaming -------------
+    // flatMapGroupsWithState leaderboard (top-5 event values per
+    // event_type) drained with AvailableNow over a backlog deliberately
+    // split into three time-sliced files (maxFilesPerTrigger=1), so state
+    // genuinely merges ACROSS micro-batches rather than in one degenerate
+    // mega-batch. The update-mode memory sink holds every per-batch
+    // emission; leaderboards are MONOTONE under data arrival (values
+    // pointwise ≥, tied values prefer smaller ids, length nondecreasing),
+    // so the final emission per key is the (vals DESC, ids ASC) maximum —
+    // recoverable without a batch-id column. Oracle: the batch top-5 per
+    // key, stream ≡ batch being the correctness claim (StreamingSpec
+    // asserts it in-process; this row makes it driver-visible).
+    "w_stream_topk" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = graft.streaming.Streams.freshScratch("topk", d)
+      val src = new java.io.File(base, "src"); src.mkdirs()
+      val ev = Tables.events(s, d)
+      Seq((1, 10), (11, 20), (21, 31)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          val part = s"$base/slice$i"
+          ev.filter(dayofmonth(col("ts")).between(lo, hi))
+            .coalesce(1).write.mode("overwrite").parquet(part)
+          val f = new java.io.File(part).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(src, s"events_$i.parquet").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val topk = graft.streaming.Streams.topKPerKey(
+        graft.streaming.Streams.eventsStream(s, src.getAbsolutePath,
+          maxFilesPerTrigger = 1),
+        k = 5, ttlMinutes = 1000000)
+      val q = topk.toDF().writeStream
+        .format("memory").queryName("w_stream_topk_sink")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("top_vals").desc, col("top_ids").asc)
+      s.table("w_stream_topk_sink")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("key"),
+          posexplode(arrays_zip(col("top_vals"), col("top_ids"))))
+        .select(col("key"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.top_vals").as("value_cents"),
+          col("col.top_ids").as("event_id"))
+        .orderBy("key", "rank")
+    }),
+
     // ---- Sessionization (gaps-and-islands, 30-minute gap) -----------------
     "q_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
@@ -526,6 +575,22 @@ object EventQueries {
         |  FROM events) t
         |WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+
+    // stream ≡ batch: the multi-batch streaming leaderboard must converge
+    // to the batch top-5 per key (value cents desc, event_id asc)
+    "w_stream_topk" ->
+      """WITH t AS (
+        |  SELECT event_type AS key,
+        |    CAST(round(value * 100) AS BIGINT) AS value_cents, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT key, value_cents, event_id,
+        |    row_number() OVER (
+        |      PARTITION BY key ORDER BY value_cents DESC, event_id) AS rank
+        |  FROM t)
+        |SELECT key, CAST(rank AS INTEGER) AS rank, value_cents, event_id
+        |FROM r WHERE rank <= 5
+        |ORDER BY key, rank""".stripMargin,
 
     // stream ≡ batch: the streaming rendition must reproduce the batch
     // tumbling aggregation bit-for-bit

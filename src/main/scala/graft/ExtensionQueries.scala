@@ -789,6 +789,14 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Fluency: interpolated Kneser–Ney trigram LM, integer discount --
+    "text_lm_trigram" -> ((s, d) => {
+      TextAnalysis.lmTrigramScore(Tables.documents(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_trigrams"),
+          col("kn_ppm_sum"), col("kn_ppm_mean"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Keywords: top-3 tf·idf terms per document ----------------------
     "text_keywords" -> ((s, d) => {
       TextAnalysis.topKeywords(Tables.documents(s, d), "text", "doc_id",
@@ -990,6 +998,18 @@ object ExtensionQueries {
         .agg(min("cents").as("lo"), max("cents").as("hi"),
           count(lit(1)).as("n_rows"))
         .orderBy("bucket")
+    }),
+
+    // ---- Quantiles: canonical q-digest (mergeable, provable rank error) --
+    // ε = 1% of n; every returned interval pins the target rank within
+    // ε·n by construction (leaf intervals are exact); the underlying
+    // node-count sketch shard-merges bit-identically (QuantileSketchSpec)
+    "q_qdigest_quantiles" -> ((s, d) => {
+      Stats.qdigestQuantiles(
+        Tables.lineitem(s, d).select(
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
+        col("cents"), maxBits = 25, epsPpm = 10000L,
+        probesPpm = Seq(10000L, 250000L, 500000L, 750000L, 990000L))
     }),
 
     // ---- Profiling: exact per-group quantiles without a global sort ------
@@ -3412,6 +3432,55 @@ object ExtensionQueries {
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // full q-digest replay: exact dyadic node counts, the canonical
+    // partition (parent > T, self <= T or leaf), cumulative counts in
+    // interval order, probe ranks by ceiling division — all exact
+    // integers, so // and DIV agree (non-negative throughout)
+    "q_qdigest_quantiles" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |leaf AS MATERIALIZED (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+        |nodes AS MATERIALIZED (
+        |  SELECT CAST(t.lev AS INTEGER) AS lev, v >> t.lev AS node,
+        |    CAST(sum(c) AS BIGINT) AS cn
+        |  FROM leaf, unnest(range(0, 26)) t(lev)
+        |  GROUP BY 1, 2),
+        |st AS MATERIALIZED (
+        |  SELECT n, greatest(CAST(1 AS BIGINT), 10000 * n // 1000000) AS t
+        |  FROM (SELECT CAST(max(cn) AS BIGINT) AS n FROM nodes
+        |        WHERE lev = 25)),
+        |dg AS MATERIALIZED (
+        |  SELECT c.lev, c.node, c.cn
+        |  FROM nodes c JOIN nodes p
+        |    ON p.lev = c.lev + 1 AND p.node = c.node >> 1
+        |  CROSS JOIN st
+        |  WHERE p.cn > st.t AND (c.cn <= st.t OR c.lev = 0)
+        |  UNION ALL
+        |  SELECT lev, node, cn FROM nodes CROSS JOIN st
+        |  WHERE lev = 25 AND cn <= st.t),
+        |iv AS (
+        |  SELECT lev, cn, node << lev AS v_lo,
+        |    ((node + 1) << lev) - 1 AS v_hi
+        |  FROM dg),
+        |cum AS MATERIALIZED (
+        |  SELECT v_lo, v_hi, cn,
+        |    CAST(coalesce(sum(cn) OVER (ORDER BY v_lo
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_below
+        |  FROM iv),
+        |pr AS (SELECT CAST(unnest([10000, 250000, 500000, 750000, 990000])
+        |         AS BIGINT) AS q_ppm),
+        |r AS (SELECT q_ppm,
+        |        greatest(CAST(1 AS BIGINT),
+        |          CAST((CAST(q_ppm AS HUGEINT) * n + 999999) // 1000000
+        |            AS BIGINT)) AS rk
+        |      FROM pr CROSS JOIN st)
+        |SELECT q_ppm, v_lo, v_hi, cum_below, cn AS cnt_in
+        |FROM r JOIN cum ON cum_below < rk AND rk <= cum_below + cn
+        |ORDER BY q_ppm""".stripMargin,
+
     "q_group_quantiles" ->
       """WITH t AS (
         |  SELECT l_returnflag AS g,
@@ -4599,6 +4668,61 @@ object ExtensionQueries {
         |  coalesce(s.n_bigrams, 0) AS n_bigrams,
         |  coalesce(s.lm_ppm_sum, 0) AS lm_ppm_sum,
         |  coalesce(s.lm_ppm_sum // s.n_bigrams, 0) AS lm_ppm_mean
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // full KN replay in HUGEINT: every interpolation level is one floor
+    // division of non-negative exact integers, so DuckDB's // and Spark's
+    // truncating DIV agree; type/continuation counts regroup one
+    // MATERIALIZED trigram-type CTE
+    "text_lm_trigram" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tri
+        |  FROM t WHERE len(w) >= 3),
+        |ty AS MATERIALIZED (
+        |  SELECT tri,
+        |    string_split(tri, ' ')[1] AS x,
+        |    string_split(tri, ' ')[2] AS y,
+        |    string_split(tri, ' ')[3] AS z,
+        |    CAST(count(*) AS BIGINT) AS c3
+        |  FROM g GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM ty),
+        |p1 AS MATERIALIZED (
+        |  SELECT z,
+        |    CAST(1000000 AS HUGEINT) * CAST(count(*) AS BIGINT) // n_types
+        |      AS p1_ppm
+        |  FROM ty, tot GROUP BY z, n_types),
+        |cont AS (SELECT y, z, CAST(count(*) AS BIGINT) AS n1_yz
+        |         FROM ty GROUP BY 1, 2),
+        |mid AS (SELECT y, CAST(count(*) AS BIGINT) AS n1_mid,
+        |          CAST(count(DISTINCT z) AS BIGINT) AS n1_fy
+        |        FROM ty GROUP BY 1),
+        |p2 AS MATERIALIZED (
+        |  SELECT cont.y, cont.z,
+        |    (CAST(1000000 AS HUGEINT) * greatest(4 * n1_yz - 3, 0)
+        |       + CAST(3 AS HUGEINT) * n1_fy * p1_ppm) // (4 * n1_mid)
+        |      AS p2_ppm
+        |  FROM cont JOIN mid USING (y) JOIN p1 USING (z)),
+        |pre AS (SELECT x, y, CAST(sum(c3) AS BIGINT) AS c_xy,
+        |          CAST(count(*) AS BIGINT) AS n1_fxy
+        |        FROM ty GROUP BY 1, 2),
+        |p3 AS MATERIALIZED (
+        |  SELECT tri,
+        |    (CAST(1000000 AS HUGEINT) * greatest(4 * c3 - 3, 0)
+        |       + CAST(3 AS HUGEINT) * n1_fxy * p2_ppm) // (4 * c_xy)
+        |      AS p3_ppm
+        |  FROM ty JOIN p2 USING (y, z) JOIN pre USING (x, y)),
+        |s AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |    CAST(sum(p3_ppm) AS BIGINT) AS kn_ppm_sum
+        |  FROM g JOIN p3 USING (tri) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(s.n_trigrams, 0) AS n_trigrams,
+        |  coalesce(s.kn_ppm_sum, 0) AS kn_ppm_sum,
+        |  coalesce(s.kn_ppm_sum // s.n_trigrams, 0) AS kn_ppm_mean
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 

@@ -19,6 +19,36 @@ object Plans {
     */
   val headline: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
+  /** Normalized plan-shape digest: the multiset of physical operator
+    * class names (execution wrappers stripped, so the digest is identical
+    * with AQE on or off) plus a per-scan summary
+    * `scan:<table>[<#cols>,pushed?]`. PLAN_DIGESTS.json records one per
+    * declared query; PlanDigestSpec fails on ANY drift unless the file is
+    * regenerated in the same commit — a broadcast demoted to a sort-merge
+    * join, a lost filter pushdown, or a new exchange cannot slip through
+    * a refactor unreviewed.
+    */
+  def digest(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.execution._
+    val skip = Set("WholeStageCodegenExec", "InputAdapter",
+      "AdaptiveSparkPlanExec", "ResultQueryStageExec")
+    val parts = graft.plans.PlanWalk.collectDeep(
+        df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec =>
+        val table = s.relation.location.rootPaths.headOption
+          .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+        val pushed =
+          if (s.metadata.getOrElse("PushedFilters", "[]") != "[]") ",pushed"
+          else ""
+        Some(s"scan:$table[${s.requiredSchema.fields.length}$pushed]")
+      case p =>
+        val n = p.getClass.getSimpleName.stripSuffix("$")
+        if (skip(n)) None else Some(n)
+    }.flatten
+    parts.groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (k, c) => s"$k=$c" }.mkString(";")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
     val outFile = args.lift(1).getOrElse("PLANS.md")

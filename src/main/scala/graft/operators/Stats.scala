@@ -939,4 +939,128 @@ object Stats {
         when(col("z_micros").isNull, lit(null).cast("boolean"))
           .otherwise(abs(col("z_micros")) >= 1960000L))
   }
+
+  /** Per-(level, dyadic node) exact counts over a non-negative integral
+    * column — the MERGEABLE state of the canonical q-digest
+    * ([[qdigestQuantiles]]): node `(lev, v >> lev)` counts every value in
+    * the dyadic interval `[node·2^lev, (node+1)·2^lev)`. Because the
+    * counts are EXACT sums, merging shard sketches is plain
+    * `union → groupBy(lev, node) → sum(cn)` and is bit-identical to a
+    * one-pass build — the sketch's shard-merge ≡ one-pass law holds by
+    * construction, not approximately (QuantileSketchSpec proves it).
+    * One explode(maxBits+1) over the DISTINCT-value frame (never over
+    * rows) + one hash aggregation.
+    */
+  def qdigestNodeCounts(df: DataFrame, valueCol: Column,
+                        maxBits: Int): DataFrame = {
+    require(maxBits >= 1 && maxBits <= 62, s"maxBits=$maxBits out of [1, 62]")
+    df.select(valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .select(explode(sequence(lit(0), lit(maxBits))).as("lev"),
+        col("v"), col("c"))
+      .groupBy(col("lev"), expr("shiftright(v, lev)").as("node"))
+      .agg(sum(col("c")).as("cn"))
+  }
+
+  /** The q-digest PARTITION at threshold T = max(1, ⌊epsPpm·n/10⁶⌋): the
+    * unique maximal-dyadic-interval partition of the value support where
+    * every non-leaf part holds ≤ T elements — Shrivastava et al. 2004
+    * ("Medians and Beyond") made CANONICAL: a node is emitted iff its
+    * parent's count exceeds T and it is itself ≤ T or a leaf (count
+    * monotonicity up the tree makes "parent > T" equivalent to "every
+    * proper ancestor > T", so the greedy top-down recursion needs no
+    * recursion — one self equi-join on (lev+1, node>>1) decides every
+    * node at once). The partition is a pure function of the value
+    * MULTISET — no arrival order, no randomness — which is what upgrades
+    * the usual q-digest merge bound into an exact equality law.
+    *
+    * Size ≤ (maxBits+1)·(2n/T + 2): per level at most n/T nodes exceed T,
+    * and every emitted node is a child of one (or the root). Rank error:
+    * any value inside an emitted interval has its exact rank pinned to a
+    * window of width cnt ≤ T (leaf intervals are EXACT) — the provable
+    * ε·n worst-case bound, with no distributional assumption.
+    *
+    * The cumulative count `cum_below` needs a global interval order; the
+    * single-partition window is banned, so it is split the [[ksDrift]]
+    * way: range buckets of `v_lo >> bucketShift`, carry-ins from a
+    * bounded [[Prefix.exclusiveFold]], within-bucket window PARTITIONED
+    * by bucket. Input values must lie in [0, 2^maxBits) — validated by a
+    * bounded probe of the root level (≤ 3 rows). Output: one row per
+    * partition interval — (lev, v_lo, v_hi, cnt, cum_below).
+    */
+  def qdigestPartition(nodes: DataFrame, maxBits: Int, epsPpm: Long,
+                       bucketShift: Int = 8): DataFrame = {
+    require(epsPpm >= 1 && epsPpm <= 1000000,
+      s"epsPpm=$epsPpm out of [1, 10^6]")
+    require(bucketShift >= 0 && bucketShift <= 62,
+      s"bucketShift=$bucketShift out of [0, 62]")
+    val nd = nodes.localCheckpoint(true) // feeds root probe + both join sides
+    val roots = nd.filter(col("lev") === maxBits).limit(3).collect()
+    require(roots.length <= 1 && roots.forall(_.getLong(1) == 0L),
+      s"values outside [0, 2^$maxBits): root nodes " +
+        roots.map(_.getLong(1)).mkString(","))
+    val n = if (roots.isEmpty) 0L else roots(0).getLong(2)
+    val t = math.max(1L, (BigInt(epsPpm) * n / 1000000).toLong)
+    val ch = nd.filter(col("lev") < maxBits).alias("c")
+    val pr = nd.alias("p")
+    val emitted = ch.join(pr,
+        col("p.lev") === col("c.lev") + 1 &&
+          col("p.node") === expr("shiftright(c.node, 1)"))
+      .filter(col("p.cn") > t && (col("c.cn") <= t || col("c.lev") === 0))
+      .select(col("c.lev").as("lev"), col("c.node").as("node"),
+        col("c.cn").as("cn"))
+    val digest = emitted
+      .unionByName(nd.filter(col("lev") === maxBits && col("cn") <= t))
+      .select(col("lev"), col("cn").as("cnt"),
+        expr("shiftleft(node, lev)").as("v_lo"),
+        expr("shiftleft(node + 1, lev) - 1").as("v_hi"))
+      .withColumn("bucket", shiftright(col("v_lo"), bucketShift))
+      .localCheckpoint(true) // parameter-bounded; feeds fold + window
+    val nets = digest.groupBy(col("bucket")).agg(sum(col("cnt")).as("bc"))
+    val carry = Prefix.exclusiveFold(nets, "bucket", "bc",
+      lit(0L), (a, b) => a + b)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("v_lo"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    digest
+      .withColumn("within", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .join(broadcast(carry), Seq("bucket"))
+      .select(col("lev"), col("v_lo"), col("v_hi"), col("cnt"),
+        (col("carry") + col("within")).as("cum_below"))
+  }
+
+  /** ε-approximate quantiles from the canonical q-digest: for each probe
+    * q (ppm), the partition interval containing target rank
+    * r = max(1, ⌈q·n/10⁶⌉). The answer is exact arithmetic end-to-end —
+    * (q_ppm, v_lo, v_hi, cum_below, cnt_in) with the GUARANTEE
+    * cum_below < r ≤ cum_below + cnt_in and (v_lo < v_hi ⟹ cnt_in ≤
+    * ⌊ε·n/10⁶⌋): the true rank-r value lies in [v_lo, v_hi] and its rank
+    * is pinned within ε·n. Probe resolution is a broadcast of the
+    * parameter-sized digest (≤ (maxBits+1)·(2·10⁶/epsPpm + 2) rows)
+    * against the literal probe list — a bounded cross, never data×data.
+    */
+  def qdigestQuantiles(df: DataFrame, valueCol: Column, maxBits: Int,
+                       epsPpm: Long, probesPpm: Seq[Long],
+                       bucketShift: Int = 8): DataFrame = {
+    require(probesPpm.nonEmpty && probesPpm.forall(p => p >= 0 && p <= 1000000),
+      s"probes must lie in [0, 10^6] ppm: $probesPpm")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nodes = qdigestNodeCounts(df, valueCol, maxBits)
+    // parameter-bounded; checkpointed because it feeds the n probe AND the
+    // probe join (the plan-time-probe re-execution house rule)
+    val part = qdigestPartition(nodes, maxBits, epsPpm, bucketShift)
+      .localCheckpoint(true)
+    val n = part.agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
+    val probes = probesPpm.toDF("q_ppm")
+      .select(col("q_ppm"), greatest(lit(1L),
+        expr(s"CAST((CAST(q_ppm AS DECIMAL(38,0)) * ${n}L + 999999) " +
+          "DIV 1000000 AS BIGINT)")).as("rk"))
+    probes.join(broadcast(part),
+        col("cum_below") < col("rk") &&
+          col("rk") <= col("cum_below") + col("cnt"))
+      .select(col("q_ppm"), col("v_lo"), col("v_hi"), col("cum_below"),
+        col("cnt").as("cnt_in"))
+      .orderBy(col("q_ppm"))
+  }
 }

@@ -205,6 +205,101 @@ object TextAnalysis {
           .as("lm_ppm_mean"))
   }
 
+  /** Per-document interpolated Kneser–Ney trigram fluency score with
+    * INTEGER absolute discounting — the standard corpus-fluency filter of
+    * a pretraining pipeline (Chen & Goodman 1999's interpolated KN with
+    * continuation counts), kept libm-free by the same rational-arithmetic
+    * discipline as [[lmBigramScore]]: the discount D = 3/4 enters as
+    * `max(4c − 3, 0) / 4c` so every level is ONE integral division of
+    * exact integers, and the whole score replays bit-for-bit in any
+    * engine with 128-bit integers (DuckDB HUGEINT).
+    *
+    * With type/continuation counts over corpus trigrams (x y z):
+    *   - p1_ppm(z)   = 10⁶·N1+(··z) DIV N1+(···)
+    *   - p2_ppm(y,z) = (10⁶·max(4·N1+(·yz)−3, 0) + 3·N1+(y·)·p1_ppm(z))
+    *                   DIV (4·N1+(·y·))
+    *   - p3_ppm(x,y,z) = (10⁶·max(4·c(xyz)−3, 0) + 3·N1+(xy·)·p2_ppm(y,z))
+    *                   DIV (4·c(xy·))
+    * where N1+(·yz) = distinct left-extensions of (y,z), N1+(·y·) =
+    * distinct trigram types with middle y (= Σ_z N1+(·yz), so each level
+    * sums to ≤ 10⁶ over its continuations — a proper distribution up to
+    * integer truncation), N1+(y·) / N1+(xy·) = distinct continuations of
+    * y / (x,y), c(xy·) = Σ_z c(xyz). A document scores the sum and mean
+    * of p3_ppm over its trigram INSTANCES; docs with < 3 tokens score
+    * zeros. Low mean ⇒ improbable transitions even after backoff — the
+    * perplexity gate without a model or a logarithm.
+    *
+    * Numerators route through DECIMAL(38,0): 10⁶·4·c stays exact to
+    * c ≈ 10³¹ (a 100 TB corpus has c ≤ ~10¹³), mirrored by HUGEINT in
+    * the oracle; all operands are non-negative so Spark's truncating DIV
+    * and DuckDB's flooring `//` agree.
+    *
+    * Plan shape: one explode + one (x,y,z) count aggregate produces the
+    * TYPE-level frame (vocabulary-cubed bounded, data-bounded in
+    * practice; localCheckpoint'd — it feeds six derived aggregates, the
+    * branch re-execution house rule), all interpolation joins run at
+    * type level, and document scoring is ONE equi-join of the instance
+    * explode against the per-type score frame plus a per-doc aggregate.
+    * The only broadcast is the 1-row type total. Nothing is quadratic.
+    *
+    * Output: (id, n_trigrams, kn_ppm_sum, kn_ppm_mean).
+    */
+  def lmTrigramScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val inst = df.select(col(idCol).as("id"),
+      explode(TextFunctions.wordNgrams(toks, 3)).as("tri"))
+    val types = inst.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
+      .select(col("tri"),
+        element_at(split(col("tri"), " "), 1).as("x"),
+        element_at(split(col("tri"), " "), 2).as("y"),
+        element_at(split(col("tri"), " "), 3).as("z"),
+        col("c3"))
+      .localCheckpoint(true)
+    val totalTypes = types.agg(count(lit(1)).as("n_types"))
+    val uniCont = types.groupBy(col("z"))
+      .agg(count(lit(1)).as("n1_end"))
+      .crossJoin(broadcast(totalTypes))
+      .select(col("z"),
+        expr("CAST(1000000L AS DECIMAL(38,0)) * n1_end DIV n_types")
+          .as("p1_ppm"))
+    val cont = types.groupBy(col("y"), col("z"))
+      .agg(count(lit(1)).as("n1_yz"))
+    val mid = types.groupBy(col("y"))
+      .agg(count(lit(1)).as("n1_mid"),
+        count_distinct(col("z")).as("n1_fy"))
+    val p2 = cont
+      .join(mid, Seq("y"))
+      .join(uniCont, Seq("z"))
+      .select(col("y"), col("z"),
+        expr("""CAST(1000000L * greatest(4L * n1_yz - 3L, 0L) AS DECIMAL(38,0))
+                   + CAST(3L AS DECIMAL(38,0)) * n1_fy * p1_ppm""")
+          .as("num2"),
+        col("n1_mid"))
+      .select(col("y"), col("z"),
+        expr("num2 DIV (4L * n1_mid)").as("p2_ppm"))
+    val prefix = types.groupBy(col("x"), col("y"))
+      .agg(sum(col("c3")).as("c_xy"),
+        count(lit(1)).as("n1_fxy"))
+    val p3 = types
+      .join(p2, Seq("y", "z"))
+      .join(prefix, Seq("x", "y"))
+      .select(col("tri"),
+        expr("""(CAST(1000000L * greatest(4L * c3 - 3L, 0L) AS DECIMAL(38,0))
+                   + CAST(3L AS DECIMAL(38,0)) * n1_fxy * p2_ppm)
+                 DIV (4L * c_xy)""").as("p3_ppm"))
+    val scored = inst.join(p3, Seq("tri"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("p3_ppm")).as("kn_ppm_sum"))
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("kn_ppm_sum"), lit(0L)).as("kn_ppm_sum"),
+        coalesce(expr("kn_ppm_sum DIV n_trigrams"), lit(0L))
+          .as("kn_ppm_mean"))
+  }
+
   /** Top-k keywords per document by tf·idf with the idf kept as the RAW
     * scaled ratio `(N·10⁶) DIV df` instead of the textbook log(N/df) —
     * the same libm-free discipline as the BM25 RSJ idf: the scoring is a

@@ -101,7 +101,10 @@ class QuerySweepSpec extends AnyFunSuite {
     *    cut (and `embeddingNearDups` enforces maxProbeRows);
     *  - `q_mad_outliers`: both crossed frames are rank-selected medians —
     *    a filter on `rank == (n+1) DIV 2` keeps exactly one row, which
-    *    the structural rule cannot see through a join.
+    *    the structural rule cannot see through a join;
+    *  - `q_qdigest_quantiles`: 5 literal probe rows × the q-digest
+    *    partition, whose size is ≤ (maxBits+1)·(2·10⁶/epsPpm + 2) =
+    *    26·202 rows by the q-digest space theorem — parameters, not data.
     */
   private val boundedCrossAllowed = Set(
     "q_join_size_est",
@@ -110,7 +113,8 @@ class QuerySweepSpec extends AnyFunSuite {
     "sim_ivfpq_topk", "sim_ivfpq_det_topk",
     "dedup_sweep",
     "sim_topk", "q_knn_classify", "q_hard_negatives", "q_rrf_fusion",
-    "q_confusion", "q_rand_index", "dedup_embcos", "q_mad_outliers")
+    "q_confusion", "q_rand_index", "dedup_embcos", "q_mad_outliers",
+    "q_qdigest_quantiles")
 
   private def scaleHostileShapes(df: org.apache.spark.sql.DataFrame,
                                  allowBoundedCross: Boolean): Seq[String] = {

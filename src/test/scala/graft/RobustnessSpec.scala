@@ -1,0 +1,266 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ShingleFunctions, TextFunctions}
+import graft.operators.{Dedup, Similarity}
+
+/** Fixture-robustness gate for the APPROXIMATE operators (round-6 verdict
+  * item 2): the declared-query configs — minhash band geometry, semantic
+  * bandBits, decontamination n-gram order, LSH top-k banding — were tuned
+  * against the seed-42 driver fixtures. This spec re-runs every
+  * estimate-vs-exact audit on TWO corpora the engine synthesizes ITSELF
+  * (deterministically, from constants unrelated to the fixtures) and fails
+  * if recall/precision drops below the declared floors, so a regenerated
+  * fixture or a quietly-degrading config change cannot pass unnoticed:
+  *
+  *  - distribution CLUSTERED: 40 template clusters of 10 docs with ~10%
+  *    word-replacement noise; 16 embedding clusters with radius noise —
+  *    the duplicate-rich, well-separated regime;
+  *  - distribution ZIPF/ANISO: log-uniform (zipf-like) vocabulary draws
+  *    with mutation-chain duplicates whose similarity SPANS the
+  *    thresholds, and anisotropic embeddings (energy decaying per
+  *    dimension) with noise-graded duplicate pairs — the adversarial
+  *    regime where banded LSH recall genuinely degrades.
+  *
+  * Ground truth is computed in-memory in this file (plain Scala over
+  * sets), independent of every engine operator under audit. Floors are
+  * set ~10-20 points below healthy measurements — loose enough to ignore
+  * load noise, tight enough that a collapsed band geometry (the keyBits=42
+  * class of bug) or a vocabulary-shift blowup fails loudly.
+  */
+class RobustnessSpec extends AnyFunSuite {
+  private val spark0 = TestSpark.spark
+  import spark0.implicits._
+
+  // --- deterministic generator (splitmix-style; constants unrelated to
+  // --- the fixture generator's seed-42 PRNG) ------------------------------
+  private def mix(xs: Long*): Long = {
+    var a = 0x9e3779b97f4a7c15L
+    xs.foreach { x =>
+      a = (a ^ x) * 0xbf58476d1ce4e5b9L
+      a = (a ^ (a >>> 27)) * 0x94d049bb133111ebL
+      a = a ^ (a >>> 31)
+    }
+    a
+  }
+  private def unit(xs: Long*): Double = (mix(xs: _*) >>> 11).toDouble / (1L << 53).toDouble
+
+  // ---- corpus 1: clustered templates + noise -----------------------------
+  private lazy val clusteredDocs: Seq[(Long, String)] = {
+    val vocab = (0 until 500).map(i => s"w${i}")
+    val noise = (0 until 4000).map(i => s"n${i}")
+    for {
+      t <- 0 until 40
+      r <- 0 until 10
+    } yield {
+      val words = (0 until 30).map { j =>
+        val base = vocab((mix(1L, t, j) & 0x7fffffffL).toInt % vocab.size)
+        if (r > 0 && unit(2L, t, r, j) < 0.10)
+          noise((mix(3L, t, r, j) & 0x7fffffffL).toInt % noise.size)
+        else base
+      }
+      ((t * 10 + r).toLong, words.mkString(" "))
+    }
+  }
+
+  // ---- corpus 2: zipf-like vocabulary + mutation chains ------------------
+  private lazy val zipfDocs: Seq[(Long, String)] = {
+    val v = 3000
+    def word(xs: Long*): String =
+      // log-uniform index: heavy head, long tail — the zipf-ish regime
+      s"z${math.min(v - 1, math.pow(v.toDouble, unit(xs: _*)).toLong)}"
+    val bases = (0 until 250).map { i =>
+      (i.toLong, (0 until 40).map(j => word(10L, i, j)).mkString(" "))
+    }
+    val mutants = (0 until 150).map { m =>
+      val (srcId, src) = bases(m % 250)
+      val words = src.split(" ").toSeq.zipWithIndex.map { case (w, j) =>
+        // mutation rate graded by m: chains span the 0.5 threshold
+        if (unit(11L, m, j) < 0.03 + 0.22 * (m % 5) / 4.0) word(12L, m, j)
+        else w
+      }
+      ((1000 + m).toLong, words.mkString(" "))
+    }
+    bases ++ mutants
+  }
+
+  // ---- embeddings 1: clustered ------------------------------------------
+  private val dim = 32
+  private lazy val clusteredEmb: Seq[(Long, Seq[Float])] =
+    for { k <- 0 until 16; r <- 0 until 20 } yield {
+      val vvec = (0 until dim).map { d =>
+        val c = 2.0 * unit(20L, k, d) - 1.0
+        (c + 0.15 * (2.0 * unit(21L, k, r, d) - 1.0)).toFloat
+      }
+      ((k * 20 + r).toLong, vvec)
+    }
+
+  // ---- embeddings 2: anisotropic with noise-graded duplicate pairs -------
+  private lazy val anisoEmb: Seq[(Long, Seq[Float])] = {
+    def base(i: Int): Seq[Double] =
+      (0 until dim).map(d => (2.0 * unit(30L, i, d) - 1.0) / (1.0 + 0.25 * d))
+    val originals = (0 until 200).map(i => (i.toLong, base(i).map(_.toFloat)))
+    val dups = (0 until 100).map { m =>
+      val src = base(m % 200)
+      val lambda = 0.2 + 1.6 * (m % 10) / 9.0 // cosine grades ~0.97 → ~0.4
+      val vvec = src.zipWithIndex.map { case (x, d) =>
+        (x + lambda * (2.0 * unit(31L, m, d) - 1.0) / (1.0 + 0.25 * d)).toFloat
+      }
+      ((1000 + m).toLong, vvec)
+    }
+    originals ++ dups
+  }
+
+  // ---- in-memory ground truths ------------------------------------------
+  private def shingleSet(text: String, n: Int): Set[String] =
+    text.split(" ").sliding(n).map(_.mkString(" ")).toSet
+
+  private def exactJaccardPairs(docs: Seq[(Long, String)], n: Int,
+                                thr: Double): Set[(Long, Long)] = {
+    val sh = docs.map { case (id, t) => id -> shingleSet(t, n) }
+    (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter).toDouble
+      if j >= thr
+    } yield (a, b)).toSet
+  }
+
+  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  private def exactCosPairs(emb: Seq[(Long, Seq[Float])],
+                            thr: Double): Set[(Long, Long)] =
+    (for {
+      (a, va) <- emb; (b, vb) <- emb if a < b
+      if cosine(va, vb) >= thr
+    } yield (a, b)).toSet
+
+  private def recallOf(est: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
+    (est & truth).size.toDouble / truth.size.toDouble
+
+  // ------------------------------------------------------------------------
+
+  test("minhash near-dup recall holds on both synthesized corpora") {
+    for ((nameD, docs, floor) <- Seq(
+        ("clustered", clusteredDocs, 0.95),
+        ("zipf", zipfDocs, 0.90))) {
+      val df = docs.toDF("doc_id", "text")
+      val truth = exactJaccardPairs(docs, n = 3, thr = 0.5)
+      assert(truth.size >= 50, s"$nameD: generator must yield >=50 true pairs, got ${truth.size}")
+      val got = Dedup.minHashNearDups(df, "doc_id",
+          ShingleFunctions.wordShingleHashes(TextFunctions.tokens(col("text")), 3),
+          threshold = 0.5, Dedup.LshConfig(numHashes = 64, bandRows = 2))
+        .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+      assert(got.subsetOf(truth),
+        s"$nameD: exact-verified output must be a subset of ground truth " +
+          s"(spurious: ${(got -- truth).take(3)})")
+      val r = recallOf(got, truth)
+      assert(r >= floor, s"$nameD: minhash recall $r below declared floor $floor " +
+        s"(|truth|=${truth.size}, |got|=${got.size})")
+    }
+  }
+
+  test("semantic near-dup recall holds on clustered AND anisotropic embeddings") {
+    for ((nameD, emb, floorExact, floorMp) <- Seq(
+        ("clustered", clusteredEmb, 0.80, 0.90),
+        ("aniso", anisoEmb, 0.45, 0.70))) {
+      val df = emb.toDF("vec_id", "embedding")
+      val truth = exactCosPairs(emb, 0.4)
+      assert(truth.size >= 40, s"$nameD: generator must yield >=40 true pairs, got ${truth.size}")
+      val got = Dedup.semanticNearDups(df, "vec_id", "embedding",
+          threshold = 0.4, bandBits = 6, numBands = 16)
+        .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+      val r = recallOf(got, truth)
+      assert(r >= floorExact,
+        s"$nameD: semantic recall $r below floor $floorExact (|truth|=${truth.size})")
+      val gotMp = Dedup.semanticNearDups(df, "vec_id", "embedding",
+          threshold = 0.4, bandBits = 8, numBands = 16, probeDepth = 1)
+        .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+      val rMp = recallOf(gotMp, truth)
+      assert(rMp >= floorMp,
+        s"$nameD: multi-probe semantic recall $rMp below floor $floorMp")
+    }
+  }
+
+  test("lshTopK recall@10 holds on both embedding distributions") {
+    for ((nameD, emb, floor, floorMp) <- Seq(
+        ("clustered", clusteredEmb, 0.80, 0.90),
+        ("aniso", anisoEmb, 0.50, 0.70))) {
+      val df = emb.toDF("vec_id", "embedding")
+      val byId = emb.toMap
+      val ids = emb.map(_._1)
+      val truth: Map[Long, Set[Long]] = ids.map { q =>
+        q -> ids.filter(_ != q)
+          .sortBy(n => (-cosine(byId(q), byId(n)), n)).take(10).toSet
+      }.toMap
+      def recallAt(probe: Int): Double = {
+        val got = Similarity.lshTopK(df, df, "vec_id", "embedding", k = 10,
+            probeDepth = probe)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+        ids.map(q => (got.getOrElse(q, Set.empty) & truth(q)).size / 10.0)
+          .sum / ids.size
+      }
+      val r0 = recallAt(0); val r1 = recallAt(1)
+      assert(r0 >= floor, s"$nameD: lshTopK recall@10 $r0 below floor $floor")
+      assert(r1 >= floorMp, s"$nameD: multi-probe recall@10 $r1 below floor $floorMp")
+      assert(r1 >= r0 - 1e-9, s"$nameD: probing must not lose recall")
+    }
+  }
+
+  test("decontamination n=5 catches planted leaks on both vocabularies") {
+    for ((nameD, docs) <- Seq(("clustered", clusteredDocs), ("zipf", zipfDocs))) {
+      // benchmark: 30 held-out docs from the same generator family
+      val bench = (0 until 30).map { i =>
+        (i.toLong, (0 until 25).map(j =>
+          s"b${(mix(40L, i, j) & 0x7fffffffL) % 2000}").mkString(" "))
+      }
+      // plant: 10 corpus docs embed a contiguous 8-word benchmark span
+      val planted = (0 until 10).map { p =>
+        val src = bench(p * 3)._2.split(" ")
+        val span = src.slice(5, 13).mkString(" ")
+        ((9000 + p).toLong, s"${docs(p)._2} $span")
+      }
+      val corpus = (docs.map { case (id, t) => (id, t) } ++ planted)
+        .toDF("doc_id", "text")
+      def sh = ShingleFunctions.wordShingleHashes(
+        TextFunctions.tokens(col("text")), 5)
+      val got = Dedup.decontaminate(corpus, "doc_id", sh,
+          bench.toDF("doc_id", "text"), sh)
+        .filter(col("contaminated") === 1)
+        .select("id").as[Long].collect().toSet
+      assert((9000L until 9010L).forall(got.contains),
+        s"$nameD: every planted leak must be flagged; missed ${(9000L until 9010L).toSet -- got}")
+      val falsePos = got.count(_ < 9000L)
+      assert(falsePos <= docs.size / 50,
+        s"$nameD: $falsePos clean docs falsely flagged (>2%) — the 5-gram " +
+          "order no longer separates this vocabulary distribution")
+    }
+  }
+
+  test("mutualTopMatches stays within true clusters on clustered embeddings") {
+    val df = clusteredEmb.toDF("vec_id", "embedding")
+    val got = Similarity.mutualTopMatches(df, "vec_id", "embedding")
+      .select("id_1", "id_2").as[(Long, Long)].collect()
+    // mutual-NN pairs only a fraction of points by DEFINITION (best-match
+    // chains break reciprocity: A→B, B→C) and banded-LSH candidate recall
+    // compounds it; healthy measurement on this corpus is 75 of the 160
+    // possible pairs. Floor set ~25% below, high enough that a collapsed
+    // band geometry (near-zero candidates ⇒ near-zero pairs) fails loudly.
+    assert(got.length >= 55,
+      s"expected >=55 mutual pairs on 16 clusters x 20 members, got ${got.length}")
+    val sameCluster = got.count { case (a, b) => a / 20 == b / 20 }
+    assert(sameCluster.toDouble / got.length >= 0.9,
+      s"mutual matches crossing true clusters: ${got.length - sameCluster}/${got.length}")
+  }
+}

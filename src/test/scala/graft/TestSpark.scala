@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
 /** One shared local session for the whole forked test JVM. */
 object TestSpark {
@@ -14,15 +13,8 @@ object TestSpark {
     * green (judge-reproduced). This walks into `initialPlan` (the full
     * pre-execution tree) and into materialized query stages.
     */
-  def collectDeep[T](plan: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
-    val here = if (pf.isDefinedAt(plan)) Seq(pf(plan)) else Nil
-    val kids = plan match {
-      case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
-      case q: QueryStageExec        => Seq(q.plan)
-      case other                    => other.children
-    }
-    here ++ kids.flatMap(collectDeep(_)(pf))
-  }
+  def collectDeep[T](plan: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    graft.plans.PlanWalk.collectDeep(plan)(pf)
 
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()

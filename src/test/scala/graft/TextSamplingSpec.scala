@@ -423,6 +423,66 @@ class TextSamplingSpec extends AnyFunSuite {
     assert(g2(1L) == ((1L, 2L, 1500000L, 750000L)))
   }
 
+  test("lmTrigramScore matches an independent KN reference; proper up to truncation") {
+    // reference implementation of the exact integer formulas over plain
+    // collections — independent of every Spark operator in the engine
+    def ref(rows: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+      val tris = rows.flatMap { case (id, t) =>
+        val w = t.split(" ", -1)
+        (0 to w.length - 3).map(i => id -> (w(i), w(i + 1), w(i + 2)))
+      }
+      val c3 = tris.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val types = c3.keySet
+      val nTypes = types.size.toLong
+      val p1 = types.groupBy(_._3).view
+        .mapValues(ts => 1000000L * ts.size / nTypes).toMap
+      val mid = types.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val fy = types.groupBy(_._2).view
+        .mapValues(_.map(_._3).toSet.size.toLong).toMap
+      val cont = types.groupBy(t => (t._2, t._3)).view
+        .mapValues(_.size.toLong).toMap
+      val p2 = cont.map { case ((y, z), nyz) =>
+        (y, z) -> (BigInt(1000000L) * ((4 * nyz - 3) max 0)
+          + BigInt(3) * fy(y) * p1(z)) / (4 * mid(y)) }
+      val pre = types.groupBy(t => (t._1, t._2)).view.mapValues { ts =>
+        (ts.toSeq.map(c3).sum, ts.size.toLong) }.toMap
+      val p3 = types.map { t =>
+        val (cxy, fxy) = pre((t._1, t._2))
+        t -> ((BigInt(1000000L) * ((4 * c3(t) - 3) max 0)
+          + BigInt(3) * fxy * p2((t._2, t._3))) / (4 * cxy)).toLong
+      }.toMap
+      rows.map { case (id, _) =>
+        val mine = tris.filter(_._1 == id).map(t => p3(t._2))
+        val s = mine.sum
+        id -> (mine.size.toLong, s,
+          if (mine.isEmpty) 0L else s / mine.size)
+      }.toMap
+    }
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the hat"),
+      (3L, "the dog sat on the mat"),
+      (4L, "on the mat the cat sat"),
+      (5L, "colorless green ideas sleep furiously tonight"),
+      (6L, "the cat"),              // < 3 tokens -> zeros
+      (7L, "the cat sat the cat sat the cat sat")) // within-doc repeats
+    val got = TextAnalysis.lmTrigramScore(
+        docs.toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val exp = ref(docs)
+    assert(got == exp, s"got $got\nexp $exp")
+    assert(got(6L) == ((0L, 0L, 0L)))
+    // shared frequent trigrams outscore the one-off gibberish doc
+    assert(got(1L)._3 > got(5L)._3,
+      "frequent fluent transitions must outscore hapax transitions")
+    // properness: each level is a discounted proper distribution and
+    // integer truncation only LOSES mass, so no per-trigram score — hence
+    // no document mean — may exceed 1e6 ppm
+    assert(exp.values.forall { case (n, _, mean) => mean <= 1000000L },
+      s"no document mean may exceed 1e6 ppm: $exp")
+  }
+
   test("topKeywords ranks rare terms over common, ties to lex order") {
     // 'rare' appears once in one doc (df=1); 'shared' is in all docs
     // (df=3, idf floor). Doc 1's top keyword must be 'rare' despite
