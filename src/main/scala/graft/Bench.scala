@@ -36,9 +36,10 @@ object Bench {
     // scale-up" that a plan audit cannot give (a super-linear candidate
     // join LOOKS identical at any sf; only t_large/t_small exposes it).
     sys.env.get("SPARK_GRAFT_SCALING_DIRS").foreach { dirs =>
-      val parts = dirs.split(",").map(_.trim)
-      require(parts.length == 2, s"SPARK_GRAFT_SCALING_DIRS must be <small>,<large>: $dirs")
-      scalingMain(parts(0), parts(1), args)
+      val parts = dirs.split(",").map(_.trim).toSeq
+      require(parts.length >= 2,
+        s"SPARK_GRAFT_SCALING_DIRS needs >=2 comma-separated dirs: $dirs")
+      scalingMain(parts, args)
       return
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -163,18 +164,20 @@ object Bench {
   }
 
   /** Scaling-audit mode: one session, warmup at sf0.001, then the full
-    * min-of-reps pass at the SMALL dir followed by the LARGE dir, and a
-    * SCALING.json with per-query {t_small, t_large, ratio}. Ratio
-    * denominators are floored at 50 ms so a sub-fixed-overhead small-sf
-    * time cannot manufacture a scary exponent out of noise; -1 marks a
-    * failed side. Interpretation belongs in SCALE.md: for a 10× data step,
-    * linear operators with fixed overhead land well UNDER 10×, n·log n
-    * allows ~13×, anything persistently above needs a named data-inherent
-    * reason (e.g. candidate-pair volume growing with duplicate density) or
-    * a fix.
+    * min-of-reps pass at each dir IN ORDER (small → large), and a
+    * SCALING.json with per-query times and ADJACENT-step growth ratios.
+    * Ratio denominators are floored at 50 ms so a sub-fixed-overhead
+    * small-sf time cannot manufacture a scary exponent out of noise; -1
+    * marks a failed run. Interpretation belongs in SCALE.md: for a 10×
+    * data step, linear operators with fixed overhead land well UNDER 10×,
+    * n·log n allows ~13×, anything persistently above needs a named
+    * data-inherent reason (e.g. candidate-pair volume growing with
+    * duplicate density) or a fix. Three-point curves (sf0.01, sf0.1, a
+    * [[ScaleGen]]-synthesized ~sf1) separate overhead amortization (ratio
+    * rising toward the data step as fixed cost washes out) from genuine
+    * super-linearity (ratio rising ABOVE it).
     */
-  private def scalingMain(smallDir: String, largeDir: String,
-                          args: Array[String]): Unit = {
+  private def scalingMain(dirs: Seq[String], args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
     val spark = GraftSession.create(
@@ -189,31 +192,41 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Exception => () }
       }
-    for (d <- Seq(smallDir, largeDir))
+    for (d <- dirs)
       try graft.sources.Multimodal.ensureFixtureFiles(spark,
         Tables.documents(spark, d), graft.sources.Multimodal.fixtureDir(d))
       catch { case _: Exception => () }
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val extraReps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "2").toInt
-    val (tSmall, _, errS) = timeQueries(spark, smallDir, selected, reps, extraReps)
-    val (tLarge, _, errL) = timeQueries(spark, largeDir, selected, reps, extraReps)
+    val passes = dirs.map { d =>
+      val (t, _, err) = timeQueries(spark, d, selected, reps, extraReps)
+      (t, err)
+    }
     val names = selected.keys.toSeq.sorted
     val rows = names.map { n =>
-      val (s, l) = (tSmall.getOrElse(n, -1.0), tLarge.getOrElse(n, -1.0))
-      val ratio = if (s < 0 || l < 0) -1.0 else l / math.max(s, 0.05)
-      s""""$n":{"t_small":${fmt(s)},"t_large":${fmt(l)},"ratio":${fmt(ratio)}}"""
+      val ts = passes.map(_._1.getOrElse(n, -1.0))
+      val ratios = ts.sliding(2).map { case Seq(a, b) =>
+        if (a < 0 || b < 0) -1.0 else b / math.max(a, 0.05)
+      }.toSeq
+      s""""$n":{"t":[${ts.map(fmt).mkString(",")}],"ratios":[${ratios.map(fmt).mkString(",")}]}"""
     }
-    val errJson = (errS ++ errL).distinct.map("\"" + _ + "\"")
+    val errJson = passes.flatMap(_._2).distinct.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    val dirsJson = dirs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"estimator":"min","small":"$smallDir","large":"$largeDir","n_queries":${names.size},"errors":$errJson,"ratio_denominator_floor_sec":0.05,"queries":{${rows.mkString(",")}}}"""
+      s"""{"estimator":"min","dirs":$dirsJson,"n_queries":${names.size},"errors":$errJson,"ratio_denominator_floor_sec":0.05,"queries":{${rows.mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val ok = names.filter(n => tSmall.getOrElse(n, -1.0) >= 0 &&
-      tLarge.getOrElse(n, -1.0) >= 0)
-    val worst = ok.sortBy(n => -(tLarge(n) / math.max(tSmall(n), 0.05))).take(8)
-      .map(n => s""""$n":${fmt(tLarge(n) / math.max(tSmall(n), 0.05))}""")
-    println(s"""{"metric":"scaling","n_queries":${names.size},"detail":"SCALING.json","errors":$errJson,"worst_ratios":{${worst.mkString(",")}}}""")
+    // console line ranks by the LAST step's ratio — the largest data step
+    // is where super-linearity shows first
+    def lastRatio(n: String): Double = {
+      val ts = passes.map(_._1.getOrElse(n, -1.0))
+      if (ts.exists(_ < 0)) -1.0
+      else ts.last / math.max(ts(ts.length - 2), 0.05)
+    }
+    val worst = names.filter(lastRatio(_) >= 0).sortBy(n => -lastRatio(n))
+      .take(8).map(n => s""""$n":${fmt(lastRatio(n))}""")
+    println(s"""{"metric":"scaling","n_queries":${names.size},"detail":"SCALING.json","errors":$errJson,"worst_last_step_ratios":{${worst.mkString(",")}}}""")
     spark.stop()
   }
 }
