@@ -199,8 +199,17 @@ object ExtensionQueries {
     // The oracle replays the seeded hyperplane pipeline AND the recursive
     // closure, so the full id → canonical map is hash-checked.
     "dedup_semantic" -> ((s, d) => {
-      Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
-          threshold = 0.4, bandBits = 6, numBands = 16)
+      // corpus-size-adaptive geometry (Similarity.lshGeometry): at the
+      // sf0.01 gate this resolves to EXACTLY the oracle's (6, 16); past
+      // the occupancy knee bandBits tracks log2(n) so candidate volume
+      // stays ~linear (the sf1 scaling audit measured 19x for the 10x
+      // step under fixed geometry). The count probe is metadata-fast on
+      // parquet (count-star from footers).
+      val emb = Tables.embeddings(s, d)
+      val (bits, bands) = Similarity.lshGeometry(emb.count(), tau = 0.4,
+        baseBits = 6, baseBands = 16)
+      Dedup.semanticDedup(emb, "vec_id", "embedding",
+          threshold = 0.4, bandBits = bits, numBands = bands)
         .orderBy("id")
     }),
 
@@ -210,8 +219,12 @@ object ExtensionQueries {
     // (per-band random-pair rate 1.2% vs 1.6%). Probe rows on one side of
     // the self-join cover both directions.
     "dedup_semantic_mp" -> ((s, d) => {
-      Dedup.semanticNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
-          threshold = 0.4, bandBits = 8, numBands = 16, probeDepth = 1)
+      // adaptive geometry, gate-invariant at (8, 16); see dedup_semantic
+      val emb = Tables.embeddings(s, d)
+      val (bits, bands) = Similarity.lshGeometry(emb.count(), tau = 0.4,
+        baseBits = 8, baseBands = 16)
+      Dedup.semanticNearDups(emb, "vec_id", "embedding",
+          threshold = 0.4, bandBits = bits, numBands = bands, probeDepth = 1)
         .orderBy("id_1", "id_2")
     }),
 
@@ -220,11 +233,17 @@ object ExtensionQueries {
     // banded signatures are what a deployment precomputes. Same plane
     // config as dedup_semantic, so the oracle replays both sides.
     "dedup_semantic_incr" -> ((s, d) => {
+      // adaptive geometry sized on the CORPUS side (it drives the
+      // fan-out), gate-invariant at (6, 16); see dedup_semantic
       val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val (bits, bands) = Similarity.lshGeometry(corpus.count(), tau = 0.4,
+        baseBits = 6, baseBands = 16)
       Dedup.semanticNearDupsAgainst(
-          emb.filter(col("vec_id") % 10 =!= 0),
+          corpus,
           emb.filter(col("vec_id") % 10 === 0),
-          "vec_id", "embedding", threshold = 0.4, bandBits = 6, numBands = 16)
+          "vec_id", "embedding", threshold = 0.4, bandBits = bits,
+          numBands = bands)
         .orderBy("id_new", "id_corpus")
     }),
 
@@ -2134,8 +2153,15 @@ object ExtensionQueries {
     // plane config), per-id cosine argmax, reciprocal filter. Never an
     // all-pairs cross.
     "q_mutual_nn" -> ((s, d) => {
-      Similarity.mutualTopMatches(Tables.embeddings(s, d), "vec_id",
-          "embedding", bandBits = 6, numBands = 16)
+      // adaptive geometry, gate-invariant at (6, 16). Band compensation
+      // runs at tau = 0.5 — mutual-NN mining cares about each id's TOP
+      // candidate, which on this corpus sits in the moderately-similar
+      // regime; the threshold=-1 verify keeps every candidate either way.
+      val emb = Tables.embeddings(s, d)
+      val (bits, bands) = Similarity.lshGeometry(emb.count(), tau = 0.5,
+        baseBits = 6, baseBands = 16)
+      Similarity.mutualTopMatches(emb, "vec_id",
+          "embedding", bandBits = bits, numBands = bands)
         .orderBy("id_1")
     }),
 

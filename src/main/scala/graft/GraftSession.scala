@@ -16,8 +16,16 @@ object GraftSession {
       master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
       shufflePartitions: Option[Int] = None,
       uiEnabled: Boolean = false): SparkSession = {
-    val parts = shufflePartitions.getOrElse(
-      math.max(Runtime.getRuntime.availableProcessors(), 2))
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS overrides the cores-sized default:
+    // shuffle parallelism must track DATA size, not just core count. The
+    // sf1 scaling audit measured the cost of ignoring this — linear-volume
+    // posting joins (dedup_winnow: candidate pairs 5.1M → 52.7M, exactly
+    // 10.3×) ran ~1.8× above linear purely from 32 oversized shuffle
+    // partitions spilling; on a 1000-executor cluster this is the
+    // spark.sql.shuffle.partitions ≈ input-size / 128 MB sizing rule.
+    val parts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
+      .orElse(shufflePartitions).getOrElse(
+        math.max(Runtime.getRuntime.availableProcessors(), 2))
     val s = SparkSession.builder()
       .master(master)
       .appName(appName)

@@ -81,6 +81,51 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Corpus-size-adaptive banded-LSH geometry — the standard scaling rule
+    * the sf1 empirical audit demanded (SCALING.json round 7): with FIXED
+    * `bandBits` the expected candidate volume is
+    * `numBands · n² / 2^(bandBits+1)` — quadratic in n (measured: the
+    * 8-bit/16-band semantic config grew 100× collisions for a 10× corpus
+    * step). The cure is textbook LSH parameter scaling:
+    *
+    *  1. `bandBits = max(baseBits, ⌈log₂(n / targetOccupancy)⌉)` — bucket
+    *     count tracks n, holding EXPECTED BUCKET OCCUPANCY (and therefore
+    *     per-band candidate volume ∝ occupancy·n) constant;
+    *  2. `numBands = ⌈baseBands / p^Δ⌉` where `p = 1 − acos(τ)/π` is the
+    *     per-plane agreement probability at the operating similarity τ and
+    *     `Δ = bandBits − baseBits` — band count grows to hold
+    *     `numBands · p^bandBits` (the expected true-pair collision count,
+    *     the union-bound recall driver) CONSTANT as bands narrow;
+    *  3. `numBands` capped at `maxBands` — at low τ (wide angles, p small)
+    *     full compensation is exponentially expensive; past the cap the
+    *     geometry favors bounded cost over recall, which is the right
+    *     trade at a τ below the operator's production regime (SemDeDup
+    *     runs at τ ≥ 0.7 where the cap never binds until corpus ≫ 10⁹).
+    *
+    * Below the occupancy knee (small n) this returns EXACTLY
+    * (baseBits, baseBands) — the correctness gate's configuration is
+    * unchanged by adaptivity. The driver-side `acos`/`ceil` only PICK
+    * integer parameters; the parameters themselves are recorded in the
+    * plan (plane literals), so the query stays replayable.
+    */
+  def lshGeometry(n: Long, tau: Double, baseBits: Int, baseBands: Int,
+                  targetOccupancy: Long = 8L, maxBits: Int = 24,
+                  maxBands: Int = 64): (Int, Int) = {
+    require(baseBits >= 1 && baseBits <= maxBits && baseBands >= 1,
+      s"bad base geometry ($baseBits, $baseBands)")
+    require(targetOccupancy >= 1, s"bad occupancy $targetOccupancy")
+    val needed = if (n <= targetOccupancy) baseBits
+      else 64 - java.lang.Long.numberOfLeadingZeros(
+        (n + targetOccupancy - 1) / targetOccupancy - 1)
+    val bits = math.min(maxBits, math.max(baseBits, needed))
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
+    val bands =
+      if (bits == baseBits || p <= 0.0) baseBands
+      else math.min(maxBands.toLong,
+        math.ceil(baseBands / math.pow(p, (bits - baseBits).toDouble)).toLong).toInt
+    (bits, math.max(baseBands, bands))
+  }
+
   /** Deterministic ±1 projection signs from the md5 convention
     * (`('0x' || substr(md5('seed|i|j'), 1, 15))::BIGINT % 2`) — the ONE
     * definition both the Spark literals and the SQL oracle derive from,

@@ -263,4 +263,29 @@ class RobustnessSpec extends AnyFunSuite {
     assert(sameCluster.toDouble / got.length >= 0.9,
       s"mutual matches crossing true clusters: ${got.length - sameCluster}/${got.length}")
   }
+
+  test("lshGeometry: gate-invariant below the knee, occupancy-tracking above") {
+    // below the occupancy knee the base geometry comes back EXACTLY — the
+    // sf0.01 oracle gate must see the very configuration its plane
+    // literals replay
+    assert(Similarity.lshGeometry(200L, 0.4, 6, 16) === ((6, 16)))
+    assert(Similarity.lshGeometry(200L, 0.9, 8, 16) === ((8, 16)))
+    // above the knee: bits = ceil(log2(n/8)), bands compensate by p^-delta
+    // (p = 1 - acos(0.4)/pi = 0.6257; 16 / 0.6257^2 = 40.9 -> 41)
+    assert(Similarity.lshGeometry(2000L, 0.4, 6, 16) === ((8, 41)))
+    // low-tau compensation hits the band cap rather than exploding
+    assert(Similarity.lshGeometry(20000L, 0.4, 6, 16) === ((12, 64)))
+    // high-tau compensation stays cheap at the same scale
+    val (hb, hn) = Similarity.lshGeometry(20000L, 0.9, 6, 16)
+    assert(hb === 12 && hn < 64, s"high-tau bands should not cap: ($hb, $hn)")
+    // expected candidate volume bands*n^2/2^bits must grow ~linearly, not
+    // quadratically, across a 100x corpus step at production tau
+    def vol(n: Long): Double = {
+      val (b, m) = Similarity.lshGeometry(n, 0.9, 8, 16)
+      m.toDouble * n.toDouble * n.toDouble / math.pow(2.0, b.toDouble)
+    }
+    val growth = vol(2000000L) / vol(20000L)
+    assert(growth < 400.0,
+      s"candidate volume grew ${growth}x across a 100x corpus step")
+  }
 }
