@@ -26,11 +26,23 @@ object GraftSession {
     val parts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
       .orElse(shufflePartitions).getOrElse(
         math.max(Runtime.getRuntime.availableProcessors(), 2))
+    // AQE coalescing makes shuffle parallelism DATA-adaptive both ways:
+    // every shuffle STARTS at initialPartitionNum and AQE coalesces down
+    // by observed size, so a fixed cores-sized setting no longer under-
+    // partitions a 10x-larger shuffle (the sf1 audit measured sort/join
+    // spill pushing linear-volume queries ~1.4-1.8x above linear at 32
+    // fixed partitions). On a 1000-executor cluster the same config is
+    // the standard recommendation: initialPartitionNum sized for the
+    // largest shuffle, advisoryPartitionSizeInBytes doing the sizing.
+    val initialParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+      .map(_.toInt).getOrElse(parts)
     val s = SparkSession.builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialParts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); read as LongType nanos
       // (see Tables.events). Set once here — not inside query builders.
