@@ -47,7 +47,8 @@ object Bench {
     val spark = GraftSession.create(
       appName = "graft-bench",
       master = s"local[$cpus]",
-      shufflePartitions = Some(cpus.toInt))
+      shufflePartitions =
+        GraftSession.envShufflePartitions.orElse(Some(cpus.toInt)))
     spark.sparkContext.setLogLevel("WARN")
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -73,7 +74,9 @@ object Bench {
     // the headline number reflects successful executions only
     val (results, repsUsed, errors) =
       timeQueries(spark, sfDir, selected, reps, extraReps)
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errJson = errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errDetailJson = errors.map { case (k, m) =>
+      s"\"" + k + "\":" + jstr(m) }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // Full per-query detail goes to a file (the artifact for plan/perf
     // audits); the PRINTED line must fit entirely inside the driver's
@@ -87,7 +90,7 @@ object Bench {
     // (rounds ≤5 were median-of-reps; round 6 onward is min-of-reps)
     val repsJson = repsUsed.map { case (k, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"min","n_queries":${results.size},"queries":$fullQs,"reps_used":$repsJson,"errors":$errJson,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"min","n_queries":${results.size},"queries":$fullQs,"reps_used":$repsJson,"errors":$errJson,"error_detail":$errDetailJson,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p,
@@ -109,6 +112,18 @@ object Bench {
 
   private def fmt(v: Double): String = BigDecimal(v)
     .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+
+  /** Minimal JSON string escape for recorded exception messages. */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   private def selectQueries(args: Array[String])
       : Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -133,14 +148,17 @@ object Bench {
       spark: SparkSession, sfDir: String,
       selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
       reps: Int, extraReps: Int)
-      : (Map[String, Double], Map[String, Int], Seq[String]) = {
+      : (Map[String, Double], Map[String, Int], Map[String, String]) = {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     def unstable(ts: Seq[Double]): Boolean = {
       val s = ts.sorted
       s.length < 2 || s(1) > s(0) * 1.10
     }
-    val errors = scala.collection.mutable.ListBuffer[String]()
+    // error MESSAGES (not just names) are recorded: a scaling artifact
+    // whose failures say only "-1" cannot distinguish OOM from timeout
+    // from a real bug, which blocks the audit it exists to support
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val repsUsed = scala.collection.mutable.Map[String, Int]()
     val results = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ListBuffer[Double]()
@@ -150,17 +168,23 @@ object Bench {
              (i < reps || unstable(times.toSeq))) {
         val t0 = System.nanoTime()
         try { run(fn); times += (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Exception =>
+        catch { case e: Throwable =>
           failed = true
-          errors += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          val root = {
+            var c: Throwable = e
+            while (c.getCause != null && c.getCause != c) c = c.getCause
+            c
+          }
+          errors(name) = (s"${root.getClass.getSimpleName}: " +
+            Option(root.getMessage).getOrElse("")).take(300)
+          System.err.println(s"[bench] $name failed: ${errors(name)}")
         }
         i += 1
       }
       repsUsed(name) = times.size
       name -> (if (failed) -1.0 else repStat(times.toSeq))
     }
-    (results, repsUsed.toMap, errors.toSeq)
+    (results, repsUsed.toMap, errors.toMap)
   }
 
   /** Scaling-audit mode: one session, warmup at sf0.001, then the full
@@ -183,7 +207,8 @@ object Bench {
     val spark = GraftSession.create(
       appName = "graft-scaling",
       master = s"local[$cpus]",
-      shufflePartitions = Some(cpus.toInt))
+      shufflePartitions =
+        GraftSession.envShufflePartitions.orElse(Some(cpus.toInt)))
     spark.sparkContext.setLogLevel("WARN")
     val warmDir = "/root/testdata/sf0.001"
     val selected = selectQueries(args)
@@ -210,11 +235,16 @@ object Bench {
       }.toSeq
       s""""$n":{"t":[${ts.map(fmt).mkString(",")}],"ratios":[${ratios.map(fmt).mkString(",")}]}"""
     }
-    val errJson = passes.flatMap(_._2).distinct.map("\"" + _ + "\"")
-      .mkString("[", ",", "]")
+    val errNames = passes.flatMap(_._2.keys).distinct
+    val errJson = errNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-query root-cause messages, keyed "<query>@<dir>" — a -1 entry
+    // with no recorded cause blocked last round's audit interpretation
+    val errDetail = (dirs zip passes).flatMap { case (d, (_, em)) =>
+      em.map { case (q, m) => s"\"" + q + "@" + d + "\":" + jstr(m) }
+    }.mkString("{", ",", "}")
     val dirsJson = dirs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"estimator":"min","dirs":$dirsJson,"n_queries":${names.size},"errors":$errJson,"ratio_denominator_floor_sec":0.05,"queries":{${rows.mkString(",")}}}"""
+      s"""{"estimator":"min","dirs":$dirsJson,"n_queries":${names.size},"errors":$errJson,"error_detail":$errDetail,"ratio_denominator_floor_sec":0.05,"queries":{${rows.mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // console line ranks by the LAST step's ratio — the largest data step

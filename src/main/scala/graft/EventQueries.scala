@@ -564,14 +564,20 @@ object EventQueries {
 
     // stream ≡ batch for changelog compaction: the two-drain merge must
     // equal the one-shot argmax-per-key (max is associative); tombstones
-    // (winning op = 'D') are retained rows, not dropped
+    // (winning op = 'D') are retained rows, not dropped. The window's
+    // secondary ORDER BY terms mirror Pipeline.latestByKey's
+    // max(struct(seq, op, event_id, value)) tie-break exactly — without
+    // them a fixture with duplicate ts_ns per user would make the hash
+    // gate nondeterministic.
     "w_stream_changelog" ->
       """SELECT user_id, epoch_ns(ts) AS seq,
         |  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
         |  event_id, value
         |FROM (
         |  SELECT *, row_number() OVER (
-        |    PARTITION BY user_id ORDER BY epoch_ns(ts) DESC) AS rn
+        |    PARTITION BY user_id ORDER BY epoch_ns(ts) DESC,
+        |      (CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END) DESC,
+        |      event_id DESC, value DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1
         |ORDER BY user_id""".stripMargin,

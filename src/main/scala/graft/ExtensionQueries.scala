@@ -2447,6 +2447,35 @@ object ExtensionQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Embedding count of the sf0.01 correctness-gate fixture. The adaptive
+    * queries derive their LSH geometry from the LIVE corpus count
+    * (Similarity.lshGeometry); their oracles carry STATIC plane literals,
+    * so the two agree only while the gate fixture sits BELOW the
+    * occupancy knee (n ≤ targetOccupancy·2^baseBits, i.e. 512 for the
+    * 6-bit configs). [[gateLshGeometry]] re-derives the oracle geometry
+    * through the same lshGeometry call and refuses to build an oracle
+    * whose geometry has silently diverged from the base config;
+    * OracleCouplingSpec additionally pins the on-disk fixture count.
+    */
+  private[graft] val gateEmbeddingCount = 500L
+
+  /** Oracle-side twin of the query-side `lshGeometry(emb.count(), …)`
+    * call: same function, gate fixture count. The require turns a fixture
+    * regeneration past the adaptivity knee into a loud build-time error
+    * instead of a silent hash mismatch.
+    */
+  private[graft] def gateLshGeometry(n: Long, tau: Double, baseBits: Int,
+                                     baseBands: Int): (Int, Int) = {
+    val (bits, bands) =
+      graft.operators.Similarity.lshGeometry(n, tau, baseBits, baseBands)
+    require(bits == baseBits && bands == baseBands,
+      s"oracle plane literals assume the sf0.01 gate fixture (n=$n) sits " +
+        s"below the lshGeometry occupancy knee, but geometry adapted to " +
+        s"($bits, $bands) != base ($baseBits, $baseBands): regenerate the " +
+        "oracle plane literals or shrink the gate fixture")
+    (bits, bands)
+  }
+
   /** DuckDB oracle for `dedup_semantic`: same seeded-hyperplane replay as
     * [[lshTopKOracle]] (bandBits=6, numBands=16, dim=64, seed=42), then the
     * skew-guard bucket filter, the exact-cosine verify at 0.4, and the
@@ -2454,9 +2483,10 @@ object ExtensionQueries {
     * pattern) down to the full id → canonical map.
     */
   private def semanticDedupOracle: String = {
-    val bandBits = 6
+    val (bandBits, numBands) =
+      gateLshGeometry(gateEmbeddingCount, tau = 0.4, baseBits = 6, baseBands = 16)
     val planes = graft.operators.Similarity.hyperplanes(
-      dim = 64, numPlanes = bandBits * 16, seed = 42L)
+      dim = 64, numPlanes = bandBits * numBands, seed = 42L)
     val planeRows = planes.zipWithIndex.map { case (p, i) =>
       s"(${i / bandBits}, ${i % bandBits}, [${p.mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n  ")
@@ -2556,9 +2586,10 @@ object ExtensionQueries {
           |ORDER BY id_1, id_2""".stripMargin
 
   private def mutualNnOracle: String = {
-    val bandBits = 6
+    val (bandBits, numBands) =
+      gateLshGeometry(gateEmbeddingCount, tau = 0.5, baseBits = 6, baseBands = 16)
     val planes = graft.operators.Similarity.hyperplanes(
-      dim = 64, numPlanes = bandBits * 16, seed = 42L)
+      dim = 64, numPlanes = bandBits * numBands, seed = 42L)
     val planeRows = planes.zipWithIndex.map { case (p, i) =>
       s"(${i / bandBits}, ${i % bandBits}, [${p.mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n  ")
@@ -2644,9 +2675,10 @@ object ExtensionQueries {
     * probeDepth=1 path; verified pairs only (no closure).
     */
   private def semanticMpOracle: String = {
-    val bandBits = 8
+    val (bandBits, numBands) =
+      gateLshGeometry(gateEmbeddingCount, tau = 0.4, baseBits = 8, baseBands = 16)
     val planes = graft.operators.Similarity.hyperplanes(
-      dim = 64, numPlanes = bandBits * 16, seed = 42L)
+      dim = 64, numPlanes = bandBits * numBands, seed = 42L)
     val planeRows = planes.zipWithIndex.map { case (p, i) =>
       s"(${i / bandBits}, ${i % bandBits}, [${p.mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n  ")
@@ -2692,9 +2724,13 @@ object ExtensionQueries {
     * the operator.
     */
   private def semanticIncrOracle: String = {
-    val bandBits = 6
+    // geometry sized on the CORPUS side (vec_id % 10 <> 0 = 9/10 of the
+    // gate fixture), mirroring the query's corpus.count() probe
+    val (bandBits, numBands) = gateLshGeometry(
+      gateEmbeddingCount - gateEmbeddingCount / 10,
+      tau = 0.4, baseBits = 6, baseBands = 16)
     val planes = graft.operators.Similarity.hyperplanes(
-      dim = 64, numPlanes = bandBits * 16, seed = 42L)
+      dim = 64, numPlanes = bandBits * numBands, seed = 42L)
     val planeRows = planes.zipWithIndex.map { case (p, i) =>
       s"(${i / bandBits}, ${i % bandBits}, [${p.mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n  ")

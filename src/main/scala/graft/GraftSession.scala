@@ -11,21 +11,35 @@ import graft.plans.GraftExtensions
   * carries over unchanged.
   */
 object GraftSession {
+  /** Validated SPARK_GRAFT_SHUFFLE_PARTITIONS, for callers whose shuffle
+    * sizing should be operator-overridable (bench/scaling entry points).
+    */
+  def envShufflePartitions: Option[Int] =
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map { v =>
+      require(v.matches("[0-9]+") && v.toInt > 0,
+        s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive integer, got: '$v'")
+      v.toInt
+    }
+
   def create(
       appName: String = "graft",
       master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
       shufflePartitions: Option[Int] = None,
       uiEnabled: Boolean = false): SparkSession = {
-    // SPARK_GRAFT_SHUFFLE_PARTITIONS overrides the cores-sized default:
-    // shuffle parallelism must track DATA size, not just core count. The
-    // sf1 scaling audit measured the cost of ignoring this — linear-volume
-    // posting joins (dedup_winnow: candidate pairs 5.1M → 52.7M, exactly
-    // 10.3×) ran ~1.8× above linear purely from 32 oversized shuffle
-    // partitions spilling; on a 1000-executor cluster this is the
-    // spark.sql.shuffle.partitions ≈ input-size / 128 MB sizing rule.
-    val parts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
-      .orElse(shufflePartitions).getOrElse(
-        math.max(Runtime.getRuntime.availableProcessors(), 2))
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS replaces the CORES-SIZED FALLBACK
+    // only — an explicit shufflePartitions parameter always wins, so a
+    // caller that deliberately sizes its shuffles (tests pinning plan
+    // shape) cannot be silently reconfigured by a stray env var. Shuffle
+    // parallelism must track DATA size, not just core count: the sf1
+    // scaling audit measured linear-volume posting joins (dedup_winnow:
+    // candidate pairs 5.1M → 52.7M, exactly 10.3×) running ~1.8× above
+    // linear purely from 32 oversized shuffle partitions spilling; on a
+    // 1000-executor cluster this is the spark.sql.shuffle.partitions ≈
+    // input-size / 128 MB sizing rule. Data-sizing entry points (Bench,
+    // ScaleGen) consult the env var themselves via [[envShufflePartitions]].
+    val parts = shufflePartitions
+      .orElse(envShufflePartitions)
+      .getOrElse(math.max(Runtime.getRuntime.availableProcessors(), 2))
     // AQE coalescing makes shuffle parallelism DATA-adaptive both ways:
     // every shuffle STARTS at initialPartitionNum and AQE coalesces down
     // by observed size, so a fixed cores-sized setting no longer under-

@@ -151,7 +151,8 @@ object ScaleGen {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
     val spark = GraftSession.create(appName = "graft-scalegen",
-      master = s"local[$cpus]", shufflePartitions = Some(cpus.toInt))
+      master = s"local[$cpus]", shufflePartitions =
+        GraftSession.envShufflePartitions.orElse(Some(cpus.toInt)))
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, args(0), args(1), replicas)
     spark.stop()

@@ -221,6 +221,161 @@ case class HyperplaneSignatures(child: Expression, planes: Array[Double],
     copy(child = newChild)
 }
 
+/** Margin-aware multi-probe signature sets (Lv, Josephson, Wang, Charikar
+  * &amp; Li, "Multi-Probe LSH", VLDB 2007): per band, the base signature
+  * followed by the signatures with each of the `probeBits` LEAST-CONFIDENT
+  * bits flipped — the bits whose plane dot product has the smallest |dot|,
+  * i.e. the bits a genuinely-similar vector is most likely to disagree on.
+  * Flipping ALL `bandBits` bits (the naive probe set) costs
+  * `bandBits + 1` probe rows per band; margin-ranked probing keeps the
+  * probe count CONSTANT (`probeBits + 1`) as the corpus-adaptive geometry
+  * widens bands with log n, while retaining most of the single-flip recall
+  * mass (disagreements concentrate on small margins). When
+  * `probeBits ≥ bandBits` the probe SET equals the naive one — margin
+  * order only permutes it — so small-corpus behavior (and the SQL oracle)
+  * is unchanged.
+  *
+  * Margin ties break by bit index (ascending), so the probe set is a
+  * deterministic function of the exact dot values; the dots are
+  * sequential-order doubles, bit-identical to `list_dot_product` in the
+  * replaying oracle.
+  *
+  * Returns `array&lt;array&lt;long&gt;&gt;` — outer = band, inner =
+  * `1 + min(probeBits, bandBits)` signatures, base first, then flips in
+  * margin order. Null on dimension mismatch (same contract as
+  * [[HyperplaneSignatures]]).
+  */
+case class HyperplaneProbes(child: Expression, planes: Array[Double],
+    dim: Int, bandBits: Int, probeBits: Int) extends UnaryExpression {
+  require(dim >= 1 && bandBits >= 1 && bandBits <= 64 && probeBits >= 0 &&
+    planes.length % (dim.toLong * bandBits) == 0 && planes.length > 0,
+    s"planes length ${planes.length} must be a positive multiple of " +
+      s"dim=$dim * bandBits=$bandBits (bandBits in [1,64], probeBits >= 0)")
+
+  private val numPlanes: Int = planes.length / dim
+  val numBands: Int = numPlanes / bandBits
+  private val q: Int = math.min(probeBits, bandBits)
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> input, got ${other.simpleString}")
+    }
+
+  private lazy val elemIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val out = new Array[ArrayData](numBands)
+    val absd = new Array[Double](bandBits)
+    var b = 0
+    while (b < numBands) {
+      var sig = 0L
+      var i = 0
+      while (i < bandBits) {
+        var acc = 0.0
+        val off = (b * bandBits + i) * dim
+        var j = 0
+        while (j < dim) {
+          val x = if (elemIsFloat) v.getFloat(j).toDouble else v.getDouble(j)
+          acc += x * planes(off + j)
+          j += 1
+        }
+        if (acc > 0.0) sig |= (1L << i)
+        absd(i) = math.abs(acc)
+        i += 1
+      }
+      val sigs = new Array[Long](q + 1)
+      sigs(0) = sig
+      // selection of the q smallest (|dot|, bit) pairs, ascending — q and
+      // bandBits are both small constants, the O(q·bandBits) scan beats a
+      // sort's allocation
+      val used = new Array[Boolean](bandBits)
+      var s = 0
+      while (s < q) {
+        var best = -1
+        var i2 = 0
+        while (i2 < bandBits) {
+          if (!used(i2) && (best < 0 || absd(i2) < absd(best))) best = i2
+          i2 += 1
+        }
+        used(best) = true
+        sigs(s + 1) = sig ^ (1L << best)
+        s += 1
+      }
+      out(b) = new GenericArrayData(sigs)
+      b += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  /** Same plane-major / dim-sequential loops and the same (|dot|, bit)
+    * selection as [[nullSafeEval]] so the two paths are bit-identical
+    * (asserted in SketchSpec).
+    */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    val getter = if (elemIsFloat) "getFloat" else "getDouble"
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out"); val absd = ctx.freshName("absd")
+      val used = ctx.freshName("used"); val sigs = ctx.freshName("sigs")
+      val b = ctx.freshName("b"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc"); val off = ctx.freshName("off")
+      val sig = ctx.freshName("sig"); val best = ctx.freshName("best")
+      val i2 = ctx.freshName("i2")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  Object[] $out = new Object[$numBands];
+         |  double[] $absd = new double[$bandBits];
+         |  for (int $b = 0; $b < $numBands; $b++) {
+         |    long $sig = 0L;
+         |    for (int $i = 0; $i < $bandBits; $i++) {
+         |      double $acc = 0.0;
+         |      int $off = ($b * $bandBits + $i) * $dim;
+         |      for (int $j = 0; $j < $dim; $j++) {
+         |        $acc += (double) $v.$getter($j) * $planesRef[$off + $j];
+         |      }
+         |      if ($acc > 0.0) $sig |= (1L << $i);
+         |      $absd[$i] = java.lang.Math.abs($acc);
+         |    }
+         |    long[] $sigs = new long[$q + 1];
+         |    $sigs[0] = $sig;
+         |    boolean[] $used = new boolean[$bandBits];
+         |    for (int $s = 0; $s < $q; $s++) {
+         |      int $best = -1;
+         |      for (int $i2 = 0; $i2 < $bandBits; $i2++) {
+         |        if (!$used[$i2] && ($best < 0 || $absd[$i2] < $absd[$best])) $best = $i2;
+         |      }
+         |      $used[$best] = true;
+         |      $sigs[$s + 1] = $sig ^ (1L << $best);
+         |    }
+         |    $out[$b] = new $gad($sigs);
+         |  }
+         |  ${ev.value} = new $gad($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override def toString: String =
+    s"hyperplane_probes($child, planes=${numPlanes}x$dim, bandBits=$bandBits, probeBits=$q)"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** PQ-encode a vector in ONE pass: for each of the `m` subspaces, the code
   * is the codebook cell minimizing L2 distance to the subvector (argmax of
   * 2·⟨sv,c⟩ − ‖c‖², ties to the lowest cell — the exact max_by semantics of
@@ -410,6 +565,18 @@ object VectorFunctions {
     val dim = planes.head.length
     require(planes.forall(_.length == dim), "all hyperplanes must share one dimensionality")
     column(HyperplaneSignatures(expression(vec), planes.flatten, dim, bandBits))
+  }
+
+  /** Column API: margin-aware multi-probe signature sets
+    * (array&lt;array&lt;long&gt;&gt;, per band: base signature + the
+    * `probeBits` least-confident single-bit flips) in one fused pass.
+    */
+  def hyperplaneProbes(vec: Column, planes: Array[Array[Double]],
+                       bandBits: Int, probeBits: Int): Column = {
+    require(planes.nonEmpty, "need at least one hyperplane")
+    val dim = planes.head.length
+    require(planes.forall(_.length == dim), "all hyperplanes must share one dimensionality")
+    column(HyperplaneProbes(expression(vec), planes.flatten, dim, bandBits, probeBits))
   }
 
   /** Column API: PQ codes (array&lt;int&gt;, one cell per subspace) of a

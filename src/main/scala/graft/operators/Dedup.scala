@@ -494,9 +494,15 @@ object Dedup {
     require(bands >= 2, s"bands=$bands must be >= 2")
     val pairs = prefixJaccardPairs(df, idCol, tokens, p, q, maxDocFreq,
       keepSizes = true)
+    // perBand (≤ bands+1 rows) feeds BOTH sides of the cumulative
+    // self-join; without a plan barrier the ENTIRE prefixJaccardPairs
+    // posting self-join executes twice — the measured branch-re-execution
+    // trap (SCALE.md): localCheckpoint the band histogram (a handful of
+    // rows) so the expensive pair-mining subtree runs exactly once.
     val perBand = pairs
       .select(expr(s"$bands * n_shared DIV n_union").as("band"))
       .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint(true)
     perBand.alias("x")
       .join(perBand.alias("y"), col("y.band") >= col("x.band"))
       .groupBy(col("x.band").as("band"), col("x.n_pairs").as("n_pairs"))
@@ -597,9 +603,11 @@ object Dedup {
   def semanticNearDups(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
       bandBits: Int = 8, numBands: Int = 16, seed: Long = 42L,
-      maxBucketSize: Long = 100000L, probeDepth: Int = 0): DataFrame = {
+      maxBucketSize: Long = 100000L, probeDepth: Int = 0,
+      maxProbeBits: Int = 8): DataFrame = {
     require(probeDepth >= 0 && probeDepth <= 1,
       s"probeDepth=$probeDepth must be 0 (exact buckets) or 1 (single-bit probes)")
+    require(maxProbeBits >= 1, s"maxProbeBits=$maxProbeBits must be >= 1")
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     // bounded driver action: a 1-row dim probe (same pattern as lshTopK)
     val dimRow = base.select(size(col("v"))).limit(1).collect().headOption
@@ -610,27 +618,40 @@ object Dedup {
       case Some(row) =>
         val dim = row.getInt(0)
         val planes = Similarity.hyperplanes(dim, bandBits * numBands, seed)
-        val banded = base.select(col("id"),
-          posexplode(VectorFunctions.hyperplaneSignatures(col("v"), planes, bandBits))
-            .as(Seq("band", "bandSig")))
+        // Multi-probe (Lv et al., VLDB 2007, margin-aware): probe rows on
+        // ONE side also carry the signatures with the min(bandBits,
+        // maxProbeBits) LEAST-CONFIDENT bits flipped — a pair whose band
+        // signatures differ in exactly one bit meets when the flip on
+        // side a lands on side b's exact bucket. Symmetric by
+        // construction, so one probed side covers both directions. At
+        // bandBits ≤ maxProbeBits the probe set is ALL single flips
+        // (per-band recall p^b → p^b + b·p^(b−1)(1−p)); past it — the
+        // corpus-adaptive geometry widening bands with log n — the probe
+        // count stays CONSTANT instead of growing with bandBits, and the
+        // flips it keeps are precisely the lowest-|dot| planes where
+        // similar-pair disagreements concentrate.
+        val banded =
+          if (probeDepth == 0)
+            base.select(col("id"),
+              posexplode(VectorFunctions.hyperplaneSignatures(col("v"), planes, bandBits))
+                .as(Seq("band", "bandSig")))
+          else
+            base.select(col("id"),
+              posexplode(VectorFunctions.hyperplaneProbes(col("v"), planes,
+                bandBits, maxProbeBits)).as(Seq("band", "probeSigs")))
+              .select(col("id"), col("band"),
+                col("probeSigs").getItem(0).as("bandSig"), col("probeSigs"))
         val oversized = banded.groupBy(col("band"), col("bandSig"))
           .agg(count(lit(1)).as("bucketSize"))
           .filter(col("bucketSize") > maxBucketSize)
           .select(col("band"), col("bandSig"))
         val pruned = banded
           .join(broadcast(oversized), Seq("band", "bandSig"), "left_anti")
-        // Multi-probe (the sim_lsh_mp trick on the dedup self-join): probe
-        // rows on ONE side also carry every single-bit-flipped signature —
-        // a pair whose band signatures differ in exactly one bit meets when
-        // the flip on side a lands on side b's exact bucket. Symmetric by
-        // construction, so one probed side covers both directions; per-band
-        // recall p^b → p^b + b·p^(b−1)(1−p) at ×(bandBits+1) probe rows.
         val probed = if (probeDepth == 0) pruned else
           pruned.select(col("id"), col("band"),
-            explode(array(col("bandSig") +:
-              (0 until bandBits).map(i => col("bandSig").bitwiseXOR(lit(1L << i))): _*))
-              .as("bandSig"))
-        val candidates = probed.alias("a").join(pruned.alias("b"),
+            explode(col("probeSigs")).as("bandSig"))
+        val candidates = probed.alias("a").join(
+            pruned.select(col("id"), col("band"), col("bandSig")).alias("b"),
             col("a.band") === col("b.band") &&
             col("a.bandSig") === col("b.bandSig") &&
             col("a.id") < col("b.id"))

@@ -271,7 +271,11 @@ object TextAnalysis {
       .join(mid, Seq("y"))
       .join(uniCont, Seq("z"))
       .select(col("y"), col("z"),
-        expr("""CAST(1000000L * greatest(4L * n1_yz - 3L, 0L) AS DECIMAL(38,0))
+        // cast the COUNT to DECIMAL before the ×10⁶ scale-up: a BIGINT
+        // pre-multiply would wrap silently under non-ANSI Spark once the
+        // count passes ~9.2e12 (a 100 TB corpus reaches ~1e13 trigram
+        // instances), while the DuckDB oracle multiplies in HUGEINT
+        expr("""CAST(greatest(4L * n1_yz - 3L, 0L) AS DECIMAL(38,0)) * 1000000
                    + CAST(3L AS DECIMAL(38,0)) * n1_fy * p1_ppm""")
           .as("num2"),
         col("n1_mid"))
@@ -284,7 +288,8 @@ object TextAnalysis {
       .join(p2, Seq("y", "z"))
       .join(prefix, Seq("x", "y"))
       .select(col("tri"),
-        expr("""(CAST(1000000L * greatest(4L * c3 - 3L, 0L) AS DECIMAL(38,0))
+        // DECIMAL-first for the same overflow reason as num2 above
+        expr("""(CAST(greatest(4L * c3 - 3L, 0L) AS DECIMAL(38,0)) * 1000000
                    + CAST(3L AS DECIMAL(38,0)) * n1_fxy * p2_ppm)
                  DIV (4L * c_xy)""").as("p3_ppm"))
     val scored = inst.join(p3, Seq("tri"))

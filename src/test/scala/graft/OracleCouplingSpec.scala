@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Pins the coupling between the adaptive-LSH queries and their static
+  * oracles. The queries (`dedup_semantic`, `dedup_semantic_mp`,
+  * `dedup_semantic_incr`, `q_mutual_nn`) derive geometry from the LIVE
+  * corpus count via [[Similarity.lshGeometry]]; their DuckDB oracles carry
+  * plane LITERALS generated for the base configuration. The two agree only
+  * while the sf0.01 gate fixture sits below the occupancy knee
+  * (n ≤ targetOccupancy · 2^baseBits). This spec makes a fixture
+  * regeneration past the knee fail HERE with a clear message, instead of
+  * as an unexplained hash mismatch in the correctness gate.
+  */
+class OracleCouplingSpec extends AnyFunSuite {
+
+  private val gateDir = "/root/testdata/sf0.01"
+
+  test("sf0.01 gate fixture sits below every adaptive-geometry knee") {
+    assume(new java.io.File(s"$gateDir/embeddings.parquet").exists())
+    val spark = TestSpark.spark
+    val n = Tables.embeddings(spark, gateDir).count()
+    // the oracle builders hardcode this count (ExtensionQueries.
+    // gateEmbeddingCount); a drifted fixture must fail loudly here
+    assert(n == ExtensionQueries.gateEmbeddingCount,
+      s"sf0.01 embeddings fixture has $n rows but the oracle builders " +
+        s"assume ${ExtensionQueries.gateEmbeddingCount} " +
+        "(ExtensionQueries.gateEmbeddingCount) — update BOTH or the " +
+        "adaptive queries and their static oracles diverge")
+    // every (tau, base) configuration an adaptive query runs at the gate
+    // must resolve to EXACTLY its base geometry at the fixture count
+    val configs = Seq(
+      ("dedup_semantic", n, 0.4, 6, 16),
+      ("dedup_semantic_mp", n, 0.4, 8, 16),
+      ("dedup_semantic_incr", n - n / 10, 0.4, 6, 16),
+      ("q_mutual_nn", n, 0.5, 6, 16))
+    configs.foreach { case (q, cnt, tau, bits, bands) =>
+      val got = Similarity.lshGeometry(cnt, tau, bits, bands)
+      assert(got == (bits, bands),
+        s"$q: gate count $cnt crossed the lshGeometry knee — geometry " +
+          s"adapted to $got != base ($bits, $bands); the static oracle " +
+          "plane literals no longer match the query")
+    }
+    // occupancy-knee headroom: the 6-bit configs adapt at n = 8·2^6 + 1 =
+    // 513, so the 500-row fixture has only 13 rows of slack — document it
+    assert(Similarity.lshGeometry(513L, 0.4, 6, 16) != ((6, 16)),
+      "knee location moved: lshGeometry(513) was expected to adapt; " +
+        "re-derive the fixture-slack comment and the gate assumptions")
+  }
+
+  test("oracle builders refuse to build past the knee (gateLshGeometry)") {
+    // the builder-side guard must throw, not silently emit mismatched
+    // plane literals, when the assumed count crosses the knee
+    val e = intercept[IllegalArgumentException] {
+      ExtensionQueries.gateLshGeometry(2000L, 0.4, 6, 16)
+    }
+    assert(e.getMessage.contains("occupancy knee"))
+    // and pass through the base geometry untouched below it
+    assert(ExtensionQueries.gateLshGeometry(
+      ExtensionQueries.gateEmbeddingCount, 0.4, 6, 16) == ((6, 16)))
+  }
+}

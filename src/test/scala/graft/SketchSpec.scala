@@ -181,6 +181,67 @@ class SketchSpec extends AnyFunSuite {
     assert(bad.collect().head.isNullAt(0))
   }
 
+  test("hyperplane probes: margin-ranked flip set, codegen == interpreted, naive set at probeBits >= bandBits") {
+    import graft.operators.Similarity
+    val planes = Similarity.hyperplanes(dim = 64, numPlanes = 6 * 8, seed = 42L)
+    def run(probeBits: Int): Seq[(Long, Seq[Seq[Long]])] =
+      Tables.embeddings(spark, TestSpark.sf).limit(100)
+        .select(col("vec_id"),
+          VectorFunctions.hyperplaneProbes(col("embedding"), planes, 6, probeBits)
+            .as("ps"))
+        .orderBy("vec_id").as[(Long, Seq[Seq[Long]])].collect().toSeq
+    val gen = run(3)
+    val interp = {
+      val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try run(3)
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", ws)
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    assert(gen == interp)
+    assert(gen.nonEmpty && gen.forall(_._2.length == 8) &&
+      gen.forall(_._2.forall(_.length == 4))) // base + 3 flips per band
+    // slot 0 is the base signature — identical to hyperplaneSignatures
+    val sigs = Tables.embeddings(spark, TestSpark.sf).limit(100)
+      .select(col("vec_id"),
+        VectorFunctions.hyperplaneSignatures(col("embedding"), planes, 6).as("s"))
+      .orderBy("vec_id").as[(Long, Seq[Long])].collect().toSeq
+    assert(gen.map { case (id, ps) => (id, ps.map(_.head)) } == sigs)
+    // every probe is a single-bit flip of the base, margins strictly chosen:
+    // recompute dots on the driver and check each band's flip set is the
+    // probeBits SMALLEST |dot| bits, ties to the lower bit index
+    val vecs = Tables.embeddings(spark, TestSpark.sf).limit(100)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    for ((id, ps) <- gen.take(20); (bandSigs, b) <- ps.zipWithIndex) {
+      val v = vecs(id)
+      val absd = (0 until 6).map { i =>
+        val p = planes(b * 6 + i)
+        var dot = 0.0; var j = 0
+        while (j < v.length) { dot += v(j).toDouble * p(j); j += 1 }
+        (math.abs(dot), i)
+      }
+      val expectBits = absd.sorted.take(3).map(_._2)
+      val expected = expectBits.map(i => bandSigs.head ^ (1L << i))
+      assert(bandSigs.tail == expected, s"vec $id band $b")
+    }
+    // probeBits >= bandBits degenerates to the naive all-flips SET — the
+    // small-corpus / oracle-replay contract (order may differ)
+    val full = run(6)
+    for ((id, ps) <- full; (bandSigs, b) <- ps.zipWithIndex) {
+      val naive = (0 until 6).map(i => bandSigs.head ^ (1L << i)).toSet
+      assert(bandSigs.tail.toSet == naive && bandSigs.length == 7,
+        s"vec $id band $b: probeBits=bandBits must cover every single flip")
+    }
+    // dimension mismatch -> null (same contract as hyperplaneSignatures)
+    val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+      .select(VectorFunctions.hyperplaneProbes(col("embedding"), planes, 6, 3).as("ps"))
+    assert(bad.collect().head.isNullAt(0))
+  }
+
   test("native winnow expression equals the SQL-HOF formulation (oracle family)") {
     val ascii = Tables.documents(spark, TestSpark.sf)
       .filter(length(col("text")) >= 11).select("doc_id", "text")
