@@ -325,33 +325,48 @@ object Streams {
       checkpointDir: String): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        import org.apache.spark.sql.functions.col
-        val spark = batch.sparkSession
-        val inBatch = batch.toDF().dropDuplicates(idCol)
-        val selfPairs = graft.operators.Dedup.minHashNearDups(
-          inBatch, idCol, shingles, threshold, cfg)
-        val canonical = graft.operators.Dedup.keepCorpus(
-          inBatch, idCol, selfPairs)
-        val sinkExists = new java.io.File(path).exists()
-        val novel =
-          if (!sinkExists) canonical
-          else {
-            val corpus = spark.read.parquet(path)
-            val fresh = graft.operators.Pipeline.idempotentNewRows(
-              canonical, corpus.select(col(idCol)), Seq(idCol))
-            val nearDups = graft.operators.Dedup.minHashNearDupsAgainst(
-                corpus, fresh, idCol, shingles, shingles, threshold, cfg)
-              .select(org.apache.spark.sql.functions.col("id_new").as(idCol))
-              .distinct()
-            fresh.join(nearDups, Seq(idCol), "left_anti")
-          }
-        novel.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
-        ()
+        dedupIngestBatch(batch.toDF(), path, idCol, shingles, threshold, cfg)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** One [[streamDedupIngest]] micro-batch, exposed so a crash-recovery
+    * test can drive the IDENTICAL batch logic under an injected failure
+    * (StreamingSpec kills the query after this returns — i.e. after the
+    * sink append but before the checkpoint offset commit, the window
+    * where a real crash forces the restarted query to REDELIVER the
+    * batch). Replay safety is structural, not positional: exact replays
+    * die at the id anti-join, near-dup replays at the corpus probe.
+    */
+  def dedupIngestBatch(
+      batch: DataFrame, path: String, idCol: String,
+      shingles: org.apache.spark.sql.Column, threshold: Double,
+      cfg: graft.operators.Dedup.LshConfig): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = batch.sparkSession
+    val inBatch = batch.dropDuplicates(idCol)
+    val selfPairs = graft.operators.Dedup.minHashNearDups(
+      inBatch, idCol, shingles, threshold, cfg)
+    val canonical = graft.operators.Dedup.keepCorpus(
+      inBatch, idCol, selfPairs)
+    val sinkExists = new java.io.File(path).exists()
+    val novel =
+      if (!sinkExists) canonical
+      else {
+        val corpus = spark.read.parquet(path)
+        val fresh = graft.operators.Pipeline.idempotentNewRows(
+          canonical, corpus.select(col(idCol)), Seq(idCol))
+        val nearDups = graft.operators.Dedup.minHashNearDupsAgainst(
+            corpus, fresh, idCol, shingles, shingles, threshold, cfg)
+          .select(org.apache.spark.sql.functions.col("id_new").as(idCol))
+          .distinct()
+        fresh.join(nearDups, Seq(idCol), "left_anti")
+      }
+    novel.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+    ()
   }
 
   /** Streaming changelog compaction: maintain a materialized snapshot of

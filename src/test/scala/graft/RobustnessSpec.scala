@@ -35,10 +35,20 @@ class RobustnessSpec extends AnyFunSuite {
   import spark0.implicits._
 
   // --- deterministic generator (splitmix-style; constants unrelated to
-  // --- the fixture generator's seed-42 PRNG) ------------------------------
+  // --- the fixture generator's seed-42 PRNG). GRAFT_ROBUSTNESS_SEED
+  // --- re-salts every draw so the whole gate can be re-run on an
+  // --- INDEPENDENT corpus family (seed-independence evidence, round-7
+  // --- verdict item 5): the default 0 preserves the committed floors;
+  // --- any other value synthesizes structurally-identical corpora with
+  // --- different words/vectors/duplicate placements. ---------------------
+  private val seedSalt: Long =
+    sys.env.get("GRAFT_ROBUSTNESS_SEED").map(_.toLong).getOrElse(0L)
   private def mix(xs: Long*): Long = {
     var a = 0x9e3779b97f4a7c15L
-    xs.foreach { x =>
+    // salt prepended only when set, so the default run is bit-identical
+    // to the corpora the committed floors were measured on
+    val salted = if (seedSalt == 0L) xs else seedSalt +: xs
+    salted.foreach { x =>
       a = (a ^ x) * 0xbf58476d1ce4e5b9L
       a = (a ^ (a >>> 27)) * 0x94d049bb133111ebL
       a = a ^ (a >>> 31)

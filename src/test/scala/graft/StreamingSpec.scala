@@ -243,6 +243,86 @@ class StreamingSpec extends AnyFunSuite {
       "re-delivered batches must not append exact or near duplicates")
   }
 
+  test("streaming dedup ingest: crash after batch 2's sink write, restart from checkpoint, corpus equals uninterrupted run") {
+    // The crash-recovery half of exactly-once (the reference analogue is
+    // the 15-day re-scan + ON CONFLICT idempotency): kill the query
+    // AFTER micro-batch 2 of 3 has appended to the sink but BEFORE its
+    // offsets commit to the checkpoint — the worst crash window, because
+    // the restarted query REDELIVERS batch 2 and a non-idempotent sink
+    // would double its rows. Recovery must (a) resume from the SAME
+    // checkpoint, (b) absorb the replayed batch, (c) process batch 3,
+    // and (d) land exactly the uninterrupted run's corpus.
+    import graft.functions.{ShingleFunctions, TextFunctions}
+    import graft.operators.Dedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crash-ingest")
+    val srcDir = s"$tmp/src"; new java.io.File(srcDir).mkdirs()
+    val docs = Tables.documents(spark, TestSpark.sf)
+    def writeOne(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(out))
+    }
+    // three micro-batches by id mod 3 (maxFilesPerTrigger = 1)
+    (0 to 2).foreach { m =>
+      writeOne(docs.filter(col("doc_id") % 3 === m), s"$srcDir/f$m.parquet")
+    }
+    def sh = ShingleFunctions.wordShingleHashes(TextFunctions.tokens(col("text")), 3)
+    val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+    def src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+
+    // reference: the uninterrupted 3-batch run
+    val refSink = s"$tmp/ref"
+    graft.streaming.Streams.streamDedupIngest(
+      src, refSink, "doc_id", sh, 0.5, cfg, s"$tmp/cpRef")
+    val expect = spark.read.parquet(refSink)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+    // crashing run: the real per-batch logic (dedupIngestBatch), killed
+    // after the SECOND batch's sink append returns — the foreachBatch
+    // exception fails the query before Spark commits that batch's
+    // offsets, exactly what a process crash between sink write and
+    // checkpoint commit leaves behind
+    val sink = s"$tmp/corpus"; val cp = s"$tmp/cp"
+    @volatile var batchesRun = 0
+    def startCrashy() = src.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.streaming.Streams.dedupIngestBatch(
+          b.toDF(), sink, "doc_id", sh, 0.5, cfg)
+        batchesRun += 1
+        if (batchesRun == 2)
+          throw new RuntimeException("injected crash after sink write")
+        ()
+      }
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      startCrashy().awaitTermination()
+    }
+    assert(crashed.getMessage.contains("injected crash") ||
+      Option(crashed.getCause).exists(_.getMessage.contains("injected crash")))
+    assert(batchesRun == 2, s"crash must land after batch 2, ran $batchesRun")
+    val midCount = spark.read.parquet(sink).count()
+    assert(midCount > 0, "batch 2's append must be on disk at crash time")
+
+    // recovery: SAME checkpoint; batch 2 is redelivered (its offsets
+    // never committed) and batch 3 then processes
+    graft.streaming.Streams.streamDedupIngest(
+      src, sink, "doc_id", sh, 0.5, cfg, cp)
+    assert(batchesRun == 2, "recovery must run in its own query, not the crashy hook")
+    val got = spark.read.parquet(sink)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got.distinct.size == got.size,
+      "replayed batch must not double-append any id")
+    assert(got == expect,
+      s"recovered corpus must equal the uninterrupted run " +
+        s"(got ${got.size} ids, expected ${expect.size})")
+  }
+
   test("streaming semantic ingest: corpus stays semantically unique, replay appends nothing") {
     import graft.operators.Dedup
     import spark.implicits._
