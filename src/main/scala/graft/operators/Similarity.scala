@@ -938,32 +938,38 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, bandBits: Int = 8, numBands: Int = 16, seed: Long = 42L,
-      probeDepth: Int = 0): DataFrame = {
+      probeDepth: Int = 0, maxProbeBits: Int = 8): DataFrame = {
     require(bandBits >= 1 && bandBits <= 64,
       s"bandBits=$bandBits must be in [1, 64] (band signature packs into a Long)")
     require(numBands >= 1, s"numBands=$numBands must be >= 1")
     require(probeDepth >= 0 && probeDepth <= 1,
       s"probeDepth=$probeDepth must be 0 (exact buckets) or 1 (single-bit probes)")
+    require(maxProbeBits >= 1, s"maxProbeBits=$maxProbeBits must be >= 1")
     // derive dimensionality from the data — a silent mismatch would bucket
     // on prefix components (DotProduct loops to min length)
     val dimRow = queries.select(size(col(vecCol))).limit(1).collect().headOption
     if (dimRow.isEmpty) return emptyTopK(corpus, queries, idCol)
     val planes = hyperplanes(dimRow.get.getInt(0), bandBits * numBands, seed)
 
-    val q0 = bandedSignatures(queries, "query_id", "qv", idCol, vecCol,
-      planes, bandBits, numBands)
-    // Multi-probe (Lv et al., "Multi-probe LSH", VLDB 2007, in its
-    // fixed-radius form): ALSO probe the buckets whose signature differs
-    // in exactly one bit — near-misses on a single hyperplane are the
-    // dominant false-negative mode, so band recall jumps from p^b to
-    // p^b + b·p^(b−1)(1−p) for query-side fan-out ×(bandBits+1). The
-    // CORPUS side is untouched: same buckets, same storage, still a pure
-    // equi-join — recall is bought with query rows, not memory.
-    val q = if (probeDepth == 0) q0 else
-      q0.select(col("query_id"), col("qv"), col("band"),
-        explode(array(col("bandSig") +:
-          (0 until bandBits).map(i => col("bandSig").bitwiseXOR(lit(1L << i))): _*))
-          .as("bandSig"))
+    // Multi-probe (Lv et al., "Multi-probe LSH", VLDB 2007), margin-aware:
+    // ALSO probe the buckets whose signature differs in one of the
+    // min(bandBits, maxProbeBits) LEAST-CONFIDENT bits — near-misses on a
+    // small-|dot| hyperplane are the dominant false-negative mode, so band
+    // recall jumps from p^b toward p^b + b·p^(b−1)(1−p) for query-side
+    // fan-out ×(probes+1), and the fan-out stays CONSTANT when a
+    // deployment widens bands with log n (the lshGeometry scaling rule).
+    // The CORPUS side is untouched: same buckets, same storage, still a
+    // pure equi-join — recall is bought with query rows, not memory.
+    val q = if (probeDepth == 0)
+      bandedSignatures(queries, "query_id", "qv", idCol, vecCol,
+        planes, bandBits, numBands)
+    else
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          posexplode(graft.functions.VectorFunctions.hyperplaneProbes(
+            col(vecCol), planes, bandBits, maxProbeBits))
+            .as(Seq("band", "probeSigs")))
+        .select(col("query_id"), col("qv"), col("band"),
+          explode(col("probeSigs")).as("bandSig"))
     val c = bandedSignatures(corpus, "neighbor_id", "cv", idCol, vecCol,
       planes, bandBits, numBands)
     // a pair can collide in several bands — dedupe before the rerank so

@@ -205,6 +205,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r1 >= r0,
       s"probing flipped buckets can only add candidates: r0=$r0 r1=$r1")
     assert(r1 >= 0.7, s"multi-probe recall $r1 too low at 6x8 banding")
+    // margin-TRUNCATED regime (bandBits > maxProbeBits): the probe set is
+    // a strict subset of the naive flips but always contains the base
+    // bucket, so probing still cannot lose recall vs exact buckets
+    def recallWide(probe: Int): Double = {
+      val approx = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5,
+          bandBits = 10, numBands = 8, probeDepth = probe, maxProbeBits = 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    assert(recallWide(1) >= recallWide(0),
+      "margin-truncated probes must not lose recall vs exact buckets")
   }
 
   test("LSH ANN top-k returns empty (not an error) for an empty query set") {
