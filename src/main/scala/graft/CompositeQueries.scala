@@ -376,9 +376,90 @@ object CompositeQueries {
         col("flag"),
         concat(lit("http://img.example.com/"), element_at(parts, 1)).as("first_url"))
         .orderBy("c_custkey", "country_code")
+    }),
+
+    // ---- W7: completion-notification sink (the reference's EmailOperator,
+    //      dags/evidence_images_processing.py:291-296) --------------------
+    // The per-country ingest counts of the evidence pipeline are folded to
+    // ONE message row (recipient, subject, html body — the operator's
+    // exact field set), rendered + delivered through the file-backed
+    // outbox (Sinks.writeOutbox: RFC-822 text, md5-named = idempotent
+    // redelivery), then the .eml is read BACK and parsed, so the
+    // driver-gated row covers the full render → deliver → parse
+    // round-trip, not just the compose. The oracle recomputes the message
+    // fields from the same customer CTEs.
+    "w7_notify" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val f1 = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+        .withColumn("country_code", lit("uk"))
+      val f2 = c.filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey"), col("c_name"))
+        .withColumn("country_code", lit("de"))
+      val f3 = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey"))
+        .withColumn("country_code", lit("fr"))
+      val unioned = Pipeline.unionAll(Seq(f1, f2, f3))
+      val cleaned = unioned.withColumn("name_clean",
+        when(col("c_custkey") % 97 === 0, "").otherwise(col("c_name")))
+      val filtered = Pipeline.filterNonEmpty(cleaned, "name_clean")
+      val perCountry = filtered.groupBy(col("country_code"))
+        .agg(count(lit(1)).as("n"))
+      val summary = perCountry.agg(
+        sum(col("n")).as("n_rows"),
+        concat_ws(",", array_sort(collect_list(
+          concat(col("country_code"), lit(":"), col("n").cast(StringType)))))
+          .as("by_country"))
+      val message = summary.select(
+        lit("ops@graft.invalid").as("recipient"),
+        lit("MQ Data Processing Complete").as("subject"),
+        concat(
+          lit("<p><b>The job processing IRMQ images completed!</b></p><p>rows="),
+          col("n_rows").cast(StringType), lit("; "), col("by_country"),
+          lit("</p>")).as("body_html"))
+      val outbox = graft.streaming.Streams.freshScratch("outbox", d)
+      graft.sources.Sinks.writeOutbox(message, outbox)
+      s.read.option("wholetext", "true").text(outbox)
+        .select(
+          regexp_extract(col("value"), "To: ([^\r\n]+)", 1).as("recipient"),
+          regexp_extract(col("value"), "Subject: ([^\r\n]+)", 1).as("subject"),
+          regexp_extract(col("value"), "(?s)\r\n\r\n(.*)\r\n$", 1).as("body_html"))
     }))
 
   val oracle: Map[String, String] = Map(
+    // W7 notification: recompute the message fields (recipient, subject,
+    // html body with per-country ingest counts) from the same customer
+    // CTE prefix as pipeline_evidence; the Spark side parses these fields
+    // back out of the delivered RFC-822 file.
+    "w7_notify" ->
+      """WITH unioned AS (
+        |  SELECT c_custkey, c_name, 'uk' AS country_code
+        |    FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, 'de' AS country_code
+        |    FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |  UNION ALL
+        |  SELECT c_custkey, NULL AS c_name, 'fr' AS country_code
+        |    FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+        |cleaned AS (
+        |  SELECT *,
+        |    CASE WHEN c_custkey % 97 = 0 THEN '' ELSE c_name END AS name_clean
+        |  FROM unioned),
+        |filtered AS (
+        |  SELECT * FROM cleaned WHERE name_clean <> '' OR name_clean IS NULL),
+        |perc AS (
+        |  SELECT country_code, count(*) AS n FROM filtered GROUP BY 1),
+        |summary AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |    string_agg(country_code || ':' || n, ','
+        |      ORDER BY country_code || ':' || n) AS by_country
+        |  FROM perc)
+        |SELECT 'ops@graft.invalid' AS recipient,
+        |  'MQ Data Processing Complete' AS subject,
+        |  '<p><b>The job processing IRMQ images completed!</b></p><p>rows='
+        |    || n_rows || '; ' || by_country || '</p>' AS body_html
+        |FROM summary""".stripMargin,
+
     "q_csv_src" ->
       s"""SELECT r.r_name, c.rate_name, count(*) AS n_nations,
          |  c.multiplier * count(*) AS adjusted

@@ -152,6 +152,57 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** W7 — notification (email) sink, file-backed: render each message row
+    * as an RFC-822 text file in an OUTBOX directory (reference
+    * dags/evidence_images_processing.py:291-296 — the EmailOperator firing
+    * "MQ Data Processing Complete" after the pipeline; commented out there
+    * too, which is why the outbox IS the engine's transport boundary: in a
+    * deployment an MTA/relay drains the directory, and this sandbox has no
+    * egress, the same boundary discipline as the multimodal decode stubs).
+    *
+    * `messages` must carry string columns (recipient, subject, body_html).
+    * Notification frames are PARAMETER-sized (one row per configured
+    * recipient/job, never per data row), so the render is a bounded
+    * driver-side loop — `maxMessages` makes that contract explicit and
+    * refuses a data-sized frame instead of silently collecting it.
+    * Delivery is idempotent per (deterministic) message id: the file name
+    * is the md5 of the rendered message, so retries and checkpoint
+    * replays overwrite rather than duplicate — the W1 ON-CONFLICT
+    * discipline at the notification boundary. Returns the written paths.
+    */
+  def writeOutbox(messages: DataFrame, outboxDir: String,
+                  maxMessages: Int = 100): Seq[String] = {
+    require(maxMessages >= 1, s"maxMessages=$maxMessages must be >= 1")
+    val cols = Seq("recipient", "subject", "body_html")
+    require(cols.forall(messages.columns.contains),
+      s"writeOutbox needs columns $cols, got ${messages.columns.toSeq}")
+    val rows = messages.select(cols.map(col): _*).limit(maxMessages + 1)
+      .collect()
+    require(rows.length <= maxMessages,
+      s"writeOutbox: more than $maxMessages messages — a notification " +
+        "frame is parameter-sized by contract; aggregate before notifying")
+    val dir = new java.io.File(outboxDir)
+    dir.mkdirs()
+    rows.toSeq.map { r =>
+      val (to, subject, body) = (r.getString(0), r.getString(1), r.getString(2))
+      require(to != null && subject != null && body != null,
+        "writeOutbox: null recipient/subject/body")
+      // CRLF line endings per RFC 822; headers are sanitized against
+      // injection (a newline inside recipient/subject would smuggle headers)
+      def clean(s: String) = s.replaceAll("[\r\n]+", " ")
+      val msg = s"To: ${clean(to)}\r\n" +
+        s"Subject: ${clean(subject)}\r\n" +
+        "MIME-Version: 1.0\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n" +
+        s"\r\n$body\r\n"
+      val id = java.security.MessageDigest.getInstance("MD5")
+        .digest(msg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val f = new java.io.File(dir, s"$id.eml")
+      java.nio.file.Files.write(f.toPath, msg.getBytes("UTF-8"))
+      f.getAbsolutePath
+    }
+  }
+
   /** W6 — table lifecycle DDL against the session catalog. Identifiers are
     * backtick-quoted and the location escaped — raw interpolation would let
     * a quote in a path (or a crafted name) inject into the DDL.

@@ -148,6 +148,36 @@ class SinksSpec extends AnyFunSuite {
     assert(b2 == after && a2 == after, "compact table must be left alone")
   }
 
+  test("W7 outbox: RFC-822 render, idempotent redelivery, header-injection guard, size contract") {
+    val dir = Files.createTempDirectory("graft-outbox").toString + "/out"
+    val msg = Seq(("ops@example.invalid", "Job done",
+        "<p><b>completed!</b></p>")).toDF("recipient", "subject", "body_html")
+    val p1 = Sinks.writeOutbox(msg, dir)
+    assert(p1.length == 1 && p1.head.endsWith(".eml"))
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p1.head)), "UTF-8")
+    assert(text.startsWith("To: ops@example.invalid\r\nSubject: Job done\r\n"))
+    assert(text.contains("Content-Type: text/html; charset=utf-8\r\n\r\n<p><b>completed!</b></p>"))
+    // redelivery (checkpoint replay / retry) must overwrite, not duplicate:
+    // the file name is the md5 of the rendered message
+    val p2 = Sinks.writeOutbox(msg, dir)
+    assert(p2 == p1)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".eml")) == 1)
+    // a newline smuggled into a header field must not inject a header
+    val evil = Seq(("a@b.c\r\nBcc: x@y.z", "s", "b"))
+      .toDF("recipient", "subject", "body_html")
+    val p3 = Sinks.writeOutbox(evil, dir)
+    val t3 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p3.head)), "UTF-8")
+    assert(!t3.contains("\r\nBcc:"), "header injection must be sanitized")
+    // a data-sized frame is a contract violation, not a driver collect
+    val big = spark.range(0, 200).select(
+      concat(lit("u"), col("id").cast("string"), lit("@example.invalid")).as("recipient"),
+      lit("s").as("subject"), lit("b").as("body_html"))
+    val e = intercept[IllegalArgumentException] { Sinks.writeOutbox(big, dir) }
+    assert(e.getMessage.contains("parameter-sized"))
+  }
+
   test("ORC source leg round-trips exactly and materializes only once") {
     import graft.sources.FixtureSources
     FixtureSources.ensureOrc(spark)
