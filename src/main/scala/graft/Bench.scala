@@ -72,7 +72,7 @@ object Bench {
     val selected = selectQueries(args)
     // a failed query reports -1 and contributes nothing to the total, so
     // the headline number reflects successful executions only
-    val (results, repsUsed, errors) =
+    val (results, repsUsed, errors, spreads) =
       timeQueries(spark, sfDir, selected, reps, extraReps)
     val errJson = errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val errDetailJson = errors.map { case (k, m) =>
@@ -90,7 +90,13 @@ object Bench {
     // (rounds ≤5 were median-of-reps; round 6 onward is min-of-reps)
     val repsJson = repsUsed.map { case (k, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"min","n_queries":${results.size},"queries":$fullQs,"reps_used":$repsJson,"errors":$errJson,"error_detail":$errDetailJson,"sf":"$sfDir"}"""
+    // per-query SPREAD = (2nd-fastest − fastest)/fastest across the reps
+    // actually run: the round-over-round comparison needs to know each
+    // figure's own noise band, or sub-±5% ambient drift keeps reading as
+    // regression (the r7→r8 tide was +6.6% wholesale with no plan change)
+    val spreadJson = spreads.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"min","n_queries":${results.size},"queries":$fullQs,"reps_used":$repsJson,"rep_spread":$spreadJson,"errors":$errJson,"error_detail":$errDetailJson,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p,
@@ -148,7 +154,8 @@ object Bench {
       spark: SparkSession, sfDir: String,
       selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
       reps: Int, extraReps: Int)
-      : (Map[String, Double], Map[String, Int], Map[String, String]) = {
+      : (Map[String, Double], Map[String, Int], Map[String, String],
+         Map[String, Double]) = {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     def unstable(ts: Seq[Double]): Boolean = {
@@ -157,9 +164,12 @@ object Bench {
     }
     // error MESSAGES (not just names) are recorded: a scaling artifact
     // whose failures say only "-1" cannot distinguish OOM from timeout
-    // from a real bug, which blocks the audit it exists to support
+    // from a real bug, which blocks the audit it exists to support.
+    // Insertion order is PRESERVED through the return value (ListMap) so
+    // the emitted errors/error_detail JSON is deterministic across runs.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val repsUsed = scala.collection.mutable.Map[String, Int]()
+    val spreads = scala.collection.mutable.Map[String, Double]()
     val results = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ListBuffer[Double]()
       var failed = false
@@ -167,6 +177,10 @@ object Bench {
       while (i < reps + extraReps && !failed &&
              (i < reps || unstable(times.toSeq))) {
         val t0 = System.nanoTime()
+        // continue-and-record is only sound for NonFatal failures: after
+        // an OutOfMemoryError or VM error the JVM is degraded and every
+        // subsequent timing (and the headline total) would be fiction
+        // while the artifact still read as clean — record, then rethrow.
         try { run(fn); times += (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           failed = true
@@ -178,13 +192,21 @@ object Bench {
           errors(name) = (s"${root.getClass.getSimpleName}: " +
             Option(root.getMessage).getOrElse("")).take(300)
           System.err.println(s"[bench] $name failed: ${errors(name)}")
+          if (!scala.util.control.NonFatal(e)) throw e
         }
         i += 1
       }
       repsUsed(name) = times.size
+      // relative gap between the two fastest reps — the same statistic the
+      // adaptive-extension loop stabilizes on, recorded as the noise band
+      if (times.size >= 2) {
+        val s = times.toSeq.sorted
+        spreads(name) = (s(1) - s(0)) / math.max(s(0), 1e-9)
+      }
       name -> (if (failed) -1.0 else repStat(times.toSeq))
     }
-    (results, repsUsed.toMap, errors.toMap)
+    (results, repsUsed.toMap,
+      scala.collection.immutable.ListMap.from(errors), spreads.toMap)
   }
 
   /** Scaling-audit mode: one session, warmup at sf0.001, then the full
@@ -224,7 +246,7 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val extraReps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "2").toInt
     val passes = dirs.map { d =>
-      val (t, _, err) = timeQueries(spark, d, selected, reps, extraReps)
+      val (t, _, err, _) = timeQueries(spark, d, selected, reps, extraReps)
       (t, err)
     }
     val names = selected.keys.toSeq.sorted

@@ -11,15 +11,27 @@ import graft.plans.GraftExtensions
   * carries over unchanged.
   */
 object GraftSession {
+  /** Parses a value that must hold a positive Int, with a curated error
+    * for EVERY bad input — including values past Int.MaxValue, which a
+    * regex-then-toInt check lets through to a raw NumberFormatException.
+    * Package-private so the validation itself is spec-testable without
+    * mutating the process environment.
+    */
+  private[graft] def parsePositiveInt(name: String, v: String): Int = {
+    require(v.matches("[0-9]{1,18}") && {
+      val n = v.toLong; n > 0 && n <= Int.MaxValue
+    }, s"$name must be a positive integer <= ${Int.MaxValue}, got: '$v'")
+    v.toInt
+  }
+
+  private def envPositiveInt(name: String): Option[Int] =
+    sys.env.get(name).map(parsePositiveInt(name, _))
+
   /** Validated SPARK_GRAFT_SHUFFLE_PARTITIONS, for callers whose shuffle
     * sizing should be operator-overridable (bench/scaling entry points).
     */
   def envShufflePartitions: Option[Int] =
-    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map { v =>
-      require(v.matches("[0-9]+") && v.toInt > 0,
-        s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive integer, got: '$v'")
-      v.toInt
-    }
+    envPositiveInt("SPARK_GRAFT_SHUFFLE_PARTITIONS")
 
   def create(
       appName: String = "graft",
@@ -48,8 +60,8 @@ object GraftSession {
     // fixed partitions). On a 1000-executor cluster the same config is
     // the standard recommendation: initialPartitionNum sized for the
     // largest shuffle, advisoryPartitionSizeInBytes doing the sizing.
-    val initialParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
-      .map(_.toInt).getOrElse(parts)
+    val initialParts = envPositiveInt("SPARK_GRAFT_INITIAL_PARTITIONS")
+      .getOrElse(parts)
     val s = SparkSession.builder()
       .master(master)
       .appName(appName)

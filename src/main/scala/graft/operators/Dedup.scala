@@ -622,9 +622,15 @@ object Dedup {
         // ONE side also carry the signatures with the min(bandBits,
         // maxProbeBits) LEAST-CONFIDENT bits flipped — a pair whose band
         // signatures differ in exactly one bit meets when the flip on
-        // side a lands on side b's exact bucket. Symmetric by
-        // construction, so one probed side covers both directions. At
-        // bandBits ≤ maxProbeBits the probe set is ALL single flips
+        // side a lands on side b's exact bucket. One probed side covers
+        // ALL single-bit differences only while the probe set is complete
+        // (bandBits ≤ maxProbeBits); in the margin-TRUNCATED regime a
+        // disagreement bit outside the probe side's q lowest-margin planes
+        // is missed even if the other side would have flipped it — recall
+        // there relies on disagreement bits having small |dot| margin on
+        // the PROBED side, which is where similar-pair sign flips
+        // concentrate. At bandBits ≤ maxProbeBits the probe set is ALL
+        // single flips
         // (per-band recall p^b → p^b + b·p^(b−1)(1−p)); past it — the
         // corpus-adaptive geometry widening bands with log n — the probe
         // count stays CONSTANT instead of growing with bandBits, and the

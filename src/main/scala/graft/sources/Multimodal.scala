@@ -91,9 +91,15 @@ object Multimodal {
     // The marker records the id-set signature, not mere existence:
     // regenerated test data at the same path (different count or id range)
     // must rebuild the blobs, or the source leg silently serves stale files.
-    // "v2" = container-format blobs (BMP/WAVE/AVI): a marker bump forces
-    // regeneration over any pre-container fixture tree at the same path
-    val signature = s"v2:${ids.length}:${if (ids.isEmpty) 0L else ids.min}:${if (ids.isEmpty) 0L else ids.max}"
+    // count:min:max alone is NOT an id-set identity (two different sets can
+    // share all three), so an order-insensitive mix of every id is folded
+    // in: XOR of splitmix64(id) — per-id mixing keeps structured sets (e.g.
+    // consecutive ids, whose raw XOR telescopes toward 0) from colliding.
+    // "v3" = container-format blobs (BMP/WAVE/AVI) + set-hash marker: a
+    // marker bump forces regeneration over any older fixture tree
+    val setHash = ids.foldLeft(0L)((acc, id) =>
+      acc ^ graft.functions.SketchHash.mix(id))
+    val signature = s"v3:${ids.length}:${if (ids.isEmpty) 0L else ids.min}:${if (ids.isEmpty) 0L else ids.max}:${java.lang.Long.toHexString(setHash)}"
     val marker = java.nio.file.Paths.get(dir, "_SUCCESS")
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker)) == signature) return

@@ -129,4 +129,20 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
     assert(rep == got)
   }
+
+  test("session env-int parsing: curated error for every malformed value") {
+    assert(GraftSession.parsePositiveInt("X", "32") == 32)
+    assert(GraftSession.parsePositiveInt("X", Int.MaxValue.toString) ==
+      Int.MaxValue)
+    // every rejection path carries the variable name, including values past
+    // Int.MaxValue that a regex-then-toInt check would let through to a raw
+    // NumberFormatException at session build
+    for (bad <- Seq("0", "-4", "abc", "", "99999999999",
+        "12345678901234567890")) {
+      val e = intercept[IllegalArgumentException](
+        GraftSession.parsePositiveInt("SPARK_GRAFT_INITIAL_PARTITIONS", bad))
+      assert(e.getMessage.contains("SPARK_GRAFT_INITIAL_PARTITIONS"),
+        s"value '$bad' lost the curated message: ${e.getMessage}")
+    }
+  }
 }
