@@ -72,13 +72,28 @@ object CompositeQueries {
           |ORDER BY status, priority""".stripMargin)
     }),
 
-    // ---- Sketch aggregate: HLL approx distinct (rows-only: HLL impls
-    //      differ across engines; accuracy asserted in ScalaTest) ---------
+    // ---- Sketch aggregate: HLL approx distinct, gated through a
+    //      relative-error contract — sketch register values differ across
+    //      engines, so the DECLARED output per group is the EXACT counts
+    //      (independently recomputed by DuckDB) plus booleans asserting the
+    //      sketch estimate landed within 3× the configured rsd (0.05): the
+    //      whole row set is hash-checkable while the estimate itself stays
+    //      impl-specific. Spark's HLL++ registers are max-merged (order-
+    //      independent), so the estimate — hence the boolean — is
+    //      deterministic for a fixed input set. -----------------------------
     "q_approx_distinct" -> ((s, d) => {
+      val bound = 0.15 // 3 × default rsd 0.05 — deterministic-true margin
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .agg(approx_count_distinct(col("l_partkey")).as("ap"),
+          approx_count_distinct(col("l_orderkey")).as("ao"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")) * lit(100L) <=
+            lit((bound * 100).toLong) * col("exact_parts")).as("parts_err_ok"),
+          (abs(col("ao") - col("exact_orders")) * lit(100L) <=
+            lit((bound * 100).toLong) * col("exact_orders")).as("orders_err_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -89,15 +104,25 @@ object CompositeQueries {
     // sketch blobs, never rescanning history. Rows-only (DataSketches
     // binary format is impl-specific); merged ≈ exact asserted in
     // ScalaTest.
+    // Gated like q_approx_distinct: the DataSketches blob is impl-specific,
+    // so the declared output is (n_days, exact distinct users — DuckDB
+    // recomputes both) + a boolean asserting the MERGED estimate is within
+    // 5% of exact (default lgConfigK=12 → rse ≈ 1.6%; 3σ margin). The
+    // merge-not-rescan pattern is what's being certified: the estimate
+    // comes only from per-day sketch blobs union_agg'd together.
     "q_hll_union" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val perDay = ev.groupBy(to_date(col("ts")).as("day"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      perDay.agg(
+      val merged = perDay.agg(
           count(lit(1)).as("n_days"),
           hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
-            .as("distinct_users_merged"))
-        .select(col("n_days"), col("distinct_users_merged"))
+            .as("est"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.crossJoin(exact)
+        .select(col("n_days"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) * lit(100L) <=
+            lit(5L) * col("exact_users")).as("merged_err_ok"))
     }),
 
     // ---- Deterministic HLL: the oracle-checkable twin of
@@ -427,6 +452,22 @@ object CompositeQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // HLL contracts: DuckDB independently recomputes the EXACT counts and
+    // asserts every relative-error boolean is true — the sketch estimates
+    // themselves are impl-specific and never leave the Spark plan.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_err_ok, TRUE AS orders_err_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_hll_union" ->
+      """SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS merged_err_ok
+        |FROM events""".stripMargin,
+
     // W7 notification: recompute the message fields (recipient, subject,
     // html body with per-country ingest counts) from the same customer
     // CTE prefix as pipeline_evidence; the Spark side parses these fields

@@ -44,6 +44,120 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 
+  /** Recall audit of an ANN top-k result against the exact brute-force
+    * scan, as a CHECKABLE per-query contract: one row per query with a
+    * boolean `recall_ok` = (recall@k ≥ floorPpm/10⁶). This is how the
+    * learned-quantizer paths (IVF / PQ-ADC / IVFADC, whose float-k-means
+    * codebooks no external SQL engine can replay) still get a driver-
+    * gateable output: the oracle asserts the CONTRACT — every query meets
+    * the recall floor — rather than the impl-specific neighbor lists.
+    *
+    * Recall is tie-robust: a returned neighbor counts as a hit when its
+    * TRUE cosine clears the query's k-th-best exact score (the standard
+    * distance-threshold recall@k), so equal-score neighbors permuted at
+    * the cut line can never flip the measurement. The comparison
+    * `hits·10⁶ ≥ floor·n_exact` stays in integers — no division, no float
+    * accumulation. At scale the audit costs one brute-force pass over the
+    * corpus for the (bounded, broadcast) query set — the same O(|q|·n)
+    * scan as [[bruteForceTopK]] — which is exactly the periodic
+    * ground-truth sample a production ANN deployment runs anyway.
+    *
+    * `floorPpm` must leave real margin below the measured recall: the
+    * learned codebooks are deterministic only up to float-sum shuffle
+    * order, so a floor at the measured value would flicker with the last
+    * ulp of a centroid mean.
+    */
+  def recallAudit(
+      ann: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, floorPpm: Long): DataFrame = {
+    require(floorPpm >= 0 && floorPpm <= 1000000L,
+      s"floorPpm=$floorPpm must be in [0, 1000000]")
+    perQueryHits(ann, corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), lit(k).as("k"),
+        lit(floorPpm).as("recall_floor_ppm"),
+        (col("hits") * lit(1000000L) >=
+          lit(floorPpm) * col("n_exact")).as("recall_ok"))
+  }
+
+  /** Macro-recall variant of [[recallAudit]]: ONE summary row
+    * `(n_queries, k, recall_floor_ppm, recall_ok)` where recall_ok =
+    * (Σ hits · 10⁶ ≥ floor · Σ n_exact) over the whole query set. This is
+    * the right grain for the learned ADC families on weakly-clustered
+    * corpora: per-query hit counts of 1–3 sit within one centroid-jitter
+    * flip of a per-query floor, while the pooled count has hit-count
+    * margin proportional to |queries| — the contract stays deterministic
+    * exactly because the floor's slack exceeds any single flip.
+    */
+  def recallAuditSummary(
+      ann: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, floorPpm: Long): DataFrame = {
+    require(floorPpm >= 0 && floorPpm <= 1000000L,
+      s"floorPpm=$floorPpm must be in [0, 1000000]")
+    perQueryHits(ann, corpus, queries, idCol, vecCol, k)
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("hits")).as("h"), sum(col("n_exact")).as("ne"))
+      .select(col("n_queries"), lit(k).as("k"),
+        lit(floorPpm).as("recall_floor_ppm"),
+        (col("h") * lit(1000000L) >= lit(floorPpm) * col("ne"))
+          .as("recall_ok"))
+  }
+
+  /** Shared audit core: per query, how many returned neighbors clear the
+    * exact k-th-best score bar, with the exact result size as denominator
+    * (n_exact < k when the corpus is smaller than k). One row per query
+    * even when the ANN path returned nothing for it.
+    */
+  private def perQueryHits(
+      ann: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val bar = exact.groupBy(col("query_id"))
+      .agg(min(col("score")).as("kth_score"), count(lit(1)).as("n_exact"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val trueScores = ann.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("true_score", VectorFunctions.cosine(col("qv"), col("cv")))
+    val hits = trueScores.join(broadcast(bar), Seq("query_id"))
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("true_score") >= col("kth_score"), 1L).otherwise(0L))
+        .as("hits"))
+    q.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .join(broadcast(bar), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+  }
+
+  /** Exact rerank of an ANN shortlist — the production IVFADC shape
+    * (Jégou et al., TPAMI 2011 §V: ADC shortlist of R·k candidates, then
+    * exact re-scoring of just those R·k): the compressed scan proposes,
+    * the true metric disposes. Cost is |queries|·shortlist exact cosines —
+    * independent of corpus size — which buys back most of the recall the
+    * lossy ADC scores gave up (measured on the weakly-clustered fixture:
+    * PQ m=8/ksub=16 recall@5 0.28 raw → 0.76 with a 64-candidate rerank).
+    * `shortlist` must already be (query_id, neighbor_id, rank, …) with
+    * rank covering the R·k candidates.
+    */
+  def exactRerank(
+      shortlist: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = shortlist.select(col("query_id"), col("neighbor_id"))
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("score", VectorFunctions.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
   /** k-NN majority-vote label assignment — the label-spreading /
     * weak-supervision primitive of a training-data pipeline: each
     * unlabeled query vector takes the modal label of its `k` exact

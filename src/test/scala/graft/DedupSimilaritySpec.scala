@@ -846,4 +846,82 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(spans.forall(s => s._2 == 9 && s._3 == 70 && s._4 == 61),
       s"every doc's duplicated span is [9, 70) (last code char + boilerplate): ${spans.take(3).toSeq}")
   }
+
+  // clustered embeddings: 4 tight clusters of 8 around orthogonal axes,
+  // so exact top-k neighbors are the in-cluster vectors
+  private def clusteredEmb = {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    (0 until 32).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(8)(j =>
+        (if (j == c) 10.0f else 0.0f) + 0.01f * ((i * 8 + j) % 7))
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("recallAudit: exact result scores recall 1, corrupted result fails the floor") {
+    val emb = clusteredEmb
+    val qs = emb.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+    val ok = Similarity.recallAudit(exact, emb, qs, "vec_id", "embedding",
+      k = 5, floorPpm = 1000000L).collect()
+    assert(ok.length == 4 && ok.forall(_.getAs[Boolean]("recall_ok")),
+      s"exact top-k must meet a recall floor of 1.0: ${ok.toSeq}")
+    // negative control: an "ANN" that returns each query's WORST neighbors
+    // (ascending score) must fail any meaningful floor
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").asc, col("neighbor_id").asc)
+    val worst = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 31)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    val bad = Similarity.recallAudit(worst, emb, qs, "vec_id", "embedding",
+      k = 5, floorPpm = 200000L).collect()
+    assert(bad.forall(!_.getAs[Boolean]("recall_ok")),
+      s"worst-neighbor control must fail the floor: ${bad.toSeq}")
+    // summary grain agrees: exact passes at 10^6, control fails at 0.2
+    val sOk = Similarity.recallAuditSummary(exact, emb, qs, "vec_id",
+      "embedding", k = 5, floorPpm = 1000000L).collect()
+    assert(sOk.length == 1 && sOk.head.getAs[Long]("n_queries") == 4L &&
+      sOk.head.getAs[Boolean]("recall_ok"))
+    val sBad = Similarity.recallAuditSummary(worst, emb, qs, "vec_id",
+      "embedding", k = 5, floorPpm = 200000L).collect()
+    assert(sBad.length == 1 && !sBad.head.getAs[Boolean]("recall_ok"))
+  }
+
+  test("recallAudit is tie-robust: any k-subset of an all-tied corpus passes") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // every corpus vector identical ⇒ all cosines tie at 1.0; ANY returned
+    // k-subset is a valid top-k and must count k hits
+    val emb = (0 until 12).map(i => (i.toLong, Array.fill(4)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 2)
+    // adversarial pick: the HIGHEST ids (exact tie-break prefers lowest)
+    val picked = qs.select(col("vec_id").as("query_id"))
+      .crossJoin(emb.filter(col("vec_id") >= 9)
+        .select(col("vec_id").as("neighbor_id")))
+      .withColumn("rank", (col("neighbor_id") - 8).cast("int"))
+    val got = Similarity.recallAudit(picked, emb, qs, "vec_id", "embedding",
+      k = 3, floorPpm = 1000000L).collect()
+    assert(got.forall(_.getAs[Boolean]("recall_ok")),
+      s"tied neighbors permuted across the cut must still be full recall: ${got.toSeq}")
+  }
+
+  test("exactRerank recovers the exact top-k from any covering shortlist") {
+    val emb = clusteredEmb
+    val qs = emb.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+    // shortlist = exact top-20 REVERSED (worst-first ranks): rerank must
+    // ignore the shortlist's own ordering and rebuild the true top-5
+    val shortlist = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 20)
+      .withColumn("rank", lit(21) - col("rank"))
+    val reranked = Similarity.exactRerank(shortlist, emb, qs,
+      "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+    assert(reranked.exceptAll(exact).isEmpty && exact.exceptAll(reranked).isEmpty,
+      "rerank of a covering shortlist must equal the exact top-k")
+  }
 }

@@ -85,9 +85,12 @@ class QuerySweepSpec extends AnyFunSuite {
     *  - `q_join_size_est`: crosses two 1-row scalar sketch frames (1×1);
     *  - `sim_ivf_topk` / `sim_ivf_det_topk`: corpus × nlist-row centroid
     *    table (nlist = 16 config rows) — the inherent O(N·nlist)
-    *    quantizer assignment;
+    *    quantizer assignment; the learned (non-det) variant also carries
+    *    the recallAudit's exact baseline — corpus × the literal
+    *    `vec_id < 5` probe set, the same bounded shape as sim_topk;
     *  - `sim_pq_topk` / `sim_pq_det_topk`: sample × (m·ksub)-row codebook
     *    (m·ksub = 8·16 config rows) for encode, query × codebook for ADC;
+    *    learned variant + audit baseline as above;
     *  - `sim_ivfpq_topk` / `sim_ivfpq_det_topk`: both of the above;
     *  - `dedup_sweep`: cumulative pair counts × (bands+1 = 11)-row
     *    threshold table — the sweep grid, not data;
