@@ -240,6 +240,24 @@ object ExtensionQueries {
         .orderBy("id_1", "id_2")
     }),
 
+    // ---- Dedup: IVF-routed semantic near-dups (SemDeDup production
+    // shape — cluster, then dedup INSIDE cells). The low-τ scale path:
+    // candidate volume is n·targetCellSize/2 (linear) instead of the
+    // n^(1+ρ) the recall-compensated LSH pays at τ=0.4. Seeded anchors
+    // (vec_id < ncells) make routing bit-reproducible, so DuckDB replays
+    // assignment, candidates AND verification; production would pass
+    // kmeansCentroids instead. ncells is corpus-adaptive
+    // (Similarity.ivfCellCount), gate-pinned at 8 (OracleCouplingSpec). --
+    "dedup_semantic_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val ncells = Similarity.ivfCellCount(emb.count())
+      val anchors = emb.filter(col("vec_id") < ncells)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+      Dedup.semanticNearDupsIvf(emb, "vec_id", "embedding",
+          threshold = 0.4, cells = anchors, nassign = 2)
+        .orderBy("id_1", "id_2")
+    }),
+
     // ---- Dedup: incremental semantic probe (new batch vs corpus) ---------
     // every 10th vector plays the freshly embedded batch; the corpus-side
     // banded signatures are what a deployment precomputes. Same plane
@@ -4451,6 +4469,40 @@ object ExtensionQueries {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "dedup_semantic" -> semanticDedupOracle,
+
+    // Full replay of the seeded-IVF dedup route: anchor cells are the
+    // first gate-pinned ncells=8 vectors (OracleCouplingSpec pins
+    // ivfCellCount(gateEmbeddingCount)=8); assignment = top-2 cells by
+    // (score DESC, cell ASC) — identical to the Spark (-score, cell)
+    // struct sort; candidates = within-cell self-join; verification =
+    // the same double-cosine expression as dedup_embcos.
+    "dedup_semantic_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT e.vec_id AS id, c.cell,
+        |    list_dot_product(e.v, c.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      AS score
+        |  FROM e CROSS JOIN c),
+        |r AS (
+        |  SELECT id, cell, row_number() OVER (PARTITION BY id
+        |    ORDER BY score DESC, cell ASC) AS rk FROM sc),
+        |asg AS (SELECT id, cell FROM r WHERE rk <= 2),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_1, b.id AS id_2
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id)
+        |SELECT cand.id_1, cand.id_2,
+        |  list_dot_product(x.v, y.v) /
+        |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+        |    AS cosine
+        |FROM cand JOIN e x ON x.vec_id = cand.id_1
+        |  JOIN e y ON y.vec_id = cand.id_2
+        |WHERE list_dot_product(x.v, y.v) /
+        |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+        |    >= 0.4
+        |ORDER BY id_1, id_2""".stripMargin,
 
     "q_heavy_hitters" -> heavyHittersOracle,
 

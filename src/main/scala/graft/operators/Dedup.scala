@@ -723,6 +723,85 @@ object Dedup {
     }
   }
 
+  /** IVF-routed semantic near-dup pairs — SemDeDup's PRODUCTION shape
+    * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", 2023 §3: cluster the embeddings
+    * with k-means, then dedup WITHIN each cluster): every vector routes
+    * to its `nassign` nearest cells, and candidate pairs are the
+    * within-cell self-join — candidate volume is `n · targetCellSize / 2`,
+    * LINEAR in n at fixed occupancy, versus the n^(1+ρ) the
+    * recall-compensated LSH path ([[semanticNearDups]]) pays at low τ
+    * (SCALE.md "Recall-compensated LSH": measured Θ(n^1.66) at τ=0.4).
+    * This is therefore the preferred low-τ route; LSH remains preferable
+    * at high τ where a few narrow bands already have near-perfect recall
+    * and no centroid pass is needed.
+    *
+    * Recall is lost only across cell boundaries; `nassign` ≥ 2 (Jégou et
+    * al.'s multiple-assignment) makes a pair a candidate whenever ANY of
+    * the nassign² cell combinations intersect, which covers the
+    * borderline-between-two-cells geometry that single assignment
+    * misses. The skew guard drops cells larger than `maxCellSize`
+    * (degenerate centroid sets) the same way the banded paths drop
+    * degenerate buckets — size `cells` via [[Similarity.ivfCellCount]] so
+    * healthy cells sit far below the guard.
+    *
+    * `cells` is (cell, centroid) — broadcast at every use. Pass
+    * [[Similarity.kmeansCentroids]] output for learned routing
+    * (production), or seed rows (`emb.filter(pred)`) for bit-reproducible
+    * routing that an external SQL engine can replay — the audit
+    * configuration `dedup_semantic_ivf` uses. Routing is one broadcast
+    * join + a map-side partial top-nassign fold (no N·ncells shuffle);
+    * ties break to the lowest cell id on BOTH engines.
+    *
+    * Cost honesty at 100 TB: the CANDIDATE stage is linear, but FLAT
+    * routing computes n·ncells cosines, and ncells itself grows as n/64 —
+    * fine to ~10⁴ cells (n ≈ 10⁶; a 10⁴-row broadcast), past which the
+    * production fix is hierarchical assignment (route to √ncells coarse
+    * groups, then within the group — the IMI/two-level-IVF shape, routing
+    * cost n·2√ncells) or an ANN-assisted assignment; both keep the
+    * cell-LOCAL candidate property this operator exists for. The flat
+    * quantizer here is the correct single-level rendition and the
+    * building block those schemes compose.
+    *
+    * Returns verified (id_1, id_2, cosine) with id_1 &lt; id_2 — same
+    * contract as [[semanticNearDups]].
+    */
+  def semanticNearDupsIvf(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      cells: DataFrame, nassign: Int = 2,
+      maxCellSize: Long = 1000000L): DataFrame = {
+    require(nassign >= 1 && nassign <= 8,
+      s"nassign=$nassign out of range [1, 8] (candidate volume scales with it)")
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // top-nassign cells per vector: the (-score, cell) struct sort makes
+    // array_sort ascending equal row_number() OVER (ORDER BY score DESC,
+    // cell ASC) — the exact ordering the SQL replay uses. collect_list
+    // partial-aggregates map-side (ncells rows per id fold before the
+    // exchange), so the routing shuffle carries ~one row per vector.
+    val assigned = base
+      .crossJoin(broadcast(cells))
+      .withColumn("score", VectorFunctions.cosine(col("v"), col("centroid")))
+      .groupBy(col("id"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("score")).as("ns"), col("cell")))), 1, nassign).as("top"))
+      .select(col("id"), explode(col("top").getField("cell")).as("cell"))
+    val oversized = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cellSize"))
+      .filter(col("cellSize") > maxCellSize)
+      .select(col("cell"))
+    val pruned = assigned.join(broadcast(oversized), Seq("cell"), "left_anti")
+    val candidates = pruned.alias("a").join(pruned.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"))
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("id_1"), col("v").as("v1")), "id_1")
+      .join(base.select(col("id").as("id_2"), col("v").as("v2")), "id_2")
+      .withColumn("cosine", VectorFunctions.cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_1"), col("id_2"), col("cosine"))
+  }
+
   /** Full semantic dedup map: EVERY embedding row mapped to its semantic
     * cluster's canonical (minimum) id — singletons map to themselves, and
     * `is_canonical` is the keep mask (`filter is_canonical = 1` is the

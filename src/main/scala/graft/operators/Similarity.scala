@@ -240,6 +240,26 @@ object Similarity {
     (bits, math.max(baseBands, bands))
   }
 
+  /** Corpus-adaptive IVF cell count for cell-local dedup
+    * ([[Dedup.semanticNearDupsIvf]]): `⌈n / targetCellSize⌉` clamped to
+    * [minCells, maxCells], so expected cell occupancy — and with it the
+    * within-cell pair volume `ncells · (n/ncells)² / 2 = n·target/2` —
+    * stays LINEAR in n. This is the complexity contrast with
+    * [[lshGeometry]]: recall-compensated LSH pays n^(1+ρ) in candidates
+    * as bands widen, while cell-local candidates are n·target/2 at every
+    * scale (recall instead degrades only at cell BOUNDARIES, bought back
+    * by multi-assignment). At the sf0.01 gate (n = 500, target 64) this
+    * resolves to exactly `minCells` = 8 — the oracle's pinned
+    * configuration (OracleCouplingSpec).
+    */
+  def ivfCellCount(n: Long, targetCellSize: Long = 64L, minCells: Int = 8,
+                   maxCells: Int = 1 << 20): Int = {
+    require(targetCellSize >= 1 && minCells >= 1 && maxCells >= minCells,
+      s"bad cell policy (target=$targetCellSize, min=$minCells, max=$maxCells)")
+    val needed = (n + targetCellSize - 1) / targetCellSize
+    math.min(maxCells.toLong, math.max(minCells.toLong, needed)).toInt
+  }
+
   /** Deterministic ±1 projection signs from the md5 convention
     * (`('0x' || substr(md5('seed|i|j'), 1, 15))::BIGINT % 2`) — the ONE
     * definition both the Spark literals and the SQL oracle derive from,

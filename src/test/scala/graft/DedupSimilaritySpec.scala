@@ -909,6 +909,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"tied neighbors permuted across the cut must still be full recall: ${got.toSeq}")
   }
 
+  test("semanticNearDupsIvf: complete within clusters, cell-local candidates") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val emb = clusteredEmb
+    // anchors: one vector per cluster (vec_id 0..3 hit clusters 0..3)
+    val anchors = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val got = Dedup.semanticNearDupsIvf(emb, "vec_id", "embedding",
+        threshold = 0.9, cells = anchors, nassign = 1)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    // ground truth: all-pairs exact cosine (in-cluster pairs are ~1.0 by
+    // construction, cross-cluster ~0)
+    val truth = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        probe = lit(true), threshold = 0.9)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture must contain in-cluster near-dup pairs")
+    assert(got == truth,
+      s"cluster-aligned anchors must recover exactly the in-cluster pairs " +
+        s"(missing=${(truth -- got).size}, extra=${(got -- truth).size})")
+    // skew guard: a 1-cell degenerate anchor set puts all 32 vectors in
+    // one cell; maxCellSize below that must drop everything, not square it
+    val oneCell = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val guarded = Dedup.semanticNearDupsIvf(emb, "vec_id", "embedding",
+      threshold = 0.0, cells = oneCell, nassign = 1, maxCellSize = 10L)
+    assert(guarded.count() == 0, "oversized-cell guard must drop the cell")
+    // multi-assignment recovers a boundary pair single assignment misses:
+    // two vectors between two anchors, each snapping to a different cell
+    val boundary = Seq(
+      (100L, Array(10.0f, 0.0f, 0.0f, 0.0f)),          // anchor A
+      (101L, Array(0.0f, 10.0f, 0.0f, 0.0f)),          // anchor B
+      (102L, Array(10.0f, 9.0f, 0.0f, 0.0f)),          // nearer A
+      (103L, Array(9.0f, 10.0f, 0.0f, 0.0f))           // nearer B
+    ).toDF("vec_id", "embedding")
+    val bAnchors = boundary.filter(col("vec_id") < 102)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    def pairs(na: Int) = Dedup.semanticNearDupsIvf(boundary, "vec_id",
+        "embedding", threshold = 0.95, cells = bAnchors, nassign = na)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(!pairs(1).contains((102L, 103L)),
+      "single assignment splits the boundary pair (the geometry this test pins)")
+    assert(pairs(2).contains((102L, 103L)),
+      "nassign=2 must recover the boundary pair")
+  }
+
   test("exactRerank recovers the exact top-k from any covering shortlist") {
     val emb = clusteredEmb
     val qs = emb.filter(col("vec_id") < 4)

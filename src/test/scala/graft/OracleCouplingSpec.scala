@@ -50,6 +50,20 @@ class OracleCouplingSpec extends AnyFunSuite {
         "re-derive the fixture-slack comment and the gate assumptions")
   }
 
+  test("dedup_semantic_ivf gate coupling: ivfCellCount resolves to the oracle's 8") {
+    assume(new java.io.File(s"$gateDir/embeddings.parquet").exists())
+    val spark = TestSpark.spark
+    val n = Tables.embeddings(spark, gateDir).count()
+    // the static oracle hardcodes `vec_id < 8` anchor cells; the query
+    // derives ncells from the live count — they agree only while
+    // ivfCellCount(n) == 8, i.e. n ≤ 8·targetCellSize = 512
+    assert(Similarity.ivfCellCount(n) == 8,
+      s"gate count $n no longer resolves to 8 IVF cells — the " +
+        "dedup_semantic_ivf oracle's anchor literal must move with it")
+    assert(Similarity.ivfCellCount(513L) == 9,
+      "cell-count knee moved: ivfCellCount(513) was expected to adapt")
+  }
+
   test("oracle builders refuse to build past the knee (gateLshGeometry)") {
     // the builder-side guard must throw, not silently emit mismatched
     // plane literals, when the assumed count crosses the knee
