@@ -70,6 +70,27 @@ object ExtensionQueries {
         .orderBy("id_new", "id_corpus")
     }),
 
+    // ---- Dedup: incremental probe against the PERSISTED bucketed index ---
+    // Same split, config and oracle as dedup_incremental, but the corpus
+    // legs read writeMinHashIndex's bucketed tables: the corpus never
+    // re-shuffles — per batch, only the (small) new side exchanges
+    // (ScaleSpec pins the exchange-free corpus plan). The index build is
+    // included in the query (a self-contained demonstration); a deployment
+    // builds once and probes every batch.
+    "dedup_incremental_idx" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def sh = ShingleFunctions.wordShingleHashes(
+        TextFunctions.tokens(col("text")), 3)
+      val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+      val table = "graft_mh_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.writeMinHashIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", sh, cfg, table)
+      Dedup.minHashNearDupsAgainstIndex(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", sh,
+          threshold = 0.5, table, cfg)
+        .orderBy("id_new", "id_corpus")
+    }),
+
     // ---- Dedup-at-the-door THROUGH Structured Streaming -------------------
     // The flagship curation-as-a-stream path ([[graft.streaming.Streams
     // .streamDedupIngest]]) made driver-visible: TWO AvailableNow drains
@@ -2591,6 +2612,26 @@ object ExtensionQueries {
     * best-candidate and the reciprocal join.
     */
   /** Shared with q_dedup_eval, which embeds this replay. */
+  /** Shared by dedup_incremental and dedup_incremental_idx: the persisted-
+    * index probe is algebraically identical to the in-plan one (same split,
+    * config, verify), so ONE exact new × corpus Jaccard replay gates both.
+    */
+  private val dedupIncrementalOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |  FROM toks WHERE len(w) >= 3)
+      |SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+      |  len(list_intersect(n.g, c.g)) /
+      |    len(list_distinct(list_concat(n.g, c.g))) AS jaccard
+      |FROM sh n JOIN sh c ON n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+      |WHERE len(list_intersect(n.g, c.g)) /
+      |    len(list_distinct(list_concat(n.g, c.g))) >= 0.5
+      |ORDER BY id_new, id_corpus""".stripMargin
+
   private val dedupMinhashOracleSql: String =
     """WITH toks AS (
           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -3921,21 +3962,8 @@ object ExtensionQueries {
       """SELECT doc_id, sha256(text) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "dedup_incremental" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, len(w) - 2),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
-        |  FROM toks WHERE len(w) >= 3)
-        |SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
-        |  len(list_intersect(n.g, c.g)) /
-        |    len(list_distinct(list_concat(n.g, c.g))) AS jaccard
-        |FROM sh n JOIN sh c ON n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
-        |WHERE len(list_intersect(n.g, c.g)) /
-        |    len(list_distinct(list_concat(n.g, c.g))) >= 0.5
-        |ORDER BY id_new, id_corpus""".stripMargin,
+    "dedup_incremental" -> dedupIncrementalOracleSql,
+    "dedup_incremental_idx" -> dedupIncrementalOracleSql,
 
     "dedup_minhash" -> dedupMinhashOracleSql,
 

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Recall-at-n harness for the semantic-dedup family — the round-8
+  * verdict's open measurement: the maxBands cap makes adaptive LSH cost
+  * ~linear past the cap (SCALING_sf3.json), but the RECALL that bounded
+  * cost trades away was only derived, never measured. This main measures
+  * it on the ScaleGen corpora against exact brute-force ground truth, and
+  * puts the new IVF-routed path ([[Dedup.semanticNearDupsIvf]]) on the
+  * same axes.
+  *
+  * Method: every path VERIFIES candidates with exact cosine ≥ τ, so found
+  * pairs are a SUBSET of the truth set by construction (precision 1) and
+  * recall = |found| / |truth| needs only two counts — no pair-set
+  * intersection. Truth counts for both τ come from ONE brute-force pass
+  * (a broadcast self-join with `id_1 < id_2` evaluated before the cosine,
+  * conditional-summed at both thresholds). Ground-truth structure in the
+  * ScaleGen corpora is exact: replicas are isometries of sf0.1, so true
+  * pairs are replica-local plus whatever rare cross-replica cosine clears
+  * τ — the brute force counts those too, no planted-pair bookkeeping.
+  *
+  * Legs per (dir, τ):
+  *  - `lsh`   — [[Dedup.semanticNearDups]] at lshGeometry(n, τ, 6, 16),
+  *    exact buckets (the dedup_semantic configuration);
+  *  - `lshmp` — geometry (8, 16) base with single-bit margin probes (the
+  *    dedup_semantic_mp configuration);
+  *  - `ivf_first`  — [[Dedup.semanticNearDupsIvf]] at ivfCellCount(n)
+  *    anchors taken as the FIRST ncells ids (the dedup_semantic_ivf gate
+  *    configuration). On the ScaleGen corpora this is a deliberate
+  *    anchor-sensitivity ABLATION: replicas decorrelate, so first-ids
+  *    anchors all come from replica 0 and 1−1/replicas of the corpus
+  *    routes on noise;
+  *  - `ivf_spread` — same operator, anchors = the ncells hash-smallest
+  *    ids (deterministic, uniform over the corpus — the seeded choice a
+  *    deployment would actually make);
+  *  - `ivf_km`     — same operator with LEARNED cells
+  *    ([[Similarity.kmeansCentroids]]) — the SemDeDup production
+  *    configuration.
+  * Each leg records found count, recall_ppm, wall seconds, and the
+  * geometry it ran (bits/bands or ncells) plus the closed-form expected
+  * LSH recall at cosine = τ ([[Similarity.lshExpectedRecall]] — a lower
+  * bound over the above-τ pair population) for measured-vs-predicted.
+  *
+  * Usage: `runMain graft.RecallBench [dir ...]`, default
+  * `/root/testdata/sf0.1 /tmp/sf1 /tmp/sf3`. Writes RECALL.json and
+  * prints one JSON line. Not driver-run; feeds the SCALE.md table.
+  */
+object RecallBench {
+
+  private case class Leg(name: String, geometry: String, found: Long,
+                         truth: Long, secs: Double, predicted: Double)
+
+  private def fmt(v: Double): String = BigDecimal(v)
+    .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/tmp/sf1", "/tmp/sf3")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
+    val spark = GraftSession.create(appName = "graft-recall",
+      master = s"local[$cpus]", shufflePartitions =
+        GraftSession.envShufflePartitions.orElse(Some(cpus.toInt)))
+    spark.sparkContext.setLogLevel("WARN")
+    val taus = Seq(0.4, 0.5)
+
+    val sections = dirs.filter(d =>
+        new java.io.File(s"$d/embeddings.parquet").isFile)
+      .map { d =>
+        val emb = Tables.embeddings(spark, d).localCheckpoint(true)
+        val n = emb.count()
+        // one brute-force pass counts truth at every tau: the id_1 < id_2
+        // join condition runs before the cosine, so exactly n(n-1)/2
+        // cosines are evaluated
+        val e1 = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+        val e2 = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+        val (truthRow, truthSecs) = timed {
+          val sums = taus.map(t =>
+            sum(when(col("c") >= t, 1L).otherwise(0L)).as(s"t$t"))
+          e1.join(broadcast(e2), col("id1") < col("id2"))
+            .select(VectorFunctions.cosine(col("v1"), col("v2")).as("c"))
+            .agg(sums.head, sums.tail: _*)
+            .collect().head
+        }
+        val truthAt = taus.zipWithIndex
+          .map { case (t, i) => t -> truthRow.getLong(i) }.toMap
+
+        val legs = taus.flatMap { tau =>
+          val truth = truthAt(tau)
+          val (bits, bands) = Similarity.lshGeometry(n, tau, 6, 16)
+          val (lshFound, lshSecs) = timed {
+            Dedup.semanticNearDups(emb, "vec_id", "embedding", tau,
+              bandBits = bits, numBands = bands).count()
+          }
+          val (mpBits, mpBands) = Similarity.lshGeometry(n, tau, 8, 16)
+          val (mpFound, mpSecs) = timed {
+            Dedup.semanticNearDups(emb, "vec_id", "embedding", tau,
+              bandBits = mpBits, numBands = mpBands, probeDepth = 1).count()
+          }
+          val ncells = Similarity.ivfCellCount(n)
+          def ivfLeg(name: String, anchors: org.apache.spark.sql.DataFrame) = {
+            val (found, secs) = timed {
+              Dedup.semanticNearDupsIvf(emb, "vec_id", "embedding", tau,
+                cells = anchors, nassign = 2).count()
+            }
+            Leg(s"$name@$tau", s"ncells=$ncells,nassign=2", found, truth,
+              secs, -1.0)
+          }
+          val firstAnchors = emb.filter(col("vec_id") < ncells)
+            .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+          // hash-spread: ncells hash-smallest ids — deterministic and
+          // uniform over the id space (every ScaleGen replica contributes)
+          val spreadAnchors = emb
+            .select(col("vec_id"), col("embedding"),
+              xxhash64(lit(7L), col("vec_id")).as("h"))
+            .orderBy(col("h").asc).limit(ncells)
+            .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+            .localCheckpoint(true)
+          val kmAnchors = Similarity.kmeansCentroids(emb, "embedding",
+              nlist = ncells, iters = 2, sampleSize = 8192)
+            .select(col("cell"),
+              col("centroid").cast("array<float>").as("centroid"))
+          Seq(
+            Leg(s"lsh@$tau", s"bits=$bits,bands=$bands", lshFound, truth,
+              lshSecs, Similarity.lshExpectedRecall(bits, bands, tau)),
+            Leg(s"lshmp@$tau", s"bits=$mpBits,bands=$mpBands,probe=1",
+              mpFound, truth, mpSecs,
+              // probe upper bound: full single-flip set (truncation at
+              // maxProbeBits makes the real value sit between this and
+              // the exact-bucket form)
+              Similarity.lshExpectedRecall(mpBits, mpBands, tau)),
+            ivfLeg("ivf_first", firstAnchors),
+            ivfLeg("ivf_spread", spreadAnchors),
+            ivfLeg("ivf_km", kmAnchors))
+        }
+        val legJson = legs.map { l =>
+          val ppm =
+            if (l.truth == 0L) -1L else l.found * 1000000L / l.truth
+          s""""${l.name}":{"geometry":"${l.geometry}","found":${l.found},"truth":${l.truth},"recall_ppm":$ppm,"secs":${fmt(l.secs)},"predicted_recall_at_tau":${fmt(l.predicted)}}"""
+        }.mkString(",")
+        val truthJson = taus
+          .map(t => s""""$t":${truthAt(t)}""").mkString("{", ",", "}")
+        s""""$d":{"n":$n,"truth_pairs":$truthJson,"truth_secs":${fmt(truthSecs)},"legs":{$legJson}}"""
+      }
+    val json = s"""{"metric":"recall_at_n","taus":[0.4,0.5],"dirs":{${sections.mkString(",")}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("RECALL.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

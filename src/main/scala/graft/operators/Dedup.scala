@@ -231,6 +231,129 @@ object Dedup {
       .select(col("id_new"), col("id_corpus"), col("jaccard"))
   }
 
+  /** Persist the reusable MinHash index for a standing corpus — the
+    * production counterpart of [[minHashNearDupsAgainst]]'s in-plan corpus
+    * legs, and the "(id, signature) frame IS the reusable index" leg of
+    * SCALE.md. Three bucketed tables:
+    *
+    *  - `&lt;table&gt;_docs`  — (id, sh, sig), bucketed on `id`: the verify
+    *    join's corpus side reads it exchange-free;
+    *  - `&lt;table&gt;_bands` — (id, band, bandHash), bucketed AND sorted on
+    *    (band, bandHash): the candidate probe join's corpus side — the
+    *    data-sized leg of every incremental batch — reads it exchange-free
+    *    (the new batch, typically orders of magnitude smaller, is the only
+    *    side that shuffles);
+    *  - `&lt;table&gt;_meta`  — one row of (num_hashes, band_rows, seed):
+    *    probes REFUSE an index built under a different configuration
+    *    instead of silently producing wrong candidates.
+    *
+    * Signatures are computed once: `_docs` is written first and `_bands`
+    * derives from reading it back, so the shingle+hash pass over the
+    * corpus runs exactly once per index build. Rebuild is overwrite-
+    * idempotent; a deployment appends new batches to the index tables
+    * after each [[minHashNearDupsAgainstIndex]] probe accepts them.
+    */
+  def writeMinHashIndex(
+      corpus: DataFrame, idCol: String, shingles: Column,
+      cfg: LshConfig, table: String, numBuckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bands = cfg.numHashes / cfg.bandRows
+    val base = corpus.select(col(idCol).as("id"), shingles.as("sh"))
+      .filter(size(col("sh")) > 0)
+    graft.sources.Sinks.writeBucketed(
+      base.select(col("id"), col("sh"),
+        HashFunctions.minhashSignature(col("sh"), cfg.numHashes, cfg.seed)
+          .as("sig")),
+      s"${table}_docs", Seq("id"), numBuckets)
+    val banded = spark.table(s"${table}_docs")
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * cfg.bandRows + 1, lit(cfg.bandRows)))))
+        .as(Seq("band", "bandHash")))
+    graft.sources.Sinks.writeBucketed(
+      banded, s"${table}_bands", Seq("band", "bandHash"), numBuckets)
+    Seq((cfg.numHashes, cfg.bandRows, cfg.seed))
+      .toDF("num_hashes", "band_rows", "seed")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Incremental near-dup probe against a PERSISTED index
+    * ([[writeMinHashIndex]]) — identical algebra and results to
+    * [[minHashNearDupsAgainst]] with the same configuration, but every
+    * corpus-side leg (candidate join, skew-guard count, estimate
+    * pre-filter, exact verify) reads the bucketed tables and therefore
+    * never re-shuffles the corpus: per ingest batch, the only exchanges
+    * are on the batch side. This is the steady-state shape of
+    * dedup-at-the-door at 100 TB — the corpus index is written once and
+    * reused every batch (ScaleSpec pins the exchange-free plan).
+    */
+  def minHashNearDupsAgainstIndex(
+      newBatch: DataFrame, idCol: String, newShingles: Column,
+      threshold: Double, table: String,
+      cfg: LshConfig = LshConfig()): DataFrame = {
+    val spark = newBatch.sparkSession
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1, s"index $table has no meta row")
+    val (mh, mr, ms) = (meta.head.getAs[Int]("num_hashes"),
+      meta.head.getAs[Int]("band_rows"), meta.head.getAs[Long]("seed"))
+    require(mh == cfg.numHashes && mr == cfg.bandRows && ms == cfg.seed,
+      s"index $table was built with (numHashes=$mh, bandRows=$mr, seed=$ms)" +
+        s" but the probe requested (${cfg.numHashes}, ${cfg.bandRows}, " +
+        s"${cfg.seed}) — rebuild the index or match its configuration")
+    val bands = cfg.numHashes / cfg.bandRows
+
+    val cDocs = spark.table(s"${table}_docs")
+    val cBanded = spark.table(s"${table}_bands")
+    val nBase = newBatch.select(col(idCol).as("id"), newShingles.as("sh"))
+      .filter(size(col("sh")) > 0)
+    val nSigs = nBase.select(col("id"),
+        HashFunctions.minhashSignature(col("sh"), cfg.numHashes, cfg.seed).as("sig"))
+      .localCheckpoint(true)
+    val nBanded = nSigs.select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * cfg.bandRows + 1, lit(cfg.bandRows)))))
+        .as(Seq("band", "bandHash")))
+
+    // skew guard over the bucketed band table: the groupBy key equals the
+    // bucketing key, so even the guard count aggregates without a shuffle
+    val oversized = cBanded
+      .groupBy(col("band"), col("bandHash"))
+      .agg(count(lit(1)).as("bucketSize"))
+      .filter(col("bucketSize") > cfg.maxBucketSize)
+      .select(col("band"), col("bandHash"))
+    val cPruned = cBanded
+      .join(broadcast(oversized), Seq("band", "bandHash"), "left_anti")
+
+    val candidates = nBanded.alias("n").join(cPruned.alias("c"),
+        col("n.band") === col("c.band") &&
+        col("n.bandHash") === col("c.bandHash") &&
+        col("n.id") =!= col("c.id"))
+      .select(col("n.id").as("id_new"), col("c.id").as("id_corpus"))
+      .distinct()
+
+    val estFiltered =
+      if (cfg.estMargin >= 1.0) candidates
+      else candidates
+        .join(nSigs.select(col("id").as("id_new"), col("sig").as("sig_1")), "id_new")
+        .join(cDocs.select(col("id").as("id_corpus"), col("sig").as("sig_2")), "id_corpus")
+        .withColumn("est",
+          aggregate(
+            zip_with(col("sig_1"), col("sig_2"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast("double") / cfg.numHashes)
+        .filter(col("est") >= threshold - cfg.estMargin)
+        .select(col("id_new"), col("id_corpus"))
+
+    estFiltered
+      .join(nBase.select(col("id").as("id_new"), col("sh").as("sh_1")), "id_new")
+      .join(cDocs.select(col("id").as("id_corpus"), col("sh").as("sh_2")), "id_corpus")
+      .withColumn("jaccard", TextFunctions.jaccard(col("sh_1"), col("sh_2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_corpus"), col("jaccard"))
+  }
+
   def canonicalAssignments(pairs: DataFrame, maxIters: Int = 20,
                            reliable: Boolean = false): DataFrame = {
     // Lineage truncation per round is mandatory (the plan doubles per

@@ -240,6 +240,49 @@ object Similarity {
     (bits, math.max(baseBands, bands))
   }
 
+  /** Closed-form expected candidate recall of banded hyperplane LSH for a
+    * pair at cosine `c`: per-plane agreement p = 1 − acos(c)/π, per-band
+    * collision p^bits, any-of-bands P = 1 − (1 − p^bits)^bands. Evaluated
+    * at c = τ it LOWER-bounds recall over the pair population above τ
+    * (P is increasing in c). The RecallBench harness checks the measured
+    * curves against this form.
+    */
+  def lshExpectedRecall(bits: Int, bands: Int, c: Double): Double = {
+    require(bits >= 1 && bands >= 1, s"bad geometry ($bits, $bands)")
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, c))) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, bits.toDouble), bands.toDouble)
+  }
+
+  /** Recall-floor mode for the adaptive geometry: the band count that
+    * guarantees expected candidate recall ≥ `recallFloor` at cosine τ for
+    * the given `bits` — `⌈ln(1−floor) / ln(1−p^bits)⌉`, UNCAPPED. This is
+    * the explicit alternative to [[lshGeometry]]'s maxBands cap: the cap
+    * bounds cost and lets recall decay past it; this bounds recall and
+    * lets cost grow. The cost is exactly the n^ρ story measured in
+    * SCALE.md — at τ = 0.4, bits = 12 (the n = 20 000 geometry) holding
+    * 0.9 recall needs ~575 bands vs the cap's 64, a 9× candidate-volume
+    * multiplier that keeps COMPOUNDING as bits track log n. `maxBands`
+    * here is a hard sanity bound (refuse, not truncate): hitting it means
+    * this operating point should route through
+    * [[graft.operators.Dedup.semanticNearDupsIvf]] instead, whose
+    * candidate volume is occupancy-bound and does not depend on τ.
+    */
+  def lshBandsForRecall(bits: Int, tau: Double, recallFloor: Double,
+                        maxBands: Int = 4096): Int = {
+    require(recallFloor > 0.0 && recallFloor < 1.0,
+      s"recallFloor=$recallFloor must be in (0, 1)")
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
+    val pb = math.pow(p, bits.toDouble)
+    require(pb > 0.0, s"p^bits underflowed at bits=$bits, tau=$tau")
+    val bands = math.ceil(math.log1p(-recallFloor) / math.log1p(-pb))
+    require(bands <= maxBands,
+      f"recall floor $recallFloor%.2f at tau=$tau%.2f, bits=$bits needs " +
+        f"$bands%.0f bands (> sanity bound $maxBands): this operating " +
+        "point is past the economical LSH regime — route through " +
+        "Dedup.semanticNearDupsIvf (cell-local candidates) instead")
+    math.max(1, bands.toInt)
+  }
+
   /** Corpus-adaptive IVF cell count for cell-local dedup
     * ([[Dedup.semanticNearDupsIvf]]): `⌈n / targetCellSize⌉` clamped to
     * [minCells, maxCells], so expected cell occupancy — and with it the

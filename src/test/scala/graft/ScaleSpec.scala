@@ -82,6 +82,83 @@ class ScaleSpec extends AnyFunSuite {
     Sinks.dropTable(spark, "b_orders"); Sinks.dropTable(spark, "b_lineitem")
   }
 
+  test("persisted minhash index: corpus side never re-shuffles, results equal in-plan probe") {
+    import graft.operators.Dedup
+    import graft.functions.{ShingleFunctions, TextFunctions}
+    val docs = Tables.documents(spark, TestSpark.sf)
+    def sh = ShingleFunctions.wordShingleHashes(
+      TextFunctions.tokens(col("text")), 3)
+    val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+    val table = "graft_mh_idx_test"
+    Seq("_docs", "_bands", "_meta").foreach(s => Sinks.dropTable(spark, table + s))
+    Dedup.writeMinHashIndex(docs.filter(col("doc_id") % 10 =!= 0),
+      "doc_id", sh, cfg, table, numBuckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force sort-merge everywhere so BUCKETING (not broadcast) is what
+      // must eliminate the corpus-side exchanges
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Dedup.minHashNearDupsAgainstIndex(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", sh,
+        threshold = 0.5, table, cfg)
+      // the corpus must never re-shuffle RAW: no index-table scan may feed
+      // a shuffle exchange without crossing a join first (exchanges above
+      // a join carry candidate pairs — batch-bound — and are fine)
+      val plan = probe.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.SparkPlan
+      def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.initialPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case other => other.children
+      }
+      def rawIndexScanReachable(p: SparkPlan): Boolean = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.toString.contains(table)
+        case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+        case other => kids(other).exists(rawIndexScanReachable)
+      }
+      val shuffled = TestSpark.collectDeep(plan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if rawIndexScanReachable(e.child) => e
+      }
+      assert(shuffled.isEmpty,
+        s"raw index-table scan feeds a shuffle exchange:\n${shuffled.headOption}")
+      // sanity: the plan actually reads the index tables (not a rewrite)
+      assert(plan.toString.contains("graft_mh_idx_test"),
+        "probe plan must scan the persisted index")
+      // and the skew-guard aggregation over the bucketed band table is
+      // exchange-free too: every remaining exchange carries batch-side data
+      // negative control: the same probe WITHOUT the index (in-plan corpus)
+      // does shuffle the corpus side — the assertion has teeth
+      val inPlane = Dedup.minHashNearDupsAgainst(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", sh, sh, 0.5, cfg)
+      val ctrl = TestSpark.collectDeep(inPlane.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.child.toString.contains("parquet") => e
+      }
+      assert(ctrl.nonEmpty,
+        "negative control: in-plan probe was expected to shuffle scans")
+      // results identical to the in-plan operator
+      val a = probe.collect().map(_.toSeq).toSet
+      val b = inPlane.collect().map(_.toSeq).toSet
+      assert(a == b, s"index probe diverged from in-plan probe " +
+        s"(only-idx=${(a -- b).size}, only-inplane=${(b -- a).size})")
+      // config mismatch must refuse, not silently mis-probe
+      val e = intercept[IllegalArgumentException] {
+        Dedup.minHashNearDupsAgainstIndex(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", sh,
+          threshold = 0.5, table, Dedup.LshConfig(numHashes = 32, bandRows = 2))
+      }
+      assert(e.getMessage.contains("rebuild the index"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    Seq("_docs", "_bands", "_meta").foreach(s => Sinks.dropTable(spark, table + s))
+  }
+
   test("zorder layout enables file skipping on the SECOND dimension too") {
     import graft.functions.LayoutFunctions
     val li = Tables.lineitem(spark, TestSpark.sf).select("l_partkey", "l_suppkey")
