@@ -83,6 +83,56 @@ object WinnowHash {
     }
     ShingleUtil.distinctSorted(out, o)
   }
+
+  /** True iff some fingerprint VALUE is selected at ≥ 2 DISTINCT gram
+    * positions — the within-doc half of the winnow guarantee: two
+    * occurrences of the same substring of length ≥ w + k − 1 inside ONE
+    * document each select a common fingerprint value at their own
+    * positions, so the selection sequence repeats that value. (The
+    * distinct-sorted [[fingerprints]] output collapses exactly this
+    * signal, which is why the prefilter needs its own pass.) Selected
+    * indices are non-decreasing over the sliding window, so "new
+    * selection" is simply an index change; false positives — a re-selected
+    * k-gram that is not part of a long repeat — only weaken pruning,
+    * never correctness.
+    */
+  def hasInternalRepeat(s: UTF8String, k: Int, w: Int): Boolean = {
+    val bytes = s.getBytes
+    val nChars = s.numChars()
+    if (nChars < k) return false
+    val offs = new Array[Int](nChars + 1)
+    var ci = 0; var bi = 0
+    while (ci < nChars) {
+      offs(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      ci += 1
+    }
+    offs(nChars) = bytes.length
+    val nGrams = nChars - k + 1
+    if (nGrams < w) return false
+    val hs = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      hs(i) = md5Head60(bytes, offs(i), offs(i + k) - offs(i))
+      i += 1
+    }
+    val deque = new Array[Int](nGrams)
+    var head = 0; var tail = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var lastIdx = -1
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1 && deque(head) != lastIdx) {
+        lastIdx = deque(head)
+        if (!seen.add(hs(lastIdx))) return true
+      }
+      i += 1
+    }
+    false
+  }
 }
 
 /** Expression form of [[WinnowHash.fingerprints]]; the loop lives in the
@@ -111,8 +161,37 @@ case class WinnowedMd5Fingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Boolean form of [[WinnowHash.hasInternalRepeat]]. */
+case class WinnowInternalRepeat(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"k=$k and w=$w must be >= 1")
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowHash.hasInternalRepeat(input.asInstanceOf[UTF8String], k, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowHash.hasInternalRepeat($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WinnowFunctions {
   /** Column API: winnowed md5 fingerprints of a string column. */
   def winnowedMd5Fingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     column(WinnowedMd5Fingerprints(expression(text), k, w))
+
+  /** Column API: within-doc repeated-fingerprint flag (see
+    * [[WinnowHash.hasInternalRepeat]]).
+    */
+  def winnowInternalRepeat(text: Column, k: Int = 8, w: Int = 4): Column =
+    column(WinnowInternalRepeat(expression(text), k, w))
 }

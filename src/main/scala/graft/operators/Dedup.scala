@@ -1210,15 +1210,53 @@ object Dedup {
     * offsets, end exclusive, one row per MAXIMAL duplicated span. The
     * closing islands window partitions by doc id (per-doc positions,
     * bounded by doc length — never a global window).
+    *
+    * Winnow prefilter (on by default for minLen ≥ 9, candidate-COMPLETE —
+    * the output is bit-identical with it on or off): before the char
+    * explode, docs are admitted only if they (a) share a winnowed
+    * fingerprint with another doc, or (b) repeat a fingerprint value
+    * internally. The winnow parameters are COUPLED to minLen — k = 8,
+    * w = minLen − k + 1, so the guarantee length w + k − 1 equals minLen
+    * exactly: any duplicated minLen-window's two occurrences each select
+    * a common fingerprint, which lands the occurrences' docs in (a) (two
+    * docs) or (b) (same doc); and every dyadic sub-window the doubling
+    * consults lies inside the duplicated span, so its partner occurrence
+    * is in an ADMITTED doc too — subset class counts never drop below 2
+    * where the corpus-wide count was ≥ 2. NO df-cap anywhere: the
+    * prefilter needs only per-fingerprint doc counts (linear postings
+    * aggregation), never posting-list pair joins, so the df-cut blind
+    * spot that motivates this operator does not reappear. Most docs in a
+    * low-duplication corpus share no fingerprint and never enter the
+    * O(chars · log minLen) doubling.
     */
   def suffixDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                           minLen: Int): DataFrame = {
+                           minLen: Int,
+                           winnowPrefilter: Boolean = true): DataFrame = {
     require(minLen >= 2 && minLen <= (1 << 20),
       s"minLen=$minLen out of [2, 2^20]")
-    val docs = df
+    val allDocs = df
       .select(col(idCol).as("id"), col(textCol).as("t"),
         length(col(textCol)).as("len"))
       .filter(col("len") >= minLen)
+    val fpK = 8
+    val docs = if (!winnowPrefilter || minLen < fpK + 1) allDocs else {
+      val fpW = minLen - fpK + 1
+      import graft.functions.WinnowFunctions
+      val fp = allDocs.select(col("id"),
+          WinnowFunctions.winnowedMd5Fingerprints(col("t"), fpK, fpW).as("fps"),
+          WinnowFunctions.winnowInternalRepeat(col("t"), fpK, fpW).as("internal"))
+        .localCheckpoint(true) // two consumers (postings, internal flag)
+      val postings = fp.select(col("id"), explode(col("fps")).as("f"))
+      // fps are distinct per doc, so count(*) per fingerprint IS its doc
+      // count; fingerprints held by >= 2 docs admit all their holders
+      val sharedFps = postings.groupBy(col("f"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2).select(col("f"))
+      val admitted = postings.join(sharedFps, Seq("f"))
+        .select(col("id")).distinct()
+        .union(fp.filter(col("internal")).select(col("id")))
+        .distinct()
+      allDocs.join(admitted, Seq("id"), "left_semi")
+    }
     // one row per code point; labels live as (id, pos, lab) frames
     val chars = docs.select(col("id"),
       posexplode(split(col("t"), "")).as(Seq("pos", "c")))

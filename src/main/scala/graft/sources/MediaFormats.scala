@@ -377,4 +377,56 @@ object MediaFormats {
     }
     Some((w, h, gray))
   }
+
+  private val PngSignature =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Decode a PNG to the same top-down gray raster contract as
+    * [[decodeBmp24Gray]], via the JDK's built-in `ImageIO` PNG reader —
+    * lossless and deterministic (PNG decode is exact; the identical
+    * integer ITU-R 601 luma runs on the recovered RGB), with no new
+    * dependencies. Scope is deliberately PNG-ONLY (signature-gated): the
+    * JDK also ships JPEG readers, but lossy decode is not bit-portable
+    * across JDK versions, and a silent lossy path would undermine the
+    * exact-pixel oracle discipline. None for anything non-PNG or
+    * malformed. The BMP leg stays the oracle-replayable one (DuckDB
+    * replays its pixels from raw bytes; PNG's DEFLATE stream cannot be
+    * replayed in SQL) — pinned equal to this decoder in MultimodalSpec
+    * instead.
+    */
+  def decodePngGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < 8) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != PngSignature(i)) return None; i += 1 }
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      val gray = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          gray(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, gray))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Container-dispatching gray decode: BMP (byte-level, oracle-
+    * replayable) first, then PNG ([[decodePngGray]]). The shared raster
+    * contract means every pixel consumer (imageStats, dHash, shot
+    * detection) is container-agnostic.
+    */
+  def decodeImageGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodeBmp24Gray(bytes).orElse(decodePngGray(bytes))
 }

@@ -476,7 +476,7 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.flatMap { r =>
-        MediaFormats.decodeBmp24Gray(r.content).map { case (w, h, gray) =>
+        MediaFormats.decodeImageGray(r.content).map { case (w, h, gray) =>
           var s = 0L; var s2 = 0L; var mn = 256L; var mx = -1L
           var i = 0
           while (i < gray.length) {
@@ -507,7 +507,7 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.flatMap { r =>
-        MediaFormats.decodeBmp24Gray(r.content).map { case (w, h, gray) =>
+        MediaFormats.decodeImageGray(r.content).map { case (w, h, gray) =>
           val (hi, lo) = dHash(w, h, gray)
           (r.media_id, hi, lo)
         }

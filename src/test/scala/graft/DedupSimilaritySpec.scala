@@ -847,6 +847,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"every doc's duplicated span is [9, 70) (last code char + boilerplate): ${spans.take(3).toSeq}")
   }
 
+  test("suffix winnow-prefilter is candidate-complete: identical spans, incl. internal-only repeats") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again and again."
+    // doc 900 duplicates its span ONLY INTERNALLY (no partner doc): the
+    // prefilter must admit it via the repeated-fingerprint flag, not the
+    // shared-postings leg
+    val internalOnly = "ZYXWVUTSRQPONMLKJIHGFEDCBA0123456789 unique prefix " +
+      boiler + " filler middle text " + boiler
+    // docs 0/1 share the boilerplate pairwise; docs 100.. are singletons
+    val docs = (Seq(
+      (0L, "alpha start " + boiler + " alpha end"),
+      (1L, "beta opening " + boiler + " beta closing"),
+      (900L, internalOnly)) ++
+      (100L until 140L).map(i =>
+        (i, s"singleton document number $i with its own distinct content " +
+          s"padding padding-$i tail-$i of sufficient length for windows")))
+      .toDF("doc_id", "text")
+    val on = graft.operators.Dedup.suffixDuplicateSpans(
+        docs, "doc_id", "text", minLen = 30)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val off = graft.operators.Dedup.suffixDuplicateSpans(
+        docs, "doc_id", "text", minLen = 30, winnowPrefilter = false)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(on == off,
+      s"prefilter changed the result (only-on=${on -- off}, only-off=${off -- on})")
+    assert(on.exists(_._1 == 900L),
+      "internal-only duplicated span must survive the prefilter")
+    assert(Seq(0L, 1L).forall(id => on.exists(_._1 == id)),
+      "cross-doc duplicated spans must survive the prefilter")
+  }
+
   // clustered embeddings: 4 tight clusters of 8 around orthogonal axes,
   // so exact top-k neighbors are the in-cluster vectors
   private def clusteredEmb = {

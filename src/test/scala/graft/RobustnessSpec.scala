@@ -298,4 +298,33 @@ class RobustnessSpec extends AnyFunSuite {
     assert(growth < 400.0,
       s"candidate volume grew ${growth}x across a 100x corpus step")
   }
+
+  test("lshExpectedRecall / lshBandsForRecall: closed form, inverse, refusal") {
+    // closed form against a hand-computed point: p(0.4) = 1-acos(0.4)/pi
+    val p = 1.0 - math.acos(0.4) / math.Pi
+    val manual = 1.0 - math.pow(1.0 - math.pow(p, 6), 16)
+    assert(math.abs(Similarity.lshExpectedRecall(6, 16, 0.4) - manual) < 1e-12)
+    // monotone in cosine (the lower-bound-at-tau argument relies on it)
+    assert(Similarity.lshExpectedRecall(8, 16, 0.6) >
+      Similarity.lshExpectedRecall(8, 16, 0.4))
+    // inverse property: the band count lshBandsForRecall returns actually
+    // achieves the floor, and one band fewer does not
+    for (bits <- Seq(6, 8, 12); tau <- Seq(0.5, 0.7); floor <- Seq(0.8, 0.95)) {
+      val b = Similarity.lshBandsForRecall(bits, tau, floor)
+      assert(Similarity.lshExpectedRecall(bits, b, tau) >= floor,
+        s"bits=$bits tau=$tau floor=$floor: $b bands miss the floor")
+      if (b > 1)
+        assert(Similarity.lshExpectedRecall(bits, b - 1, tau) < floor,
+          s"bits=$bits tau=$tau floor=$floor: $b bands not minimal")
+    }
+    // the documented SCALE.md point: holding 0.9 recall at tau=0.4 with the
+    // n=20000 capped geometry (bits=12) needs ~9x the 64-band cap
+    val need = Similarity.lshBandsForRecall(12, 0.4, 0.9)
+    assert(need > 500 && need < 650, s"expected ~575 bands, got $need")
+    // past the sanity bound the mode REFUSES and names the IVF route
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshBandsForRecall(20, 0.4, 0.9)
+    }
+    assert(e.getMessage.contains("semanticNearDupsIvf"))
+  }
 }

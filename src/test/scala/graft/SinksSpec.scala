@@ -205,6 +205,41 @@ class SinksSpec extends AnyFunSuite {
       MediaFormats.bmpBytes(640, 480, Array.fill[Byte](32)(1))).isEmpty)
   }
 
+  test("png decode agrees with the bmp decoder pixel-for-pixel; consumers accept png") {
+    import graft.sources.{MediaFormats, Multimodal}
+    import spark.implicits._
+    // a deterministic RGB pattern exercising all three channels + rounding
+    val w = 9; val h = 6
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 41 + y) % 256 << 16) |
+        ((y * 73 + x * 5) % 256 << 8) | ((x * 11 + y * 29) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    val Some((pw, ph, pGray)) = MediaFormats.decodePngGray(png)
+    assert((pw, ph) == (w, h))
+    // reference: the BMP decoder over the SAME pixels (identical luma) —
+    // the oracle-replayable leg pins the PNG leg
+    val expected = for (y <- 0 until h; x <- 0 until w) yield {
+      val rgb = img.getRGB(x, y)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+    }
+    assert(pGray.toSeq == expected,
+      "png luma must equal the shared integer ITU-R 601 formula")
+    // dispatching decode routes both containers; non-images stay absent
+    assert(MediaFormats.decodeImageGray(png).isDefined)
+    assert(MediaFormats.decodePngGray("not a png".getBytes).isEmpty)
+    // the Dataset consumers accept a PNG MediaRecord end-to-end
+    val ds = Seq(Multimodal.MediaRecord(7L, "x.png", "image/png", png)).toDS()
+    val st = Multimodal.imageStats(ds).collect()
+    assert(st.length == 1 && st.head.getAs[Long]("n_pixels") == (w * h).toLong
+      && st.head.getAs[Long]("sum_gray") == expected.map(_.toLong).sum)
+    assert(Multimodal.imageHashes(ds).count() == 1)
+  }
+
   test("dHash collapses one-pixel perturbations; groups differ") {
     val docs = (0L until 40L).toDF("doc_id")
     val hs = Multimodal.imageHashes(Multimodal.synthesizeImages(spark, docs))
