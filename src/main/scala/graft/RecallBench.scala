@@ -64,98 +64,154 @@ object RecallBench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** All legs over one embeddings frame at the given thresholds; returns
+    * the JSON section body for this corpus.
+    */
+  private def measureSection(label: String,
+      emb0: org.apache.spark.sql.DataFrame,
+      taus: Seq[Double]): String = {
+    val emb = emb0.localCheckpoint(true)
+    val n = emb.count()
+    // one brute-force pass counts truth at every tau: the id_1 < id_2
+    // join condition runs before the cosine, so exactly n(n-1)/2
+    // cosines are evaluated
+    val e1 = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val e2 = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val (truthRow, truthSecs) = timed {
+      val sums = taus.map(t =>
+        sum(when(col("c") >= t, 1L).otherwise(0L)).as(s"t$t"))
+      e1.join(broadcast(e2), col("id1") < col("id2"))
+        .select(VectorFunctions.cosine(col("v1"), col("v2")).as("c"))
+        .agg(sums.head, sums.tail: _*)
+        .collect().head
+    }
+    val truthAt = taus.zipWithIndex
+      .map { case (t, i) => t -> truthRow.getLong(i) }.toMap
+
+    val legs = taus.flatMap { tau =>
+      val truth = truthAt(tau)
+      val (bits, bands) = Similarity.lshGeometry(n, tau, 6, 16)
+      val (lshFound, lshSecs) = timed {
+        Dedup.semanticNearDups(emb, "vec_id", "embedding", tau,
+          bandBits = bits, numBands = bands).count()
+      }
+      val (mpBits, mpBands) = Similarity.lshGeometry(n, tau, 8, 16)
+      val (mpFound, mpSecs) = timed {
+        Dedup.semanticNearDups(emb, "vec_id", "embedding", tau,
+          bandBits = mpBits, numBands = mpBands, probeDepth = 1).count()
+      }
+      val ncells = Similarity.ivfCellCount(n)
+      def ivfLeg(name: String, anchors: org.apache.spark.sql.DataFrame) = {
+        val (found, secs) = timed {
+          Dedup.semanticNearDupsIvf(emb, "vec_id", "embedding", tau,
+            cells = anchors, nassign = 2).count()
+        }
+        Leg(s"$name@$tau", s"ncells=$ncells,nassign=2", found, truth,
+          secs, -1.0)
+      }
+      val firstAnchors = emb.filter(col("vec_id") < ncells)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+      // hash-spread: ncells hash-smallest ids — deterministic and
+      // uniform over the id space (every ScaleGen replica contributes)
+      val spreadAnchors = emb
+        .select(col("vec_id"), col("embedding"),
+          xxhash64(lit(7L), col("vec_id")).as("h"))
+        .orderBy(col("h").asc).limit(ncells)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+        .localCheckpoint(true)
+      val kmAnchors = Similarity.kmeansCentroids(emb, "embedding",
+          nlist = ncells, iters = 2, sampleSize = 8192)
+        .select(col("cell"),
+          col("centroid").cast("array<float>").as("centroid"))
+      Seq(
+        Leg(s"lsh@$tau", s"bits=$bits,bands=$bands", lshFound, truth,
+          lshSecs, Similarity.lshExpectedRecall(bits, bands, tau)),
+        Leg(s"lshmp@$tau", s"bits=$mpBits,bands=$mpBands,probe=1",
+          mpFound, truth, mpSecs,
+          // probe upper bound: full single-flip set (truncation at
+          // maxProbeBits makes the real value sit between this and
+          // the exact-bucket form)
+          Similarity.lshExpectedRecall(mpBits, mpBands, tau)),
+        ivfLeg("ivf_first", firstAnchors),
+        ivfLeg("ivf_spread", spreadAnchors),
+        ivfLeg("ivf_km", kmAnchors))
+    }
+    val legJson = legs.map { l =>
+      val ppm =
+        if (l.truth == 0L) -1L else l.found * 1000000L / l.truth
+      s""""${l.name}":{"geometry":"${l.geometry}","found":${l.found},"truth":${l.truth},"recall_ppm":$ppm,"secs":${fmt(l.secs)},"predicted_recall_at_tau":${fmt(l.predicted)}}"""
+    }.mkString(",")
+    val truthJson = taus
+      .map(t => s""""$t":${truthAt(t)}""").mkString("{", ",", "}")
+    s""""$label":{"n":$n,"truth_pairs":$truthJson,"truth_secs":${fmt(truthSecs)},"legs":{$legJson}}"""
+  }
+
+  // -- deterministic clustered corpus (the SemDeDup regime: tight clusters,
+  // -- production-band thresholds) — the splitmix mix/unit convention of
+  // -- RobustnessSpec, scaled to arbitrary n ------------------------------
+  private def mix(xs: Long*): Long = {
+    var a = 0x9e3779b97f4a7c15L
+    xs.foreach { x =>
+      a = (a ^ x) * 0xbf58476d1ce4e5b9L
+      a = (a ^ (a >>> 27)) * 0x94d049bb133111ebL
+      a = a ^ (a >>> 31)
+    }
+    a
+  }
+  private def unit(xs: Long*): Double =
+    (mix(xs: _*) >>> 11).toDouble / (1L << 53).toDouble
+
+  /** n vectors in ⌈n/occupancy⌉ tight clusters (centers uniform in
+    * [−1,1]^dim, members = center + 0.15·noise → in-cluster cosine ≈ 0.9+,
+    * cross-cluster ≈ 0). Ids round-robin over clusters so id-prefix
+    * anchors are NOT accidentally one-per-cluster-aligned.
+    */
+  private def clusteredEmb(spark: SparkSession, n: Int,
+      dim: Int = 32, occupancy: Int = 20): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val k = math.max(1, n / occupancy)
+    (0 until n).map { i =>
+      val c = i % k
+      val v = Array.tabulate(dim) { d =>
+        val ctr = 2.0 * unit(20L, c, d) - 1.0
+        (ctr + 0.15 * (2.0 * unit(21L, c, i, d) - 1.0)).toFloat
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
   def main(args: Array[String]): Unit = {
-    val dirs =
-      if (args.nonEmpty) args.toSeq
-      else Seq("/root/testdata/sf0.1", "/tmp/sf1", "/tmp/sf3")
+    val clustered = args.headOption.contains("--clustered")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
     val spark = GraftSession.create(appName = "graft-recall",
       master = s"local[$cpus]", shufflePartitions =
         GraftSession.envShufflePartitions.orElse(Some(cpus.toInt)))
     spark.sparkContext.setLogLevel("WARN")
-    val taus = Seq(0.4, 0.5)
 
-    val sections = dirs.filter(d =>
-        new java.io.File(s"$d/embeddings.parquet").isFile)
-      .map { d =>
-        val emb = Tables.embeddings(spark, d).localCheckpoint(true)
-        val n = emb.count()
-        // one brute-force pass counts truth at every tau: the id_1 < id_2
-        // join condition runs before the cosine, so exactly n(n-1)/2
-        // cosines are evaluated
-        val e1 = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
-        val e2 = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
-        val (truthRow, truthSecs) = timed {
-          val sums = taus.map(t =>
-            sum(when(col("c") >= t, 1L).otherwise(0L)).as(s"t$t"))
-          e1.join(broadcast(e2), col("id1") < col("id2"))
-            .select(VectorFunctions.cosine(col("v1"), col("v2")).as("c"))
-            .agg(sums.head, sums.tail: _*)
-            .collect().head
+    val (taus, outFile, sections) =
+      if (clustered) {
+        // the SemDeDup operating regime: clustered corpus, high tau (all
+        // in-cluster cosines sit ≈0.9, so both taus share the same truth
+        // set while exercising different LSH geometries)
+        val sizes = args.drop(1).map(_.toInt).toSeq match {
+          case Nil => Seq(20000, 60000)
+          case s => s
         }
-        val truthAt = taus.zipWithIndex
-          .map { case (t, i) => t -> truthRow.getLong(i) }.toMap
-
-        val legs = taus.flatMap { tau =>
-          val truth = truthAt(tau)
-          val (bits, bands) = Similarity.lshGeometry(n, tau, 6, 16)
-          val (lshFound, lshSecs) = timed {
-            Dedup.semanticNearDups(emb, "vec_id", "embedding", tau,
-              bandBits = bits, numBands = bands).count()
-          }
-          val (mpBits, mpBands) = Similarity.lshGeometry(n, tau, 8, 16)
-          val (mpFound, mpSecs) = timed {
-            Dedup.semanticNearDups(emb, "vec_id", "embedding", tau,
-              bandBits = mpBits, numBands = mpBands, probeDepth = 1).count()
-          }
-          val ncells = Similarity.ivfCellCount(n)
-          def ivfLeg(name: String, anchors: org.apache.spark.sql.DataFrame) = {
-            val (found, secs) = timed {
-              Dedup.semanticNearDupsIvf(emb, "vec_id", "embedding", tau,
-                cells = anchors, nassign = 2).count()
-            }
-            Leg(s"$name@$tau", s"ncells=$ncells,nassign=2", found, truth,
-              secs, -1.0)
-          }
-          val firstAnchors = emb.filter(col("vec_id") < ncells)
-            .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-          // hash-spread: ncells hash-smallest ids — deterministic and
-          // uniform over the id space (every ScaleGen replica contributes)
-          val spreadAnchors = emb
-            .select(col("vec_id"), col("embedding"),
-              xxhash64(lit(7L), col("vec_id")).as("h"))
-            .orderBy(col("h").asc).limit(ncells)
-            .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-            .localCheckpoint(true)
-          val kmAnchors = Similarity.kmeansCentroids(emb, "embedding",
-              nlist = ncells, iters = 2, sampleSize = 8192)
-            .select(col("cell"),
-              col("centroid").cast("array<float>").as("centroid"))
-          Seq(
-            Leg(s"lsh@$tau", s"bits=$bits,bands=$bands", lshFound, truth,
-              lshSecs, Similarity.lshExpectedRecall(bits, bands, tau)),
-            Leg(s"lshmp@$tau", s"bits=$mpBits,bands=$mpBands,probe=1",
-              mpFound, truth, mpSecs,
-              // probe upper bound: full single-flip set (truncation at
-              // maxProbeBits makes the real value sit between this and
-              // the exact-bucket form)
-              Similarity.lshExpectedRecall(mpBits, mpBands, tau)),
-            ivfLeg("ivf_first", firstAnchors),
-            ivfLeg("ivf_spread", spreadAnchors),
-            ivfLeg("ivf_km", kmAnchors))
-        }
-        val legJson = legs.map { l =>
-          val ppm =
-            if (l.truth == 0L) -1L else l.found * 1000000L / l.truth
-          s""""${l.name}":{"geometry":"${l.geometry}","found":${l.found},"truth":${l.truth},"recall_ppm":$ppm,"secs":${fmt(l.secs)},"predicted_recall_at_tau":${fmt(l.predicted)}}"""
-        }.mkString(",")
-        val truthJson = taus
-          .map(t => s""""$t":${truthAt(t)}""").mkString("{", ",", "}")
-        s""""$d":{"n":$n,"truth_pairs":$truthJson,"truth_secs":${fmt(truthSecs)},"legs":{$legJson}}"""
+        val ts = Seq(0.5, 0.8)
+        (ts, "RECALL_CLUSTERED.json", sizes.map(nn =>
+          measureSection(s"clustered_n$nn", clusteredEmb(spark, nn), ts)))
+      } else {
+        val dirs =
+          if (args.nonEmpty) args.toSeq
+          else Seq("/root/testdata/sf0.1", "/tmp/sf1", "/tmp/sf3")
+        val ts = Seq(0.4, 0.5)
+        (ts, "RECALL.json", dirs
+          .filter(d => new java.io.File(s"$d/embeddings.parquet").isFile)
+          .map(d => measureSection(d, Tables.embeddings(spark, d), ts)))
       }
-    val json = s"""{"metric":"recall_at_n","taus":[0.4,0.5],"dirs":{${sections.mkString(",")}}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("RECALL.json"),
+    val json = s"""{"metric":"recall_at_n","taus":[${taus.mkString(",")}],"dirs":{${sections.mkString(",")}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
     spark.stop()

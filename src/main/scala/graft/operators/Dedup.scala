@@ -1211,11 +1211,11 @@ object Dedup {
     * closing islands window partitions by doc id (per-doc positions,
     * bounded by doc length — never a global window).
     *
-    * Winnow prefilter (on by default for minLen ≥ 9, candidate-COMPLETE —
-    * the output is bit-identical with it on or off): before the char
-    * explode, docs are admitted only if they (a) share a winnowed
-    * fingerprint with another doc, or (b) repeat a fingerprint value
-    * internally. The winnow parameters are COUPLED to minLen — k = 8,
+    * Winnow prefilter (on by default, candidate-COMPLETE — the output is
+    * bit-identical with it on or off): before the char explode, docs are
+    * admitted only if they (a) share a winnowed fingerprint with another
+    * doc, or (b) repeat a fingerprint value internally. The winnow
+    * parameters are COUPLED to minLen — k = min(minLen, 64),
     * w = minLen − k + 1, so the guarantee length w + k − 1 equals minLen
     * exactly: any duplicated minLen-window's two occurrences each select
     * a common fingerprint, which lands the occurrences' docs in (a) (two
@@ -1225,9 +1225,19 @@ object Dedup {
     * where the corpus-wide count was ≥ 2. NO df-cap anywhere: the
     * prefilter needs only per-fingerprint doc counts (linear postings
     * aggregation), never posting-list pair joins, so the df-cut blind
-    * spot that motivates this operator does not reappear. Most docs in a
-    * low-duplication corpus share no fingerprint and never enter the
-    * O(chars · log minLen) doubling.
+    * spot that motivates this operator does not reappear.
+    *
+    * k CHOICE is precision-critical, and was measured: a shared
+    * fingerprint witnesses only a shared k-GRAM that both docs selected,
+    * so small k admits on weak evidence — at k = 8 the sf1 fixture
+    * admitted 100 % of docs (template text shares 8-grams pervasively)
+    * and the prefilter was pure overhead; at k = minLen = 30 (w = 1, the
+    * degenerate winnow = every 30-gram hash) admission is essentially
+    * EXACT participation — 13 % at the gate, 31 % at sf1 — because a
+    * shared fingerprint now witnesses a full shared minLen-window (up to
+    * hash collisions, which only over-admit). The 64 cap bounds the
+    * per-position hash cost at O(64 · chars) when minLen is large, while
+    * keeping the witness ≥ a shared 64-gram.
     */
   def suffixDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                            minLen: Int,
@@ -1238,8 +1248,8 @@ object Dedup {
       .select(col(idCol).as("id"), col(textCol).as("t"),
         length(col(textCol)).as("len"))
       .filter(col("len") >= minLen)
-    val fpK = 8
-    val docs = if (!winnowPrefilter || minLen < fpK + 1) allDocs else {
+    val fpK = math.min(minLen, 64)
+    val docs = if (!winnowPrefilter) allDocs else {
       val fpW = minLen - fpK + 1
       import graft.functions.WinnowFunctions
       val fp = allDocs.select(col("id"),
