@@ -139,6 +139,117 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   * (a prefix signature would silently bucket incomparable vectors
   * together — same contract as [[DotProduct]]'s null on mismatch).
   */
+/** Shared top-cell routing loop for [[IvfRouteCells]] — one static body
+  * called from both interpreted eval and generated code so the paths
+  * cannot drift. Scores every centroid with EXACTLY
+  * [[CosineSimilarity]]'s arithmetic (double accumulation in element
+  * order, dot/(√na·√nb)); keeps the top `nassign` by (score desc, index
+  * asc) via strict-> insertion (ties keep the earlier index). Zero
+  * vectors and zero centroids score −∞: a directionless vector routes
+  * NOWHERE (it has no cell-locality to exploit), and a degenerate
+  * centroid attracts nothing.
+  */
+object IvfRoute {
+  def topCells(v: org.apache.spark.sql.catalyst.util.ArrayData,
+               isFloat: Boolean, centroids: Array[Double], dim: Int,
+               nassign: Int): GenericArrayData = {
+    val ncells = centroids.length / dim
+    val k = math.min(nassign, ncells)
+    var na = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      na += x * x; i += 1
+    }
+    val bs = new Array[Double](k)
+    val bi = new Array[Int](k)
+    java.util.Arrays.fill(bs, Double.NegativeInfinity)
+    var c = 0
+    while (c < ncells) {
+      var dot = 0.0; var nb = 0.0
+      val off = c * dim
+      var j = 0
+      while (j < dim) {
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        val y = centroids(off + j)
+        dot += x * y; nb += y * y; j += 1
+      }
+      val s =
+        if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (s > bs(k - 1)) {
+        var p = k - 1
+        while (p > 0 && s > bs(p - 1)) {
+          bs(p) = bs(p - 1); bi(p) = bi(p - 1); p -= 1
+        }
+        bs(p) = s; bi(p) = c
+      }
+      c += 1
+    }
+    var kept = 0
+    while (kept < k && bs(kept) != Double.NegativeInfinity) kept += 1
+    val out = new Array[Int](kept)
+    System.arraycopy(bi, 0, out, 0, kept)
+    new GenericArrayData(out)
+  }
+}
+
+/** Top-`nassign` IVF cell INDICES (into the flattened row-major centroid
+  * matrix, which the caller keeps sorted by cell id so index order IS id
+  * order) — the zero-shuffle routing map for
+  * [[graft.operators.Dedup.semanticNearDupsIvf]]: the previous
+  * crossJoin + collect_list formulation shuffled the FULL n × ncells
+  * score expansion (collect_list partial buffers do not reduce volume);
+  * this expression is a pure per-row map, the same plan shape the LSH
+  * banding path uses for its plane matrix.
+  */
+case class IvfRouteCells(child: Expression, centroids: Array[Double],
+    dim: Int, nassign: Int) extends UnaryExpression {
+  require(dim >= 1 && nassign >= 1 && centroids.length % dim == 0 &&
+    centroids.length > 0,
+    s"centroids length ${centroids.length} must be a positive multiple of dim=$dim")
+
+  val ncells: Int = centroids.length / dim
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> input, got ${other.simpleString}")
+    }
+
+  private lazy val elemIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (v.numElements() != dim) return null
+    IvfRoute.topCells(v, elemIsFloat, centroids, dim, nassign)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centroidsRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.IvfRoute.topCells(
+         |    $v, $elemIsFloat, $centroidsRef, $dim, $nassign);
+         |}
+       """.stripMargin)
+  }
+
+  override def toString: String =
+    s"ivf_route_cells($child, cells=${ncells}x$dim, nassign=$nassign)"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class HyperplaneSignatures(child: Expression, planes: Array[Double],
     dim: Int, bandBits: Int) extends UnaryExpression {
   require(dim >= 1 && bandBits >= 1 && bandBits <= 64 &&
@@ -556,6 +667,14 @@ object VectorFunctions {
   /** Column API: cosine similarity of two vector columns (null on zero norm). */
   def cosine(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+
+  /** Column API: top-`nassign` IVF cell indices against a flattened
+    * row-major centroid matrix (caller keeps centroid rows sorted by cell
+    * id so index order is id order).
+    */
+  def ivfRouteCells(vec: Column, centroids: Array[Double], dim: Int,
+                    nassign: Int): Column =
+    column(IvfRouteCells(expression(vec), centroids, dim, nassign))
 
   /** Column API: all banded hyperplane signatures (array&lt;long&gt;, one Long
     * per band) of a vector column in one fused pass.

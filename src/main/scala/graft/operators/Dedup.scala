@@ -868,13 +868,20 @@ object Dedup {
     * degenerate buckets — size `cells` via [[Similarity.ivfCellCount]] so
     * healthy cells sit far below the guard.
     *
-    * `cells` is (cell, centroid) — broadcast at every use. Pass
-    * [[Similarity.kmeansCentroids]] output for learned routing
+    * `cells` is (cell, centroid) — PARAMETER-sized (explicit ≤ 2¹⁶
+    * require; the same planes/codebooks discipline the LSH and PQ paths
+    * use), collected once and embedded in a codegen routing expression
+    * ([[graft.functions.IvfRouteCells]]), so assignment is a pure
+    * per-row map: ZERO shuffle, no n × ncells row expansion (the first
+    * formulation's collect_list shuffled the full expansion — measured
+    * 48–56 s at n = 60 000 where the expression form routes in seconds).
+    * Pass [[Similarity.kmeansCentroids]] output for learned routing
     * (production), or seed rows (`emb.filter(pred)`) for bit-reproducible
     * routing that an external SQL engine can replay — the audit
-    * configuration `dedup_semantic_ivf` uses. Routing is one broadcast
-    * join + a map-side partial top-nassign fold (no N·ncells shuffle);
-    * ties break to the lowest cell id on BOTH engines.
+    * configuration `dedup_semantic_ivf` uses. Centroid rows are sorted
+    * by cell id before embedding, and the expression breaks score ties
+    * to the lowest index, so tie behavior is (score desc, cell asc) on
+    * BOTH engines. Directionless (zero) vectors route nowhere.
     *
     * Cost honesty at 100 TB: the CANDIDATE stage is linear, but FLAT
     * routing computes n·ncells cosines, and ncells itself grows as n/64 —
@@ -895,19 +902,35 @@ object Dedup {
       maxCellSize: Long = 1000000L): DataFrame = {
     require(nassign >= 1 && nassign <= 8,
       s"nassign=$nassign out of range [1, 8] (candidate volume scales with it)")
+    // bounded driver action: the cell table is a parameter (like LSH
+    // planes / PQ codebooks), enforced — never a data-sized collect
+    val cellRows = cells
+      .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
+      .collect()
+    require(cellRows.nonEmpty && cellRows.length <= (1 << 16),
+      s"cells must be parameter-sized: got ${cellRows.length} rows " +
+        s"(1 to ${1 << 16}); for larger quantizers route hierarchically")
+    val sorted = cellRows.sortBy(_.getLong(0))
+    require(sorted.iterator.map(_.getLong(0)).toSeq.distinct.length == sorted.length,
+      "duplicate cell ids in the centroid table")
+    val dim = sorted.head.getSeq[Double](1).length
+    require(sorted.forall(_.getSeq[Double](1).length == dim),
+      "all centroids must share one dimensionality")
+    val flat = new Array[Double](sorted.length * dim)
+    var ci = 0
+    while (ci < sorted.length) {
+      val cs = sorted(ci).getSeq[Double](1)
+      var j = 0
+      while (j < dim) { flat(ci * dim + j) = cs(j); j += 1 }
+      ci += 1
+    }
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // top-nassign cells per vector: the (-score, cell) struct sort makes
-    // array_sort ascending equal row_number() OVER (ORDER BY score DESC,
-    // cell ASC) — the exact ordering the SQL replay uses. collect_list
-    // partial-aggregates map-side (ncells rows per id fold before the
-    // exchange), so the routing shuffle carries ~one row per vector.
-    val assigned = base
-      .crossJoin(broadcast(cells))
-      .withColumn("score", VectorFunctions.cosine(col("v"), col("centroid")))
-      .groupBy(col("id"))
-      .agg(slice(array_sort(collect_list(
-        struct((-col("score")).as("ns"), col("cell")))), 1, nassign).as("top"))
-      .select(col("id"), explode(col("top").getField("cell")).as("cell"))
+    // top-nassign cell INDICES per vector as a pure map (index order = cell
+    // id order because `sorted` is id-ordered; ties break low-index =
+    // low-id — exactly the SQL replay's ORDER BY score DESC, cell ASC)
+    val assigned = base.select(col("id"),
+      explode(VectorFunctions.ivfRouteCells(col("v"), flat, dim, nassign))
+        .as("cell"))
     val oversized = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("cellSize"))
       .filter(col("cellSize") > maxCellSize)

@@ -94,10 +94,8 @@ class QuerySweepSpec extends AnyFunSuite {
     *  - `sim_ivfpq_topk` / `sim_ivfpq_det_topk`: both of the above;
     *  - `dedup_sweep`: cumulative pair counts × (bands+1 = 11)-row
     *    threshold table — the sweep grid, not data;
-    *  - `dedup_semantic_ivf`: corpus × the ncells-row anchor table — the
-    *    inherent flat-quantizer assignment, ncells = ⌈n/64⌉ (8 at the
-    *    gate, broadcast-sized to ~10⁴ cells / n ≈ 10⁶; hierarchical
-    *    routing is the documented growth path past that);
+    *    (`dedup_semantic_ivf` needs NO entry: routing is a pure per-row
+    *    expression over the embedded centroid matrix — no join at all);
     *  - `sim_topk` / `q_knn_classify` / `q_hard_negatives` /
     *    `q_rrf_fusion` / `q_confusion` / `q_rand_index`: the exact
     *    brute-force cosine baselines — corpus scan × a broadcast probe
@@ -118,7 +116,7 @@ class QuerySweepSpec extends AnyFunSuite {
     "sim_ivf_topk", "sim_ivf_det_topk",
     "sim_pq_topk", "sim_pq_det_topk",
     "sim_ivfpq_topk", "sim_ivfpq_det_topk",
-    "dedup_sweep", "dedup_semantic_ivf",
+    "dedup_sweep",
     "sim_topk", "q_knn_classify", "q_hard_negatives", "q_rrf_fusion",
     "q_confusion", "q_rand_index", "dedup_embcos", "q_mad_outliers",
     "q_qdigest_quantiles")

@@ -139,6 +139,51 @@ class SketchSpec extends AnyFunSuite {
     assert(gen.nonEmpty)
   }
 
+  test("ivfRouteCells: equals window top-n over cosine, codegen == interpreted, zero vector routes nowhere") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, TestSpark.sf).limit(200)
+    // reference: explicit per-(vector, cell) cosine + row_number window —
+    // the formulation the routing expression replaced
+    val anchors = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+      .collect().sortBy(_.getLong(0))
+    val dim = anchors.head.getSeq[Float](1).length
+    val flat = anchors.flatMap(_.getSeq[Float](1).map(_.toDouble))
+    def run(): Seq[(Long, Int)] =
+      emb.select(col("vec_id"),
+          explode(VectorFunctions.ivfRouteCells(col("embedding"), flat, dim, 2))
+            .as("cell"))
+        .orderBy("vec_id", "cell").as[(Long, Int)].collect().toSeq
+    val gen = run()
+    val interp = {
+      val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try run()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", ws)
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    assert(gen == interp)
+    val cellsDf = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cell").asc)
+    val ref = emb.crossJoin(broadcast(cellsDf))
+      .withColumn("score", VectorFunctions.cosine(col("embedding"), col("centroid")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id", "cell").as[(Long, Int)].collect().toSeq
+    assert(gen == ref,
+      s"expression routing diverged from the window reference (sample: ${gen.take(4)} vs ${ref.take(4)})")
+    // a zero vector has no direction: it must route to NO cell
+    val z = Seq((99L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+    assert(z.select(explode(VectorFunctions.ivfRouteCells(col("embedding"),
+      flat, dim, 2))).count() == 0)
+  }
+
   test("hyperplane signatures: one-pass expression matches per-plane manual bits, codegen == interpreted") {
     import graft.operators.Similarity
     val planes = Similarity.hyperplanes(dim = 64, numPlanes = 4 * 16, seed = 42L)
