@@ -194,6 +194,155 @@ object IvfRoute {
   }
 }
 
+/** Two-level routing core shared by eval and codegen: score the
+  * `gprobe` best level-1 groups first, then only the cells INSIDE those
+  * groups — per row `ngroups + gprobe · avgGroupSize` cosines instead of
+  * `ncells` (≈ 2√ncells·(1+gprobe/2) at balanced grouping). Cells arrive
+  * GROUP-CONTIGUOUS with `origIdx` mapping position → original cell
+  * index and `groupStarts` delimiting groups; ties break by ORIGINAL
+  * index on both levels, so with gprobe = ngroups the output is
+  * bit-identical to [[IvfRoute.topCells]] over the original matrix
+  * (pinned in SketchSpec). Same −∞ conventions as the flat router.
+  */
+object IvfRouteTwoLevel {
+  def topCells(v: org.apache.spark.sql.catalyst.util.ArrayData,
+               isFloat: Boolean, groups: Array[Double], cells: Array[Double],
+               origIdx: Array[Int], groupStarts: Array[Int], dim: Int,
+               gprobe: Int, nassign: Int): GenericArrayData = {
+    val ngroups = groups.length / dim
+    var na = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      na += x * x; i += 1
+    }
+    def score(mat: Array[Double], off: Int): Double = {
+      var dot = 0.0; var nb = 0.0; var j = 0
+      while (j < dim) {
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        val y = mat(off + j)
+        dot += x * y; nb += y * y; j += 1
+      }
+      if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // level 1: top-gprobe groups (score desc, group asc — strict > keeps
+    // the earlier group on ties because groups scan in index order)
+    val gk = math.min(gprobe, ngroups)
+    val gs = new Array[Double](gk)
+    val gi = new Array[Int](gk)
+    java.util.Arrays.fill(gs, Double.NegativeInfinity)
+    var g = 0
+    while (g < ngroups) {
+      val s = score(groups, g * dim)
+      if (s > gs(gk - 1)) {
+        var p = gk - 1
+        while (p > 0 && s > gs(p - 1)) {
+          gs(p) = gs(p - 1); gi(p) = gi(p - 1); p -= 1
+        }
+        gs(p) = s; gi(p) = g
+      }
+      g += 1
+    }
+    // level 2: top-nassign cells across the probed groups; cells are
+    // visited in group-selection order (NOT original order), so the
+    // insertion must compare ties by ORIGINAL index explicitly
+    val k = math.min(nassign, cells.length / dim)
+    val bs = new Array[Double](k)
+    val bi = new Array[Int](k)
+    java.util.Arrays.fill(bs, Double.NegativeInfinity)
+    java.util.Arrays.fill(bi, Int.MaxValue)
+    var q = 0
+    while (q < gk && gs(q) != Double.NegativeInfinity) {
+      val grp = gi(q)
+      var pos = groupStarts(grp)
+      val end = groupStarts(grp + 1)
+      while (pos < end) {
+        val s = score(cells, pos * dim)
+        val oi = origIdx(pos)
+        if (s != Double.NegativeInfinity &&
+            (s > bs(k - 1) || (s == bs(k - 1) && oi < bi(k - 1)))) {
+          var p = k - 1
+          while (p > 0 && (s > bs(p - 1) ||
+              (s == bs(p - 1) && oi < bi(p - 1)))) {
+            bs(p) = bs(p - 1); bi(p) = bi(p - 1); p -= 1
+          }
+          bs(p) = s; bi(p) = oi
+        }
+        pos += 1
+      }
+      q += 1
+    }
+    var kept = 0
+    while (kept < k && bs(kept) != Double.NegativeInfinity) kept += 1
+    val out = new Array[Int](kept)
+    System.arraycopy(bi, 0, out, 0, kept)
+    new GenericArrayData(out)
+  }
+}
+
+/** Expression form of [[IvfRouteTwoLevel.topCells]] — the hierarchical
+  * coarse quantizer the flat router's scaladoc names as the growth path
+  * past ~10⁴ cells. All matrices are parameter-sized constructor state.
+  */
+case class IvfRouteCellsTwoLevel(child: Expression, groups: Array[Double],
+    cells: Array[Double], origIdx: Array[Int], groupStarts: Array[Int],
+    dim: Int, gprobe: Int, nassign: Int) extends UnaryExpression {
+  require(dim >= 1 && gprobe >= 1 && nassign >= 1 &&
+    groups.length % dim == 0 && groups.length > 0 &&
+    cells.length % dim == 0 && cells.length > 0 &&
+    origIdx.length == cells.length / dim &&
+    groupStarts.length == groups.length / dim + 1 &&
+    groupStarts.head == 0 && groupStarts.last == origIdx.length,
+    s"inconsistent two-level routing tables (dim=$dim, groups=${groups.length}, " +
+      s"cells=${cells.length}, origIdx=${origIdx.length}, starts=${groupStarts.length})")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> input, got ${other.simpleString}")
+    }
+
+  private lazy val elemIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (v.numElements() != dim) return null
+    IvfRouteTwoLevel.topCells(v, elemIsFloat, groups, cells, origIdx,
+      groupStarts, dim, gprobe, nassign)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val groupsRef = ctx.addReferenceObj("groups", groups, "double[]")
+    val cellsRef = ctx.addReferenceObj("cells", cells, "double[]")
+    val origRef = ctx.addReferenceObj("origIdx", origIdx, "int[]")
+    val startsRef = ctx.addReferenceObj("groupStarts", groupStarts, "int[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.IvfRouteTwoLevel.topCells(
+         |    $v, $elemIsFloat, $groupsRef, $cellsRef, $origRef, $startsRef,
+         |    $dim, $gprobe, $nassign);
+         |}
+       """.stripMargin)
+  }
+
+  override def toString: String =
+    s"ivf_route_cells_2l($child, groups=${groups.length / dim}, " +
+      s"cells=${cells.length / dim}x$dim, gprobe=$gprobe, nassign=$nassign)"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Top-`nassign` IVF cell INDICES (into the flattened row-major centroid
   * matrix, which the caller keeps sorted by cell id so index order IS id
   * order) — the zero-shuffle routing map for
@@ -675,6 +824,15 @@ object VectorFunctions {
   def ivfRouteCells(vec: Column, centroids: Array[Double], dim: Int,
                     nassign: Int): Column =
     column(IvfRouteCells(expression(vec), centroids, dim, nassign))
+
+  /** Column API: two-level routing — top-`gprobe` groups, then
+    * top-`nassign` cells inside them. Returns ORIGINAL cell indices.
+    */
+  def ivfRouteCellsTwoLevel(vec: Column, groups: Array[Double],
+      cells: Array[Double], origIdx: Array[Int], groupStarts: Array[Int],
+      dim: Int, gprobe: Int, nassign: Int): Column =
+    column(IvfRouteCellsTwoLevel(expression(vec), groups, cells, origIdx,
+      groupStarts, dim, gprobe, nassign))
 
   /** Column API: all banded hyperplane signatures (array&lt;long&gt;, one Long
     * per band) of a vector column in one fused pass.

@@ -899,9 +899,11 @@ object Dedup {
   def semanticNearDupsIvf(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
       cells: DataFrame, nassign: Int = 2,
-      maxCellSize: Long = 1000000L): DataFrame = {
+      maxCellSize: Long = 1000000L, groupProbe: Int = 0): DataFrame = {
     require(nassign >= 1 && nassign <= 8,
       s"nassign=$nassign out of range [1, 8] (candidate volume scales with it)")
+    require(groupProbe >= 0 && groupProbe <= 64,
+      s"groupProbe=$groupProbe out of range [0, 64] (0 = flat routing)")
     // bounded driver action: the cell table is a parameter (like LSH
     // planes / PQ codebooks), enforced — never a data-sized collect
     val cellRows = cells
@@ -927,10 +929,38 @@ object Dedup {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     // top-nassign cell INDICES per vector as a pure map (index order = cell
     // id order because `sorted` is id-ordered; ties break low-index =
-    // low-id — exactly the SQL replay's ORDER BY score DESC, cell ASC)
-    val assigned = base.select(col("id"),
-      explode(VectorFunctions.ivfRouteCells(col("v"), flat, dim, nassign))
-        .as("cell"))
+    // low-id — exactly the SQL replay's ORDER BY score DESC, cell ASC).
+    // groupProbe > 0 switches to the TWO-LEVEL router: ⌈√ncells⌉ driver-
+    // clustered groups, top-groupProbe groups probed per vector — per-row
+    // cost falls from ncells to ~(1 + groupProbe)·√ncells cosines, the
+    // hierarchical shape the flat router's cost note prescribes past
+    // ~10⁴ cells. groupProbe ≥ ngroups is bit-identical to flat
+    // (exhaustive probe; pinned in SketchSpec); smaller values trade the
+    // standard IMI recall loss (top cell inside an unprobed group).
+    val route =
+      if (groupProbe <= 0)
+        VectorFunctions.ivfRouteCells(col("v"), flat, dim, nassign)
+      else {
+        val ncells = sorted.length
+        val ngroups = math.max(1, math.ceil(math.sqrt(ncells.toDouble)).toInt)
+        val (groups, groupOf) =
+          Similarity.groupCentroidsDriver(flat, dim, ngroups)
+        val order = (0 until ncells).sortBy(i => (groupOf(i), i)).toArray
+        val sizes = new Array[Int](ngroups)
+        groupOf.foreach(gp => sizes(gp) += 1)
+        val starts = new Array[Int](ngroups + 1)
+        var g = 0
+        while (g < ngroups) { starts(g + 1) = starts(g) + sizes(g); g += 1 }
+        val regrouped = new Array[Double](flat.length)
+        var p = 0
+        while (p < ncells) {
+          System.arraycopy(flat, order(p) * dim, regrouped, p * dim, dim)
+          p += 1
+        }
+        VectorFunctions.ivfRouteCellsTwoLevel(col("v"), groups, regrouped,
+          order, starts, dim, groupProbe, nassign)
+      }
+    val assigned = base.select(col("id"), explode(route).as("cell"))
     val oversized = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("cellSize"))
       .filter(col("cellSize") > maxCellSize)

@@ -283,6 +283,91 @@ object Similarity {
     math.max(1, bands.toInt)
   }
 
+  /** Deterministic DRIVER-side k-means over a parameter-sized flattened
+    * centroid matrix — the level-1 quantizer of the two-level router
+    * ([[graft.operators.Dedup.semanticNearDupsIvf]] with groupProbe > 0).
+    * Clustering CENTROIDS is driver work by design: the cell table is a
+    * parameter (≤ 2¹⁶ rows by the caller's contract), so this is the one
+    * k-means in the engine that never touches an executor. Cosine
+    * assignment (ties to the lowest group), component-mean update, empty
+    * groups keep their previous centroid; init = evenly strided cells.
+    * Returns (flat group centroids, groupOfCell) — pure function of the
+    * input, bit-deterministic.
+    */
+  def groupCentroidsDriver(cells: Array[Double], dim: Int, ngroups: Int,
+                           iters: Int = 5): (Array[Double], Array[Int]) = {
+    require(dim >= 1 && cells.length % dim == 0 && cells.length > 0,
+      s"cells length ${cells.length} must be a positive multiple of dim=$dim")
+    val ncells = cells.length / dim
+    val g = math.max(1, math.min(ngroups, ncells))
+    val groups = new Array[Double](g * dim)
+    var gi = 0
+    while (gi < g) { // strided init — spread over the cell order
+      val src = (gi.toLong * ncells / g).toInt * dim
+      System.arraycopy(cells, src, groups, gi * dim, dim)
+      gi += 1
+    }
+    val assign = new Array[Int](ncells)
+    def cos(aOff: Int, a: Array[Double], bOff: Int, b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < dim) {
+        val x = a(aOff + j); val y = b(bOff + j)
+        dot += x * y; na += x * x; nb += y * y; j += 1
+      }
+      if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var it = 0
+    while (it < iters) {
+      var c = 0
+      while (c < ncells) {
+        var best = 0; var bestS = Double.NegativeInfinity
+        var k = 0
+        while (k < g) {
+          val s = cos(c * dim, cells, k * dim, groups)
+          if (s > bestS) { bestS = s; best = k }
+          k += 1
+        }
+        assign(c) = best
+        c += 1
+      }
+      val sums = new Array[Double](g * dim)
+      val counts = new Array[Int](g)
+      var c2 = 0
+      while (c2 < ncells) {
+        val k = assign(c2); counts(k) += 1
+        var j = 0
+        while (j < dim) { sums(k * dim + j) += cells(c2 * dim + j); j += 1 }
+        c2 += 1
+      }
+      var k2 = 0
+      while (k2 < g) {
+        if (counts(k2) > 0) {
+          var j = 0
+          while (j < dim) {
+            groups(k2 * dim + j) = sums(k2 * dim + j) / counts(k2); j += 1
+          }
+        }
+        k2 += 1
+      }
+      it += 1
+    }
+    // final assignment against the final group centroids
+    var c3 = 0
+    while (c3 < ncells) {
+      var best = 0; var bestS = Double.NegativeInfinity
+      var k = 0
+      while (k < g) {
+        val s = cos(c3 * dim, cells, k * dim, groups)
+        if (s > bestS) { bestS = s; best = k }
+        k += 1
+      }
+      assign(c3) = best
+      c3 += 1
+    }
+    (groups, assign)
+  }
+
   /** Corpus-adaptive IVF cell count for cell-local dedup
     * ([[Dedup.semanticNearDupsIvf]]): `⌈n / targetCellSize⌉` clamped to
     * [minCells, maxCells], so expected cell occupancy — and with it the

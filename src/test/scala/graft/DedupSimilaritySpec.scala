@@ -986,6 +986,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "nassign=2 must recover the boundary pair")
   }
 
+  test("two-level IVF routing: exhaustive probe == flat; tight clusters survive gprobe=2") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val emb = clusteredEmb
+    val anchors = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    def pairs(gp: Int) = Dedup.semanticNearDupsIvf(emb, "vec_id", "embedding",
+        threshold = 0.9, cells = anchors, nassign = 2, groupProbe = gp)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    val flat = pairs(0)
+    assert(flat.nonEmpty)
+    // exhaustive group probe must reproduce flat routing exactly
+    // (ngroups = ceil(sqrt(8)) = 3)
+    assert(pairs(3) == flat,
+      "gprobe = ngroups (exhaustive) must be identical to flat routing")
+    // tight clusters route coherently: even gprobe=1 keeps every
+    // in-cluster pair (each cluster's members share their best group)
+    assert(pairs(1) == flat,
+      "cluster-coherent corpus must survive a single-group probe")
+    // level-1 grouping is deterministic: same inputs, same groups
+    val (g1, a1) = Similarity.groupCentroidsDriver(
+      Array(1.0, 0, 0, 1, 0.9, 0.1, -1, 0), dim = 2, ngroups = 2)
+    val (g2, a2) = Similarity.groupCentroidsDriver(
+      Array(1.0, 0, 0, 1, 0.9, 0.1, -1, 0), dim = 2, ngroups = 2)
+    assert(g1.toSeq == g2.toSeq && a1.toSeq == a2.toSeq)
+  }
+
   test("exactRerank recovers the exact top-k from any covering shortlist") {
     val emb = clusteredEmb
     val qs = emb.filter(col("vec_id") < 4)
