@@ -259,6 +259,11 @@ object Dedup {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bands = cfg.numHashes / cfg.bandRows
+    // rebuilds must survive SESSION boundaries: a previous session's
+    // managed-table directory outlives the in-memory catalog, and
+    // saveAsTable refuses an orphaned location — clear both first
+    Seq("_docs", "_bands", "_meta").foreach(s =>
+      graft.sources.Sinks.dropTableAndLocation(spark, table + s))
     val base = corpus.select(col(idCol).as("id"), shingles.as("sh"))
       .filter(size(col("sh")) > 0)
     graft.sources.Sinks.writeBucketed(

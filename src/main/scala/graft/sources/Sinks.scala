@@ -216,4 +216,21 @@ object Sinks {
 
   def dropTable(spark: SparkSession, name: String): Unit =
     spark.sql("DROP TABLE IF EXISTS `" + name.replace("`", "``") + "`")
+
+  /** Drop a managed table AND its warehouse location. The default
+    * in-memory catalog dies with the session while the warehouse
+    * directory persists, so a NEW session's `saveAsTable` fails with
+    * LOCATION_ALREADY_EXISTS on a name a previous session wrote — the
+    * catalog drop alone cannot see the orphan. Callers that rebuild
+    * managed tables across sessions (the persisted dedup index) clear
+    * both. Uses the Hadoop filesystem of the warehouse path, so it works
+    * on any storage the warehouse lives on.
+    */
+  def dropTableAndLocation(spark: SparkSession, name: String): Unit = {
+    dropTable(spark, name)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
+  }
 }
