@@ -279,6 +279,29 @@ object ExtensionQueries {
         .orderBy("id_1", "id_2")
     }),
 
+    // ---- Dedup: incremental semantic probe against the PERSISTED
+    // IVF index — the embedding-space mirror of dedup_incremental_idx:
+    // the corpus is routed ONCE (bucketed (cell, id) + (id, v) tables),
+    // each batch routes through the index's own stored centroid table
+    // and equi-joins cells; corpus never re-shuffles (ScaleSpec). Seeded
+    // anchors = the first ncells corpus ids, so DuckDB replays routing
+    // on BOTH sides plus the join and the cosine verify. ncells is
+    // gate-pinned at 8 for the 450-row corpus (OracleCouplingSpec). -----
+    "dedup_semantic_ivf_incr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val ncells = Similarity.ivfCellCount(corpus.count())
+      val anchors = corpus.orderBy("vec_id").limit(ncells)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+      val table = "graft_sem_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.writeSemanticIvfIndex(corpus, "vec_id", "embedding", anchors,
+        table)
+      Dedup.semanticNearDupsIvfAgainstIndex(
+          emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          threshold = 0.4, table)
+        .orderBy("id_new", "id_corpus")
+    }),
+
     // ---- Dedup: incremental semantic probe (new batch vs corpus) ---------
     // every 10th vector plays the freshly embedded batch; the corpus-side
     // banded signatures are what a deployment precomputes. Same plane
@@ -4535,6 +4558,43 @@ object ExtensionQueries {
     "q_heavy_hitters" -> heavyHittersOracle,
 
     "dedup_semantic_incr" -> semanticIncrOracle,
+
+    // Full replay of the persisted-index probe: both sides route through
+    // the SAME stored seeded anchors (first 8 corpus ids), candidates are
+    // the shared-cell join, verification the shared cosine expression.
+    "dedup_semantic_ivf_incr" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corp AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+        |newb AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id AS cell, v AS cv FROM corp
+        |      ORDER BY vec_id LIMIT 8),
+        |sc AS (
+        |  SELECT s.vec_id AS id, s.side, c.cell,
+        |    list_dot_product(s.v, c.cv) /
+        |      (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      AS score
+        |  FROM (SELECT vec_id, v, 'c' AS side FROM corp
+        |        UNION ALL SELECT vec_id, v, 'n' AS side FROM newb) s
+        |  CROSS JOIN c),
+        |r AS (
+        |  SELECT id, side, cell, row_number() OVER (PARTITION BY id, side
+        |    ORDER BY score DESC, cell ASC) AS rk FROM sc),
+        |ac AS (SELECT id, cell FROM r WHERE side = 'c' AND rk <= 2),
+        |an AS (SELECT id, cell FROM r WHERE side = 'n' AND rk <= 2),
+        |cand AS (
+        |  SELECT DISTINCT n.id AS id_new, k.id AS id_corpus
+        |  FROM an n JOIN ac k ON n.cell = k.cell AND n.id <> k.id)
+        |SELECT cand.id_new, cand.id_corpus,
+        |  list_dot_product(x.v, y.v) /
+        |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+        |    AS cosine
+        |FROM cand JOIN e x ON x.vec_id = cand.id_new
+        |  JOIN e y ON y.vec_id = cand.id_corpus
+        |WHERE list_dot_product(x.v, y.v) /
+        |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+        |    >= 0.4
+        |ORDER BY id_new, id_corpus""".stripMargin,
 
     "dedup_semantic_mp" -> semanticMpOracle,
 

@@ -910,27 +910,9 @@ object Dedup {
     require(groupProbe >= 0 && groupProbe <= 64,
       s"groupProbe=$groupProbe out of range [0, 64] (0 = flat routing)")
     // bounded driver action: the cell table is a parameter (like LSH
-    // planes / PQ codebooks), enforced — never a data-sized collect
-    val cellRows = cells
-      .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
-      .collect()
-    require(cellRows.nonEmpty && cellRows.length <= (1 << 16),
-      s"cells must be parameter-sized: got ${cellRows.length} rows " +
-        s"(1 to ${1 << 16}); for larger quantizers route hierarchically")
-    val sorted = cellRows.sortBy(_.getLong(0))
-    require(sorted.iterator.map(_.getLong(0)).toSeq.distinct.length == sorted.length,
-      "duplicate cell ids in the centroid table")
-    val dim = sorted.head.getSeq[Double](1).length
-    require(sorted.forall(_.getSeq[Double](1).length == dim),
-      "all centroids must share one dimensionality")
-    val flat = new Array[Double](sorted.length * dim)
-    var ci = 0
-    while (ci < sorted.length) {
-      val cs = sorted(ci).getSeq[Double](1)
-      var j = 0
-      while (j < dim) { flat(ci * dim + j) = cs(j); j += 1 }
-      ci += 1
-    }
+    // planes / PQ codebooks), enforced in collectCentroids — never a
+    // data-sized collect
+    val (flat, dim) = collectCentroids(cells)
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     // top-nassign cell INDICES per vector as a pure map (index order = cell
     // id order because `sorted` is id-ordered; ties break low-index =
@@ -946,7 +928,7 @@ object Dedup {
       if (groupProbe <= 0)
         VectorFunctions.ivfRouteCells(col("v"), flat, dim, nassign)
       else {
-        val ncells = sorted.length
+        val ncells = flat.length / dim
         val ngroups = math.max(1, math.ceil(math.sqrt(ncells.toDouble)).toInt)
         val (groups, groupOf) =
           Similarity.groupCentroidsDriver(flat, dim, ngroups)
@@ -981,6 +963,124 @@ object Dedup {
       .withColumn("cosine", VectorFunctions.cosine(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)
       .select(col("id_1"), col("id_2"), col("cosine"))
+  }
+
+  /** Persist the reusable SEMANTIC-IVF index for a standing corpus — the
+    * embedding-space mirror of [[writeMinHashIndex]], and the steady-state
+    * shape of semantic dedup-at-the-door: route the corpus ONCE, keep the
+    * routed assignments bucketed on the cell key, and every ingest batch
+    * probes them without re-routing or re-shuffling the corpus. Three
+    * bucketed tables:
+    *
+    *  - `&lt;table&gt;_cells`     — (cell, id), bucketed+sorted on `cell`: the
+    *    candidate join's corpus side;
+    *  - `&lt;table&gt;_docs`      — (id, v), bucketed on `id`: the exact-cosine
+    *    verify side;
+    *  - `&lt;table&gt;_centroids` — the (cell, centroid) table itself: probes
+    *    read their routing matrix FROM the index, so a probe can never
+    *    run under different centroids than the build (the config-mismatch
+    *    class of bug is structurally impossible, one step stronger than
+    *    the minhash index's meta-check refusal).
+    *
+    * Routing uses the same [[graft.functions.IvfRouteCells]] embedded-
+    * matrix map as [[semanticNearDupsIvf]] (zero shuffle), with the same
+    * id-sorted tie discipline, so a seeded-anchor index is fully
+    * SQL-replayable.
+    */
+  def writeSemanticIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, cells: DataFrame,
+      table: String, nassign: Int = 2, numBuckets: Int = 32): Unit = {
+    require(nassign >= 1 && nassign <= 8,
+      s"nassign=$nassign out of range [1, 8]")
+    val spark = corpus.sparkSession
+    Seq("_cells", "_docs", "_centroids").foreach(s =>
+      graft.sources.Sinks.dropTableAndLocation(spark, table + s))
+    val cellTable = cells
+      .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
+    cellTable.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_centroids")
+    val (flat, dim) = collectCentroids(spark.table(s"${table}_centroids"))
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    graft.sources.Sinks.writeBucketed(
+      base.select(col("id"), col("v")), s"${table}_docs", Seq("id"), numBuckets)
+    val assigned = spark.table(s"${table}_docs").select(
+      explode(VectorFunctions.ivfRouteCells(col("v"), flat, dim, nassign))
+        .as("cell"),
+      col("id"))
+    graft.sources.Sinks.writeBucketed(
+      assigned, s"${table}_cells", Seq("cell"), numBuckets)
+  }
+
+  /** Incremental semantic probe against a PERSISTED index
+    * ([[writeSemanticIvfIndex]]): the new batch routes through the
+    * index's OWN centroid table (read back, embedded in the routing
+    * expression) and candidate pairs come from the equi-join of the
+    * batch's cells against the bucketed corpus assignments — the corpus
+    * is never re-routed, never re-shuffled (ScaleSpec pins the
+    * exchange-free plan). Skew guard counts the CORPUS side's cells (the
+    * join fan-out driver), an aggregation on the bucketing key — itself
+    * exchange-free. Returns verified (id_new, id_corpus, cosine), the
+    * [[semanticNearDupsAgainst]] contract.
+    */
+  def semanticNearDupsIvfAgainstIndex(
+      newBatch: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      table: String, nassign: Int = 2,
+      maxCellSize: Long = 1000000L): DataFrame = {
+    require(nassign >= 1 && nassign <= 8,
+      s"nassign=$nassign out of range [1, 8]")
+    val spark = newBatch.sparkSession
+    val (flat, dim) = collectCentroids(spark.table(s"${table}_centroids"))
+    val cCells = spark.table(s"${table}_cells")
+    val cDocs = spark.table(s"${table}_docs")
+    val nBase = newBatch.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val nAssigned = nBase.select(col("id"),
+      explode(VectorFunctions.ivfRouteCells(col("v"), flat, dim, nassign))
+        .as("cell"))
+    val oversized = cCells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cellSize"))
+      .filter(col("cellSize") > maxCellSize)
+      .select(col("cell"))
+    val cPruned = cCells.join(broadcast(oversized), Seq("cell"), "left_anti")
+    val candidates = nAssigned.alias("n").join(cPruned.alias("c"),
+        col("n.cell") === col("c.cell") && col("n.id") =!= col("c.id"))
+      .select(col("n.id").as("id_new"), col("c.id").as("id_corpus"))
+      .distinct()
+    candidates
+      .join(nBase.select(col("id").as("id_new"), col("v").as("v1")), "id_new")
+      .join(cDocs.select(col("id").as("id_corpus"), col("v").as("v2")),
+        "id_corpus")
+      .withColumn("cosine", VectorFunctions.cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_new"), col("id_corpus"), col("cosine"))
+  }
+
+  /** Collect a parameter-sized (cell, centroid) table into the flattened
+    * id-sorted matrix the routing expressions embed — shared by the
+    * in-plan and index-backed semantic-IVF paths so their routing is one
+    * definition.
+    */
+  private def collectCentroids(cells: DataFrame): (Array[Double], Int) = {
+    val cellRows = cells
+      .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
+      .collect()
+    require(cellRows.nonEmpty && cellRows.length <= (1 << 16),
+      s"cells must be parameter-sized: got ${cellRows.length} rows " +
+        s"(1 to ${1 << 16}); for larger quantizers route hierarchically")
+    val sorted = cellRows.sortBy(_.getLong(0))
+    require(sorted.iterator.map(_.getLong(0)).toSeq.distinct.length == sorted.length,
+      "duplicate cell ids in the centroid table")
+    val dim = sorted.head.getSeq[Double](1).length
+    require(sorted.forall(_.getSeq[Double](1).length == dim),
+      "all centroids must share one dimensionality")
+    val flat = new Array[Double](sorted.length * dim)
+    var ci = 0
+    while (ci < sorted.length) {
+      val cs = sorted(ci).getSeq[Double](1)
+      var j = 0
+      while (j < dim) { flat(ci * dim + j) = cs(j); j += 1 }
+      ci += 1
+    }
+    (flat, dim)
   }
 
   /** Full semantic dedup map: EVERY embedding row mapped to its semantic

@@ -62,6 +62,11 @@ class OracleCouplingSpec extends AnyFunSuite {
         "dedup_semantic_ivf oracle's anchor literal must move with it")
     assert(Similarity.ivfCellCount(513L) == 9,
       "cell-count knee moved: ivfCellCount(513) was expected to adapt")
+    // dedup_semantic_ivf_incr sizes cells on the CORPUS split (every 10th
+    // row is the batch); its oracle hardcodes LIMIT 8 anchors
+    assert(Similarity.ivfCellCount(n - n / 10) == 8,
+      s"corpus-split count ${n - n / 10} no longer resolves to 8 cells — " +
+        "the dedup_semantic_ivf_incr oracle's LIMIT literal must move")
   }
 
   test("oracle builders refuse to build past the knee (gateLshGeometry)") {

@@ -10,6 +10,28 @@ class ScaleSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** True when a file scan of `table` is reachable from `p` WITHOUT
+    * crossing a join — i.e. the persisted index's raw rows are being
+    * shuffled before any join consumes them (exchanges above a join
+    * carry candidate rows and are legitimate). Descends through AQE
+    * wrappers like TestSpark.collectDeep.
+    */
+  private def rawScanReachable(
+      p: org.apache.spark.sql.execution.SparkPlan, table: String): Boolean = {
+    import org.apache.spark.sql.execution._
+    def kids(x: SparkPlan): Seq[SparkPlan] = x match {
+      case a: adaptive.AdaptiveSparkPlanExec => Seq(a.initialPlan)
+      case q: adaptive.QueryStageExec => Seq(q.plan)
+      case r: exchange.ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p match {
+      case f: FileSourceScanExec => f.toString.contains(table)
+      case _: joins.BaseJoinExec => false
+      case other => kids(other).exists(rawScanReachable(_, table))
+    }
+  }
+
   test("salted join equals plain join exactly") {
     val li = Tables.lineitem(spark, TestSpark.sf)
       .select("l_orderkey", "l_linenumber", "l_quantity")
@@ -105,25 +127,9 @@ class ScaleSpec extends AnyFunSuite {
       // a shuffle exchange without crossing a join first (exchanges above
       // a join carry candidate pairs — batch-bound — and are fine)
       val plan = probe.queryExecution.executedPlan
-      import org.apache.spark.sql.execution.SparkPlan
-      def kids(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          Seq(a.initialPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          Seq(q.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          Seq(r.child)
-        case other => other.children
-      }
-      def rawIndexScanReachable(p: SparkPlan): Boolean = p match {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.toString.contains(table)
-        case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
-        case other => kids(other).exists(rawIndexScanReachable)
-      }
       val shuffled = TestSpark.collectDeep(plan) {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-          if rawIndexScanReachable(e.child) => e
+          if rawScanReachable(e.child, table) => e
       }
       assert(shuffled.isEmpty,
         s"raw index-table scan feeds a shuffle exchange:\n${shuffled.headOption}")
@@ -157,6 +163,53 @@ class ScaleSpec extends AnyFunSuite {
       assert(e.getMessage.contains("rebuild the index"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     Seq("_docs", "_bands", "_meta").foreach(s => Sinks.dropTable(spark, table + s))
+  }
+
+  test("persisted semantic-IVF index: corpus never re-shuffles; probe equals in-plan pairs") {
+    import graft.operators.{Dedup, Similarity}
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val ncells = Similarity.ivfCellCount(corpus.count())
+    val anchors = corpus.orderBy("vec_id").limit(ncells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val table = "graft_sem_idx_test"
+    Dedup.writeSemanticIvfIndex(corpus, "vec_id", "embedding", anchors,
+      table, numBuckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Dedup.semanticNearDupsIvfAgainstIndex(batch, "vec_id",
+        "embedding", threshold = 0.3, table)
+      val shuffled = TestSpark.collectDeep(probe.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if rawScanReachable(e.child, table) => e
+      }
+      assert(shuffled.isEmpty,
+        s"raw semantic-index scan feeds a shuffle:\n${shuffled.headOption}")
+      assert(probe.queryExecution.executedPlan.toString.contains(table),
+        "probe plan must scan the persisted index")
+      // reference: the symmetric IVF operator with identical anchors,
+      // restricted to (batch, corpus) pairs — the index probe must find
+      // exactly those (both route with nassign=2 under the same cells)
+      val sym = Dedup.semanticNearDupsIvf(emb, "vec_id", "embedding",
+          threshold = 0.3, cells = anchors, nassign = 2)
+        .filter((col("id_1") % 10 === 0) =!= (col("id_2") % 10 === 0))
+        .select(
+          when(col("id_1") % 10 === 0, col("id_1")).otherwise(col("id_2"))
+            .as("id_new"),
+          when(col("id_1") % 10 === 0, col("id_2")).otherwise(col("id_1"))
+            .as("id_corpus"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = probe.select("id_new", "id_corpus")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == sym, s"index probe diverged from the symmetric " +
+        s"operator's cross pairs (only-idx=${(got -- sym).size}, " +
+        s"only-sym=${(sym -- got).size})")
+      assert(got.nonEmpty, "fixture must produce cross pairs at 0.3")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    Seq("_cells", "_docs", "_centroids").foreach(s =>
+      Sinks.dropTableAndLocation(spark, table + s))
   }
 
   test("zorder layout enables file skipping on the SECOND dimension too") {
