@@ -70,6 +70,19 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val extraReps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "2").toInt
     val selected = selectQueries(args)
+    // ambient-tide reference: time ONE fixed sentinel query before the
+    // sweep with the same min-of-reps estimator. Round-over-round deltas
+    // ride a ±5-7% machine tide (r7→r8 measured +6.6% wholesale with no
+    // plan change); a per-artifact tide_ref_sec lets future comparisons
+    // normalize by the sentinel's drift instead of guessing.
+    val tideRef: Double = SparkEntry.queries.get("q1_agg").map { fn =>
+      val ts = (0 until math.max(reps, 2)).map { _ =>
+        val t0 = System.nanoTime()
+        run(fn, sfDir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      repStat(ts)
+    }.getOrElse(-1.0)
     // a failed query reports -1 and contributes nothing to the total, so
     // the headline number reflects successful executions only
     val (results, repsUsed, errors, spreads) =
@@ -83,20 +96,27 @@ object Bench {
     // 2000-char output-tail window or its JSON parse fails (observed in
     // rounds 1-4: `"parsed": null` with the line's head truncated away).
     // Budget ~1700 chars: keep the slowest queries by name until full.
-    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // all keyed sub-objects are emitted in SORTED key order so the
+    // artifact is byte-comparable across runs (the errors/error_detail
+    // ListMap change made those deterministic; queries/reps_used/
+    // rep_spread were still riding unordered-Map iteration order)
+    val fullQs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // estimator + per-query rep counts are RECORDED so cross-round
     // comparisons can never silently mix median- and min-based figures
     // (rounds ≤5 were median-of-reps; round 6 onward is min-of-reps)
-    val repsJson = repsUsed.map { case (k, n) => s"\"" + k + "\":" + n }
+    val repsJson = repsUsed.toSeq.sortBy(_._1)
+      .map { case (k, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     // per-query SPREAD = (2nd-fastest − fastest)/fastest across the reps
     // actually run: the round-over-round comparison needs to know each
     // figure's own noise band, or sub-±5% ambient drift keeps reading as
     // regression (the r7→r8 tide was +6.6% wholesale with no plan change)
-    val spreadJson = spreads.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val spreadJson = spreads.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"min","n_queries":${results.size},"queries":$fullQs,"reps_used":$repsJson,"rep_spread":$spreadJson,"errors":$errJson,"error_detail":$errDetailJson,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"min","n_queries":${results.size},"tide_ref_query":"q1_agg","tide_ref_sec":${fmt(tideRef)},"queries":$fullQs,"reps_used":$repsJson,"rep_spread":$spreadJson,"errors":$errJson,"error_detail":$errDetailJson,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p,

@@ -83,8 +83,17 @@ object ExtensionQueries {
         TextFunctions.tokens(col("text")), 3)
       val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
       val table = "graft_mh_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      Dedup.writeMinHashIndex(docs.filter(col("doc_id") % 10 =!= 0),
-        "doc_id", sh, cfg, table)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      // build-once: rebuilding on EVERY query construction (plan digests,
+      // bench reps) rewrote shared managed tables as a side effect; the
+      // content-signature marker skips the rebuild when corpus + config
+      // are unchanged and forces it when either drifts
+      graft.sources.Sinks.ensureBuiltOnce(s, table,
+        s"mh:${cfg.numHashes}:${cfg.bandRows}:${cfg.seed}|" +
+          graft.sources.Sinks.contentSignature(
+            corpus.select(col("doc_id"), col("text")))) {
+        Dedup.writeMinHashIndex(corpus, "doc_id", sh, cfg, table)
+      }
       Dedup.minHashNearDupsAgainstIndex(
           docs.filter(col("doc_id") % 10 === 0), "doc_id", sh,
           threshold = 0.5, table, cfg)
@@ -279,6 +288,31 @@ object ExtensionQueries {
         .orderBy("id_1", "id_2")
     }),
 
+    // ---- Dedup: TWO-LEVEL IVF-routed semantic near-dups — the growth
+    // path past ~10⁴ cells (route to √ncells coarse groups, then only
+    // inside the probed groups; per-row FLOPs ~(1+gprobe)·√ncells instead
+    // of ncells). Gate configuration is FULLY seeded so DuckDB replays
+    // every derived artifact: 16 anchor cells (vec_id < 16), 4 seeded
+    // group centroids (every 4th anchor — ⌈√16⌉ = 4, the production
+    // sizing), cell→group assignment = deterministic cosine argmax
+    // (Similarity.assignToGroups), per-vector routing = top-2 groups then
+    // top-2 cells within them (score DESC, index ASC at both levels —
+    // IvfRouteCellsTwoLevel's exact tie discipline). Production passes
+    // k-means groups instead (groupCells = None); the seeded-exhaustive ≡
+    // flat reduction is pinned in SketchSpec. ----------------------------
+    "dedup_semantic_ivf2" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val anchors = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+      val groups = emb.filter(col("vec_id") < 16 && col("vec_id") % 4 === 0)
+        .select((col("vec_id") / 4).cast("long").as("cell"),
+          col("embedding").as("centroid"))
+      Dedup.semanticNearDupsIvf(emb, "vec_id", "embedding",
+          threshold = 0.4, cells = anchors, nassign = 2,
+          groupProbe = 2, groupCells = Some(groups))
+        .orderBy("id_1", "id_2")
+    }),
+
     // ---- Dedup: incremental semantic probe against the PERSISTED
     // IVF index — the embedding-space mirror of dedup_incremental_idx:
     // the corpus is routed ONCE (bucketed (cell, id) + (id, v) tables),
@@ -294,8 +328,16 @@ object ExtensionQueries {
       val anchors = corpus.orderBy("vec_id").limit(ncells)
         .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
       val table = "graft_sem_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      Dedup.writeSemanticIvfIndex(corpus, "vec_id", "embedding", anchors,
-        table)
+      // build-once, same rationale as dedup_incremental_idx: the corpus
+      // content-signature (ids + embeddings) plus the routing parameters
+      // decide whether the persisted tables need rebuilding
+      graft.sources.Sinks.ensureBuiltOnce(s, table,
+        s"ivf:$ncells:nassign2|" +
+          graft.sources.Sinks.contentSignature(
+            corpus.select(col("vec_id"), col("embedding")))) {
+        Dedup.writeSemanticIvfIndex(corpus, "vec_id", "embedding", anchors,
+          table)
+      }
       Dedup.semanticNearDupsIvfAgainstIndex(
           emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
           threshold = 0.4, table)
@@ -4556,6 +4598,68 @@ object ExtensionQueries {
         |ORDER BY id_1, id_2""".stripMargin,
 
     "q_heavy_hitters" -> heavyHittersOracle,
+
+    // Full replay of the seeded TWO-LEVEL IVF route: 16 anchor cells
+    // (vec_id < 16), 4 seeded groups (every 4th anchor, grp = cell/4);
+    // cg = cell→group cosine argmax (ties to the lowest group — the
+    // strict-`>` index-order scan in Similarity.assignToGroups); pg =
+    // top-2 probed groups per vector (same tie rule, level 1 of
+    // IvfRouteCellsTwoLevel); asg = top-2 cells by (score DESC, cell ASC)
+    // restricted to cells inside probed groups (level 2; ties by ORIGINAL
+    // cell id). Candidates and verification are the shared flat-route
+    // expressions.
+    "dedup_semantic_ivf2" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+        |g AS (SELECT CAST(cell / 4 AS BIGINT) AS grp, cv AS gv
+        |      FROM c WHERE cell % 4 = 0),
+        |cg AS (
+        |  SELECT cell, grp FROM (
+        |    SELECT c.cell, g.grp,
+        |      row_number() OVER (PARTITION BY c.cell ORDER BY
+        |        list_dot_product(c.cv, g.gv) /
+        |          (sqrt(list_dot_product(c.cv, c.cv)) *
+        |           sqrt(list_dot_product(g.gv, g.gv))) DESC,
+        |        g.grp ASC) AS rn
+        |    FROM c CROSS JOIN g)
+        |  WHERE rn = 1),
+        |pg AS (
+        |  SELECT vec_id, grp FROM (
+        |    SELECT e.vec_id, g.grp,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, g.gv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(g.gv, g.gv))) DESC,
+        |        g.grp ASC) AS rn
+        |    FROM e CROSS JOIN g)
+        |  WHERE rn <= 2),
+        |asg AS (
+        |  SELECT id, cell FROM (
+        |    SELECT e.vec_id AS id, cc.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, cc.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
+        |        cc.cell ASC) AS rn
+        |    FROM e
+        |    JOIN pg ON pg.vec_id = e.vec_id
+        |    JOIN cg ON cg.grp = pg.grp
+        |    JOIN c cc ON cc.cell = cg.cell)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_1, b.id AS id_2
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id)
+        |SELECT cand.id_1, cand.id_2,
+        |  list_dot_product(x.v, y.v) /
+        |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+        |    AS cosine
+        |FROM cand JOIN e x ON x.vec_id = cand.id_1
+        |  JOIN e y ON y.vec_id = cand.id_2
+        |WHERE list_dot_product(x.v, y.v) /
+        |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+        |    >= 0.4
+        |ORDER BY id_1, id_2""".stripMargin,
 
     "dedup_semantic_incr" -> semanticIncrOracle,
 

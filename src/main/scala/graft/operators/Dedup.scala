@@ -904,11 +904,14 @@ object Dedup {
   def semanticNearDupsIvf(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
       cells: DataFrame, nassign: Int = 2,
-      maxCellSize: Long = 1000000L, groupProbe: Int = 0): DataFrame = {
+      maxCellSize: Long = 1000000L, groupProbe: Int = 0,
+      groupCells: Option[DataFrame] = None): DataFrame = {
     require(nassign >= 1 && nassign <= 8,
       s"nassign=$nassign out of range [1, 8] (candidate volume scales with it)")
     require(groupProbe >= 0 && groupProbe <= 64,
       s"groupProbe=$groupProbe out of range [0, 64] (0 = flat routing)")
+    require(groupCells.isEmpty || groupProbe > 0,
+      "groupCells (explicit level-1 quantizer) requires groupProbe > 0")
     // bounded driver action: the cell table is a parameter (like LSH
     // planes / PQ codebooks), enforced in collectCentroids — never a
     // data-sized collect
@@ -929,9 +932,23 @@ object Dedup {
         VectorFunctions.ivfRouteCells(col("v"), flat, dim, nassign)
       else {
         val ncells = flat.length / dim
-        val ngroups = math.max(1, math.ceil(math.sqrt(ncells.toDouble)).toInt)
-        val (groups, groupOf) =
-          Similarity.groupCentroidsDriver(flat, dim, ngroups)
+        // level-1 quantizer: explicit SEEDED group table (fully SQL-
+        // replayable — assignment is a deterministic cosine argmax over
+        // two parameter tables) when supplied, else the driver k-means
+        // (production default; float iteration, replay via the
+        // exhaustive-probe ≡ flat reduction instead)
+        val (groups, groupOf) = groupCells match {
+          case Some(gdf) =>
+            val (gflat, gdim) = collectCentroids(gdf)
+            require(gdim == dim,
+              s"group centroid dim $gdim != cell centroid dim $dim")
+            (gflat, Similarity.assignToGroups(flat, dim, gflat))
+          case None =>
+            val ngroups =
+              math.max(1, math.ceil(math.sqrt(ncells.toDouble)).toInt)
+            Similarity.groupCentroidsDriver(flat, dim, ngroups)
+        }
+        val ngroups = groups.length / dim
         val order = (0 until ncells).sortBy(i => (groupOf(i), i)).toArray
         val sizes = new Array[Int](ngroups)
         groupOf.foreach(gp => sizes(gp) += 1)

@@ -115,8 +115,11 @@ object Similarity {
       .agg(min(col("score")).as("kth_score"), count(lit(1)).as("n_exact"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // distinct BEFORE scoring: a defective ANN path that returns the same
+    // good neighbor twice within rank<=k must not double-count it — hits
+    // could otherwise exceed n_exact and recall could read > 1.0.
     val trueScores = ann.filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
       .join(c, Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("true_score", VectorFunctions.cosine(col("qv"), col("cv")))
@@ -128,7 +131,10 @@ object Similarity {
       .join(hits, Seq("query_id"), "left")
       .join(broadcast(bar), Seq("query_id"), "left")
       .select(col("query_id"),
-        coalesce(col("hits"), lit(0L)).as("hits"),
+        // belt-and-braces cap: distinct ids can still all clear the bar in
+        // a pathological tie plateau wider than k; recall stays <= 1.
+        least(coalesce(col("hits"), lit(0L)),
+          coalesce(col("n_exact"), lit(0L))).as("hits"),
         coalesce(col("n_exact"), lit(0L)).as("n_exact"))
   }
 
@@ -368,6 +374,49 @@ object Similarity {
     (groups, assign)
   }
 
+  /** Deterministic cosine-argmax assignment of each cell centroid to a
+    * group centroid — the SEEDED-groups leg of the two-level router:
+    * when the level-1 quantizer is an explicit parameter table (anchor
+    * rows, not k-means output), the only remaining derived state is this
+    * argmax, which any SQL engine replays as
+    * `row_number() OVER (ORDER BY cosine DESC, grp ASC) = 1` with the
+    * same fixed-order double arithmetic (dot and norms are sequential
+    * folds on both engines). Ties break to the LOWEST group index
+    * (strict `>` on an index-ordered scan).
+    */
+  def assignToGroups(cells: Array[Double], dim: Int,
+                     groups: Array[Double]): Array[Int] = {
+    require(dim >= 1 && cells.length % dim == 0 && cells.length > 0 &&
+      groups.length % dim == 0 && groups.length > 0,
+      s"cells=${cells.length}/groups=${groups.length} must be positive " +
+        s"multiples of dim=$dim")
+    val ncells = cells.length / dim
+    val g = groups.length / dim
+    def cos(aOff: Int, a: Array[Double], bOff: Int, b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < dim) {
+        val x = a(aOff + j); val y = b(bOff + j)
+        dot += x * y; na += x * x; nb += y * y; j += 1
+      }
+      if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val assign = new Array[Int](ncells)
+    var c = 0
+    while (c < ncells) {
+      var best = 0; var bestS = Double.NegativeInfinity
+      var k = 0
+      while (k < g) {
+        val s = cos(c * dim, cells, k * dim, groups)
+        if (s > bestS) { bestS = s; best = k }
+        k += 1
+      }
+      assign(c) = best
+      c += 1
+    }
+    assign
+  }
+
   /** Corpus-adaptive IVF cell count for cell-local dedup
     * ([[Dedup.semanticNearDupsIvf]]): `⌈n / targetCellSize⌉` clamped to
     * [minCells, maxCells], so expected cell occupancy — and with it the
@@ -379,9 +428,17 @@ object Similarity {
     * by multi-assignment). At the sf0.01 gate (n = 500, target 64) this
     * resolves to exactly `minCells` = 8 — the oracle's pinned
     * configuration (OracleCouplingSpec).
+    *
+    * `maxCells` defaults to 2¹⁶ — the same bound `collectCentroids`
+    * enforces on the driver-held centroid table, so the cell count an
+    * operator derives here can never exceed what routing will accept.
+    * Past ~2¹⁶·targetCellSize vectors, grow `targetCellSize` (cost rises
+    * linearly, n·target/2) or switch to the two-level router
+    * ([[groupCentroids]] / `IvfRouteCellsTwoLevel`), whose per-row FLOPs
+    * stay ~(1+g)·√ncells.
     */
   def ivfCellCount(n: Long, targetCellSize: Long = 64L, minCells: Int = 8,
-                   maxCells: Int = 1 << 20): Int = {
+                   maxCells: Int = 1 << 16): Int = {
     require(targetCellSize >= 1 && minCells >= 1 && maxCells >= minCells,
       s"bad cell policy (target=$targetCellSize, min=$minCells, max=$maxCells)")
     val needed = (n + targetCellSize - 1) / targetCellSize

@@ -227,10 +227,84 @@ object Sinks {
     * on any storage the warehouse lives on.
     */
   def dropTableAndLocation(spark: SparkSession, name: String): Unit = {
+    // When the catalog still knows the table, trust ITS location and table
+    // type — a table in a non-default database or an EXTERNAL table does
+    // not live at <warehouse>/<lowercased-name>, and deleting that derived
+    // path could remove an unrelated directory. External locations are
+    // user data: drop the entry, never the files.
+    val catalogLoc: Option[org.apache.hadoop.fs.Path] =
+      if (spark.catalog.tableExists(name)) {
+        val qName = "`" + name.replace("`", "``") + "`"
+        val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $qName")
+          .select("col_name", "data_type").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        val managed = desc.get("Type").exists(_.equalsIgnoreCase("MANAGED"))
+        if (managed) desc.get("Location").map(new org.apache.hadoop.fs.Path(_))
+        else None
+      } else {
+        // true orphan: catalog lost the entry (new session, in-memory
+        // catalog) but the managed default-db layout may still hold files
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        Some(new org.apache.hadoop.fs.Path(wh, name.toLowerCase))
+      }
     dropTable(spark, name)
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) { fs.delete(loc, true); () }
+    catalogLoc.foreach { loc =>
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+    }
+  }
+
+  /** Cheap content fingerprint of a DataFrame for build-once guards:
+    * `(count, XOR of xxhash64(all columns))` — order-insensitive and
+    * overflow-free (a Long SUM would trip the ANSI overflow check), one
+    * scan + one agg, no shuffle beyond the partial-agg combine. Used as
+    * the signature input to [[ensureBuiltOnce]] so a persisted index
+    * rebuilds exactly when its source rows (not just their count)
+    * changed.
+    */
+  def contentSignature(df: DataFrame): String = {
+    val r = df
+      .select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("s"))
+      .collect().head
+    s"n=${r.getLong(0)};x=${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+  }
+
+  // per-table in-JVM construction locks for ensureBuiltOnce: two threads
+  // constructing the same query concurrently (bench reps, plan sweeps)
+  // must not interleave drop/rebuild of the same managed tables
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Build-once guard for persisted managed-table artifacts (the dedup
+    * indexes): runs `build` only when the marker table `&lt;table&gt;_marker`
+    * is missing or carries a DIFFERENT signature, and writes the marker
+    * AFTER a successful build so a partial build can never read as
+    * complete. This keeps index construction out of the per-rep path —
+    * before this guard, merely CONSTRUCTING an index-backed query (plan
+    * digesting, every bench rep) dropped and rewrote the shared warehouse
+    * tables. Same-JVM concurrent construction serializes on a per-table
+    * lock; cross-JVM builders of the SAME table still race (document or
+    * partition table names per writer — the registry derives them from
+    * the data dir, so distinct dirs never collide).
+    */
+  def ensureBuiltOnce(spark: SparkSession, table: String, signature: String)
+                     (build: => Unit): Unit = {
+    val lock = buildLocks.computeIfAbsent(table, _ => new Object)
+    lock.synchronized {
+      val marker = s"${table}_marker"
+      val current: Option[String] =
+        if (!spark.catalog.tableExists(marker)) None
+        else scala.util.Try(spark.table(marker).collect())
+          .toOption.filter(_.length == 1).map(_.head.getString(0))
+      if (!current.contains(signature)) {
+        dropTableAndLocation(spark, marker)
+        build
+        import spark.implicits._
+        Seq(signature).toDF("signature")
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(marker)
+      }
+    }
   }
 }

@@ -1013,6 +1013,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(g1.toSeq == g2.toSeq && a1.toSeq == a2.toSeq)
   }
 
+  test("two-level IVF with SEEDED groups (dedup_semantic_ivf2 shape)") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val emb = clusteredEmb
+    val anchors = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    // seeded level-1 quantizer: every other anchor, grp = cell/2
+    val seededGroups = emb.filter(col("vec_id") < 8 && col("vec_id") % 2 === 0)
+      .select((col("vec_id") / 2).cast("long").as("cell"),
+        col("embedding").as("centroid"))
+    def pairs(gp: Int, gc: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.semanticNearDupsIvf(emb, "vec_id", "embedding",
+          threshold = 0.9, cells = anchors, nassign = 2, groupProbe = gp,
+          groupCells = gc)
+        .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    val flat = pairs(0, None)
+    assert(flat.nonEmpty)
+    // exhaustive probe over the seeded quantizer is the same reduction
+    // proof as for the k-means quantizer: identical to flat routing
+    assert(pairs(4, Some(seededGroups)) == flat,
+      "seeded groups with gprobe = ngroups (exhaustive) must equal flat")
+    // capped probe only ever PRUNES candidates — never invents pairs
+    val capped = pairs(1, Some(seededGroups))
+    assert(capped.subsetOf(flat),
+      "a capped group probe must produce a subset of the flat pairs")
+    // groupCells without groupProbe is a caller error, not silent flat
+    intercept[IllegalArgumentException] {
+      Dedup.semanticNearDupsIvf(emb, "vec_id", "embedding",
+        threshold = 0.9, cells = anchors, groupCells = Some(seededGroups))
+    }
+    // assignToGroups: identity quantizer assigns every cell to itself;
+    // a duplicated centroid ties to the LOWEST group index
+    val cells = Array(1.0, 0, 0, 1, 0.7, 0.7)
+    val idAssign = Similarity.assignToGroups(cells, 2, cells)
+    assert(idAssign.toSeq == Seq(0, 1, 2))
+    val dupGroups = Array(1.0, 0, 1.0, 0) // two identical groups
+    assert(Similarity.assignToGroups(Array(1.0, 0), 2, dupGroups).toSeq
+      == Seq(0), "cosine tie must break to the lowest group index")
+  }
+
   test("exactRerank recovers the exact top-k from any covering shortlist") {
     val emb = clusteredEmb
     val qs = emb.filter(col("vec_id") < 4)

@@ -347,6 +347,67 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("ensureBuiltOnce: builds once per signature, rebuilds on drift") {
+    var builds = 0
+    val tbl = "graft_test_build_once"
+    Seq("", "_marker").foreach(s => Sinks.dropTableAndLocation(spark, tbl + s))
+    def build(sig: String): Unit =
+      Sinks.ensureBuiltOnce(spark, tbl, sig) { builds += 1 }
+    build("sigA"); build("sigA"); build("sigA")
+    assert(builds == 1, "same signature must not rebuild")
+    build("sigB")
+    assert(builds == 2, "a drifted signature must force the rebuild")
+    build("sigB")
+    assert(builds == 2)
+    // marker is written AFTER the build: a throwing build leaves no
+    // marker, so the next attempt retries instead of trusting a partial
+    intercept[RuntimeException] {
+      Sinks.ensureBuiltOnce(spark, tbl, "sigC") {
+        throw new RuntimeException("boom")
+      }
+    }
+    build("sigC")
+    assert(builds == 3, "failed build must not mark the signature as done")
+    Seq("", "_marker").foreach(s => Sinks.dropTableAndLocation(spark, tbl + s))
+  }
+
+  test("contentSignature: order-insensitive, content-sensitive") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "t")
+    val b = Seq((3L, "z"), (1L, "x"), (2L, "y")).toDF("id", "t")
+    val c = Seq((1L, "x"), (2L, "y"), (3L, "Z")).toDF("id", "t")
+    assert(Sinks.contentSignature(a) == Sinks.contentSignature(b),
+      "row order must not change the signature")
+    assert(Sinks.contentSignature(a) != Sinks.contentSignature(c),
+      "a changed value must change the signature")
+    assert(Sinks.contentSignature(a) != Sinks.contentSignature(a.limit(2)),
+      "a changed count must change the signature")
+  }
+
+  test("dropTableAndLocation: catalog-resolved managed drop; external data survives") {
+    import java.nio.file.Files
+    // external table: the catalog entry goes away, the files stay
+    val extDir = Files.createTempDirectory("graft_ext_tbl").toFile
+    Seq((1L, "a"), (2L, "b")).toDF("id", "t")
+      .write.mode("overwrite").parquet(extDir.getAbsolutePath)
+    val ext = "graft_test_ext_drop"
+    Sinks.createTableIfNotExists(spark, ext, extDir.getAbsolutePath)
+    Sinks.dropTableAndLocation(spark, ext)
+    assert(!spark.catalog.tableExists(ext))
+    assert(spark.read.parquet(extDir.getAbsolutePath).count() == 2,
+      "EXTERNAL table data must never be deleted")
+    // managed table: both entry and files go away (location from catalog)
+    val mng = "graft_test_mng_drop"
+    Seq((1L, "a")).toDF("id", "t").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(mng)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    Sinks.dropTableAndLocation(spark, mng)
+    assert(!spark.catalog.tableExists(mng))
+    val whPath = new org.apache.hadoop.fs.Path(wh, mng)
+    val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(whPath), "managed location must be removed")
+  }
+
   test("audioWindows: exact per-window peak/energy/clipping from decoded PCM") {
     import spark.implicits._
     import graft.sources.{MediaFormats, Multimodal}
