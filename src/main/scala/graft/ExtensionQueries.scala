@@ -313,6 +313,25 @@ object ExtensionQueries {
         .orderBy("id_1", "id_2")
     }),
 
+    // ---- Dedup: cluster-coherence audit of the IVF route — the runtime
+    // check of the routing rule's PRECONDITION (SCALE.md round 9: the IVF
+    // route's recall premise is a clustered corpus). Mean top-1 routing
+    // cosine in integer micro-units (floor(cos·10⁶) per row, integer
+    // compare), so the row is fully hash-replayable under the same seeded
+    // anchors as dedup_semantic_ivf2. Floor 0.20 documents the
+    // seeded-anchor regime on this fixture (measured 0.227–0.246 across
+    // sf); learned k-means centroids judge against ~0.7 — below that the
+    // corpus is too weakly clustered for cell-local recall at low τ and
+    // the operator's docs route to multi-probe LSH instead
+    // (DedupSimilaritySpec pins the two-regime split). ------------------
+    "dedup_semantic_ivf_coh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val anchors = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+      Dedup.ivfRouteCoherence(emb, "vec_id", "embedding", anchors,
+        floorPpm = 200000L)
+    }),
+
     // ---- Dedup: incremental semantic probe against the PERSISTED
     // IVF index — the embedding-space mirror of dedup_incremental_idx:
     // the corpus is routed ONCE (bucketed (cell, id) + (id, v) tables),
@@ -4660,6 +4679,33 @@ object ExtensionQueries {
         |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
         |    >= 0.4
         |ORDER BY id_1, id_2""".stripMargin,
+
+    // Coherence audit replay: top-1 cell per vector under the same seeded
+    // anchors (score DESC, cell ASC — IvfRouteCells' tie discipline),
+    // then the integer-exact mean: floor(score·10⁶) per row, BIGINT sum,
+    // integer floor compare. No float aggregate crosses the gate.
+    "dedup_semantic_ivf_coh" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+        |sc AS (
+        |  SELECT e.vec_id,
+        |    list_dot_product(e.v, c.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) *
+        |       sqrt(list_dot_product(c.cv, c.cv))) AS score,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.v, c.cv) /
+        |        (sqrt(list_dot_product(e.v, e.v)) *
+        |         sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |      c.cell ASC) AS rn
+        |  FROM e CROSS JOIN c),
+        |t AS (SELECT CAST(floor(score * 1000000.0) AS BIGINT) AS cos_u
+        |      FROM sc WHERE rn = 1)
+        |SELECT count(*) AS n_routed,
+        |  CAST(sum(cos_u) AS BIGINT) AS sum_cos_u,
+        |  CAST(200000 AS BIGINT) AS coherence_floor_ppm,
+        |  (CAST(sum(cos_u) AS BIGINT) >= 200000 * count(*)) AS coherent
+        |FROM t""".stripMargin,
 
     "dedup_semantic_incr" -> semanticIncrOracle,
 

@@ -982,6 +982,74 @@ object Dedup {
       .select(col("id_1"), col("id_2"), col("cosine"))
   }
 
+  /** Cluster-coherence audit for the IVF route — the runtime check of the
+    * PRECONDITION [[semanticNearDupsIvf]]'s routing rule rests on: the
+    * route's recall premise is a CLUSTERED corpus (RECALL_CLUSTERED.json
+    * measured 0.77 recall on the clustered regime vs 0.10–0.27 on the
+    * near-uniform one at low τ — the premise, not the implementation: no
+    * Voronoi cell of a near-uniform point set is 66° wide). One extra
+    * broadcast join + one agg over the assignment the operator already
+    * computes.
+    *
+    * Statistic: mean top-1 routing cosine, kept INTEGER-exact so the row
+    * is hash-replayable — each vector contributes
+    * `floor(cos(v, nearest centroid) · 10⁶)` (floor of identical doubles
+    * is identical on any engine), and
+    * `coherent = (sum_cos_u ≥ floorPpm · n_routed)` stays in integers.
+    * Zero/mismatched vectors route nowhere and are excluded (n_routed
+    * counts only routed rows).
+    *
+    * Threshold guidance (measured in DedupSimilaritySpec under LEARNED
+    * centroids): the clustered regime audits above 0.9 mean top-1
+    * cosine; the near-uniform regime (32-dim gaussians) sits well below
+    * 0.6. Below `floorPpm` ≈ 700000 the corpus is too weakly clustered
+    * for cell-local recall at low τ — route through [[semanticNearDups]]
+    * with probeDepth ≥ 1 (multi-probe holds 0.73–0.97 there,
+    * RECALL.json) instead of trusting IVF cells. Under SEEDED anchors
+    * (the replayable audit configuration) the bar is necessarily lower —
+    * the driver-gated query documents 0.20 on the synthetic fixture
+    * (measured 0.227–0.246 across sf).
+    *
+    * Returns ONE row `(n_routed, sum_cos_u, coherence_floor_ppm,
+    * coherent)`.
+    */
+  def ivfRouteCoherence(
+      emb: DataFrame, idCol: String, vecCol: String, cells: DataFrame,
+      floorPpm: Long): DataFrame = {
+    require(floorPpm >= -1000000L && floorPpm <= 1000000L,
+      s"floorPpm=$floorPpm must be a cosine in ppm ([-10⁶, 10⁶])")
+    val spark = emb.sparkSession
+    val (flat, dim) = collectCentroids(cells)
+    // positional index → centroid frame from the SAME collected matrix
+    // the routing expression embeds (index order = id order), so the
+    // joined centroid is exactly the one routing picked
+    val idxRows = (0 until flat.length / dim).map { i =>
+      org.apache.spark.sql.Row(i,
+        (0 until dim).map(j => flat(i * dim + j)).toArray.toSeq)
+    }
+    val idxCentroids = spark.createDataFrame(
+      spark.sparkContext.parallelize(idxRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false))))
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val top1 = base
+      .select(col("v"),
+        get(VectorFunctions.ivfRouteCells(col("v"), flat, dim, 1), lit(0))
+          .as("cell"))
+      .filter(col("cell").isNotNull)
+    top1.join(broadcast(idxCentroids), Seq("cell"))
+      .select(floor(VectorFunctions.cosine(col("v"), col("centroid"))
+        * lit(1000000.0)).as("cos_u"))
+      .agg(count(lit(1)).as("n_routed"), sum(col("cos_u")).as("sum_cos_u"))
+      .select(col("n_routed"), col("sum_cos_u"),
+        lit(floorPpm).as("coherence_floor_ppm"),
+        (col("sum_cos_u") >= lit(floorPpm) * col("n_routed")).as("coherent"))
+  }
+
   /** Persist the reusable SEMANTIC-IVF index for a standing corpus — the
     * embedding-space mirror of [[writeMinHashIndex]], and the steady-state
     * shape of semantic dedup-at-the-door: route the corpus ONCE, keep the
@@ -1069,6 +1137,69 @@ object Dedup {
       .withColumn("cosine", VectorFunctions.cosine(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)
       .select(col("id_new"), col("id_corpus"), col("cosine"))
+  }
+
+  /** Centroid-staleness audit for a persisted semantic-IVF index
+    * ([[writeSemanticIvfIndex]]): measures how far the index's stored
+    * centroids have drifted from the distribution of a NEW ingest batch,
+    * as the ASSIGNMENT-SHIFT share — the fraction of batch vectors whose
+    * index-routed cell disagrees with their fresh-routed cell after the
+    * fresh centroids are matched to their nearest index centroid
+    * (cosine argmax, the label-space bridge; [[Similarity
+    * .assignToGroups]]). Fresh centroids come from the same bounded
+    * deterministic k-means the production route trains
+    * ([[Similarity.kmeansCentroids]] — hash-ordered sample, never a
+    * data-sized collect), so the audit costs one parameter-sized k-means
+    * over the BATCH plus two zero-shuffle routing maps.
+    *
+    * A batch drawn from the index's own distribution shifts little (the
+    * matched fresh quantizer reproduces the index partition); a drifted
+    * corpus — new topics, new embedding model — shifts a large share,
+    * and past `shiftFloorPpm` the index's cell-local recall premise no
+    * longer holds for the data actually arriving: re-cluster
+    * (rebuild the index with fresh centroids) instead of probing on.
+    * Default floor 200000 ppm (20 % of the batch re-assigned) — ScaleSpec
+    * pins a same-distribution batch far below it and a rotated-cluster
+    * batch far above.
+    *
+    * Returns ONE row `(n_routed, n_shifted, shift_floor_ppm,
+    * recluster_recommended)`; integer comparisons only.
+    */
+  def semanticIvfIndexDrift(
+      newBatch: DataFrame, idCol: String, vecCol: String, table: String,
+      shiftFloorPpm: Long = 200000L, iters: Int = 2, sampleSize: Int = 4096,
+      seed: Long = 42L): DataFrame = {
+    require(shiftFloorPpm >= 0 && shiftFloorPpm <= 1000000L,
+      s"shiftFloorPpm=$shiftFloorPpm must be in [0, 10⁶]")
+    val spark = newBatch.sparkSession
+    val (iflat, dim) = collectCentroids(spark.table(s"${table}_centroids"))
+    val ncells = iflat.length / dim
+    val fresh = Similarity.kmeansCentroids(newBatch, vecCol, nlist = ncells,
+      iters = iters, sampleSize = sampleSize, seed = seed)
+    val (fflat, fdim) = collectCentroids(
+      fresh.select(col("cell").cast("long").as("cell"), col("centroid")))
+    require(fdim == dim,
+      s"batch embedding dim $fdim != index centroid dim $dim")
+    // label-space bridge: fresh centroid g → its nearest index centroid
+    val matched = Similarity.assignToGroups(fflat, dim, iflat)
+    val base = newBatch.select(col(vecCol).as("v"))
+    val routed = base.select(
+        get(VectorFunctions.ivfRouteCells(col("v"), iflat, dim, 1), lit(0))
+          .as("idx_cell"),
+        get(VectorFunctions.ivfRouteCells(col("v"), fflat, dim, 1), lit(0))
+          .as("fresh_cell"))
+      .filter(col("idx_cell").isNotNull && col("fresh_cell").isNotNull)
+      .select(col("idx_cell"),
+        element_at(typedLit(matched.toSeq), col("fresh_cell") + lit(1))
+          .as("matched_cell"))
+    routed
+      .agg(count(lit(1)).as("n_routed"),
+        sum(when(col("idx_cell") =!= col("matched_cell"), 1L).otherwise(0L))
+          .as("n_shifted"))
+      .select(col("n_routed"), col("n_shifted"),
+        lit(shiftFloorPpm).as("shift_floor_ppm"),
+        (col("n_shifted") * lit(1000000L) >
+          lit(shiftFloorPpm) * col("n_routed")).as("recluster_recommended"))
   }
 
   /** Collect a parameter-sized (cell, centroid) table into the flattened

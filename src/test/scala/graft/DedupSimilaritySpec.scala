@@ -1053,6 +1053,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
       == Seq(0), "cosine tie must break to the lowest group index")
   }
 
+  test("ivfRouteCoherence: two-regime split under learned centroids; zero vectors excluded") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    def coh(emb: org.apache.spark.sql.DataFrame, nlist: Int,
+            floorPpm: Long): org.apache.spark.sql.Row = {
+      val cents = Similarity.kmeansCentroids(emb, "embedding", nlist,
+        iters = 3)
+      Dedup.ivfRouteCoherence(emb, "vec_id", "embedding",
+        cents.select(col("cell").cast("long").as("cell"), col("centroid")),
+        floorPpm).collect().head
+    }
+    // clustered regime (4 tight clusters): learned centroids sit on the
+    // clusters, mean top-1 cosine ≈ 1 → clears the documented 0.7 floor
+    val cRow = coh(clusteredEmb, nlist = 4, floorPpm = 700000L)
+    assert(cRow.getAs[Boolean]("coherent"),
+      s"clustered corpus must audit coherent at 0.7: $cRow")
+    assert(cRow.getAs[Long]("n_routed") == 32L)
+    // near-uniform regime (seeded 32-dim gaussians — low dims are never
+    // far apart, so the regime needs realistic dimensionality): no
+    // centroid set is coherent — the audit must REFUSE the 0.7 floor,
+    // which is exactly the signal to route through multi-probe LSH
+    val rnd = new java.util.Random(7)
+    val uni = (0 until 256).map { i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val uRow = coh(uni, nlist = 16, floorPpm = 700000L)
+    assert(!uRow.getAs[Boolean]("coherent"),
+      s"near-uniform corpus must fail the 0.7 coherence floor: $uRow")
+    // the statistic itself separates the regimes by a wide band
+    def meanPpm(r: org.apache.spark.sql.Row): Double =
+      r.getAs[Long]("sum_cos_u").toDouble / r.getAs[Long]("n_routed")
+    assert(meanPpm(cRow) > 900000.0 && meanPpm(uRow) < 600000.0,
+      s"regime split: clustered=${meanPpm(cRow)} uniform=${meanPpm(uRow)}")
+    // zero vectors route nowhere and are excluded from n_routed
+    val withZero = clusteredEmb.union(
+      Seq((999L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding"))
+    val zRow = coh(withZero, nlist = 4, floorPpm = 700000L)
+    assert(zRow.getAs[Long]("n_routed") == 32L,
+      s"zero vector must not be counted as routed: $zRow")
+  }
+
   test("exactRerank recovers the exact top-k from any covering shortlist") {
     val emb = clusteredEmb
     val qs = emb.filter(col("vec_id") < 4)

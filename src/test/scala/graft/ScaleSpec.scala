@@ -212,6 +212,48 @@ class ScaleSpec extends AnyFunSuite {
       Sinks.dropTableAndLocation(spark, table + s))
   }
 
+  test("semanticIvfIndexDrift: same-distribution batch keeps the index; rotated clusters trigger re-cluster") {
+    import graft.operators.{Dedup, Similarity}
+    import spark.implicits._
+    // 4 tight clusters on axes 0-3 of 16 dims, 64 corpus vectors
+    def clusterVec(axis: Int, i: Int): Array[Float] =
+      Array.tabulate(16)(j =>
+        (if (j == axis) 10.0f else 0.0f) + 0.01f * ((i * 16 + j) % 7))
+    val corpus = (0 until 64).map(i => (i.toLong, clusterVec(i % 4, i)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(corpus, "embedding", nlist = 4,
+      iters = 3)
+    val table = "graft_sem_idx_drift_test"
+    Dedup.writeSemanticIvfIndex(corpus, "vec_id", "embedding",
+      cents.select(col("cell").cast("long").as("cell"), col("centroid")),
+      table, numBuckets = 4)
+    try {
+      // batch from the SAME clusters: fresh quantizer reproduces the
+      // index partition → shift far below the 20% floor
+      val same = (100 until 148).map(i => (i.toLong, clusterVec(i % 4, i)))
+        .toDF("vec_id", "embedding")
+      val sRow = Dedup.semanticIvfIndexDrift(same, "vec_id", "embedding",
+        table).collect().head
+      assert(!sRow.getAs[Boolean]("recluster_recommended"),
+        s"same-distribution batch must keep the index: $sRow")
+      assert(sRow.getAs[Long]("n_routed") == 48L)
+      assert(sRow.getAs[Long]("n_shifted") * 1000000L <
+        100000L * sRow.getAs[Long]("n_routed"),
+        s"same-distribution shift should sit far below the floor: $sRow")
+      // batch whose clusters ROTATED to axes 8-11: index cells carve the
+      // new mass arbitrarily while the fresh quantizer tracks it → a
+      // large assignment-shift share, past the floor
+      val drifted = (200 until 248)
+        .map(i => (i.toLong, clusterVec(8 + i % 4, i)))
+        .toDF("vec_id", "embedding")
+      val dRow = Dedup.semanticIvfIndexDrift(drifted, "vec_id", "embedding",
+        table).collect().head
+      assert(dRow.getAs[Boolean]("recluster_recommended"),
+        s"rotated-cluster batch must recommend re-clustering: $dRow")
+    } finally Seq("_cells", "_docs", "_centroids").foreach(s =>
+      Sinks.dropTableAndLocation(spark, table + s))
+  }
+
   test("zorder layout enables file skipping on the SECOND dimension too") {
     import graft.functions.LayoutFunctions
     val li = Tables.lineitem(spark, TestSpark.sf).select("l_partkey", "l_suppkey")
