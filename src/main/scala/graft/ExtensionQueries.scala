@@ -256,17 +256,21 @@ object ExtensionQueries {
     }),
 
     // ---- Dedup: multi-probe semantic near-dup pairs ----------------------
-    // bandBits=8 with single-bit probes: ~91% recall at cosine 0.4 vs 65%
-    // for the 6-bit exact config, while pruning MORE unrelated pairs
-    // (per-band random-pair rate 1.2% vs 1.6%). Probe rows on one side of
-    // the self-join cover both directions.
+    // bandBits=8 with query-directed probes (probeDepth=2, Lv §4.2): the
+    // 6 best flip sets of ≤2 bits by summed margin replace the former 8
+    // single-bit flips — 7 probe rows per (vec, band) instead of 9 (22%
+    // fewer candidate-join rows) while double flips on two near-zero
+    // margins keep the recall mass the dropped confident singles carried
+    // (RecallBench measures the trade at sf1/sf3). Probe rows on one side
+    // of the self-join cover both directions.
     "dedup_semantic_mp" -> ((s, d) => {
       // adaptive geometry, gate-invariant at (8, 16); see dedup_semantic
       val emb = Tables.embeddings(s, d)
       val (bits, bands) = Similarity.lshGeometry(emb.count(), tau = 0.4,
         baseBits = 8, baseBands = 16)
       Dedup.semanticNearDups(emb, "vec_id", "embedding",
-          threshold = 0.4, bandBits = bits, numBands = bands, probeDepth = 1)
+          threshold = 0.4, bandBits = bits, numBands = bands,
+          probeDepth = 2, maxProbeBits = 6)
         .orderBy("id_1", "id_2")
     }),
 
@@ -455,13 +459,18 @@ object ExtensionQueries {
 
     // ---- Similarity: multi-probe LSH ANN (fully oracle-checked) ----------
     // Half the bands of sim_lsh_topk (8 vs 16) at bandBits=6, with recall
-    // bought back by probing single-bit-flip buckets on the QUERY side
-    // only — per-band recall p^6 + 6p^5(1-p), corpus storage unchanged.
+    // bought back by probing perturbed buckets on the QUERY side only —
+    // corpus storage unchanged. probeDepth=2 = Lv et al.'s QUERY-DIRECTED
+    // sequence: the 6 best flip sets of ≤2 bits by summed |dot| margin
+    // (same probe-row count as the former all-single-flips config, but a
+    // double flip of two near-zero margins now out-ranks a confident
+    // single). The oracle replays the ranking from the identical dots:
+    // ORDER BY abs-sum ASC, mask ASC.
     "sim_lsh_mp_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 5, bandBits = 6, numBands = 8,
-          probeDepth = 1)
+          probeDepth = 2, maxProbeBits = 6)
         .orderBy("query_id", "rank")
     }),
 
@@ -2561,11 +2570,16 @@ object ExtensionQueries {
   }
 
   /** DuckDB oracle for `sim_lsh_mp_topk`: the [[lshTopKOracle]] replay
-    * with bandBits=6, numBands=8 and the single-bit-flip probe set on the
-    * query side (base signature UNION the 6 XOR-flipped ones).
+    * with bandBits=6, numBands=8 and the QUERY-DIRECTED probe set on the
+    * query side — the 6 best flip sets of ≤2 bits ranked by summed |dot|
+    * margin (sum in ascending-bit addition order, exactly
+    * [[graft.functions.HyperplaneProbeGen]]'s doubles), ties by mask
+    * ascending. ONE probe-set definition, derived by both engines from
+    * the identical per-bit dots.
     */
   private def lshMultiProbeOracle: String = {
     val bandBits = 6
+    val numProbes = 6
     val planes = graft.operators.Similarity.hyperplanes(
       dim = 64, numPlanes = bandBits * 8, seed = 42L)
     val planeRows = planes.zipWithIndex.map { case (p, i) =>
@@ -2575,18 +2589,38 @@ object ExtensionQueries {
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |planes(band, bit, p) AS (VALUES
        |  $planeRows),
+       |dots AS (
+       |  SELECT e.vec_id, pl.band, pl.bit,
+       |    list_dot_product(e.v, pl.p) AS d
+       |  FROM e CROSS JOIN planes pl),
        |sigs AS (
-       |  SELECT e.vec_id, pl.band,
-       |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
-       |      THEN (1::BIGINT << pl.bit) ELSE 0 END) AS BIGINT) AS bsig
-       |  FROM e CROSS JOIN planes pl
-       |  GROUP BY e.vec_id, pl.band),
+       |  SELECT vec_id, band,
+       |    CAST(sum(CASE WHEN d > 0
+       |      THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bsig
+       |  FROM dots
+       |  GROUP BY vec_id, band),
+       |fl AS (
+       |  SELECT vec_id, band, (1::BIGINT << bit) AS mask, abs(d) AS msum
+       |  FROM dots WHERE vec_id < 5
+       |  UNION ALL
+       |  SELECT a.vec_id, a.band,
+       |    (1::BIGINT << a.bit) | (1::BIGINT << b.bit) AS mask,
+       |    abs(a.d) + abs(b.d) AS msum
+       |  FROM dots a JOIN dots b
+       |    ON a.vec_id = b.vec_id AND a.band = b.band AND a.bit < b.bit
+       |  WHERE a.vec_id < 5),
+       |fr AS (
+       |  SELECT vec_id, band, mask,
+       |    row_number() OVER (PARTITION BY vec_id, band
+       |      ORDER BY msum ASC, mask ASC) AS rn
+       |  FROM fl),
        |qp AS (
        |  SELECT vec_id, band, bsig FROM sigs WHERE vec_id < 5
        |  UNION
-       |  SELECT vec_id, band, xor(bsig, 1::BIGINT << fb.b) AS bsig
-       |  FROM sigs CROSS JOIN generate_series(0, ${bandBits - 1}) fb(b)
-       |  WHERE vec_id < 5),
+       |  SELECT s.vec_id, s.band, xor(s.bsig, f.mask) AS bsig
+       |  FROM sigs s JOIN fr f
+       |    ON f.vec_id = s.vec_id AND f.band = s.band AND f.rn <= $numProbes
+       |  WHERE s.vec_id < 5),
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM qp q JOIN sigs c
@@ -2851,13 +2885,15 @@ object ExtensionQueries {
   }
 
   /** DuckDB oracle for `dedup_semantic_mp`: plane replay at bandBits=8
-    * plus the single-bit probe set on one side of the self-join (base
-    * signatures UNION the 8 XOR flips), mirroring the operator's
-    * probeDepth=1 path; verified pairs only (no closure).
+    * plus the QUERY-DIRECTED probe set on one side of the self-join —
+    * the 6 best flip sets of ≤2 bits by summed |dot| margin (ascending-
+    * bit addition order, ties by mask), mirroring the operator's
+    * probeDepth=2 path; verified pairs only (no closure).
     */
   private def semanticMpOracle: String = {
     val (bandBits, numBands) =
       gateLshGeometry(gateEmbeddingCount, tau = 0.4, baseBits = 8, baseBands = 16)
+    val numProbes = 6
     val planes = graft.operators.Similarity.hyperplanes(
       dim = 64, numPlanes = bandBits * numBands, seed = 42L)
     val planeRows = planes.zipWithIndex.map { case (p, i) =>
@@ -2867,21 +2903,41 @@ object ExtensionQueries {
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |planes(band, bit, p) AS (VALUES
        |  $planeRows),
+       |dots AS (
+       |  SELECT e.vec_id, pl.band, pl.bit,
+       |    list_dot_product(e.v, pl.p) AS d
+       |  FROM e CROSS JOIN planes pl),
        |sigs AS (
-       |  SELECT e.vec_id, pl.band,
-       |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
-       |      THEN (1::BIGINT << pl.bit) ELSE 0 END) AS BIGINT) AS bsig
-       |  FROM e CROSS JOIN planes pl
-       |  GROUP BY e.vec_id, pl.band),
+       |  SELECT vec_id, band,
+       |    CAST(sum(CASE WHEN d > 0
+       |      THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bsig
+       |  FROM dots
+       |  GROUP BY vec_id, band),
        |ok AS (
        |  SELECT band, bsig FROM sigs
        |  GROUP BY band, bsig HAVING count(*) <= 100000),
        |so AS (SELECT sigs.* FROM sigs JOIN ok USING (band, bsig)),
+       |fl AS (
+       |  SELECT vec_id, band, (1::BIGINT << bit) AS mask, abs(d) AS msum
+       |  FROM dots
+       |  UNION ALL
+       |  SELECT a.vec_id, a.band,
+       |    (1::BIGINT << a.bit) | (1::BIGINT << b.bit) AS mask,
+       |    abs(a.d) + abs(b.d) AS msum
+       |  FROM dots a JOIN dots b
+       |    ON a.vec_id = b.vec_id AND a.band = b.band AND a.bit < b.bit),
+       |fr AS (
+       |  SELECT vec_id, band, mask,
+       |    row_number() OVER (PARTITION BY vec_id, band
+       |      ORDER BY msum ASC, mask ASC) AS rn
+       |  FROM fl),
        |pr AS (
        |  SELECT vec_id, band, bsig FROM so
        |  UNION
-       |  SELECT vec_id, band, xor(bsig, 1::BIGINT << fb.b) AS bsig
-       |  FROM so CROSS JOIN generate_series(0, ${bandBits - 1}) fb(b)),
+       |  SELECT so.vec_id, so.band, xor(so.bsig, f.mask) AS bsig
+       |  FROM so JOIN fr f
+       |    ON f.vec_id = so.vec_id AND f.band = so.band
+       |   AND f.rn <= $numProbes),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
        |  FROM pr a JOIN so b

@@ -100,6 +100,15 @@ object RecallBench {
         Dedup.semanticNearDups(emb, "vec_id", "embedding", tau,
           bandBits = mpBits, numBands = mpBands, probeDepth = 1).count()
       }
+      // query-directed probing (Lv §4.2, probeDepth=2): 6 best ≤2-bit
+      // flip sets by summed margin — 7 probe rows per (vec, band) vs the
+      // single-flip leg's 9; the round-10 question is whether recall
+      // holds while the candidate volume (and seconds) drop
+      val (qdFound, qdSecs) = timed {
+        Dedup.semanticNearDups(emb, "vec_id", "embedding", tau,
+          bandBits = mpBits, numBands = mpBands, probeDepth = 2,
+          maxProbeBits = 6).count()
+      }
       val ncells = Similarity.ivfCellCount(n)
       def ivfLeg(name: String, anchors: org.apache.spark.sql.DataFrame) = {
         val (found, secs) = timed {
@@ -132,6 +141,10 @@ object RecallBench {
           // maxProbeBits makes the real value sit between this and
           // the exact-bucket form)
           Similarity.lshExpectedRecall(mpBits, mpBands, tau)),
+        Leg(s"lshmp_qd@$tau",
+          s"bits=$mpBits,bands=$mpBands,probe=2,nprobes=6",
+          qdFound, truth, qdSecs,
+          Similarity.lshExpectedRecall(mpBits, mpBands, tau)),
         ivfLeg("ivf_first", firstAnchors),
         ivfLeg("ivf_spread", spreadAnchors),
         ivfLeg("ivf_km", kmAnchors))
@@ -144,6 +157,119 @@ object RecallBench {
     val truthJson = taus
       .map(t => s""""$t":${truthAt(t)}""").mkString("{", ",", "}")
     s""""$label":{"n":$n,"truth_pairs":$truthJson,"truth_secs":${fmt(truthSecs)},"legs":{$legJson}}"""
+  }
+
+  /** Recall legs for the PERSISTED-index probe paths — the steady-state
+    * operators a production corpus actually runs per ingest batch
+    * ([[Dedup.minHashNearDupsAgainstIndex]],
+    * [[Dedup.semanticNearDupsIvfAgainstIndex]]). Both have equality specs
+    * against their in-plan twins (ScaleSpec), so the open question this
+    * section answers is their recall against EXACT cross-split truth:
+    *
+    *  - semantic: batch = vec_id % 10 = 0 (10 %), corpus = the rest;
+    *    truth = brute-force batch × corpus cosine count at each τ (one
+    *    pass, both thresholds); index anchors = learned k-means
+    *    (production) AND hash-spread seeds (the replayable choice);
+    *  - minhash: same split over documents at Jaccard ≥ 1/2 on word-3
+    *    shingle hashes; truth = [[Dedup.prefixJaccardPairs]] (PPJoin —
+    *    EXACT and candidate-complete; doc-freq pruning disabled so the
+    *    truth set drops nothing) restricted to cross-split pairs.
+    *
+    * Found pairs are exact-verified subsets of truth by construction, so
+    * recall = found / truth needs only counts.
+    */
+  private def probeSection(spark: SparkSession, label: String, dir: String,
+                           semTaus: Seq[Double]): String = {
+    import graft.functions.{ShingleFunctions, TextFunctions}
+    val safe = label.replaceAll("[^A-Za-z0-9]", "_")
+
+    val emb = Tables.embeddings(spark, dir).localCheckpoint(true)
+    val corpusE = emb.filter(col("vec_id") % 10 =!= 0)
+    val batchE = emb.filter(col("vec_id") % 10 === 0)
+    val nC = corpusE.count()
+    val (tRow, tSecs) = timed {
+      val sums = semTaus.map(t =>
+        sum(when(col("c") >= t, 1L).otherwise(0L)).as(s"t$t"))
+      corpusE.select(col("vec_id").as("idc"), col("embedding").as("vc"))
+        .join(broadcast(batchE.select(col("vec_id").as("idn"),
+          col("embedding").as("vn"))), col("idc") =!= col("idn"))
+        .select(VectorFunctions.cosine(col("vc"), col("vn")).as("c"))
+        .agg(sums.head, sums.tail: _*)
+        .collect().head
+    }
+    val truthAt = semTaus.zipWithIndex
+      .map { case (t, i) => t -> tRow.getLong(i) }.toMap
+    val ncells = Similarity.ivfCellCount(nC)
+    def semLegs(name: String, anchors: DataFrame): Seq[Leg] = {
+      val table = s"graft_recall_sem_${name}_$safe"
+      val (_, buildSecs) = timed {
+        Dedup.writeSemanticIvfIndex(corpusE, "vec_id", "embedding",
+          anchors, table)
+      }
+      val legs = semTaus.map { tau =>
+        val (found, secs) = timed {
+          Dedup.semanticNearDupsIvfAgainstIndex(batchE, "vec_id",
+            "embedding", tau, table).count()
+        }
+        Leg(s"probe_sem_$name@$tau",
+          s"ncells=$ncells,nassign=2,build_secs=${fmt(buildSecs)}",
+          found, truthAt(tau), secs, -1.0)
+      }
+      Seq("_cells", "_docs", "_centroids").foreach(s =>
+        graft.sources.Sinks.dropTableAndLocation(spark, table + s))
+      legs
+    }
+    val kmAnchors = Similarity.kmeansCentroids(corpusE, "embedding",
+      nlist = ncells, iters = 2, sampleSize = 8192)
+      .select(col("cell").cast("long").as("cell"), col("centroid"))
+    val spreadAnchors = corpusE
+      .select(col("vec_id"), col("embedding"),
+        xxhash64(lit(7L), col("vec_id")).as("h"))
+      .orderBy(col("h").asc).limit(ncells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+      .localCheckpoint(true)
+    val semResults = semLegs("km", kmAnchors) ++
+      semLegs("spread", spreadAnchors)
+
+    // minhash probe: word-3-shingle hashes, Jaccard >= 1/2, the
+    // dedup_incremental_idx configuration
+    val docs = Tables.documents(spark, dir).localCheckpoint(true)
+    def sh = ShingleFunctions.wordShingleHashes(
+      TextFunctions.tokens(col("text")), 3)
+    val corpusD = docs.filter(col("doc_id") % 10 =!= 0)
+    val batchD = docs.filter(col("doc_id") % 10 === 0)
+    val (mhTruth, mhTruthSecs) = timed {
+      Dedup.prefixJaccardPairs(docs, "doc_id", sh, p = 1, q = 2,
+          maxDocFreq = Long.MaxValue)
+        .filter((col("id_1") % 10 === 0) =!= (col("id_2") % 10 === 0))
+        .count()
+    }
+    val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+    val mhTable = s"graft_recall_mh_$safe"
+    val (_, mhBuildSecs) = timed {
+      Dedup.writeMinHashIndex(corpusD, "doc_id", sh, cfg, mhTable)
+    }
+    val (mhFound, mhSecs) = timed {
+      Dedup.minHashNearDupsAgainstIndex(batchD, "doc_id", sh,
+        threshold = 0.5, mhTable, cfg).count()
+    }
+    Seq("_docs", "_bands", "_meta").foreach(s =>
+      graft.sources.Sinks.dropTableAndLocation(spark, mhTable + s))
+    val mhLeg = Leg("probe_mh@0.5",
+      s"hashes=64,bandRows=2,build_secs=${fmt(mhBuildSecs)}",
+      mhFound, mhTruth, mhSecs,
+      // candidate-recall lower bound for a pair AT the threshold:
+      // 1 - (1 - t^r)^bands
+      1.0 - math.pow(1.0 - math.pow(0.5, cfg.bandRows),
+        (cfg.numHashes / cfg.bandRows).toDouble))
+
+    val legJson = (semResults :+ mhLeg).map { l =>
+      val ppm = if (l.truth == 0L) -1L else l.found * 1000000L / l.truth
+      s""""${l.name}":{"geometry":"${l.geometry}","found":${l.found},"truth":${l.truth},"recall_ppm":$ppm,"secs":${fmt(l.secs)},"predicted_recall_at_tau":${fmt(l.predicted)}}"""
+    }.mkString(",")
+    val truthJson = semTaus
+      .map(t => s""""$t":${truthAt(t)}""").mkString("{", ",", "}")
+    s""""probe_$label":{"n_corpus":$nC,"cross_truth_pairs":$truthJson,"cross_truth_secs":${fmt(tSecs)},"mh_truth_pairs":$mhTruth,"mh_truth_secs":${fmt(mhTruthSecs)},"legs":{$legJson}}"""
   }
 
   // -- deterministic clustered corpus (the SemDeDup regime: tight clusters,
@@ -206,9 +332,11 @@ object RecallBench {
           if (args.nonEmpty) args.toSeq
           else Seq("/root/testdata/sf0.1", "/tmp/sf1", "/tmp/sf3")
         val ts = Seq(0.4, 0.5)
-        (ts, "RECALL.json", dirs
+        val live = dirs
           .filter(d => new java.io.File(s"$d/embeddings.parquet").isFile)
-          .map(d => measureSection(d, Tables.embeddings(spark, d), ts)))
+        (ts, "RECALL.json",
+          live.map(d => measureSection(d, Tables.embeddings(spark, d), ts))
+            ++ live.map(d => probeSection(spark, d, d, ts)))
       }
     val json = s"""{"metric":"recall_at_n","taus":[${taus.mkString(",")}],"dirs":{${sections.mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

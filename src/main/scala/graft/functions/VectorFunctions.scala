@@ -481,40 +481,130 @@ case class HyperplaneSignatures(child: Expression, planes: Array[Double],
     copy(child = newChild)
 }
 
-/** Margin-aware multi-probe signature sets (Lv, Josephson, Wang, Charikar
-  * &amp; Li, "Multi-Probe LSH", VLDB 2007): per band, the base signature
-  * followed by the signatures with each of the `probeBits` LEAST-CONFIDENT
-  * bits flipped — the bits whose plane dot product has the smallest |dot|,
-  * i.e. the bits a genuinely-similar vector is most likely to disagree on.
-  * Flipping ALL `bandBits` bits (the naive probe set) costs
-  * `bandBits + 1` probe rows per band; margin-ranked probing keeps the
-  * probe count CONSTANT (`probeBits + 1`) as the corpus-adaptive geometry
-  * widens bands with log n, while retaining most of the single-flip recall
-  * mass (disagreements concentrate on small margins). When
-  * `probeBits ≥ bandBits` the probe SET equals the naive one — margin
-  * order only permutes it — so small-corpus behavior (and the SQL oracle)
-  * is unchanged.
+/** Shared core of [[HyperplaneProbes]] — query-directed probing (Lv,
+  * Josephson, Wang, Charikar &amp; Li, "Multi-Probe LSH", VLDB 2007 §4.2):
+  * per band, the base signature followed by the `numProbes` best
+  * perturbation SETS, where candidates are every non-empty subset of at
+  * most `maxFlip` band bits and "best" means smallest SUMMED margin
+  * Σ |dot| over the flipped bits (a similar vector most plausibly
+  * disagrees on exactly the small-margin planes), ties by mask
+  * ascending. `maxFlip = 1` is the classic margin-ranked single-flip
+  * set; `maxFlip = 2` adds pair flips, so a 2-bit disagreement on two
+  * near-zero margins out-ranks a 1-bit flip on a confident plane — the
+  * probing sequence that lets a band hold recall with FEWER probes than
+  * the full single-flip sweep (the sequence is a strict prefix
+  * refinement: more probes never remove earlier ones).
   *
-  * Margin ties break by bit index (ascending), so the probe set is a
-  * deterministic function of the exact dot values; the dots are
-  * sequential-order doubles, bit-identical to `list_dot_product` in the
-  * replaying oracle.
+  * Margin sums are fixed-order doubles (absd(i) + absd(j), i &lt; j), so
+  * an external SQL engine replays the exact probe ranking with
+  * `abs(d_i) + abs(d_j) … ORDER BY sum ASC, mask ASC` — the probe-set
+  * oracle discipline: ONE definition, both engines derive it.
   *
-  * Returns `array&lt;array&lt;long&gt;&gt;` — outer = band, inner =
-  * `1 + min(probeBits, bandBits)` signatures, base first, then flips in
-  * margin order. Null on dimension mismatch (same contract as
-  * [[HyperplaneSignatures]]).
+  * Shared by interpreted eval and codegen (the generated code calls this
+  * method), so the two paths are bit-identical by construction.
+  */
+object HyperplaneProbeGen {
+  def probes(v: ArrayData, isFloat: Boolean, planes: Array[Double],
+             dim: Int, bandBits: Int, numProbes: Int,
+             maxFlip: Int): GenericArrayData = {
+    val numBands = planes.length / dim / bandBits
+    val ncand =
+      if (maxFlip <= 1) bandBits
+      else bandBits + bandBits * (bandBits - 1) / 2
+    val t = math.min(numProbes, ncand)
+    val out = new Array[AnyRef](numBands)
+    val absd = new Array[Double](bandBits)
+    val sums = new Array[Double](ncand)
+    val masks = new Array[Long](ncand)
+    var b = 0
+    while (b < numBands) {
+      var sig = 0L
+      var i = 0
+      while (i < bandBits) {
+        var acc = 0.0
+        val off = (b * bandBits + i) * dim
+        var j = 0
+        while (j < dim) {
+          val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+          acc += x * planes(off + j)
+          j += 1
+        }
+        if (acc > 0.0) sig |= (1L << i)
+        absd(i) = math.abs(acc)
+        i += 1
+      }
+      // candidate flip sets: singles in bit order, then pairs (i < j) —
+      // sums in ascending-bit addition order so the SQL replay's
+      // abs(d_i) + abs(d_j) lands on the identical double
+      var c = 0
+      var i1 = 0
+      while (i1 < bandBits) {
+        sums(c) = absd(i1); masks(c) = 1L << i1; c += 1; i1 += 1
+      }
+      if (maxFlip >= 2) {
+        var a = 0
+        while (a < bandBits) {
+          var d2 = a + 1
+          while (d2 < bandBits) {
+            sums(c) = absd(a) + absd(d2)
+            masks(c) = (1L << a) | (1L << d2)
+            c += 1; d2 += 1
+          }
+          a += 1
+        }
+      }
+      // partial selection of the t smallest (sum, mask) — t and ncand are
+      // both small (ncand ≤ b + b(b−1)/2, b ≤ 24 when pairs are on)
+      val sigs = new Array[Long](t + 1)
+      sigs(0) = sig
+      val used = new Array[Boolean](ncand)
+      var s = 0
+      while (s < t) {
+        var best = -1
+        var c2 = 0
+        while (c2 < ncand) {
+          if (!used(c2) && (best < 0 || sums(c2) < sums(best) ||
+              (sums(c2) == sums(best) && masks(c2) < masks(best)))) best = c2
+          c2 += 1
+        }
+        used(best) = true
+        sigs(s + 1) = sig ^ masks(best)
+        s += 1
+      }
+      out(b) = new GenericArrayData(sigs)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Expression form of [[HyperplaneProbeGen.probes]]: per band, base
+  * signature + the `numProbes` smallest-summed-margin flip sets of ≤
+  * `maxFlip` bits (see the core's scaladoc for the exact ranking and the
+  * SQL-replay discipline). `maxFlip = 1, numProbes = q` reproduces the
+  * classic margin-ranked single-flip probe set bit-for-bit (mask order
+  * equals bit order for singles); when additionally `numProbes ≥
+  * bandBits` the SET equals the naive all-single-flips one, so
+  * small-corpus behavior degenerates gracefully. Returns
+  * `array&lt;array&lt;long&gt;&gt;` — outer = band, inner = 1 + min(numProbes,
+  * ncand) signatures, base first. Null on dimension mismatch (same
+  * contract as [[HyperplaneSignatures]]).
   */
 case class HyperplaneProbes(child: Expression, planes: Array[Double],
-    dim: Int, bandBits: Int, probeBits: Int) extends UnaryExpression {
-  require(dim >= 1 && bandBits >= 1 && bandBits <= 64 && probeBits >= 0 &&
+    dim: Int, bandBits: Int, numProbes: Int, maxFlip: Int)
+    extends UnaryExpression {
+  require(dim >= 1 && bandBits >= 1 && bandBits <= 64 && numProbes >= 0 &&
+    maxFlip >= 1 && maxFlip <= 2 &&
     planes.length % (dim.toLong * bandBits) == 0 && planes.length > 0,
     s"planes length ${planes.length} must be a positive multiple of " +
-      s"dim=$dim * bandBits=$bandBits (bandBits in [1,64], probeBits >= 0)")
+      s"dim=$dim * bandBits=$bandBits (bandBits in [1,64], numProbes >= 0, " +
+      s"maxFlip in [1,2])")
+  require(maxFlip == 1 || bandBits <= 24,
+    s"pair probing (maxFlip=2) is bounded to bandBits <= 24 " +
+      s"(candidate sets grow quadratically); got bandBits=$bandBits")
 
   private val numPlanes: Int = planes.length / dim
   val numBands: Int = numPlanes / bandBits
-  private val q: Int = math.min(probeBits, bandBits)
 
   override def dataType: DataType =
     ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
@@ -534,103 +624,30 @@ case class HyperplaneProbes(child: Expression, planes: Array[Double],
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     if (v.numElements() != dim) return null
-    val out = new Array[ArrayData](numBands)
-    val absd = new Array[Double](bandBits)
-    var b = 0
-    while (b < numBands) {
-      var sig = 0L
-      var i = 0
-      while (i < bandBits) {
-        var acc = 0.0
-        val off = (b * bandBits + i) * dim
-        var j = 0
-        while (j < dim) {
-          val x = if (elemIsFloat) v.getFloat(j).toDouble else v.getDouble(j)
-          acc += x * planes(off + j)
-          j += 1
-        }
-        if (acc > 0.0) sig |= (1L << i)
-        absd(i) = math.abs(acc)
-        i += 1
-      }
-      val sigs = new Array[Long](q + 1)
-      sigs(0) = sig
-      // selection of the q smallest (|dot|, bit) pairs, ascending — q and
-      // bandBits are both small constants, the O(q·bandBits) scan beats a
-      // sort's allocation
-      val used = new Array[Boolean](bandBits)
-      var s = 0
-      while (s < q) {
-        var best = -1
-        var i2 = 0
-        while (i2 < bandBits) {
-          if (!used(i2) && (best < 0 || absd(i2) < absd(best))) best = i2
-          i2 += 1
-        }
-        used(best) = true
-        sigs(s + 1) = sig ^ (1L << best)
-        s += 1
-      }
-      out(b) = new GenericArrayData(sigs)
-      b += 1
-    }
-    new GenericArrayData(out.asInstanceOf[Array[Any]])
+    HyperplaneProbeGen.probes(v, elemIsFloat, planes, dim, bandBits,
+      numProbes, maxFlip)
   }
 
-  /** Same plane-major / dim-sequential loops and the same (|dot|, bit)
-    * selection as [[nullSafeEval]] so the two paths are bit-identical
-    * (asserted in SketchSpec).
+  /** Generated code calls the SAME core as interpreted eval, so the two
+    * paths are bit-identical by construction (asserted in SketchSpec).
     */
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
-    val getter = if (elemIsFloat) "getFloat" else "getDouble"
-    val gad = classOf[GenericArrayData].getName
-    nullSafeCodeGen(ctx, ev, v => {
-      val out = ctx.freshName("out"); val absd = ctx.freshName("absd")
-      val used = ctx.freshName("used"); val sigs = ctx.freshName("sigs")
-      val b = ctx.freshName("b"); val i = ctx.freshName("i")
-      val j = ctx.freshName("j"); val s = ctx.freshName("s")
-      val acc = ctx.freshName("acc"); val off = ctx.freshName("off")
-      val sig = ctx.freshName("sig"); val best = ctx.freshName("best")
-      val i2 = ctx.freshName("i2")
+    nullSafeCodeGen(ctx, ev, v =>
       s"""
          |if ($v.numElements() != $dim) {
          |  ${ev.isNull} = true;
          |} else {
-         |  Object[] $out = new Object[$numBands];
-         |  double[] $absd = new double[$bandBits];
-         |  for (int $b = 0; $b < $numBands; $b++) {
-         |    long $sig = 0L;
-         |    for (int $i = 0; $i < $bandBits; $i++) {
-         |      double $acc = 0.0;
-         |      int $off = ($b * $bandBits + $i) * $dim;
-         |      for (int $j = 0; $j < $dim; $j++) {
-         |        $acc += (double) $v.$getter($j) * $planesRef[$off + $j];
-         |      }
-         |      if ($acc > 0.0) $sig |= (1L << $i);
-         |      $absd[$i] = java.lang.Math.abs($acc);
-         |    }
-         |    long[] $sigs = new long[$q + 1];
-         |    $sigs[0] = $sig;
-         |    boolean[] $used = new boolean[$bandBits];
-         |    for (int $s = 0; $s < $q; $s++) {
-         |      int $best = -1;
-         |      for (int $i2 = 0; $i2 < $bandBits; $i2++) {
-         |        if (!$used[$i2] && ($best < 0 || $absd[$i2] < $absd[$best])) $best = $i2;
-         |      }
-         |      $used[$best] = true;
-         |      $sigs[$s + 1] = $sig ^ (1L << $best);
-         |    }
-         |    $out[$b] = new $gad($sigs);
-         |  }
-         |  ${ev.value} = new $gad($out);
+         |  ${ev.value} = graft.functions.HyperplaneProbeGen.probes(
+         |    $v, $elemIsFloat, $planesRef, $dim, $bandBits, $numProbes,
+         |    $maxFlip);
          |}
-       """.stripMargin
-    })
+       """.stripMargin)
   }
 
   override def toString: String =
-    s"hyperplane_probes($child, planes=${numPlanes}x$dim, bandBits=$bandBits, probeBits=$q)"
+    s"hyperplane_probes($child, planes=${numPlanes}x$dim, " +
+      s"bandBits=$bandBits, numProbes=$numProbes, maxFlip=$maxFlip)"
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -844,16 +861,21 @@ object VectorFunctions {
     column(HyperplaneSignatures(expression(vec), planes.flatten, dim, bandBits))
   }
 
-  /** Column API: margin-aware multi-probe signature sets
-    * (array&lt;array&lt;long&gt;&gt;, per band: base signature + the
-    * `probeBits` least-confident single-bit flips) in one fused pass.
+  /** Column API: query-directed multi-probe signature sets
+    * (array&lt;array&lt;long&gt;&gt;, per band: base signature + the `numProbes`
+    * smallest-summed-margin flip sets of ≤ `maxFlip` bits) in one fused
+    * pass. `maxFlip = 1` is the classic margin-ranked single-flip set.
     */
   def hyperplaneProbes(vec: Column, planes: Array[Array[Double]],
-                       bandBits: Int, probeBits: Int): Column = {
+                       bandBits: Int, numProbes: Int,
+                       maxFlip: Int = 1): Column = {
     require(planes.nonEmpty, "need at least one hyperplane")
     val dim = planes.head.length
     require(planes.forall(_.length == dim), "all hyperplanes must share one dimensionality")
-    column(HyperplaneProbes(expression(vec), planes.flatten, dim, bandBits, probeBits))
+    column(HyperplaneProbes(expression(vec), planes.flatten, dim, bandBits,
+      math.min(numProbes,
+        if (maxFlip <= 1) bandBits else bandBits + bandBits * (bandBits - 1) / 2),
+      maxFlip))
   }
 
   /** Column API: PQ codes (array&lt;int&gt;, one cell per subspace) of a

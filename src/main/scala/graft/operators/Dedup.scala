@@ -733,8 +733,9 @@ object Dedup {
       bandBits: Int = 8, numBands: Int = 16, seed: Long = 42L,
       maxBucketSize: Long = 100000L, probeDepth: Int = 0,
       maxProbeBits: Int = 8): DataFrame = {
-    require(probeDepth >= 0 && probeDepth <= 1,
-      s"probeDepth=$probeDepth must be 0 (exact buckets) or 1 (single-bit probes)")
+    require(probeDepth >= 0 && probeDepth <= 2,
+      s"probeDepth=$probeDepth must be 0 (exact buckets), 1 (single-bit " +
+        "probes) or 2 (query-directed probes over <=2-bit flip sets)")
     require(maxProbeBits >= 1, s"maxProbeBits=$maxProbeBits must be >= 1")
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     // bounded driver action: a 1-row dim probe (same pattern as lshTopK)
@@ -763,7 +764,12 @@ object Dedup {
         // corpus-adaptive geometry widening bands with log n — the probe
         // count stays CONSTANT instead of growing with bandBits, and the
         // flips it keeps are precisely the lowest-|dot| planes where
-        // similar-pair disagreements concentrate.
+        // similar-pair disagreements concentrate. probeDepth=2 upgrades
+        // to Lv §4.2's full query-directed sequence: the maxProbeBits
+        // best flip SETS of ≤2 bits by summed margin — a 2-bit
+        // disagreement on two near-zero margins is likelier than a 1-bit
+        // flip on a confident plane, so held recall costs fewer probe
+        // rows (RecallBench measures the trade at sf1/sf3).
         val banded =
           if (probeDepth == 0)
             base.select(col("id"),
@@ -772,7 +778,8 @@ object Dedup {
           else
             base.select(col("id"),
               posexplode(VectorFunctions.hyperplaneProbes(col("v"), planes,
-                bandBits, maxProbeBits)).as(Seq("band", "probeSigs")))
+                bandBits, maxProbeBits, maxFlip = probeDepth))
+                .as(Seq("band", "probeSigs")))
               .select(col("id"), col("band"),
                 col("probeSigs").getItem(0).as("bandSig"), col("probeSigs"))
         val oversized = banded.groupBy(col("band"), col("bandSig"))

@@ -1261,8 +1261,9 @@ object Similarity {
     require(bandBits >= 1 && bandBits <= 64,
       s"bandBits=$bandBits must be in [1, 64] (band signature packs into a Long)")
     require(numBands >= 1, s"numBands=$numBands must be >= 1")
-    require(probeDepth >= 0 && probeDepth <= 1,
-      s"probeDepth=$probeDepth must be 0 (exact buckets) or 1 (single-bit probes)")
+    require(probeDepth >= 0 && probeDepth <= 2,
+      s"probeDepth=$probeDepth must be 0 (exact buckets), 1 (single-bit " +
+        "probes) or 2 (query-directed probes over <=2-bit flip sets)")
     require(maxProbeBits >= 1, s"maxProbeBits=$maxProbeBits must be >= 1")
     // derive dimensionality from the data — a silent mismatch would bucket
     // on prefix components (DotProduct loops to min length)
@@ -1271,21 +1272,27 @@ object Similarity {
     val planes = hyperplanes(dimRow.get.getInt(0), bandBits * numBands, seed)
 
     // Multi-probe (Lv et al., "Multi-probe LSH", VLDB 2007), margin-aware:
-    // ALSO probe the buckets whose signature differs in one of the
-    // min(bandBits, maxProbeBits) LEAST-CONFIDENT bits — near-misses on a
-    // small-|dot| hyperplane are the dominant false-negative mode, so band
-    // recall jumps from p^b toward p^b + b·p^(b−1)(1−p) for query-side
-    // fan-out ×(probes+1), and the fan-out stays CONSTANT when a
-    // deployment widens bands with log n (the lshGeometry scaling rule).
-    // The CORPUS side is untouched: same buckets, same storage, still a
-    // pure equi-join — recall is bought with query rows, not memory.
+    // ALSO probe the buckets whose signature differs on LEAST-CONFIDENT
+    // bits — near-misses on a small-|dot| hyperplane are the dominant
+    // false-negative mode, so band recall jumps from p^b toward
+    // p^b + b·p^(b−1)(1−p) for query-side fan-out ×(probes+1), and the
+    // fan-out stays CONSTANT when a deployment widens bands with log n
+    // (the lshGeometry scaling rule). probeDepth=1 probes the
+    // min(bandBits, maxProbeBits) single-bit flips; probeDepth=2 is the
+    // full QUERY-DIRECTED sequence (Lv §4.2) — the maxProbeBits best flip
+    // SETS of ≤2 bits ranked by summed margin, so two near-zero margins
+    // out-rank one confident plane and the same recall needs fewer probe
+    // rows (RecallBench measures the trade). The CORPUS side is untouched:
+    // same buckets, same storage, still a pure equi-join — recall is
+    // bought with query rows, not memory.
     val q = if (probeDepth == 0)
       bandedSignatures(queries, "query_id", "qv", idCol, vecCol,
         planes, bandBits, numBands)
     else
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
           posexplode(graft.functions.VectorFunctions.hyperplaneProbes(
-            col(vecCol), planes, bandBits, maxProbeBits))
+            col(vecCol), planes, bandBits, maxProbeBits,
+            maxFlip = probeDepth))
             .as(Seq("band", "probeSigs")))
         .select(col("query_id"), col("qv"), col("band"),
           explode(col("probeSigs")).as("bandSig"))

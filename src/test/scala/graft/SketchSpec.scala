@@ -287,6 +287,57 @@ class SketchSpec extends AnyFunSuite {
     assert(bad.collect().head.isNullAt(0))
   }
 
+  test("query-directed probes (maxFlip=2): summed-margin ranking, prefix refinement") {
+    import graft.operators.Similarity
+    val planes = Similarity.hyperplanes(dim = 64, numPlanes = 6 * 8, seed = 42L)
+    def run(t: Int): Seq[(Long, Seq[Seq[Long]])] =
+      Tables.embeddings(spark, TestSpark.sf).limit(60)
+        .select(col("vec_id"),
+          VectorFunctions.hyperplaneProbes(col("embedding"), planes, 6, t,
+            maxFlip = 2).as("ps"))
+        .orderBy("vec_id").as[(Long, Seq[Seq[Long]])].collect().toSeq
+    val got = run(6)
+    val vecs = Tables.embeddings(spark, TestSpark.sf).limit(60)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    // driver recomputation of Lv's ranking: candidates = singles + pairs,
+    // sums in ascending-bit addition order, (sum ASC, mask ASC)
+    for ((id, ps) <- got.take(20); (bandSigs, b) <- ps.zipWithIndex) {
+      val v = vecs(id)
+      val absd = (0 until 6).map { i =>
+        val p = planes(b * 6 + i)
+        var dot = 0.0; var j = 0
+        while (j < v.length) { dot += v(j).toDouble * p(j); j += 1 }
+        math.abs(dot)
+      }
+      val singles = (0 until 6).map(i => (absd(i), 1L << i))
+      val pairs = for (i <- 0 until 6; j <- i + 1 until 6)
+        yield (absd(i) + absd(j), (1L << i) | (1L << j))
+      val top = (singles ++ pairs).sortBy { case (s, m) => (s, m) }.take(6)
+      val expected = top.map { case (_, m) => bandSigs.head ^ m }
+      assert(bandSigs.tail == expected, s"vec $id band $b")
+      // with 6 probes over 6 singles + 15 pairs, at least one chosen set
+      // must genuinely be available as a pair candidate universe — the
+      // ranking is over 21 candidates, not the 6 singles
+      assert(singles.size + pairs.size == 21)
+    }
+    // prefix refinement: the T=3 sequence is exactly the first 3 of T=6
+    val short = run(3)
+    assert(short.map { case (id, ps) => (id, ps.map(_.take(4))) } ==
+      got.map { case (id, ps) => (id, ps.map(_.take(4))) },
+      "probe sequences must be prefix-stable in T")
+    // somewhere in the fixture a PAIR flip out-ranks a single — the whole
+    // point of query-directed probing (if this ever fails the fixture
+    // margins are degenerate, not the operator)
+    val anyPair = got.exists { case (id, ps) =>
+      ps.zipWithIndex.exists { case (bandSigs, b) =>
+        bandSigs.tail.exists(s =>
+          java.lang.Long.bitCount(s ^ bandSigs.head) == 2)
+      }
+    }
+    assert(anyPair, "expected at least one 2-bit probe in the top-6 sets")
+  }
+
   test("native winnow expression equals the SQL-HOF formulation (oracle family)") {
     val ascii = Tables.documents(spark, TestSpark.sf)
       .filter(length(col("text")) >= 11).select("doc_id", "text")
