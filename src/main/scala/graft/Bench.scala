@@ -75,13 +75,21 @@ object Bench {
     // ride a ±5-7% machine tide (r7→r8 measured +6.6% wholesale with no
     // plan change); a per-artifact tide_ref_sec lets future comparisons
     // normalize by the sentinel's drift instead of guessing.
+    // the sentinel gets the same failure isolation as the main sweep: a
+    // broken q1_agg at this sf must cost the tide reference, not abort
+    // the whole benchmark before a single query is timed
     val tideRef: Double = SparkEntry.queries.get("q1_agg").map { fn =>
-      val ts = (0 until math.max(reps, 2)).map { _ =>
-        val t0 = System.nanoTime()
-        run(fn, sfDir)
-        (System.nanoTime() - t0) / 1e9
+      try {
+        val ts = (0 until math.max(reps, 2)).map { _ =>
+          val t0 = System.nanoTime()
+          run(fn, sfDir)
+          (System.nanoTime() - t0) / 1e9
+        }
+        repStat(ts)
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] tide sentinel failed: ${e.getMessage}")
+        -1.0
       }
-      repStat(ts)
     }.getOrElse(-1.0)
     // a failed query reports -1 and contributes nothing to the total, so
     // the headline number reflects successful executions only
@@ -116,7 +124,16 @@ object Bench {
     val spreadJson = spreads.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"min","n_queries":${results.size},"tide_ref_query":"q1_agg","tide_ref_sec":${fmt(tideRef)},"queries":$fullQs,"reps_used":$repsJson,"rep_spread":$spreadJson,"errors":$errJson,"error_detail":$errDetailJson,"sf":"$sfDir"}"""
+    // timing semantics, recorded so cross-round comparisons do not
+    // conflate effects: since round 10 the index-backed queries
+    // (dedup_incremental_idx, dedup_semantic_ivf_incr, …) pay a
+    // build-once guard scan (contentSignature over the source corpus)
+    // inside every timed rep — reported seconds are probe+guard, where
+    // pre-round-10 artifacts timed probe+full-rebuild and a steady-state
+    // deployment would pay probe alone.
+    val semantics = "index-backed queries time probe+signature-guard " +
+      "(r10+); pre-r10 timed probe+rebuild"
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"min","n_queries":${results.size},"tide_ref_query":"q1_agg","tide_ref_sec":${fmt(tideRef)},"timing_semantics":${jstr(semantics)},"queries":$fullQs,"reps_used":$repsJson,"rep_spread":$spreadJson,"errors":$errJson,"error_detail":$errDetailJson,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p,
@@ -217,6 +234,16 @@ object Bench {
         i += 1
       }
       repsUsed(name) = times.size
+      // free the query's eager-localCheckpoint blocks NOW instead of
+      // waiting for GC + ContextCleaner: across a 235-query sweep the
+      // accumulated blocks pressure the block manager and GC enough to
+      // show up as a broad +0.3–0.75 s drift on unrelated mid-weight
+      // queries (round-10 bench vs round-9). Everything a finished
+      // query persisted is unreachable by construction — each rep
+      // builds its plan from scratch and cross-query state lives in
+      // warehouse TABLES (the build-once indexes), never in RDD blocks.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       // relative gap between the two fastest reps — the same statistic the
       // adaptive-extension loop stabilizes on, recorded as the noise band
       if (times.size >= 2) {

@@ -16,6 +16,34 @@ import graft.sources.Multimodal
   */
 object ExtensionQueries {
 
+  /** Shared build-once of the persisted semantic-IVF index over the
+    * corpus split (`vec_id % 10 != 0`) of `d`'s embeddings — the probe
+    * (dedup_semantic_ivf_incr) and staleness-audit
+    * (dedup_semantic_ivf_drift) queries exercise the SAME index, which is
+    * the deployment shape: one index, many lifecycle checks. Seeded
+    * anchors = the first ncells corpus ids, so DuckDB replays routing on
+    * both sides; the corpus content-signature plus routing parameters
+    * decide whether the persisted tables need rebuilding. Returns the
+    * table base name.
+    */
+  private def semanticIvfIndexBuiltOnce(
+      s: SparkSession, d: String, emb: DataFrame): String = {
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val ncells = Similarity.ivfCellCount(corpus.count())
+    val anchors = corpus.orderBy("vec_id").limit(ncells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val table = "graft_sem_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.Sinks.ensureBuiltOnce(s, table,
+      s"ivf:$ncells:nassign2|" +
+        graft.sources.Sinks.contentSignature(
+          corpus.select(col("vec_id"), col("embedding"))),
+      expectedSuffixes = Seq("_cells", "_docs", "_centroids")) {
+      Dedup.writeSemanticIvfIndex(corpus, "vec_id", "embedding", anchors,
+        table)
+    }
+    table
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Dedup: exact + fingerprint --------------------------------------
@@ -91,7 +119,8 @@ object ExtensionQueries {
       graft.sources.Sinks.ensureBuiltOnce(s, table,
         s"mh:${cfg.numHashes}:${cfg.bandRows}:${cfg.seed}|" +
           graft.sources.Sinks.contentSignature(
-            corpus.select(col("doc_id"), col("text")))) {
+            corpus.select(col("doc_id"), col("text"))),
+        expectedSuffixes = Seq("_docs", "_bands", "_meta")) {
         Dedup.writeMinHashIndex(corpus, "doc_id", sh, cfg, table)
       }
       Dedup.minHashNearDupsAgainstIndex(
@@ -346,25 +375,35 @@ object ExtensionQueries {
     // gate-pinned at 8 for the 450-row corpus (OracleCouplingSpec). -----
     "dedup_semantic_ivf_incr" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
-      val ncells = Similarity.ivfCellCount(corpus.count())
-      val anchors = corpus.orderBy("vec_id").limit(ncells)
-        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-      val table = "graft_sem_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      // build-once, same rationale as dedup_incremental_idx: the corpus
-      // content-signature (ids + embeddings) plus the routing parameters
-      // decide whether the persisted tables need rebuilding
-      graft.sources.Sinks.ensureBuiltOnce(s, table,
-        s"ivf:$ncells:nassign2|" +
-          graft.sources.Sinks.contentSignature(
-            corpus.select(col("vec_id"), col("embedding")))) {
-        Dedup.writeSemanticIvfIndex(corpus, "vec_id", "embedding", anchors,
-          table)
-      }
+      val table = semanticIvfIndexBuiltOnce(s, d, emb)
       Dedup.semanticNearDupsIvfAgainstIndex(
           emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
           threshold = 0.4, table)
         .orderBy("id_new", "id_corpus")
+    }),
+
+    // ---- Dedup: centroid-staleness audit of the PERSISTED IVF index ------
+    // completes the index lifecycle as checkable queries (build-once →
+    // probe → coherence → STALENESS): the ingest batch routes through the
+    // index's stored centroids AND through a fresh quantizer built from
+    // the batch itself; the assignment-shift share past the floor says
+    // "re-cluster, don't keep probing". Fresh centroids here are the
+    // seeded-anchor form (first ncells batch ids) so DuckDB replays the
+    // label bridge and both routing argmaxes exactly — the trained
+    // (k-means) fresh path is float-iterative and stays covered by
+    // ScaleSpec instead. A seeded fresh quantizer over the SAME anchors
+    // family as the index yields a drift verdict the oracle can check
+    // end-to-end: n_routed, n_shifted, integer floor compare.
+    "dedup_semantic_ivf_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val table = semanticIvfIndexBuiltOnce(s, d, emb)
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+      val ncells = s.table(s"${table}_centroids").count().toInt
+      val fresh = batch.orderBy("vec_id").limit(ncells)
+        .select(col("vec_id").cast("long").as("cell"),
+          col("embedding").cast("array<double>").as("centroid"))
+      Dedup.semanticIvfIndexDrift(batch, "vec_id", "embedding", table,
+        shiftFloorPpm = 200000L, freshCentroids = Some(fresh))
     }),
 
     // ---- Dedup: incremental semantic probe (new batch vs corpus) ---------
@@ -1695,7 +1734,13 @@ object ExtensionQueries {
       val ev = Tables.events(s, d)
       val edges = Graph.transitionEdges(ev, col("user_id"),
         get_json_object(col("props"), "$.k").cast("long"), col("event_id"))
-      Graph.pageRank(edges, iterations = 8).orderBy("node")
+      // checkpointEvery = 2: 8 unrolled join+agg rounds as ONE plan blew
+      // past the codegen/task-binary budget (measured 1.57 → 7.54 s in
+      // round 10's bench, "Broadcasting large task binary 1.1–1.3 MiB"
+      // warnings); cutting lineage every 2 rounds keeps each compiled
+      // stage graph bounded regardless of the iteration count.
+      Graph.pageRank(edges, iterations = 8, checkpointEvery = 2)
+        .orderBy("node")
     }),
 
     // ---- Graph: PageRank with exact dangling-mass conservation -----------
@@ -1741,7 +1786,10 @@ object ExtensionQueries {
       val nodes = edges.select(col("src").as("node"))
         .unionByName(edges.select(col("dst").as("node"))).distinct()
       val seeds = nodes.filter(col("node") % 20 === 0)
-      Graph.pageRank(edges, iterations = 8, teleportSeeds = Some(seeds))
+      // checkpointEvery = 2 for the same lineage-budget reason as
+      // q_pagerank — see the comment there.
+      Graph.pageRank(edges, iterations = 8, checkpointEvery = 2,
+          teleportSeeds = Some(seeds))
         .orderBy("node")
     }),
 
@@ -4801,6 +4849,66 @@ object ExtensionQueries {
         |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
         |    >= 0.4
         |ORDER BY id_new, id_corpus""".stripMargin,
+
+    // Staleness-audit replay: the index quantizer is the first 8 corpus
+    // ids, the fresh quantizer the first 8 batch ids (both seeded-anchor
+    // form). bridge = fresh→index cosine argmax (assignToGroups' strict->
+    // index-order scan ⇒ score DESC, cell ASC); ri/rf = each batch
+    // vector's top-1 cell under each quantizer (IvfRouteCells' tie
+    // discipline). Comparing vec_id labels instead of flat-matrix
+    // positions is the same equality — position ↔ sorted cell id is a
+    // bijection. Integer count compare only; no float crosses the gate.
+    "dedup_semantic_ivf_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corp AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+        |newb AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id AS cell, v AS cv FROM corp
+        |      ORDER BY vec_id LIMIT 8),
+        |f AS (SELECT vec_id AS fcell, v AS fv FROM newb
+        |      ORDER BY vec_id LIMIT 8),
+        |bridge AS (
+        |  SELECT fcell, cell AS matched_cell FROM (
+        |    SELECT f.fcell, c.cell,
+        |      row_number() OVER (PARTITION BY f.fcell ORDER BY
+        |        list_dot_product(f.fv, c.cv) /
+        |          (sqrt(list_dot_product(f.fv, f.fv)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |        c.cell ASC) AS rn
+        |    FROM f CROSS JOIN c)
+        |  WHERE rn = 1),
+        |ri AS (
+        |  SELECT vec_id, cell AS idx_cell FROM (
+        |    SELECT n.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        list_dot_product(n.v, c.cv) /
+        |          (sqrt(list_dot_product(n.v, n.v)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |        c.cell ASC) AS rn
+        |    FROM newb n CROSS JOIN c)
+        |  WHERE rn = 1),
+        |rf AS (
+        |  SELECT vec_id, fcell FROM (
+        |    SELECT n.vec_id, f.fcell,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        list_dot_product(n.v, f.fv) /
+        |          (sqrt(list_dot_product(n.v, n.v)) *
+        |           sqrt(list_dot_product(f.fv, f.fv))) DESC,
+        |        f.fcell ASC) AS rn
+        |    FROM newb n CROSS JOIN f)
+        |  WHERE rn = 1),
+        |m AS (
+        |  SELECT ri.idx_cell, bridge.matched_cell
+        |  FROM ri JOIN rf ON ri.vec_id = rf.vec_id
+        |  JOIN bridge ON bridge.fcell = rf.fcell)
+        |SELECT CAST(count(*) AS BIGINT) AS n_routed,
+        |  CAST(sum(CASE WHEN idx_cell <> matched_cell THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_shifted,
+        |  CAST(200000 AS BIGINT) AS shift_floor_ppm,
+        |  (CAST(sum(CASE WHEN idx_cell <> matched_cell THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000 > 200000 * count(*))
+        |    AS recluster_recommended
+        |FROM m""".stripMargin,
 
     "dedup_semantic_mp" -> semanticMpOracle,
 

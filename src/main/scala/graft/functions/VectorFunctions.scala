@@ -872,10 +872,25 @@ object VectorFunctions {
     require(planes.nonEmpty, "need at least one hyperplane")
     val dim = planes.head.length
     require(planes.forall(_.length == dim), "all hyperplanes must share one dimensionality")
+    // the expression hard-bounds pair probing to bandBits <= 24 (the
+    // ≤2-bit candidate set grows quadratically in bandBits); operators
+    // feed this wrapper lshGeometry's log-n-WIDENED bandBits, so on a
+    // sufficiently large corpus maxFlip=2 would otherwise throw at plan
+    // construction. Degrading to single-flip probing is the right
+    // large-corpus behavior (wider bands already cut the per-bucket
+    // collision mass that pair probes exist to recover), so clamp + warn
+    // here rather than propagate the constructor require.
+    val flip =
+      if (maxFlip >= 2 && bandBits > 24) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"hyperplaneProbes: clamping maxFlip=$maxFlip to 1 — " +
+            s"bandBits=$bandBits exceeds the pair-probe bound of 24")
+        1
+      } else maxFlip
     column(HyperplaneProbes(expression(vec), planes.flatten, dim, bandBits,
       math.min(numProbes,
-        if (maxFlip <= 1) bandBits else bandBits + bandBits * (bandBits - 1) / 2),
-      maxFlip))
+        if (flip <= 1) bandBits else bandBits + bandBits * (bandBits - 1) / 2),
+      flip))
   }
 
   /** Column API: PQ codes (array&lt;int&gt;, one cell per subspace) of a

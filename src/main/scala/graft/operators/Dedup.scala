@@ -1171,18 +1171,27 @@ object Dedup {
     *
     * Returns ONE row `(n_routed, n_shifted, shift_floor_ppm,
     * recluster_recommended)`; integer comparisons only.
+    *
+    * `freshCentroids` (a parameter-sized `(cell, centroid)` frame)
+    * substitutes an EXPLICIT fresh quantizer for the trained one — the
+    * seeded-anchor form every ivf query uses for exact SQL replay (the
+    * k-means leg is float-iterative and not bit-replayable across
+    * engines); shift counting, the label bridge and both routing maps
+    * are identical on either path.
     */
   def semanticIvfIndexDrift(
       newBatch: DataFrame, idCol: String, vecCol: String, table: String,
       shiftFloorPpm: Long = 200000L, iters: Int = 2, sampleSize: Int = 4096,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      freshCentroids: Option[DataFrame] = None): DataFrame = {
     require(shiftFloorPpm >= 0 && shiftFloorPpm <= 1000000L,
       s"shiftFloorPpm=$shiftFloorPpm must be in [0, 10⁶]")
     val spark = newBatch.sparkSession
     val (iflat, dim) = collectCentroids(spark.table(s"${table}_centroids"))
     val ncells = iflat.length / dim
-    val fresh = Similarity.kmeansCentroids(newBatch, vecCol, nlist = ncells,
-      iters = iters, sampleSize = sampleSize, seed = seed)
+    val fresh = freshCentroids.getOrElse(
+      Similarity.kmeansCentroids(newBatch, vecCol, nlist = ncells,
+        iters = iters, sampleSize = sampleSize, seed = seed))
     val (fflat, fdim) = collectCentroids(
       fresh.select(col("cell").cast("long").as("cell"), col("centroid")))
     require(fdim == dim,

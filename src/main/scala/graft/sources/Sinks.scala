@@ -255,19 +255,27 @@ object Sinks {
   }
 
   /** Cheap content fingerprint of a DataFrame for build-once guards:
-    * `(count, XOR of xxhash64(all columns))` — order-insensitive and
-    * overflow-free (a Long SUM would trip the ANSI overflow check), one
-    * scan + one agg, no shuffle beyond the partial-agg combine. Used as
-    * the signature input to [[ensureBuiltOnce]] so a persisted index
-    * rebuilds exactly when its source rows (not just their count)
-    * changed.
+    * `(count, XOR of xxhash64(all columns), SUM of the same hashes in
+    * DECIMAL(38,0))` — order-insensitive, one scan + one agg, no shuffle
+    * beyond the partial-agg combine. XOR alone is blind to
+    * even-multiplicity swaps ({A,A} → {B,B} keeps both count and XOR,
+    * both folding to 0) and duplicate rows are the NORM in a dedup
+    * framework's corpora, so the multiplicity-sensitive sum rides along;
+    * DECIMAL(38,0) keeps it overflow-free (a Long SUM would trip the
+    * ANSI overflow check — 38 digits absorb ~10^19 rows of 19-digit
+    * hashes). Used as the signature input to [[ensureBuiltOnce]] so a
+    * persisted index rebuilds exactly when its source rows (not just
+    * their count) changed.
     */
   def contentSignature(df: DataFrame): String = {
     val r = df
       .select(xxhash64(df.columns.map(col): _*).as("h"))
-      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("s"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
+        sum(col("h").cast("decimal(38,0)")).as("s"))
       .collect().head
-    s"n=${r.getLong(0)};x=${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+    val x = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val s = if (r.isNullAt(2)) "0" else r.getDecimal(2).toBigInteger.toString
+    s"n=${r.getLong(0)};x=$x;s=$s"
   }
 
   // per-table in-JVM construction locks for ensureBuiltOnce: two threads
@@ -288,7 +296,8 @@ object Sinks {
     * partition table names per writer — the registry derives them from
     * the data dir, so distinct dirs never collide).
     */
-  def ensureBuiltOnce(spark: SparkSession, table: String, signature: String)
+  def ensureBuiltOnce(spark: SparkSession, table: String, signature: String,
+                      expectedSuffixes: Seq[String] = Nil)
                      (build: => Unit): Unit = {
     val lock = buildLocks.computeIfAbsent(table, _ => new Object)
     lock.synchronized {
@@ -297,7 +306,14 @@ object Sinks {
         if (!spark.catalog.tableExists(marker)) None
         else scala.util.Try(spark.table(marker).collect())
           .toOption.filter(_.length == 1).map(_.head.getString(0))
-      if (!current.contains(signature)) {
+      // a matching marker is only trustworthy while the index tables it
+      // vouches for still exist: dropped out-of-band (cleanup script,
+      // warehouse wipe under a persistent metastore) with the marker
+      // surviving, a signature match would skip the build forever and
+      // every probe would fail on a missing table
+      val targetsPresent = expectedSuffixes
+        .forall(sfx => spark.catalog.tableExists(table + sfx))
+      if (!current.contains(signature) || !targetsPresent) {
         dropTableAndLocation(spark, marker)
         build
         import spark.implicits._

@@ -383,6 +383,45 @@ class SinksSpec extends AnyFunSuite {
       "a changed count must change the signature")
   }
 
+  test("contentSignature: even-multiplicity swaps change the signature") {
+    // the XOR-only collision class: {A,A} -> {B,B} keeps count AND the
+    // hash XOR (both pairs fold to 0); the decimal hash sum must differ
+    val aa = Seq((1L, "dup"), (1L, "dup")).toDF("id", "t")
+    val bb = Seq((2L, "other"), (2L, "other")).toDF("id", "t")
+    assert(Sinks.contentSignature(aa) != Sinks.contentSignature(bb),
+      "replacing a duplicated row pair with a different pair must " +
+        "change the signature (XOR alone cancels even multiplicities)")
+    // multiplicity of an existing row is content too
+    val a1 = Seq((1L, "dup")).toDF("id", "t")
+    assert(Sinks.contentSignature(aa) != Sinks.contentSignature(a1))
+  }
+
+  test("ensureBuiltOnce: matching marker is not trusted when a target " +
+      "table was dropped out-of-band") {
+    var builds = 0
+    val tbl = "graft_test_build_targets"
+    Seq("", "_idx", "_marker").foreach(s =>
+      Sinks.dropTableAndLocation(spark, tbl + s))
+    def build(): Unit =
+      Sinks.ensureBuiltOnce(spark, tbl, "sig1",
+        expectedSuffixes = Seq("_idx")) {
+        builds += 1
+        Seq((1L, "a")).toDF("id", "t")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(s"${tbl}_idx")
+      }
+    build(); build()
+    assert(builds == 1, "unchanged signature with targets present must skip")
+    // warehouse wipe with the marker surviving: the build must re-run or
+    // every subsequent probe fails on a missing table
+    Sinks.dropTableAndLocation(spark, s"${tbl}_idx")
+    build()
+    assert(builds == 2, "a missing target table must force the rebuild")
+    assert(spark.catalog.tableExists(s"${tbl}_idx"))
+    Seq("", "_idx", "_marker").foreach(s =>
+      Sinks.dropTableAndLocation(spark, tbl + s))
+  }
+
   test("dropTableAndLocation: catalog-resolved managed drop; external data survives") {
     import java.nio.file.Files
     // external table: the catalog entry goes away, the files stay

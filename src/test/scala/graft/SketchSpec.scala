@@ -338,6 +338,36 @@ class SketchSpec extends AnyFunSuite {
     assert(anyPair, "expected at least one 2-bit probe in the top-6 sets")
   }
 
+  test("hyperplaneProbes: maxFlip=2 past the 24-bit pair bound clamps " +
+      "to single-flip instead of throwing") {
+    import graft.operators.Similarity
+    // lshGeometry widens bandBits with log n, so at a large-enough
+    // corpus probeDepth=2 would hit the expression's bandBits<=24 pair
+    // bound at PLAN CONSTRUCTION — the Column API degrades to maxFlip=1
+    val wide = 26
+    val planes = Similarity.hyperplanes(dim = 64, numPlanes = wide * 2,
+      seed = 42L)
+    def run(flip: Int): Seq[(Long, Seq[Seq[Long]])] =
+      Tables.embeddings(spark, TestSpark.sf).limit(30)
+        .select(col("vec_id"),
+          VectorFunctions.hyperplaneProbes(col("embedding"), planes, wide,
+            numProbes = 4, maxFlip = flip).as("ps"))
+        .orderBy("vec_id").as[(Long, Seq[Seq[Long]])].collect().toSeq
+    val clamped = run(2) // must not throw
+    assert(clamped == run(1),
+      "clamped maxFlip=2 must produce the single-flip probe sets")
+    // under the bound, pair probing still engages (guards the clamp from
+    // silently downgrading every call)
+    val narrow = Similarity.hyperplanes(dim = 64, numPlanes = 6, seed = 42L)
+    val ps = Tables.embeddings(spark, TestSpark.sf).limit(30)
+      .select(VectorFunctions.hyperplaneProbes(col("embedding"), narrow, 6,
+        numProbes = 6, maxFlip = 2).as("ps"))
+      .as[Seq[Seq[Long]]].collect()
+    assert(ps.exists(_.exists(b =>
+        b.tail.exists(s => java.lang.Long.bitCount(s ^ b.head) == 2))),
+      "maxFlip=2 under the bound must still rank pair flips")
+  }
+
   test("native winnow expression equals the SQL-HOF formulation (oracle family)") {
     val ascii = Tables.documents(spark, TestSpark.sf)
       .filter(length(col("text")) >= 11).select("doc_id", "text")
