@@ -27,6 +27,18 @@ object Bench {
   /** Load-robust per-query statistic: the fastest recorded rep. */
   def repStat(xs: Seq[Double]): Double = xs.min
 
+  /** The inter-query cleanup unpersists locally-checkpointed RDDs on
+    * purpose — each "lineage truncated, cannot be recomputed" WARN is
+    * expected (the frames are finished-query garbage), and at ~20
+    * checkpoints × 236 queries the flood would bury the artifact tail
+    * the driver parses. Scoped to the rdd package; everything else
+    * stays at WARN.
+    */
+  private def quietRddUnpersistWarnings(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Scaling-audit mode: SPARK_GRAFT_SCALING_DIRS="<smallDir>,<largeDir>"
@@ -50,6 +62,7 @@ object Bench {
       shufflePartitions =
         GraftSession.envShufflePartitions.orElse(Some(cpus.toInt)))
     spark.sparkContext.setLogLevel("WARN")
+    quietRddUnpersistWarnings()
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             dir: String): Unit =
@@ -242,8 +255,10 @@ object Bench {
       // query persisted is unreachable by construction — each rep
       // builds its plan from scratch and cross-query state lives in
       // warehouse TABLES (the build-once indexes), never in RDD blocks.
+      // blocking = true: async removal would overlap the NEXT query's
+      // timed reps — pay the cleanup here, between timers.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       // relative gap between the two fastest reps — the same statistic the
       // adaptive-extension loop stabilizes on, recorded as the noise band
       if (times.size >= 2) {
@@ -279,6 +294,7 @@ object Bench {
       shufflePartitions =
         GraftSession.envShufflePartitions.orElse(Some(cpus.toInt)))
     spark.sparkContext.setLogLevel("WARN")
+    quietRddUnpersistWarnings()
     val warmDir = "/root/testdata/sf0.001"
     val selected = selectQueries(args)
     if (new java.io.File(warmDir).isDirectory)
