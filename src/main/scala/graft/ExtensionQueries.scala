@@ -335,10 +335,24 @@ object ExtensionQueries {
     // flat reduction is pinned in SketchSpec. ----------------------------
     "dedup_semantic_ivf2" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val anchors = emb.filter(col("vec_id") < 16)
+      // corpus-adaptive quantizer in the SAME seeded family at every
+      // scale: ncells2 = max(16, 2·ivfCellCount(n)) resolves to the
+      // oracle's 16 at the sf0.01 gate (ivfCellCount(500) = 8 —
+      // OracleCouplingSpec) and grows ∝ n past it, stride-grouped into
+      // ⌈√ncells2⌉ coarse groups (4 at the gate, matching the oracle's
+      // cell/4). The first declared form pinned 16 cells at EVERY scale,
+      // which turned cell-local pair volume Θ(n²/16): at sf3 (~135k
+      // vectors) the verify sort spilled past the disk. Fixed-cell
+      // configs are gate artifacts; the declared query must carry the
+      // operator's own scale posture.
+      val ncells2 = math.max(16, 2 * Similarity.ivfCellCount(emb.count()))
+      val ngroups = math.ceil(math.sqrt(ncells2.toDouble)).toInt
+      val stride = (ncells2 + ngroups - 1) / ngroups
+      val anchors = emb.filter(col("vec_id") < ncells2)
         .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-      val groups = emb.filter(col("vec_id") < 16 && col("vec_id") % 4 === 0)
-        .select((col("vec_id") / 4).cast("long").as("cell"),
+      val groups = emb.filter(col("vec_id") < ncells2 &&
+          col("vec_id") % stride === 0)
+        .select((col("vec_id") / stride).cast("long").as("cell"),
           col("embedding").as("centroid"))
       Dedup.semanticNearDupsIvf(emb, "vec_id", "embedding",
           threshold = 0.4, cells = anchors, nassign = 2,

@@ -67,6 +67,15 @@ class OracleCouplingSpec extends AnyFunSuite {
     assert(Similarity.ivfCellCount(n - n / 10) == 8,
       s"corpus-split count ${n - n / 10} no longer resolves to 8 cells — " +
         "the dedup_semantic_ivf_incr oracle's LIMIT literal must move")
+    // dedup_semantic_ivf2's corpus-adaptive quantizer must resolve to the
+    // oracle's 16 cells / 4 stride-4 groups at the gate (the query grows
+    // it ∝ n past the gate — the sf3 fixed-16 spill lesson)
+    val ncells2 = math.max(16, 2 * Similarity.ivfCellCount(n))
+    val ngroups = math.ceil(math.sqrt(ncells2.toDouble)).toInt
+    assert(ncells2 == 16 && ngroups == 4 &&
+        (ncells2 + ngroups - 1) / ngroups == 4,
+      s"gate count $n no longer derives the ivf2 oracle's 16-cell/" +
+        "4-group/stride-4 quantizer — move the oracle literals with it")
   }
 
   test("oracle builders refuse to build past the knee (gateLshGeometry)") {
