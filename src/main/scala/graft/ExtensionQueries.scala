@@ -129,6 +129,42 @@ object ExtensionQueries {
         .orderBy("id_new", "id_corpus")
     }),
 
+    // ---- Dedup: index MAINTENANCE — delta-append (merge), then probe ----
+    // The missing quarter of the index lifecycle (build-once → probe →
+    // audit → MERGE): the standing index is built from 80% of the corpus
+    // (doc_id % 10 ∉ {0,7}), the 7-stratum plays a later ingest batch
+    // APPENDED via Dedup.appendToMinHashIndex (idempotent, bucket-spec-
+    // preserving — the corpus is never rewritten), and the 0-stratum then
+    // probes the merged index. The oracle is the exact new × (corpus ∪
+    // delta) Jaccard replay — i.e. the DuckDB gate itself certifies
+    // append ≡ full rebuild, because the SQL knows nothing about which
+    // rows arrived via the append path.
+    "dedup_incremental_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def sh = ShingleFunctions.wordShingleHashes(
+        TextFunctions.tokens(col("text")), 3)
+      val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+      val table = "graft_mh_merge_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 10 =!= 7)
+      val delta = docs.filter(col("doc_id") % 10 === 7)
+      // the marker vouches for the POST-merge state (corpus ∪ delta +
+      // config), so bench reps / digest sweeps neither rebuild nor
+      // re-append; content drift in either slice forces build + merge
+      graft.sources.Sinks.ensureBuiltOnce(s, table,
+        s"mh:${cfg.numHashes}:${cfg.bandRows}:${cfg.seed}|" +
+          graft.sources.Sinks.contentSignature(
+            corpus.unionByName(delta).select(col("doc_id"), col("text"))),
+        expectedSuffixes = Seq("_docs", "_bands", "_meta")) {
+        Dedup.writeMinHashIndex(corpus, "doc_id", sh, cfg, table)
+        Dedup.appendToMinHashIndex(delta, "doc_id", sh, table, cfg)
+      }
+      Dedup.minHashNearDupsAgainstIndex(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", sh,
+          threshold = 0.5, table, cfg)
+        .orderBy("id_new", "id_corpus")
+    }),
+
     // ---- Dedup-at-the-door THROUGH Structured Streaming -------------------
     // The flagship curation-as-a-stream path ([[graft.streaming.Streams
     // .streamDedupIngest]]) made driver-visible: TWO AvailableNow drains
@@ -4166,6 +4202,10 @@ object ExtensionQueries {
 
     "dedup_incremental" -> dedupIncrementalOracleSql,
     "dedup_incremental_idx" -> dedupIncrementalOracleSql,
+    // merge: probe result over the APPENDED index must equal the same
+    // exact replay — the oracle can't see which rows came via the append
+    // path, so a green hash IS the append ≡ rebuild equivalence proof
+    "dedup_incremental_merge" -> dedupIncrementalOracleSql,
 
     "dedup_minhash" -> dedupMinhashOracleSql,
 

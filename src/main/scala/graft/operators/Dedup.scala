@@ -284,6 +284,57 @@ object Dedup {
       .format("parquet").saveAsTable(s"${table}_meta")
   }
 
+  /** Delta-append (merge) into a PERSISTED MinHash index
+    * ([[writeMinHashIndex]]) — the maintenance half of the index
+    * lifecycle. A 100 TB corpus cannot rebuild its index per ingest
+    * batch; this appends the batch's `_docs` and `_bands` rows to the
+    * standing bucketed tables with the IDENTICAL bucket spec, so every
+    * probe after the merge still joins exchange-free and is
+    * bit-identical to a probe against a full rebuild over
+    * corpus ∪ delta (DedupIndexSpec pins both invariants; the
+    * dedup_incremental_merge oracle gates the equivalence end-to-end).
+    *
+    * Idempotent on id (the W1 ON-CONFLICT discipline at the index
+    * boundary): delta ids already present in `_docs` are anti-joined
+    * away before writing, so replaying a batch — retries, at-least-once
+    * upstream delivery — appends nothing. The anti-join reads only the
+    * bucketed id column of the standing `_docs` table, whose bucketing
+    * keeps that side exchange-free; only the (small) delta sorts and
+    * shuffles. Signatures/bands are computed from the delta frame
+    * directly (one pass), never by re-reading the corpus.
+    */
+  def appendToMinHashIndex(
+      delta: DataFrame, idCol: String, shingles: Column,
+      table: String, cfg: LshConfig = LshConfig(),
+      numBuckets: Int = 32): Unit = {
+    val spark = delta.sparkSession
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1, s"index $table has no meta row")
+    val (mh, mr, ms) = (meta.head.getAs[Int]("num_hashes"),
+      meta.head.getAs[Int]("band_rows"), meta.head.getAs[Long]("seed"))
+    require(mh == cfg.numHashes && mr == cfg.bandRows && ms == cfg.seed,
+      s"index $table was built with (numHashes=$mh, bandRows=$mr, seed=$ms)" +
+        s" but the append supplied (${cfg.numHashes}, ${cfg.bandRows}, " +
+        s"${cfg.seed}) — mixed-config indexes would corrupt every probe")
+    val bands = cfg.numHashes / cfg.bandRows
+    val fresh = delta.select(col(idCol).as("id"), shingles.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .join(spark.table(s"${table}_docs").select("id"), Seq("id"), "left_anti")
+    val docs = fresh.select(col("id"), col("sh"),
+        HashFunctions.minhashSignature(col("sh"), cfg.numHashes, cfg.seed)
+          .as("sig"))
+      .localCheckpoint(true) // one delta pass feeds BOTH table appends
+    graft.sources.Sinks.appendBucketed(
+      docs, s"${table}_docs", Seq("id"), numBuckets)
+    val banded = docs
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * cfg.bandRows + 1, lit(cfg.bandRows)))))
+        .as(Seq("band", "bandHash")))
+    graft.sources.Sinks.appendBucketed(
+      banded, s"${table}_bands", Seq("band", "bandHash"), numBuckets)
+  }
+
   /** Incremental near-dup probe against a PERSISTED index
     * ([[writeMinHashIndex]]) — identical algebra and results to
     * [[minHashNearDupsAgainst]] with the same configuration, but every

@@ -152,6 +152,22 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append a delta to an EXISTING bucketed table with the identical
+    * bucket spec — the incremental-maintenance half of [[writeBucketed]].
+    * Spark hashes the delta rows into the same bucket files' id space, so
+    * downstream bucketed equi-joins stay exchange-free after the append;
+    * only the (small) delta is shuffled, never the standing table. At
+    * 100 TB this is what keeps index maintenance O(batch): a rebuild
+    * rewrites the corpus, an append writes one batch.
+    */
+  def appendBucketed(df: DataFrame, table: String,
+                     bucketCols: Seq[String], numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** W7 — notification (email) sink, file-backed: render each message row
     * as an RFC-822 text file in an OUTBOX directory (reference
     * dags/evidence_images_processing.py:291-296 — the EmailOperator firing

@@ -165,6 +165,62 @@ class ScaleSpec extends AnyFunSuite {
     Seq("_docs", "_bands", "_meta").foreach(s => Sinks.dropTable(spark, table + s))
   }
 
+  test("minhash index delta-append: merge ≡ rebuild, replay is a no-op, probe stays exchange-free") {
+    import graft.operators.Dedup
+    import graft.functions.{ShingleFunctions, TextFunctions}
+    val docs = Tables.documents(spark, TestSpark.sf)
+    def sh = ShingleFunctions.wordShingleHashes(
+      TextFunctions.tokens(col("text")), 3)
+    val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+    val merged = "graft_mh_merge_test"
+    val rebuilt = "graft_mh_rebuild_test"
+    Seq(merged, rebuilt).foreach(t =>
+      Seq("_docs", "_bands", "_meta").foreach(s => Sinks.dropTable(spark, t + s)))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 7)
+    val delta = docs.filter(col("doc_id") % 10 === 7)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    Dedup.writeMinHashIndex(corpus, "doc_id", sh, cfg, merged, numBuckets = 4)
+    Dedup.appendToMinHashIndex(delta, "doc_id", sh, merged, cfg, numBuckets = 4)
+    Dedup.writeMinHashIndex(docs.filter(col("doc_id") % 10 =!= 0),
+      "doc_id", sh, cfg, rebuilt, numBuckets = 4)
+    // table-level equivalence: append produced exactly the rebuild's rows
+    val mDocs = spark.table(s"${merged}_docs")
+    assert(mDocs.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      spark.table(s"${rebuilt}_docs").select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(spark.table(s"${merged}_bands").count() ==
+      spark.table(s"${rebuilt}_bands").count())
+    // replaying the same batch appends NOTHING (idempotent on id)
+    val nDocs = mDocs.count(); val nBands = spark.table(s"${merged}_bands").count()
+    Dedup.appendToMinHashIndex(delta, "doc_id", sh, merged, cfg, numBuckets = 4)
+    assert(spark.table(s"${merged}_docs").count() == nDocs,
+      "replayed delta must not duplicate _docs rows")
+    assert(spark.table(s"${merged}_bands").count() == nBands,
+      "replayed delta must not duplicate _bands rows")
+    // probe-level equivalence + the merged index still probes exchange-free
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pM = Dedup.minHashNearDupsAgainstIndex(batch, "doc_id", sh, 0.5, merged, cfg)
+      val pR = Dedup.minHashNearDupsAgainstIndex(batch, "doc_id", sh, 0.5, rebuilt, cfg)
+      assert(pM.collect().map(_.toSeq).toSet == pR.collect().map(_.toSeq).toSet,
+        "probe over the appended index diverged from the full rebuild")
+      val shuffled = TestSpark.collectDeep(pM.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if rawScanReachable(e.child, merged) => e
+      }
+      assert(shuffled.isEmpty,
+        s"merged-index scan feeds a shuffle exchange:\n${shuffled.headOption}")
+      // config mismatch must refuse an append (mixed-config index corruption)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.appendToMinHashIndex(delta, "doc_id", sh, merged,
+          Dedup.LshConfig(numHashes = 32, bandRows = 2), numBuckets = 4)
+      }
+      assert(e.getMessage.contains("mixed-config"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    Seq(merged, rebuilt).foreach(t =>
+      Seq("_docs", "_bands", "_meta").foreach(s => Sinks.dropTable(spark, t + s)))
+  }
+
   test("persisted semantic-IVF index: corpus never re-shuffles; probe equals in-plan pairs") {
     import graft.operators.{Dedup, Similarity}
     val emb = Tables.embeddings(spark, TestSpark.sf)
