@@ -37,7 +37,7 @@ object ExtensionQueries {
       s"ivf:$ncells:nassign2|" +
         graft.sources.Sinks.contentSignature(
           corpus.select(col("vec_id"), col("embedding"))),
-      expectedSuffixes = Seq("_cells", "_docs", "_centroids")) {
+      expectedSuffixes = Seq("_cells", "_docs", "_centroids", "_meta")) {
       Dedup.writeSemanticIvfIndex(corpus, "vec_id", "embedding", anchors,
         table)
     }
@@ -426,6 +426,42 @@ object ExtensionQueries {
     "dedup_semantic_ivf_incr" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val table = semanticIvfIndexBuiltOnce(s, d, emb)
+      Dedup.semanticNearDupsIvfAgainstIndex(
+          emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          threshold = 0.4, table)
+        .orderBy("id_new", "id_corpus")
+    }),
+
+    // ---- Dedup: semantic-IVF index MAINTENANCE — delta-append through
+    // the FROZEN quantizer, then probe. The embedding-space mirror of
+    // dedup_incremental_merge: the index is built from the corpus minus
+    // its 7-stratum, the 7-stratum is APPENDED via
+    // Dedup.appendToSemanticIvfIndex (routed through the index's OWN
+    // stored centroids — the quantizer is provisioned for the full corpus
+    // and frozen, which is how a deployment ingests: merge fills cells,
+    // the drift audit says when to re-cluster), and the 0-stratum probes
+    // the merged index. Oracle = dedup_semantic_ivf_incr's full routing
+    // replay over corpus ∪ delta — the SQL can't see which rows arrived
+    // via the append path, so the green hash IS append ≡ rebuild. -------
+    "dedup_semantic_ivf_merge" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val ncells = Similarity.ivfCellCount(corpus.count())
+      val anchors = corpus.orderBy("vec_id").limit(ncells)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+      val table = "graft_sem_merge_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Sinks.ensureBuiltOnce(s, table,
+        s"ivf:$ncells:nassign2|" +
+          graft.sources.Sinks.contentSignature(
+            corpus.select(col("vec_id"), col("embedding"))),
+        expectedSuffixes = Seq("_cells", "_docs", "_centroids", "_meta")) {
+        Dedup.writeSemanticIvfIndex(
+          corpus.filter(col("vec_id") % 10 =!= 7), "vec_id", "embedding",
+          anchors, table)
+        Dedup.appendToSemanticIvfIndex(
+          corpus.filter(col("vec_id") % 10 === 7), "vec_id", "embedding",
+          table)
+      }
       Dedup.semanticNearDupsIvfAgainstIndex(
           emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
           threshold = 0.4, table)
@@ -2832,6 +2868,46 @@ object ExtensionQueries {
     * index probe is algebraically identical to the in-plan one (same split,
     * config, verify), so ONE exact new × corpus Jaccard replay gates both.
     */
+  /** Full replay of the persisted semantic-IVF probe — both sides route
+    * through the stored seeded anchors (first 8 corpus ids), candidates
+    * are the shared-cell join, verification the shared cosine. Shared by
+    * dedup_semantic_ivf_incr and dedup_semantic_ivf_merge (the probe over
+    * the delta-appended index must equal this full-corpus replay).
+    */
+  private val semanticIvfIncrOracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |corp AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+      |newb AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+      |c AS (SELECT vec_id AS cell, v AS cv FROM corp
+      |      ORDER BY vec_id LIMIT 8),
+      |sc AS (
+      |  SELECT s.vec_id AS id, s.side, c.cell,
+      |    list_dot_product(s.v, c.cv) /
+      |      (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+      |      AS score
+      |  FROM (SELECT vec_id, v, 'c' AS side FROM corp
+      |        UNION ALL SELECT vec_id, v, 'n' AS side FROM newb) s
+      |  CROSS JOIN c),
+      |r AS (
+      |  SELECT id, side, cell, row_number() OVER (PARTITION BY id, side
+      |    ORDER BY score DESC, cell ASC) AS rk FROM sc),
+      |ac AS (SELECT id, cell FROM r WHERE side = 'c' AND rk <= 2),
+      |an AS (SELECT id, cell FROM r WHERE side = 'n' AND rk <= 2),
+      |cand AS (
+      |  SELECT DISTINCT n.id AS id_new, k.id AS id_corpus
+      |  FROM an n JOIN ac k ON n.cell = k.cell AND n.id <> k.id)
+      |SELECT cand.id_new, cand.id_corpus,
+      |  list_dot_product(x.v, y.v) /
+      |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+      |    AS cosine
+      |FROM cand JOIN e x ON x.vec_id = cand.id_new
+      |  JOIN e y ON y.vec_id = cand.id_corpus
+      |WHERE list_dot_product(x.v, y.v) /
+      |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+      |    >= 0.4
+      |ORDER BY id_new, id_corpus""".stripMargin
+
   private val dedupIncrementalOracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -4870,39 +4946,12 @@ object ExtensionQueries {
     // Full replay of the persisted-index probe: both sides route through
     // the SAME stored seeded anchors (first 8 corpus ids), candidates are
     // the shared-cell join, verification the shared cosine expression.
-    "dedup_semantic_ivf_incr" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |corp AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
-        |newb AS (SELECT * FROM e WHERE vec_id % 10 = 0),
-        |c AS (SELECT vec_id AS cell, v AS cv FROM corp
-        |      ORDER BY vec_id LIMIT 8),
-        |sc AS (
-        |  SELECT s.vec_id AS id, s.side, c.cell,
-        |    list_dot_product(s.v, c.cv) /
-        |      (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cv, c.cv)))
-        |      AS score
-        |  FROM (SELECT vec_id, v, 'c' AS side FROM corp
-        |        UNION ALL SELECT vec_id, v, 'n' AS side FROM newb) s
-        |  CROSS JOIN c),
-        |r AS (
-        |  SELECT id, side, cell, row_number() OVER (PARTITION BY id, side
-        |    ORDER BY score DESC, cell ASC) AS rk FROM sc),
-        |ac AS (SELECT id, cell FROM r WHERE side = 'c' AND rk <= 2),
-        |an AS (SELECT id, cell FROM r WHERE side = 'n' AND rk <= 2),
-        |cand AS (
-        |  SELECT DISTINCT n.id AS id_new, k.id AS id_corpus
-        |  FROM an n JOIN ac k ON n.cell = k.cell AND n.id <> k.id)
-        |SELECT cand.id_new, cand.id_corpus,
-        |  list_dot_product(x.v, y.v) /
-        |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
-        |    AS cosine
-        |FROM cand JOIN e x ON x.vec_id = cand.id_new
-        |  JOIN e y ON y.vec_id = cand.id_corpus
-        |WHERE list_dot_product(x.v, y.v) /
-        |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
-        |    >= 0.4
-        |ORDER BY id_new, id_corpus""".stripMargin,
+    // Shared with dedup_semantic_ivf_merge: a probe over the
+    // delta-APPENDED index must equal this replay over the full corpus —
+    // the SQL can't see which rows arrived via the append path, so the
+    // shared oracle is the append ≡ rebuild equivalence proof.
+    "dedup_semantic_ivf_incr" -> semanticIvfIncrOracleSql,
+    "dedup_semantic_ivf_merge" -> semanticIvfIncrOracleSql,
 
     // Staleness-audit replay: the index quantizer is the first 8 corpus
     // ids, the fresh quantizer the first 8 batch ids (both seeded-anchor

@@ -278,8 +278,8 @@ object Dedup {
         .as(Seq("band", "bandHash")))
     graft.sources.Sinks.writeBucketed(
       banded, s"${table}_bands", Seq("band", "bandHash"), numBuckets)
-    Seq((cfg.numHashes, cfg.bandRows, cfg.seed))
-      .toDF("num_hashes", "band_rows", "seed")
+    Seq((cfg.numHashes, cfg.bandRows, cfg.seed, numBuckets))
+      .toDF("num_hashes", "band_rows", "seed", "num_buckets")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${table}_meta")
   }
@@ -305,8 +305,7 @@ object Dedup {
     */
   def appendToMinHashIndex(
       delta: DataFrame, idCol: String, shingles: Column,
-      table: String, cfg: LshConfig = LshConfig(),
-      numBuckets: Int = 32): Unit = {
+      table: String, cfg: LshConfig = LshConfig()): Unit = {
     val spark = delta.sparkSession
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1, s"index $table has no meta row")
@@ -316,6 +315,9 @@ object Dedup {
       s"index $table was built with (numHashes=$mh, bandRows=$mr, seed=$ms)" +
         s" but the append supplied (${cfg.numHashes}, ${cfg.bandRows}, " +
         s"${cfg.seed}) — mixed-config indexes would corrupt every probe")
+    // the bucket count travels with the index: an append under a
+    // different count would silently break bucket-pruned joins
+    val numBuckets = meta.head.getAs[Int]("num_buckets")
     val bands = cfg.numHashes / cfg.bandRows
     val fresh = delta.select(col(idCol).as("id"), shingles.as("sh"))
       .filter(size(col("sh")) > 0)
@@ -1136,7 +1138,8 @@ object Dedup {
     require(nassign >= 1 && nassign <= 8,
       s"nassign=$nassign out of range [1, 8]")
     val spark = corpus.sparkSession
-    Seq("_cells", "_docs", "_centroids").foreach(s =>
+    import spark.implicits._
+    Seq("_cells", "_docs", "_centroids", "_meta").foreach(s =>
       graft.sources.Sinks.dropTableAndLocation(spark, table + s))
     val cellTable = cells
       .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
@@ -1152,6 +1155,62 @@ object Dedup {
       col("id"))
     graft.sources.Sinks.writeBucketed(
       assigned, s"${table}_cells", Seq("cell"), numBuckets)
+    // routing config travels WITH the index (the minhash `_meta`
+    // discipline): appends must route new vectors exactly as the build
+    // did, and nassign is the one knob the centroid table can't carry
+    Seq((nassign, numBuckets)).toDF("nassign", "num_buckets")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Delta-append (merge) into a PERSISTED semantic-IVF index
+    * ([[writeSemanticIvfIndex]]) — the embedding-space mirror of
+    * [[appendToMinHashIndex]] and the maintenance quarter of the
+    * lifecycle (build-once → probe → coherence/staleness audits →
+    * MERGE). New vectors route through the index's FROZEN quantizer
+    * (its own stored `_centroids`, the same embedded-matrix
+    * zero-shuffle map every probe uses) and their `(id, v)` /
+    * `(cell, id)` rows append to the bucketed tables under the
+    * identical bucket spec — the standing corpus is never re-routed or
+    * rewritten, probes after the merge stay exchange-free, and the
+    * post-merge index is bit-identical to a full rebuild over
+    * corpus ∪ delta under the same centroids (the
+    * dedup_semantic_ivf_merge oracle certifies this end-to-end).
+    * Whether the frozen quantizer is still the RIGHT one for what's
+    * arriving is exactly what [[semanticIvfIndexDrift]] measures —
+    * merge and drift-audit are the two halves of steady-state index
+    * operation.
+    *
+    * Idempotent on id (anti-join vs the bucketed `_docs` ids), so
+    * at-least-once batch replays append nothing. Routing config is
+    * enforced from the index's `_meta` row — a mixed-nassign append
+    * would corrupt every later probe's candidate sets, so it refuses.
+    */
+  def appendToSemanticIvfIndex(
+      delta: DataFrame, idCol: String, vecCol: String, table: String,
+      nassign: Int = 2): Unit = {
+    require(nassign >= 1 && nassign <= 8,
+      s"nassign=$nassign out of range [1, 8]")
+    val spark = delta.sparkSession
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1, s"index $table has no meta row")
+    val (mn, mb) = (meta.head.getAs[Int]("nassign"),
+      meta.head.getAs[Int]("num_buckets"))
+    require(mn == nassign,
+      s"index $table was built with nassign=$mn but the append supplied " +
+        s"nassign=$nassign — mixed-config indexes would corrupt every probe")
+    val (flat, dim) = collectCentroids(spark.table(s"${table}_centroids"))
+    val fresh = delta.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(spark.table(s"${table}_docs").select("id"), Seq("id"), "left_anti")
+      .localCheckpoint(true) // one delta pass feeds BOTH table appends
+    graft.sources.Sinks.appendBucketed(
+      fresh, s"${table}_docs", Seq("id"), mb)
+    val assigned = fresh.select(
+      explode(VectorFunctions.ivfRouteCells(col("v"), flat, dim, nassign))
+        .as("cell"),
+      col("id"))
+    graft.sources.Sinks.appendBucketed(
+      assigned, s"${table}_cells", Seq("cell"), mb)
   }
 
   /** Incremental semantic probe against a PERSISTED index

@@ -63,10 +63,14 @@ class OracleCouplingSpec extends AnyFunSuite {
     assert(Similarity.ivfCellCount(513L) == 9,
       "cell-count knee moved: ivfCellCount(513) was expected to adapt")
     // dedup_semantic_ivf_incr sizes cells on the CORPUS split (every 10th
-    // row is the batch); its oracle hardcodes LIMIT 8 anchors
+    // row is the batch); its oracle hardcodes LIMIT 8 anchors.
+    // dedup_semantic_ivf_merge shares this derivation AND this oracle
+    // (same corpus count — the quantizer is provisioned for the full
+    // corpus before the 7-stratum is delta-appended), so this one pin
+    // guards both LIMIT literals.
     assert(Similarity.ivfCellCount(n - n / 10) == 8,
       s"corpus-split count ${n - n / 10} no longer resolves to 8 cells — " +
-        "the dedup_semantic_ivf_incr oracle's LIMIT literal must move")
+        "the dedup_semantic_ivf_incr/_merge oracles' LIMIT literal must move")
     // dedup_semantic_ivf2's corpus-adaptive quantizer must resolve to the
     // oracle's 16 cells / 4 stride-4 groups at the gate (the query grows
     // it ∝ n past the gate — the sf3 fixed-16 spill lesson)

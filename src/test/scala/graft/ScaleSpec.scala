@@ -180,7 +180,7 @@ class ScaleSpec extends AnyFunSuite {
     val delta = docs.filter(col("doc_id") % 10 === 7)
     val batch = docs.filter(col("doc_id") % 10 === 0)
     Dedup.writeMinHashIndex(corpus, "doc_id", sh, cfg, merged, numBuckets = 4)
-    Dedup.appendToMinHashIndex(delta, "doc_id", sh, merged, cfg, numBuckets = 4)
+    Dedup.appendToMinHashIndex(delta, "doc_id", sh, merged, cfg)
     Dedup.writeMinHashIndex(docs.filter(col("doc_id") % 10 =!= 0),
       "doc_id", sh, cfg, rebuilt, numBuckets = 4)
     // table-level equivalence: append produced exactly the rebuild's rows
@@ -191,7 +191,7 @@ class ScaleSpec extends AnyFunSuite {
       spark.table(s"${rebuilt}_bands").count())
     // replaying the same batch appends NOTHING (idempotent on id)
     val nDocs = mDocs.count(); val nBands = spark.table(s"${merged}_bands").count()
-    Dedup.appendToMinHashIndex(delta, "doc_id", sh, merged, cfg, numBuckets = 4)
+    Dedup.appendToMinHashIndex(delta, "doc_id", sh, merged, cfg)
     assert(spark.table(s"${merged}_docs").count() == nDocs,
       "replayed delta must not duplicate _docs rows")
     assert(spark.table(s"${merged}_bands").count() == nBands,
@@ -213,7 +213,7 @@ class ScaleSpec extends AnyFunSuite {
       // config mismatch must refuse an append (mixed-config index corruption)
       val e = intercept[IllegalArgumentException] {
         Dedup.appendToMinHashIndex(delta, "doc_id", sh, merged,
-          Dedup.LshConfig(numHashes = 32, bandRows = 2), numBuckets = 4)
+          Dedup.LshConfig(numHashes = 32, bandRows = 2))
       }
       assert(e.getMessage.contains("mixed-config"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
@@ -264,8 +264,76 @@ class ScaleSpec extends AnyFunSuite {
         s"only-sym=${(sym -- got).size})")
       assert(got.nonEmpty, "fixture must produce cross pairs at 0.3")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    Seq("_cells", "_docs", "_centroids").foreach(s =>
+    Seq("_cells", "_docs", "_centroids", "_meta").foreach(s =>
       Sinks.dropTableAndLocation(spark, table + s))
+  }
+
+  test("semantic-IVF delta-append: merge ≡ rebuild under the frozen quantizer, replay no-op, refusals") {
+    import graft.operators.{Dedup, Similarity}
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val ncells = Similarity.ivfCellCount(corpus.count())
+    val anchors = corpus.orderBy("vec_id").limit(ncells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val merged = "graft_sem_merge_test"
+    val rebuilt = "graft_sem_rebuild_test"
+    Seq(merged, rebuilt).foreach(t =>
+      Seq("_cells", "_docs", "_centroids", "_meta").foreach(s =>
+        Sinks.dropTableAndLocation(spark, t + s)))
+    // quantizer provisioned for the FULL corpus and frozen; the index is
+    // built without the 7-stratum, which then arrives as an ingest batch
+    Dedup.writeSemanticIvfIndex(corpus.filter(col("vec_id") % 10 =!= 7),
+      "vec_id", "embedding", anchors, merged, numBuckets = 4)
+    Dedup.appendToSemanticIvfIndex(corpus.filter(col("vec_id") % 10 === 7),
+      "vec_id", "embedding", merged)
+    Dedup.writeSemanticIvfIndex(corpus, "vec_id", "embedding", anchors,
+      rebuilt, numBuckets = 4)
+    // table-level: the appended index holds exactly the rebuild's rows
+    def pairs(t: String) = spark.table(s"${t}_cells")
+      .select(col("cell").cast("long"), col("id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(merged) == pairs(rebuilt),
+      "merged (cell, id) assignments diverge from the full rebuild")
+    assert(spark.table(s"${merged}_docs").select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq ==
+      spark.table(s"${rebuilt}_docs").select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq)
+    // replaying the same batch appends NOTHING (idempotent on id)
+    val nDocs = spark.table(s"${merged}_docs").count()
+    val nCells = spark.table(s"${merged}_cells").count()
+    Dedup.appendToSemanticIvfIndex(corpus.filter(col("vec_id") % 10 === 7),
+      "vec_id", "embedding", merged)
+    assert(spark.table(s"${merged}_docs").count() == nDocs)
+    assert(spark.table(s"${merged}_cells").count() == nCells)
+    // probe-level: identical results, and the merged index probes
+    // exchange-free (bucket spec preserved across the append)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pM = Dedup.semanticNearDupsIvfAgainstIndex(batch, "vec_id",
+        "embedding", threshold = 0.3, merged)
+      val pR = Dedup.semanticNearDupsIvfAgainstIndex(batch, "vec_id",
+        "embedding", threshold = 0.3, rebuilt)
+      assert(pM.collect().map(_.toSeq).toSet == pR.collect().map(_.toSeq).toSet,
+        "probe over the appended IVF index diverged from the full rebuild")
+      val shuffled = TestSpark.collectDeep(pM.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if rawScanReachable(e.child, merged) => e
+      }
+      assert(shuffled.isEmpty,
+        s"merged-index scan feeds a shuffle exchange:\n${shuffled.headOption}")
+      // nassign mismatch must refuse the append, not corrupt the index
+      val e = intercept[IllegalArgumentException] {
+        Dedup.appendToSemanticIvfIndex(
+          corpus.filter(col("vec_id") % 10 === 7), "vec_id", "embedding",
+          merged, nassign = 1)
+      }
+      assert(e.getMessage.contains("mixed-config"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    Seq(merged, rebuilt).foreach(t =>
+      Seq("_cells", "_docs", "_centroids", "_meta").foreach(s =>
+        Sinks.dropTableAndLocation(spark, t + s)))
   }
 
   test("semanticIvfIndexDrift: same-distribution batch keeps the index; rotated clusters trigger re-cluster") {
@@ -306,7 +374,7 @@ class ScaleSpec extends AnyFunSuite {
         table).collect().head
       assert(dRow.getAs[Boolean]("recluster_recommended"),
         s"rotated-cluster batch must recommend re-clustering: $dRow")
-    } finally Seq("_cells", "_docs", "_centroids").foreach(s =>
+    } finally Seq("_cells", "_docs", "_centroids", "_meta").foreach(s =>
       Sinks.dropTableAndLocation(spark, table + s))
   }
 
