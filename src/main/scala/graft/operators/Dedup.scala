@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
@@ -335,6 +335,40 @@ object Dedup {
         .as(Seq("band", "bandHash")))
     graft.sources.Sinks.appendBucketed(
       banded, s"${table}_bands", Seq("band", "bandHash"), numBuckets)
+  }
+
+  /** Compact a persisted MinHash index after many delta-appends
+    * ([[appendToMinHashIndex]]): rewrites `_docs` and `_bands` back to
+    * one file per bucket ([[graft.sources.Sinks.compactBucketed]])
+    * WITHOUT recomputing a single signature or band hash — compaction
+    * is an IO-only layout fix, which is what distinguishes it from a
+    * rebuild at 100 TB (a rebuild re-shingles and re-hashes the
+    * corpus; compaction just re-files it). Append often, compact
+    * occasionally; probes are bit-identical before and after
+    * (ScaleSpec pins results, file counts, and the exchange-free
+    * probe plan across the compaction).
+    */
+  def compactMinHashIndex(spark: SparkSession, table: String): Unit = {
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1, s"index $table has no meta row")
+    val nb = meta.head.getAs[Int]("num_buckets")
+    graft.sources.Sinks.compactBucketed(spark, s"${table}_docs", Seq("id"), nb)
+    graft.sources.Sinks.compactBucketed(
+      spark, s"${table}_bands", Seq("band", "bandHash"), nb)
+  }
+
+  /** Compact a persisted semantic-IVF index after many delta-appends
+    * ([[appendToSemanticIvfIndex]]) — same IO-only contract as
+    * [[compactMinHashIndex]]: no vector is re-routed, `_centroids` is
+    * untouched, only `_docs`/`_cells` file layout is restored to one
+    * file per bucket.
+    */
+  def compactSemanticIvfIndex(spark: SparkSession, table: String): Unit = {
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1, s"index $table has no meta row")
+    val nb = meta.head.getAs[Int]("num_buckets")
+    graft.sources.Sinks.compactBucketed(spark, s"${table}_docs", Seq("id"), nb)
+    graft.sources.Sinks.compactBucketed(spark, s"${table}_cells", Seq("cell"), nb)
   }
 
   /** Incremental near-dup probe against a PERSISTED index

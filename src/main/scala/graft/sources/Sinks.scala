@@ -168,6 +168,45 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Compact a bucketed table back to ONE file per bucket, ZERO-shuffle.
+    * Every [[appendBucketed]] leaves one more file per touched bucket
+    * (Spark writes bucket files per task), so a long append history
+    * degrades scan/open costs even though the bucketing METADATA stays
+    * correct; compaction is the third piece of the maintenance story
+    * (append often, compact occasionally). The rewrite forces a TRUE
+    * bucketed scan (`autoBucketedScan` off for this read — otherwise
+    * Spark plans a plain file-split scan whose partitions mix buckets,
+    * while a same-spec repartition on top is elided as redundant
+    * against the table's logical bucketing, so files would NOT
+    * coalesce; measured, not theorized), giving exactly one partition
+    * per bucket with no exchange anywhere — each task rewrites its
+    * bucket's file set as one file. The result lands in a staging
+    * table and takes the original's name via a catalog RENAME (never
+    * read-and-overwrite-in-place, which Spark refuses and which would
+    * lose the table on a mid-write crash; the staging swap leaves
+    * either the old or the new table complete at every instant).
+    * Content, bucket spec and in-bucket sort order are unchanged —
+    * only the file layout.
+    */
+  def compactBucketed(spark: SparkSession, table: String,
+                      bucketCols: Seq[String], numBuckets: Int): Unit = {
+    val stg = table + "_cstg"
+    dropTableAndLocation(spark, stg)
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(autoKey)
+    try {
+      spark.conf.set(autoKey, "false")
+      spark.table(table)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .format("parquet")
+        .saveAsTable(stg)
+    } finally spark.conf.set(autoKey, prev)
+    dropTableAndLocation(spark, table)
+    spark.sql(s"ALTER TABLE `$stg` RENAME TO `$table`")
+  }
+
   /** W7 — notification (email) sink, file-backed: render each message row
     * as an RFC-822 text file in an OUTBOX directory (reference
     * dags/evidence_images_processing.py:291-296 — the EmailOperator firing

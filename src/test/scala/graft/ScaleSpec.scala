@@ -221,6 +221,82 @@ class ScaleSpec extends AnyFunSuite {
       Seq("_docs", "_bands", "_meta").foreach(s => Sinks.dropTable(spark, t + s)))
   }
 
+  test("index compaction: one file per bucket restored, probes bit-identical, no recompute") {
+    import graft.operators.Dedup
+    import graft.functions.{ShingleFunctions, TextFunctions}
+    val docs = Tables.documents(spark, TestSpark.sf)
+    def sh = ShingleFunctions.wordShingleHashes(
+      TextFunctions.tokens(col("text")), 3)
+    val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+    val table = "graft_mh_cpt_test"
+    Seq("_docs", "_bands", "_meta", "_docs_cstg", "_bands_cstg").foreach(s =>
+      Sinks.dropTableAndLocation(spark, table + s))
+    // build from 80%, then TWO separate appends (7- and 17-strata of
+    // doc_id % 20) — each append adds a file generation per bucket
+    Dedup.writeMinHashIndex(
+      docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 7),
+      "doc_id", sh, cfg, table, numBuckets = 4)
+    Dedup.appendToMinHashIndex(
+      docs.filter(col("doc_id") % 20 === 7), "doc_id", sh, table, cfg)
+    Dedup.appendToMinHashIndex(
+      docs.filter(col("doc_id") % 20 === 17), "doc_id", sh, table, cfg)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val before = Dedup.minHashNearDupsAgainstIndex(
+      batch, "doc_id", sh, 0.5, table, cfg).collect().map(_.toSeq).toSet
+    val filesBefore = spark.table(s"${table}_docs").inputFiles.length
+    assert(filesBefore > 4,
+      s"two appends must leave >4 files over 4 buckets, got $filesBefore")
+    Dedup.compactMinHashIndex(spark, table)
+    assert(spark.table(s"${table}_docs").inputFiles.length == 4,
+      "compaction must restore one file per bucket in _docs")
+    assert(spark.table(s"${table}_bands").inputFiles.length == 4,
+      "compaction must restore one file per bucket in _bands")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Dedup.minHashNearDupsAgainstIndex(
+        batch, "doc_id", sh, 0.5, table, cfg)
+      assert(probe.collect().map(_.toSeq).toSet == before,
+        "probe diverged across compaction")
+      // the compacted table still carries its bucket spec: the probe's
+      // corpus side remains exchange-free after the staging-table swap
+      val shuffled = TestSpark.collectDeep(probe.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if rawScanReachable(e.child, table) => e
+      }
+      assert(shuffled.isEmpty,
+        s"compacted-index scan feeds a shuffle exchange:\n${shuffled.headOption}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // semantic twin: same IO-only contract on _docs/_cells
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val ncells = graft.operators.Similarity.ivfCellCount(corpus.count())
+    val anchors = corpus.orderBy("vec_id").limit(ncells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val sem = "graft_sem_cpt_test"
+    Seq("_cells", "_docs", "_centroids", "_meta", "_cells_cstg", "_docs_cstg")
+      .foreach(s => Sinks.dropTableAndLocation(spark, sem + s))
+    Dedup.writeSemanticIvfIndex(corpus.filter(col("vec_id") % 10 =!= 7),
+      "vec_id", "embedding", anchors, sem, numBuckets = 4)
+    Dedup.appendToSemanticIvfIndex(corpus.filter(col("vec_id") % 10 === 7),
+      "vec_id", "embedding", sem)
+    val ebatch = emb.filter(col("vec_id") % 10 === 0)
+    val sBefore = Dedup.semanticNearDupsIvfAgainstIndex(ebatch, "vec_id",
+      "embedding", 0.3, sem).collect().map(_.toSeq).toSet
+    Dedup.compactSemanticIvfIndex(spark, sem)
+    assert(spark.table(s"${sem}_docs").inputFiles.length == 4)
+    // _cells buckets by cell id (only ~8 distinct values here) — an empty
+    // bucket writes no file, so "one file per NON-EMPTY bucket"
+    assert(spark.table(s"${sem}_cells").inputFiles.length <= 4)
+    assert(Dedup.semanticNearDupsIvfAgainstIndex(ebatch, "vec_id",
+      "embedding", 0.3, sem).collect().map(_.toSeq).toSet == sBefore,
+      "semantic probe diverged across compaction")
+    Seq("_docs", "_bands", "_meta", "_docs_cstg", "_bands_cstg").foreach(s =>
+      Sinks.dropTableAndLocation(spark, table + s))
+    Seq("_cells", "_docs", "_centroids", "_meta", "_cells_cstg", "_docs_cstg")
+      .foreach(s => Sinks.dropTableAndLocation(spark, sem + s))
+  }
+
   test("persisted semantic-IVF index: corpus never re-shuffles; probe equals in-plan pairs") {
     import graft.operators.{Dedup, Similarity}
     val emb = Tables.embeddings(spark, TestSpark.sf)
