@@ -3,6 +3,7 @@
 # mirrors build.sbt's forked-run JVM options (JDK17 add-opens, UTC, no UI).
 # Usage: scripts/run_main.sh <mainClass> [args...]
 set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
 MAIN="$1"; shift
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
@@ -16,5 +17,5 @@ exec java $ADD_OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$REPO/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$MAIN" "$@"

@@ -165,6 +165,39 @@ object ExtensionQueries {
         .orderBy("id_new", "id_corpus")
     }),
 
+    // ---- Dedup: full index-maintenance cycle — build → append → COMPACT →
+    // probe. Compaction (Sinks.compactBucketed through
+    // Dedup.compactMinHashIndex) is IO-only by contract: it re-files each
+    // bucket to one file with ZERO shuffle and recomputes no signature or
+    // band hash, so the probe over the compacted index must be
+    // bit-identical to dedup_incremental_merge's probe over the
+    // fragmented one — which is why the two queries SHARE an oracle: the
+    // green hash makes the IO-only invariant driver-gated instead of
+    // spec-only (file-count and plan assertions stay in ScaleSpec). ------
+    "dedup_incremental_compact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def sh = ShingleFunctions.wordShingleHashes(
+        TextFunctions.tokens(col("text")), 3)
+      val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+      val table = "graft_mh_cpt_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 10 =!= 7)
+      val delta = docs.filter(col("doc_id") % 10 === 7)
+      graft.sources.Sinks.ensureBuiltOnce(s, table,
+        s"mhc:${cfg.numHashes}:${cfg.bandRows}:${cfg.seed}|" +
+          graft.sources.Sinks.contentSignature(
+            corpus.unionByName(delta).select(col("doc_id"), col("text"))),
+        expectedSuffixes = Seq("_docs", "_bands", "_meta")) {
+        Dedup.writeMinHashIndex(corpus, "doc_id", sh, cfg, table)
+        Dedup.appendToMinHashIndex(delta, "doc_id", sh, table, cfg)
+        Dedup.compactMinHashIndex(s, table)
+      }
+      Dedup.minHashNearDupsAgainstIndex(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", sh,
+          threshold = 0.5, table, cfg)
+        .orderBy("id_new", "id_corpus")
+    }),
+
     // ---- Dedup-at-the-door THROUGH Structured Streaming -------------------
     // The flagship curation-as-a-stream path ([[graft.streaming.Streams
     // .streamDedupIngest]]) made driver-visible: TWO AvailableNow drains
@@ -189,6 +222,37 @@ object ExtensionQueries {
       graft.streaming.Streams.streamDedupIngest(
         docs.filter(col("doc_id") % 2 === 1), sink, "doc_id", sh,
         threshold = 0.5, cfg, s"$base/ck1")
+      s.read.parquet(sink).select("doc_id").orderBy("doc_id")
+    }),
+
+    // ---- Dedup-at-the-door through the PERSISTED index — the steady-state
+    // streaming shape (round-12 closure of the last O(corpus)-per-trigger
+    // path): the same two-drain composition as w_stream_dedup_ingest, but
+    // every corpus probe reads the bucketed MinHash index exchange-free
+    // and survivors delta-append to it (O(batch) maintenance,
+    // Dedup.appendToMinHashIndex) instead of the door re-shingling the
+    // sink parquet every micro-batch. Result-identical to the in-plan
+    // door by construction (same checks, same config, corpus state ≡
+    // index state per batch — StreamingSpec pins the equality), so the
+    // two queries SHARE the oracle: one exact SQL replay gates both
+    // doors. Index bootstraps EMPTY alongside the wiped scratch sink —
+    // the stream replays from nothing, so its index must too.
+    "w_stream_dedup_ingest_idx" -> ((s, d) => {
+      val base = graft.streaming.Streams.freshScratch("dedup_ingest_idx", d)
+      val sink = s"$base/corpus"
+      def sh = ShingleFunctions.wordShingleHashes(
+        TextFunctions.tokens(col("text")), 3)
+      val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+      val table = "graft_mh_door_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.writeMinHashIndex(
+        Tables.documents(s, d).limit(0), "doc_id", sh, cfg, table)
+      def docs = graft.streaming.Streams.documentsStream(s, d)
+      graft.streaming.Streams.streamDedupIngestIndexed(
+        docs.filter(col("doc_id") % 2 === 0), sink, "doc_id", sh,
+        threshold = 0.5, cfg, table, s"$base/ck0")
+      graft.streaming.Streams.streamDedupIngestIndexed(
+        docs.filter(col("doc_id") % 2 === 1), sink, "doc_id", sh,
+        threshold = 0.5, cfg, table, s"$base/ck1")
       s.read.parquet(sink).select("doc_id").orderBy("doc_id")
     }),
 
@@ -2908,6 +2972,63 @@ object ExtensionQueries {
       |    >= 0.4
       |ORDER BY id_new, id_corpus""".stripMargin
 
+  /** Full two-drain ingest replay — shared by the in-plan
+    * (w_stream_dedup_ingest) and persisted-index
+    * (w_stream_dedup_ingest_idx) streaming doors; see the
+    * oracle-map comment for the door-equivalence argument.
+    */
+  private val streamDedupIngestOracleSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS MATERIALIZED (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |  FROM toks WHERE len(w) >= 3),
+      |pa AS MATERIALIZED (
+      |  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 0
+      |  WHERE len(list_intersect(a.g, b.g)) /
+      |      len(list_distinct(list_concat(a.g, b.g))) >= 0.5),
+      |ea AS MATERIALIZED (
+      |  SELECT id_1 AS s, id_2 AS t FROM pa UNION SELECT id_2, id_1 FROM pa),
+      |reacha(s, t) AS (
+      |  SELECT s, t FROM ea UNION SELECT s, s FROM ea
+      |  UNION SELECT r.s, ea.t FROM reacha r JOIN ea ON r.t = ea.s),
+      |dropa AS MATERIALIZED (
+      |  SELECT s AS doc_id FROM reacha GROUP BY s HAVING s <> min(t)),
+      |keepa AS MATERIALIZED (
+      |  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+      |    AND doc_id NOT IN (SELECT doc_id FROM dropa)),
+      |pb AS MATERIALIZED (
+      |  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |    AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+      |  WHERE len(list_intersect(a.g, b.g)) /
+      |      len(list_distinct(list_concat(a.g, b.g))) >= 0.5),
+      |eb AS MATERIALIZED (
+      |  SELECT id_1 AS s, id_2 AS t FROM pb UNION SELECT id_2, id_1 FROM pb),
+      |reachb(s, t) AS (
+      |  SELECT s, t FROM eb UNION SELECT s, s FROM eb
+      |  UNION SELECT r.s, eb.t FROM reachb r JOIN eb ON r.t = eb.s),
+      |dropb AS MATERIALIZED (
+      |  SELECT s AS doc_id FROM reachb GROUP BY s HAVING s <> min(t)),
+      |canb AS MATERIALIZED (
+      |  SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+      |    AND doc_id NOT IN (SELECT doc_id FROM dropb)),
+      |hitb AS MATERIALIZED (
+      |  SELECT DISTINCT n.doc_id
+      |  FROM sh n, sh c
+      |  WHERE n.doc_id IN (SELECT doc_id FROM canb)
+      |    AND c.doc_id IN (SELECT doc_id FROM keepa)
+      |    AND len(list_intersect(n.g, c.g)) /
+      |        len(list_distinct(list_concat(n.g, c.g))) >= 0.5)
+      |SELECT doc_id FROM keepa
+      |UNION ALL
+      |SELECT doc_id FROM canb WHERE doc_id NOT IN (SELECT doc_id FROM hitb)
+      |ORDER BY doc_id""".stripMargin
+
   private val dedupIncrementalOracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -4282,6 +4403,10 @@ object ExtensionQueries {
     // exact replay — the oracle can't see which rows came via the append
     // path, so a green hash IS the append ≡ rebuild equivalence proof
     "dedup_incremental_merge" -> dedupIncrementalOracleSql,
+    // compact: probe over the build→append→COMPACT index must ALSO equal
+    // it — compaction is IO-only (zero shuffle, nothing recomputed), so
+    // sharing the oracle makes that invariant driver-gated
+    "dedup_incremental_compact" -> dedupIncrementalOracleSql,
 
     "dedup_minhash" -> dedupMinhashOracleSql,
 
@@ -4319,57 +4444,14 @@ object ExtensionQueries {
     // own canonical survivors minus any with exact Jaccard ≥ 0.5 against
     // an INGESTED phase-A doc. sh is referenced by both phases and the
     // cross kill — MATERIALIZED, or DuckDB re-executes it per reference.
-    "w_stream_dedup_ingest" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS MATERIALIZED (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, len(w) - 2),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
-        |  FROM toks WHERE len(w) >= 3),
-        |pa AS MATERIALIZED (
-        |  SELECT a.doc_id AS id_1, b.doc_id AS id_2
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 0
-        |  WHERE len(list_intersect(a.g, b.g)) /
-        |      len(list_distinct(list_concat(a.g, b.g))) >= 0.5),
-        |ea AS MATERIALIZED (
-        |  SELECT id_1 AS s, id_2 AS t FROM pa UNION SELECT id_2, id_1 FROM pa),
-        |reacha(s, t) AS (
-        |  SELECT s, t FROM ea UNION SELECT s, s FROM ea
-        |  UNION SELECT r.s, ea.t FROM reacha r JOIN ea ON r.t = ea.s),
-        |dropa AS MATERIALIZED (
-        |  SELECT s AS doc_id FROM reacha GROUP BY s HAVING s <> min(t)),
-        |keepa AS MATERIALIZED (
-        |  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
-        |    AND doc_id NOT IN (SELECT doc_id FROM dropa)),
-        |pb AS MATERIALIZED (
-        |  SELECT a.doc_id AS id_1, b.doc_id AS id_2
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |    AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
-        |  WHERE len(list_intersect(a.g, b.g)) /
-        |      len(list_distinct(list_concat(a.g, b.g))) >= 0.5),
-        |eb AS MATERIALIZED (
-        |  SELECT id_1 AS s, id_2 AS t FROM pb UNION SELECT id_2, id_1 FROM pb),
-        |reachb(s, t) AS (
-        |  SELECT s, t FROM eb UNION SELECT s, s FROM eb
-        |  UNION SELECT r.s, eb.t FROM reachb r JOIN eb ON r.t = eb.s),
-        |dropb AS MATERIALIZED (
-        |  SELECT s AS doc_id FROM reachb GROUP BY s HAVING s <> min(t)),
-        |canb AS MATERIALIZED (
-        |  SELECT doc_id FROM documents WHERE doc_id % 2 = 1
-        |    AND doc_id NOT IN (SELECT doc_id FROM dropb)),
-        |hitb AS MATERIALIZED (
-        |  SELECT DISTINCT n.doc_id
-        |  FROM sh n, sh c
-        |  WHERE n.doc_id IN (SELECT doc_id FROM canb)
-        |    AND c.doc_id IN (SELECT doc_id FROM keepa)
-        |    AND len(list_intersect(n.g, c.g)) /
-        |        len(list_distinct(list_concat(n.g, c.g))) >= 0.5)
-        |SELECT doc_id FROM keepa
-        |UNION ALL
-        |SELECT doc_id FROM canb WHERE doc_id NOT IN (SELECT doc_id FROM hitb)
-        |ORDER BY doc_id""".stripMargin,
+    // SHARED by the in-plan and indexed doors (streamDedupIngest /
+    // streamDedupIngestIndexed): same checks in the same order, the only
+    // difference is whether the corpus probe re-shingles the sink or
+    // reads the persisted index — the SQL can't tell, so one replay
+    // gates both.
+    "w_stream_dedup_ingest" -> streamDedupIngestOracleSql,
+    "w_stream_dedup_ingest_idx" -> streamDedupIngestOracleSql,
+
 
     "dedup_ngram" ->
       """WITH sh AS (

@@ -263,7 +263,33 @@ object RecallBench {
       1.0 - math.pow(1.0 - math.pow(0.5, cfg.bandRows),
         (cfg.numHashes / cfg.bandRows).toDouble))
 
-    val legJson = (semResults :+ mhLeg).map { l =>
+    // merged-index leg: the SAME corpus reaches the index 80 % via build,
+    // 20 % via delta-append (the dedup_incremental_merge shape), probed by
+    // the same batch against the same truth — certifying that the merge
+    // path's RECALL equals the rebuild path's (ScaleSpec pins their
+    // bit-equality on the fixture; this pins it on the recall axis at
+    // every audited scale). Expect recall_ppm == probe_mh's exactly:
+    // append computes identical signatures, so any gap is a bug.
+    val mhmTable = s"graft_recall_mhm_$safe"
+    val (_, mhmBuildSecs) = timed {
+      Dedup.writeMinHashIndex(corpusD.filter(col("doc_id") % 10 =!= 7),
+        "doc_id", sh, cfg, mhmTable)
+      Dedup.appendToMinHashIndex(corpusD.filter(col("doc_id") % 10 === 7),
+        "doc_id", sh, mhmTable, cfg)
+    }
+    val (mhmFound, mhmSecs) = timed {
+      Dedup.minHashNearDupsAgainstIndex(batchD, "doc_id", sh,
+        threshold = 0.5, mhmTable, cfg).count()
+    }
+    Seq("_docs", "_bands", "_meta").foreach(s =>
+      graft.sources.Sinks.dropTableAndLocation(spark, mhmTable + s))
+    val mhMergedLeg = Leg("probe_mh_merged@0.5",
+      s"hashes=64,bandRows=2,built80_appended20,build_secs=${fmt(mhmBuildSecs)}",
+      mhmFound, mhTruth, mhmSecs,
+      1.0 - math.pow(1.0 - math.pow(0.5, cfg.bandRows),
+        (cfg.numHashes / cfg.bandRows).toDouble))
+
+    val legJson = (semResults :+ mhLeg :+ mhMergedLeg).map { l =>
       val ppm = if (l.truth == 0L) -1L else l.found * 1000000L / l.truth
       s""""${l.name}":{"geometry":"${l.geometry}","found":${l.found},"truth":${l.truth},"recall_ppm":$ppm,"secs":${fmt(l.secs)},"predicted_recall_at_tau":${fmt(l.predicted)}}"""
     }.mkString(",")

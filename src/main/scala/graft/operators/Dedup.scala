@@ -302,22 +302,34 @@ object Dedup {
     * keeps that side exchange-free; only the (small) delta sorts and
     * shuffles. Signatures/bands are computed from the delta frame
     * directly (one pass), never by re-reading the corpus.
+    *
+    * Write ORDER is the crash contract: `_bands` first, `_docs` LAST,
+    * so the `_docs` anti-join doubles as the commit record. A crash
+    * between the two appends leaves band rows whose ids are absent from
+    * `_docs`; the replayed batch still sees those ids as fresh (the
+    * anti-join checks `_docs`), recomputes the identical signatures, and
+    * completes both appends. The replay duplicates the orphaned `_bands`
+    * rows, which is harmless by construction: every probe's candidate
+    * set is `.distinct()` and verification inner-joins `_docs` (one row
+    * per id), so duplicate band rows can never duplicate or corrupt a
+    * result — the opposite order would instead let the anti-join
+    * permanently hide docs whose band rows never landed.
     */
   def appendToMinHashIndex(
       delta: DataFrame, idCol: String, shingles: Column,
       table: String, cfg: LshConfig = LshConfig()): Unit = {
     val spark = delta.sparkSession
-    val meta = spark.table(s"${table}_meta").collect()
-    require(meta.length == 1, s"index $table has no meta row")
-    val (mh, mr, ms) = (meta.head.getAs[Int]("num_hashes"),
-      meta.head.getAs[Int]("band_rows"), meta.head.getAs[Long]("seed"))
+    val meta = indexMeta(spark, table, Seq("num_hashes", "band_rows", "seed",
+      "num_buckets"))
+    val (mh, mr, ms) = (meta.getAs[Int]("num_hashes"),
+      meta.getAs[Int]("band_rows"), meta.getAs[Long]("seed"))
     require(mh == cfg.numHashes && mr == cfg.bandRows && ms == cfg.seed,
       s"index $table was built with (numHashes=$mh, bandRows=$mr, seed=$ms)" +
         s" but the append supplied (${cfg.numHashes}, ${cfg.bandRows}, " +
         s"${cfg.seed}) — mixed-config indexes would corrupt every probe")
     // the bucket count travels with the index: an append under a
     // different count would silently break bucket-pruned joins
-    val numBuckets = meta.head.getAs[Int]("num_buckets")
+    val numBuckets = meta.getAs[Int]("num_buckets")
     val bands = cfg.numHashes / cfg.bandRows
     val fresh = delta.select(col(idCol).as("id"), shingles.as("sh"))
       .filter(size(col("sh")) > 0)
@@ -326,15 +338,34 @@ object Dedup {
         HashFunctions.minhashSignature(col("sh"), cfg.numHashes, cfg.seed)
           .as("sig"))
       .localCheckpoint(true) // one delta pass feeds BOTH table appends
-    graft.sources.Sinks.appendBucketed(
-      docs, s"${table}_docs", Seq("id"), numBuckets)
     val banded = docs
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * cfg.bandRows + 1, lit(cfg.bandRows)))))
         .as(Seq("band", "bandHash")))
+    // derived table first, `_docs` last — see the crash contract above
     graft.sources.Sinks.appendBucketed(
       banded, s"${table}_bands", Seq("band", "bandHash"), numBuckets)
+    graft.sources.Sinks.appendBucketed(
+      docs, s"${table}_docs", Seq("id"), numBuckets)
+  }
+
+  /** Read a persisted index's one-row `_meta` table, refusing descriptively
+    * when a required column is missing — an index persisted by an older
+    * writer (e.g. pre-`num_buckets` format) would otherwise surface as an
+    * opaque field-resolution error deep inside the append/compact path.
+    */
+  private def indexMeta(spark: SparkSession, table: String,
+                        required: Seq[String]): org.apache.spark.sql.Row = {
+    val df = spark.table(s"${table}_meta")
+    val missing = required.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"index $table predates the current _meta format (missing column(s) " +
+        s"${missing.mkString(", ")}) — rebuild the index with the current " +
+        "writer before appending to or compacting it")
+    val rows = df.collect()
+    require(rows.length == 1, s"index $table has no meta row")
+    rows.head
   }
 
   /** Compact a persisted MinHash index after many delta-appends
@@ -349,9 +380,7 @@ object Dedup {
     * probe plan across the compaction).
     */
   def compactMinHashIndex(spark: SparkSession, table: String): Unit = {
-    val meta = spark.table(s"${table}_meta").collect()
-    require(meta.length == 1, s"index $table has no meta row")
-    val nb = meta.head.getAs[Int]("num_buckets")
+    val nb = indexMeta(spark, table, Seq("num_buckets")).getAs[Int]("num_buckets")
     graft.sources.Sinks.compactBucketed(spark, s"${table}_docs", Seq("id"), nb)
     graft.sources.Sinks.compactBucketed(
       spark, s"${table}_bands", Seq("band", "bandHash"), nb)
@@ -364,9 +393,7 @@ object Dedup {
     * file per bucket.
     */
   def compactSemanticIvfIndex(spark: SparkSession, table: String): Unit = {
-    val meta = spark.table(s"${table}_meta").collect()
-    require(meta.length == 1, s"index $table has no meta row")
-    val nb = meta.head.getAs[Int]("num_buckets")
+    val nb = indexMeta(spark, table, Seq("num_buckets")).getAs[Int]("num_buckets")
     graft.sources.Sinks.compactBucketed(spark, s"${table}_docs", Seq("id"), nb)
     graft.sources.Sinks.compactBucketed(spark, s"${table}_cells", Seq("cell"), nb)
   }
@@ -1219,6 +1246,14 @@ object Dedup {
     * at-least-once batch replays append nothing. Routing config is
     * enforced from the index's `_meta` row — a mixed-nassign append
     * would corrupt every later probe's candidate sets, so it refuses.
+    *
+    * Same crash contract as [[appendToMinHashIndex]]: `_cells` appends
+    * FIRST, `_docs` last, so the `_docs` anti-join is the commit record.
+    * A crash between the appends leaves orphaned cell rows that the
+    * replayed batch duplicates harmlessly (probe candidates are
+    * `.distinct()` and verification inner-joins `_docs`); the opposite
+    * order would let the anti-join hide vectors whose cell rows never
+    * landed.
     */
   def appendToSemanticIvfIndex(
       delta: DataFrame, idCol: String, vecCol: String, table: String,
@@ -1226,10 +1261,8 @@ object Dedup {
     require(nassign >= 1 && nassign <= 8,
       s"nassign=$nassign out of range [1, 8]")
     val spark = delta.sparkSession
-    val meta = spark.table(s"${table}_meta").collect()
-    require(meta.length == 1, s"index $table has no meta row")
-    val (mn, mb) = (meta.head.getAs[Int]("nassign"),
-      meta.head.getAs[Int]("num_buckets"))
+    val meta = indexMeta(spark, table, Seq("nassign", "num_buckets"))
+    val (mn, mb) = (meta.getAs[Int]("nassign"), meta.getAs[Int]("num_buckets"))
     require(mn == nassign,
       s"index $table was built with nassign=$mn but the append supplied " +
         s"nassign=$nassign — mixed-config indexes would corrupt every probe")
@@ -1237,14 +1270,15 @@ object Dedup {
     val fresh = delta.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(spark.table(s"${table}_docs").select("id"), Seq("id"), "left_anti")
       .localCheckpoint(true) // one delta pass feeds BOTH table appends
-    graft.sources.Sinks.appendBucketed(
-      fresh, s"${table}_docs", Seq("id"), mb)
     val assigned = fresh.select(
       explode(VectorFunctions.ivfRouteCells(col("v"), flat, dim, nassign))
         .as("cell"),
       col("id"))
+    // derived table first, `_docs` last — see the crash contract above
     graft.sources.Sinks.appendBucketed(
       assigned, s"${table}_cells", Seq("cell"), mb)
+    graft.sources.Sinks.appendBucketed(
+      fresh, s"${table}_docs", Seq("id"), mb)
   }
 
   /** Incremental semantic probe against a PERSISTED index

@@ -183,26 +183,44 @@ object Sinks {
     * bucket's file set as one file. The result lands in a staging
     * table and takes the original's name via a catalog RENAME (never
     * read-and-overwrite-in-place, which Spark refuses and which would
-    * lose the table on a mid-write crash; the staging swap leaves
-    * either the old or the new table complete at every instant).
+    * lose the table on a mid-write crash). The CONTENT is safe at every
+    * instant — a complete copy exists under the original name or under
+    * `&lt;table&gt;_cstg` — but there is a window between the original's
+    * drop and the RENAME where the NAME dangles; entry detects exactly
+    * that state (table missing, complete staging present) and recovers
+    * by renaming the staging copy into place before doing anything
+    * else, so a crashed compaction self-heals on the next call instead
+    * of requiring manual rescue (or worse: the old entry logic would
+    * have dropped the staging table — the only copy — as stale).
     * Content, bucket spec and in-bucket sort order are unchanged —
     * only the file layout.
     */
   def compactBucketed(spark: SparkSession, table: String,
                       bucketCols: Seq[String], numBuckets: Int): Unit = {
     val stg = table + "_cstg"
+    if (!spark.catalog.tableExists(table)) {
+      require(spark.catalog.tableExists(stg),
+        s"compactBucketed: neither `$table` nor its staging copy exists")
+      // crash window of a previous compaction (original dropped, RENAME
+      // not reached): the staging table IS the compacted result — finish
+      // the swap and return
+      spark.sql(s"ALTER TABLE `$stg` RENAME TO `$table`")
+      return
+    }
     dropTableAndLocation(spark, stg)
-    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.get(autoKey)
-    try {
-      spark.conf.set(autoKey, "false")
-      spark.table(table)
-        .write.mode(SaveMode.Overwrite)
-        .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-        .sortBy(bucketCols.head, bucketCols.tail: _*)
-        .format("parquet")
-        .saveAsTable(stg)
-    } finally spark.conf.set(autoKey, prev)
+    // The forced-true-bucketed-scan flag must not leak to concurrent
+    // planners in the same session (bench reps and the per-table build
+    // locks explicitly anticipate same-JVM concurrency), so the rewrite
+    // runs in a CLONED session: same SparkContext, shared catalog and
+    // warehouse, isolated SQLConf — the flag flip is invisible outside.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s2.table(table)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(stg)
     dropTableAndLocation(spark, table)
     spark.sql(s"ALTER TABLE `$stg` RENAME TO `$table`")
   }

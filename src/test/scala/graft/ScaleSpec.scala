@@ -221,6 +221,53 @@ class ScaleSpec extends AnyFunSuite {
       Seq("_docs", "_bands", "_meta").foreach(s => Sinks.dropTable(spark, t + s)))
   }
 
+  test("indexed streaming door: the micro-batch probe reads the door-built index exchange-free") {
+    // the steady-state ingest loop's per-trigger probe
+    // (streamDedupIngestIndexed → minHashNearDupsAgainstIndex) must stay
+    // exchange-free over an index the DOOR itself built through
+    // bootstrap-empty + per-batch delta-appends — the plan shape a
+    // deployment sees on every trigger at 100 TB
+    import graft.operators.Dedup
+    import graft.functions.{ShingleFunctions, TextFunctions}
+    val docs = Tables.documents(spark, TestSpark.sf)
+    def sh = ShingleFunctions.wordShingleHashes(
+      TextFunctions.tokens(col("text")), 3)
+    val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+    val table = "graft_mh_door_test"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-door-plan")
+    val sink = s"$tmp/corpus"
+    Dedup.writeMinHashIndex(docs.limit(0), "doc_id", sh, cfg, table,
+      numBuckets = 4)
+    // two micro-batches through the door's real batch body
+    Seq(1, 2).foreach { m =>
+      graft.streaming.Streams.dedupIngestBatchIndexed(
+        docs.filter(col("doc_id") % 3 === m), sink, "doc_id", sh, 0.5,
+        cfg, table)
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the probe the NEXT trigger would run, against the door-built index
+      val probe = Dedup.minHashNearDupsAgainstIndex(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", sh, 0.5, table, cfg)
+      val shuffled = TestSpark.collectDeep(probe.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if rawScanReachable(e.child, table) => e
+      }
+      assert(shuffled.isEmpty,
+        s"door-built index scan feeds a shuffle exchange:\n${shuffled.headOption}")
+      assert(probe.queryExecution.executedPlan.toString.contains(table),
+        "probe plan must scan the door-built index")
+      // and the door-built index is a faithful index of the door's sink
+      val sinkIds = spark.read.parquet(sink).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(spark.table(s"${table}_docs").select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq == sinkIds,
+        "door-built index must mirror the door's sink")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    Seq("_docs", "_bands", "_meta").foreach(s => Sinks.dropTable(spark, table + s))
+  }
+
   test("index compaction: one file per bucket restored, probes bit-identical, no recompute") {
     import graft.operators.Dedup
     import graft.functions.{ShingleFunctions, TextFunctions}

@@ -497,4 +497,303 @@ class StreamingSpec extends AnyFunSuite {
     assert(hotEmissions == Set(Seq(9900L), Seq(100L)),
       s"idle key must be evicted and restart, got $hotEmissions")
   }
+
+  // shared by the indexed-door tests: stage a DataFrame as one parquet
+  // part-file so the file-stream source sees it as one micro-batch
+  private def writeOneFile(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = new java.io.File(stage.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(out))
+    ()
+  }
+
+  test("indexed dedup ingest door equals the in-plan door; index and sink stay in lockstep; replay appends nothing") {
+    import graft.functions.{ShingleFunctions, TextFunctions}
+    import graft.operators.Dedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-door-idx")
+    val srcDir = s"$tmp/src"; new java.io.File(srcDir).mkdirs()
+    val docs = Tables.documents(spark, TestSpark.sf)
+    // three micro-batches by id mod 3 — cross-batch AND in-batch near-dups
+    (0 to 2).foreach { m =>
+      writeOneFile(docs.filter(col("doc_id") % 3 === m), s"$srcDir/f$m.parquet")
+    }
+    def sh = ShingleFunctions.wordShingleHashes(TextFunctions.tokens(col("text")), 3)
+    val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+    def src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+
+    // reference: the in-plan door over the identical batch sequence
+    val refSink = s"$tmp/ref"
+    graft.streaming.Streams.streamDedupIngest(
+      src, refSink, "doc_id", sh, 0.5, cfg, s"$tmp/cpRef")
+    val expect = spark.read.parquet(refSink)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+    val sink = s"$tmp/corpus"
+    val table = "t_door_idx_spec"
+    def runIndexed(cp: String): Unit = {
+      Dedup.writeMinHashIndex(docs.limit(0), "doc_id", sh, cfg, table)
+      val f = new java.io.File(sink)
+      if (f.exists()) { f.listFiles().foreach(_.delete()); f.delete() }
+      graft.streaming.Streams.streamDedupIngestIndexed(
+        src, sink, "doc_id", sh, 0.5, cfg, table, cp)
+    }
+    runIndexed(s"$tmp/cp1")
+    val got = spark.read.parquet(sink)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == expect,
+      s"indexed door must land the in-plan door's corpus " +
+        s"(got ${got.size}, expected ${expect.size})")
+    // lockstep invariant: the index holds exactly the sink's ids (the
+    // drains appended from the streaming clone session, so refresh this
+    // session's cached file listing before reading)
+    spark.catalog.refreshTable(s"${table}_docs")
+    val idxIds = spark.table(s"${table}_docs")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(idxIds == got, "index _docs must mirror the sink ids exactly")
+    // worst-case re-delivery: fresh checkpoint + fresh index, full replay
+    runIndexed(s"$tmp/cp2")
+    assert(spark.read.parquet(sink)
+      .select("doc_id").as[Long].collect().sorted.toSeq == expect,
+      "full source re-delivery must reconverge to the same corpus")
+  }
+
+  test("indexed door crash between index append and sink append: replay routes accepted rows straight to the sink, exactly once") {
+    import graft.functions.{ShingleFunctions, TextFunctions}
+    import graft.operators.Dedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-door-crashwin")
+    val docs = Tables.documents(spark, TestSpark.sf)
+    def sh = ShingleFunctions.wordShingleHashes(TextFunctions.tokens(col("text")), 3)
+    val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+    val table = "t_door_crashwin_spec"
+    val sink = s"$tmp/corpus"
+    Dedup.writeMinHashIndex(docs.limit(0), "doc_id", sh, cfg, table)
+    val b1 = docs.filter(col("doc_id") % 3 === 0)
+    val b2 = docs.filter(col("doc_id") % 3 === 1)
+    graft.streaming.Streams.dedupIngestBatchIndexed(
+      b1, sink, "doc_id", sh, 0.5, cfg, table)
+    val afterB1 = spark.read.parquet(sink)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // reference: what an uninterrupted batch-2 ingest would land (computed
+    // on a throwaway COPY of the sink so the real state stays pristine; the
+    // shared index advances — exactly the crash-window state: batch 2's
+    // accepted rows are in the index, the real sink never saw them)
+    val sinkCopy = s"$tmp/copy"
+    spark.read.parquet(sink).write.parquet(sinkCopy)
+    graft.streaming.Streams.dedupIngestBatchIndexed(
+      b2, sinkCopy, "doc_id", sh, 0.5, cfg, table)
+    val expect = spark.read.parquet(sinkCopy)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(spark.read.parquet(sink)
+      .select("doc_id").as[Long].collect().sorted.toSeq == afterB1,
+      "crash-window precondition: real sink must not have batch 2 yet")
+    // replay of batch 2 against the real sink: the indexed-but-not-sunk
+    // rows must land verbatim (no re-probe), nothing twice
+    graft.streaming.Streams.dedupIngestBatchIndexed(
+      b2, sink, "doc_id", sh, 0.5, cfg, table)
+    val got = spark.read.parquet(sink)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == expect,
+      "replayed batch must complete the crashed attempt exactly")
+    assert(got.distinct.size == got.size, "no id may land twice")
+    val idxIds = spark.table(s"${table}_docs")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(idxIds == got, "index and sink must be back in lockstep")
+    // and a SECOND replay of the same batch is a complete no-op
+    graft.streaming.Streams.dedupIngestBatchIndexed(
+      b2, sink, "doc_id", sh, 0.5, cfg, table)
+    assert(spark.read.parquet(sink).count() == got.size,
+      "consumed replays must append nothing")
+  }
+
+  test("indexed door crash after sink write before offset commit: checkpoint recovery equals the uninterrupted run") {
+    import graft.functions.{ShingleFunctions, TextFunctions}
+    import graft.operators.Dedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-door-crashcp")
+    val srcDir = s"$tmp/src"; new java.io.File(srcDir).mkdirs()
+    val docs = Tables.documents(spark, TestSpark.sf)
+    (0 to 2).foreach { m =>
+      writeOneFile(docs.filter(col("doc_id") % 3 === m), s"$srcDir/f$m.parquet")
+    }
+    def sh = ShingleFunctions.wordShingleHashes(TextFunctions.tokens(col("text")), 3)
+    val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+    def src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val table = "t_door_crashcp_spec"
+    val refTable = "t_door_crashcp_ref"
+    // reference: uninterrupted indexed run on twin state
+    val refSink = s"$tmp/ref"
+    Dedup.writeMinHashIndex(docs.limit(0), "doc_id", sh, cfg, refTable)
+    graft.streaming.Streams.streamDedupIngestIndexed(
+      src, refSink, "doc_id", sh, 0.5, cfg, refTable, s"$tmp/cpRef")
+    val expect = spark.read.parquet(refSink)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // crashing run: full batch logic, then fail the query AFTER batch 2's
+    // writes land but BEFORE its offsets commit — recovery REDELIVERS it
+    val sink = s"$tmp/corpus"; val cp = s"$tmp/cp"
+    Dedup.writeMinHashIndex(docs.limit(0), "doc_id", sh, cfg, table)
+    @volatile var batchesRun = 0
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      src.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.streaming.Streams.dedupIngestBatchIndexed(
+            b.toDF(), sink, "doc_id", sh, 0.5, cfg, table)
+          batchesRun += 1
+          if (batchesRun == 2)
+            throw new RuntimeException("injected crash after sink write")
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(crashed.getMessage.contains("injected crash") ||
+      Option(crashed.getCause).exists(_.getMessage.contains("injected crash")))
+    assert(batchesRun == 2)
+    // recovery from the SAME checkpoint and the SAME (already advanced)
+    // index: batch 2 redelivers as a consumed replay, batch 3 processes
+    graft.streaming.Streams.streamDedupIngestIndexed(
+      src, sink, "doc_id", sh, 0.5, cfg, table, cp)
+    val got = spark.read.parquet(sink)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got.distinct.size == got.size, "no id may land twice")
+    assert(got == expect,
+      s"recovered corpus must equal the uninterrupted run " +
+        s"(got ${got.size}, expected ${expect.size})")
+    spark.catalog.refreshTable(s"${table}_docs")
+    val idxIds = spark.table(s"${table}_docs")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(idxIds == got, "index and sink must end in lockstep")
+  }
+
+  test("indexed semantic ingest door: duplicates rejected through the index, replay appends nothing") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sem-door-idx")
+    val srcDir = s"$tmp/src"; val sink = s"$tmp/corpus"
+    new java.io.File(srcDir).mkdirs()
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding")
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    // batch B carries scaled copies of five batch-A vectors (cosine 1):
+    // the door must reject them THROUGH the index probe
+    val copies = a.limit(5)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    writeOneFile(a, s"$srcDir/a.parquet")
+    writeOneFile(emb.filter(col("vec_id") % 2 === 1).unionByName(copies),
+      s"$srcDir/b.parquet")
+    val table = "t_sem_door_spec"
+    // quantizer: seeded anchors from the full frame, frozen for the run
+    val anchors = emb.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    def runIndexed(cp: String): Unit = {
+      Dedup.writeSemanticIvfIndex(emb.limit(0), "vec_id", "embedding",
+        anchors, table, nassign = 2)
+      val f = new java.io.File(sink)
+      if (f.exists()) { f.listFiles().foreach(_.delete()); f.delete() }
+      graft.streaming.Streams.streamSemanticIngestIndexed(
+        spark.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        sink, "vec_id", "embedding", threshold = 0.99,
+        indexTable = table, checkpointDir = cp)
+    }
+    runIndexed(s"$tmp/cp1")
+    val corpus = spark.read.parquet(sink)
+    val n1 = corpus.count()
+    assert(n1 > 0)
+    assert(corpus.filter(col("vec_id") >= 1000000L).isEmpty,
+      "scaled duplicates of corpus vectors must be rejected at the door")
+    spark.catalog.refreshTable(s"${table}_docs")
+    val idxIds = spark.table(s"${table}_docs")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(idxIds == corpus.select("vec_id").as[Long].collect().sorted.toSeq,
+      "index _docs must mirror the sink ids")
+    // full re-delivery: fresh checkpoint + fresh index reconverge
+    runIndexed(s"$tmp/cp2")
+    assert(spark.read.parquet(sink).count() == n1,
+      "re-delivered batches must not append semantic duplicates")
+  }
+
+  test("semantic ingest loop: merge fills the frozen quantizer, drift audit fires on a shifted batch, rebuild recovers the missed near-dup") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drift-loop")
+    val sink = s"$tmp/corpus"
+    val table = "t_drift_loop_spec"
+    def vecs(rows: (Long, Array[Float])*) =
+      rows.toSeq.toDF("vec_id", "embedding")
+    // standing corpus: two clusters along e1 and e2; index anchors = the
+    // cluster directions, nassign=1 (routing boundary at the bisector)
+    val corpus0 = vecs(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0.9f, 0.43f, 0f, 0f),
+      10L -> Array(0f, 1f, 0f, 0f), 11L -> Array(0.43f, 0.9f, 0f, 0f))
+    val anchors = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0, 0.0)))
+      .toDF("cell", "centroid")
+    corpus0.write.parquet(sink)
+    Dedup.writeSemanticIvfIndex(corpus0, "vec_id", "embedding", anchors,
+      table, nassign = 1)
+    // batch 0: drawn from the index's own distribution — audited against
+    // the index anchors themselves, zero assignment shift, no recluster
+    val b0 = vecs(2L -> Array(0.95f, 0.2f, 0f, 0f),
+      12L -> Array(0.2f, 0.95f, 0f, 0f))
+    val d0 = Dedup.semanticIvfIndexDrift(b0, "vec_id", "embedding", table,
+      shiftFloorPpm = 200000L, freshCentroids = Some(anchors)).head()
+    assert(!d0.getAs[Boolean]("recluster_recommended"),
+      "a same-distribution batch must not trigger re-clustering")
+    graft.streaming.Streams.semanticIngestBatchIndexed(
+      b0, sink, "vec_id", "embedding", threshold = 0.99,
+      indexTable = table, nassign = 1)
+    // batch 1: a DRIFTED cluster around the (-1,-1) direction that the
+    // frozen 2-cell quantizer splits across both stale cells (angles
+    // spread > 8.1° so nothing self-near-dups at τ=0.99); u1 = (-1,-.93)
+    // sits just on the e2 side of the bisector
+    val b1 = vecs(
+      20L -> Array(-1f, -0.2f, 0f, 0f), 21L -> Array(-1f, -0.5f, 0f, 0f),
+      22L -> Array(-1f, -0.93f, 0f, 0f),
+      23L -> Array(-0.5f, -1f, 0f, 0f), 24L -> Array(-0.2f, -1f, 0f, 0f))
+    // drift audit: one fresh centroid captures the whole drifted cloud;
+    // the stale quantizer splits that cloud 3/2 across its cells, so the
+    // assignment-shift share is 2/5 = 40% > the 20% floor
+    val freshDrift = Seq((0L, Array(-1.0, -0.999, 0.0, 0.0)))
+      .toDF("cell", "centroid")
+    val d1 = Dedup.semanticIvfIndexDrift(b1, "vec_id", "embedding", table,
+      shiftFloorPpm = 200000L, freshCentroids = Some(freshDrift)).head()
+    assert(d1.getAs[Boolean]("recluster_recommended"),
+      "the shifted batch must recommend re-clustering")
+    // production keeps ingesting through the frozen quantizer while the
+    // rebuild is scheduled — merge the drifted batch in
+    graft.streaming.Streams.semanticIngestBatchIndexed(
+      b1, sink, "vec_id", "embedding", threshold = 0.99,
+      indexTable = table, nassign = 1)
+    assert(spark.read.parquet(sink).count() == 11,
+      "all drifted vectors are novel and must ingest")
+    // the cost of probing on: u2 = (-0.93,-1) near-dups u1 (cosine .9974)
+    // but routes to the OTHER stale cell — the frozen quantizer misses it
+    val probe = vecs(99L -> Array(-0.93f, -1f, 0f, 0f))
+    val pre = Dedup.semanticNearDupsIvfAgainstIndex(probe, "vec_id",
+      "embedding", threshold = 0.99, table, nassign = 1)
+    assert(pre.isEmpty,
+      "the stale quantizer must miss the boundary-straddling near-dup " +
+        "(that miss is what the drift audit exists to catch)")
+    // rebuild with drift-aware centroids over the CURRENT corpus (what
+    // the audit told us to do), then the probe recovers the near-dup
+    val anchors2 = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0, 0.0)),
+      (2L, Array(-1.0, -1.0, 0.0, 0.0)))
+      .toDF("cell", "centroid")
+    Dedup.writeSemanticIvfIndex(spark.read.parquet(sink), "vec_id",
+      "embedding", anchors2, table, nassign = 1)
+    val post = Dedup.semanticNearDupsIvfAgainstIndex(probe, "vec_id",
+      "embedding", threshold = 0.99, table, nassign = 1)
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
+    assert(post == Set((99L, 22L)),
+      s"post-rebuild probe must recover exactly the drifted near-dup, got $post")
+  }
 }
