@@ -244,8 +244,13 @@ object ExtensionQueries {
         TextFunctions.tokens(col("text")), 3)
       val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
       val table = "graft_mh_door_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      // 8 buckets: every per-batch delta-append writes one file generation
+      // per bucket, and the door pays that DDL+write inside the stream —
+      // at gate scale 32 buckets quadruples small-file churn for nothing
+      // (a deployment sizes numBuckets to corpus volume, not batch count)
       Dedup.writeMinHashIndex(
-        Tables.documents(s, d).limit(0), "doc_id", sh, cfg, table)
+        Tables.documents(s, d).limit(0), "doc_id", sh, cfg, table,
+        numBuckets = 8)
       def docs = graft.streaming.Streams.documentsStream(s, d)
       graft.streaming.Streams.streamDedupIngestIndexed(
         docs.filter(col("doc_id") % 2 === 0), sink, "doc_id", sh,
