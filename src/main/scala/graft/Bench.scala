@@ -353,6 +353,28 @@ object Bench {
         GraftSession.envShufflePartitions.orElse(Some(cpus.toInt)))
     spark.sparkContext.setLogLevel("WARN")
     quietRddUnpersistWarnings()
+    // Fixture pre-flight: refuse a dir whose documents/embeddings carry
+    // duplicate ids instead of timing garbage. A ScaleGen regeneration
+    // interrupted at a round boundary has shipped half-remapped replicas
+    // TWICE now (round 7, round 12 — 60k embedding rows / 24k distinct
+    // vec_ids); duplicate ids silently change dedup semantics, so every
+    // downstream number would be fiction with no recorded error.
+    for (d <- dirs; (t, id) <- Seq("documents" -> "doc_id",
+                                   "embeddings" -> "vec_id")) {
+      val f = new java.io.File(s"$d/$t.parquet")
+      if (f.exists()) {
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+            org.apache.spark.sql.functions.countDistinct(
+              org.apache.spark.sql.functions.col(id)).as("nd"))
+          .collect().head
+        require(r.getLong(0) == r.getLong(1),
+          s"fixture $d/$t.parquet is corrupt: ${r.getLong(0)} rows but " +
+            s"only ${r.getLong(1)} distinct $id — regenerate it " +
+            "(interrupted ScaleGen replication leaves duplicate ids)")
+      }
+    }
     val warmDir = "/root/testdata/sf0.001"
     val selected = selectQueries(args)
     if (new java.io.File(warmDir).isDirectory)
