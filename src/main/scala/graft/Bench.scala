@@ -123,14 +123,16 @@ object Bench {
       if (tidePoints.isEmpty) Map.empty
       else sweepOrder.zipWithIndex.collect {
         case (name, i) if results.getOrElse(name, -1.0) >= 0 =>
-          val nearest = tidePoints(
-            math.min(math.round(i.toDouble / TIDE_K).toInt,
-              tidePoints.length - 1))
+          // nearest sample by RECORDED sweep position (samples carry the
+          // index they were taken at, so a failed sentinel run leaves a
+          // gap instead of shifting every later attribution)
+          val nearest = tidePoints.minBy { case (p, _) => math.abs(p - i) }._2
           name -> results(name) / math.max(nearest, 1e-9)
       }.toMap
     val totalTideUnits = tideUnits.values.sum
     val totalTideAdjusted =
-      if (tidePoints.isEmpty) -1.0 else totalTideUnits * tidePoints.min
+      if (tidePoints.isEmpty) -1.0
+      else totalTideUnits * tidePoints.map(_._2).min
     val errJson = errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val errDetailJson = errors.map { case (k, m) =>
       s"\"" + k + "\":" + jstr(m) }.mkString("{", ",", "}")
@@ -169,11 +171,12 @@ object Bench {
     // deployment would pay probe alone.
     val semantics = "index-backed queries time probe+signature-guard " +
       "(r10+); pre-r10 timed probe+rebuild"
-    val tidePointsJson = tidePoints.map(fmt).mkString("[", ",", "]")
+    val tidePointsJson = tidePoints.map(p => fmt(p._2)).mkString("[", ",", "]")
+    val tidePositionsJson = tidePoints.map(_._1).mkString("[", ",", "]")
     val tideUnitsJson = tideUnits.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"min","n_queries":${results.size},"tide_ref_query":"q1_agg","tide_ref_sec":${fmt(tideRef)},"tide_k":$TIDE_K,"tide_points":$tidePointsJson,"total_tide_units":${fmt(totalTideUnits)},"total_tide_adjusted":${fmt(totalTideAdjusted)},"timing_semantics":${jstr(semantics)},"queries":$fullQs,"queries_tide_units":$tideUnitsJson,"reps_used":$repsJson,"rep_spread":$spreadJson,"errors":$errJson,"error_detail":$errDetailJson,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"min","n_queries":${results.size},"tide_ref_query":"q1_agg","tide_ref_sec":${fmt(tideRef)},"tide_k":$TIDE_K,"tide_points":$tidePointsJson,"tide_positions":$tidePositionsJson,"total_tide_units":${fmt(totalTideUnits)},"total_tide_adjusted":${fmt(totalTideAdjusted)},"timing_semantics":${jstr(semantics)},"queries":$fullQs,"queries_tide_units":$tideUnitsJson,"reps_used":$repsJson,"rep_spread":$spreadJson,"errors":$errJson,"error_detail":$errDetailJson,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p,
@@ -245,7 +248,7 @@ object Bench {
       reps: Int, extraReps: Int,
       sentinel: Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] = None)
       : (Map[String, Double], Map[String, Int], Map[String, String],
-         Map[String, Double], Seq[String], Seq[Double]) = {
+         Map[String, Double], Seq[String], Seq[(Int, Double)]) = {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     def unstable(ts: Seq[Double]): Boolean = {
@@ -261,21 +264,25 @@ object Bench {
     val repsUsed = scala.collection.mutable.Map[String, Int]()
     val spreads = scala.collection.mutable.Map[String, Double]()
     val sweepOrder = selected.keys.toSeq.sorted
-    val tideSamples = scala.collection.mutable.ListBuffer[Double]()
-    def sampleTide(): Unit = sentinel.foreach { fn =>
+    // each sample carries the SWEEP POSITION it was taken at: the old
+    // positional reconstruction (round(i/TIDE_K)) assumed one sample per
+    // boundary, so a single swallowed sentinel failure shifted every
+    // later query's attribution and silently skewed total_tide_adjusted
+    val tideSamples = scala.collection.mutable.ListBuffer[(Int, Double)]()
+    def sampleTide(pos: Int): Unit = sentinel.foreach { fn =>
       try {
         val ts = (0 until 2).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        tideSamples += ts.min
+        tideSamples += (pos -> ts.min)
       } catch { case scala.util.control.NonFatal(_) => () }
     }
     var sweepIdx = 0
     val results = sweepOrder.map { name =>
       val fn = selected(name)
-      if (sweepIdx % TIDE_K == 0) sampleTide()
+      if (sweepIdx % TIDE_K == 0) sampleTide(sweepIdx)
       sweepIdx += 1
       val times = scala.collection.mutable.ListBuffer[Double]()
       var failed = false
@@ -323,7 +330,7 @@ object Bench {
       }
       name -> (if (failed) -1.0 else repStat(times.toSeq))
     }.toMap
-    sampleTide() // closing sample so the last block has a near sentinel
+    sampleTide(sweepIdx) // closing sample so the last block has a near sentinel
     (results, repsUsed.toMap,
       scala.collection.immutable.ListMap.from(errors), spreads.toMap,
       sweepOrder, tideSamples.toSeq)
@@ -388,28 +395,67 @@ object Bench {
       catch { case _: Exception => () }
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val extraReps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "2").toInt
+    // Tide sentinel at a FIXED dir (round-13): scaling ratios compare
+    // DIFFERENT data scales back to back on a shared box, so the load
+    // reference must not itself scale with the pass's dir — q1_agg at a
+    // constant sf re-timed through every pass measures pure ambient load
+    // at each sweep moment, and ratios in tide-adjusted seconds stop
+    // conflating machine tide with data growth (the r12 verdict's #5).
+    val sentinelDir = Seq("/root/testdata/sf0.1").find(
+        d => new java.io.File(s"$d/lineitem.parquet").isFile)
+      .orElse(dirs.headOption)
+    val sentinelFn = for {
+      sd <- sentinelDir
+      fn <- SparkEntry.queries.get("q1_agg")
+    } yield (s: SparkSession, _: String) => fn(s, sd)
     val passes = dirs.map { d =>
-      val (t, _, err, _, _, _) = timeQueries(spark, d, selected, reps, extraReps)
-      (t, err)
+      val (t, _, err, _, _, tide) =
+        timeQueries(spark, d, selected, reps, extraReps, sentinel = sentinelFn)
+      (t, err, tide)
     }
     val names = selected.keys.toSeq.sorted
+    // tide-adjusted seconds: raw / nearest fixed-dir sentinel × the
+    // quietest sentinel observed across ALL passes — each figure becomes
+    // "seconds had the whole audit run at the box's calmest moment"
+    val quiet = {
+      val all = passes.flatMap(_._3.map(_._2))
+      if (all.isEmpty) -1.0 else all.min
+    }
+    def tideAdj(pass: (Map[String, Double], Map[String, String],
+                       Seq[(Int, Double)]), name: String): Double = {
+      val raw = pass._1.getOrElse(name, -1.0)
+      if (raw < 0 || pass._3.isEmpty || quiet <= 0) -1.0
+      else {
+        val i = names.indexOf(name)
+        val nearest = pass._3.minBy { case (p, _) => math.abs(p - i) }._2
+        raw / math.max(nearest, 1e-9) * quiet
+      }
+    }
     val rows = names.map { n =>
       val ts = passes.map(_._1.getOrElse(n, -1.0))
       val ratios = ts.sliding(2).map { case Seq(a, b) =>
         if (a < 0 || b < 0) -1.0 else b / math.max(a, 0.05)
       }.toSeq
-      s""""$n":{"t":[${ts.map(fmt).mkString(",")}],"ratios":[${ratios.map(fmt).mkString(",")}]}"""
+      val tts = passes.map(tideAdj(_, n))
+      val tratios = tts.sliding(2).map { case Seq(a, b) =>
+        if (a < 0 || b < 0) -1.0 else b / math.max(a, 0.05)
+      }.toSeq
+      s""""$n":{"t":[${ts.map(fmt).mkString(",")}],"ratios":[${ratios.map(fmt).mkString(",")}],"t_tide":[${tts.map(fmt).mkString(",")}],"ratios_tide":[${tratios.map(fmt).mkString(",")}]}"""
     }
     val errNames = passes.flatMap(_._2.keys).distinct
     val errJson = errNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     // per-query root-cause messages, keyed "<query>@<dir>" — a -1 entry
     // with no recorded cause blocked last round's audit interpretation
-    val errDetail = (dirs zip passes).flatMap { case (d, (_, em)) =>
+    val errDetail = (dirs zip passes).flatMap { case (d, (_, em, _)) =>
       em.map { case (q, m) => s"\"" + q + "@" + d + "\":" + jstr(m) }
     }.mkString("{", ",", "}")
     val dirsJson = dirs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val tideJson = (dirs zip passes).map { case (d, (_, _, tide)) =>
+      s"\"" + d + "\":[" +
+        tide.map { case (p, v) => s"[$p,${fmt(v)}]" }.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"estimator":"min","dirs":$dirsJson,"n_queries":${names.size},"errors":$errJson,"error_detail":$errDetail,"ratio_denominator_floor_sec":0.05,"queries":{${rows.mkString(",")}}}"""
+      s"""{"estimator":"min","dirs":$dirsJson,"n_queries":${names.size},"errors":$errJson,"error_detail":$errDetail,"ratio_denominator_floor_sec":0.05,"tide_sentinel_dir":${sentinelDir.map(jstr).getOrElse("null")},"tide_quiet_sec":${fmt(quiet)},"tide_points":$tideJson,"queries":{${rows.mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // console line ranks by the LAST step's ratio — the largest data step

@@ -159,14 +159,38 @@ object Sinks {
     * only the (small) delta is shuffled, never the standing table. At
     * 100 TB this is what keeps index maintenance O(batch): a rebuild
     * rewrites the corpus, an append writes one batch.
+    *
+    * Existence is a PRECONDITION, not a convenience: `SaveMode.Append`'s
+    * saveAsTable would happily CREATE a missing table, and that default
+    * interacts fatally with [[compactBucketed]]'s crash window — a
+    * compaction that died between its drop and its RENAME leaves the name
+    * dangling with the only complete copy parked at `&lt;table&gt;_cstg`;
+    * an append that auto-creates would silently resurrect the name
+    * holding ONLY the delta rows (every probe then misses the whole
+    * corpus), and the next compaction would see the name occupied and
+    * drop `_cstg` — the corpus — permanently. So: if the name dangles
+    * with a complete staging copy present, finish the interrupted swap
+    * first (the same self-heal as [[compactBucketed]]'s entry), and if
+    * neither exists, refuse — appends never create.
     */
   def appendBucketed(df: DataFrame, table: String,
-                     bucketCols: Seq[String], numBuckets: Int): Unit =
+                     bucketCols: Seq[String], numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val stg = table + "_cstg"
+      require(spark.catalog.tableExists(stg),
+        s"appendBucketed: table `$table` does not exist — appends never " +
+          "create (build it with writeBucketed first)")
+      // crash window of an interrupted compactBucketed: the staging table
+      // IS the complete compacted copy — finish the swap, then append
+      spark.sql(s"ALTER TABLE `$stg` RENAME TO `$table`")
+    }
     df.write.mode(SaveMode.Append)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Compact a bucketed table back to ONE file per bucket, ZERO-shuffle.
     * Every [[appendBucketed]] leaves one more file per touched bucket
@@ -324,6 +348,33 @@ object Sinks {
     catalogLoc.foreach { loc =>
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) { fs.delete(loc, true); () }
+    }
+  }
+
+  /** Count a managed table's parquet data files — the observable that
+    * drives compaction POLICY (each [[appendBucketed]] leaves one more
+    * file generation per touched bucket, so file count is the direct
+    * measure of layout debt). Location is resolved through the catalog
+    * (the [[dropTableAndLocation]] discipline — never a derived
+    * warehouse path) and listed recursively via the location's own
+    * Hadoop filesystem, so the count is one bounded metadata listing on
+    * any store. */
+  def tableDataFileCount(spark: SparkSession, table: String): Int = {
+    val qName = "`" + table.replace("`", "``") + "`"
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $qName")
+      .select("col_name", "data_type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val loc = new org.apache.hadoop.fs.Path(desc.getOrElse("Location",
+      sys.error(s"tableDataFileCount: no Location for table `$table`")))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) 0
+    else {
+      val it = fs.listFiles(loc, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
     }
   }
 

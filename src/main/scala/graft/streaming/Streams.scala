@@ -75,6 +75,18 @@ object Streams {
     root.getAbsolutePath
   }
 
+  /** Sink-existence probe through the PATH's Hadoop filesystem — the
+    * door batch bodies ask "has this sink ever been written?" before the
+    * first anti-join, and that question must be answered by whatever
+    * store the sink actually lives on (s3a://, abfs://, hdfs://), not by
+    * the driver's local disk. `java.io.File` here was the one local-FS
+    * assumption left in an engine otherwise written for object stores.
+    */
+  private def sinkExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Watermarked tumbling-window aggregation per event type. */
   def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
                      watermark: String = "2 hours"): DataFrame =
@@ -352,9 +364,8 @@ object Streams {
       inBatch, idCol, shingles, threshold, cfg)
     val canonical = graft.operators.Dedup.keepCorpus(
       inBatch, idCol, selfPairs)
-    val sinkExists = new java.io.File(path).exists()
     val novel =
-      if (!sinkExists) canonical
+      if (!sinkExists(spark, path)) canonical
       else {
         val corpus = spark.read.parquet(path)
         val fresh = graft.operators.Pipeline.idempotentNewRows(
@@ -393,11 +404,11 @@ object Streams {
       stream: DataFrame, path: String, idCol: String,
       shingles: org.apache.spark.sql.Column, threshold: Double,
       cfg: graft.operators.Dedup.LshConfig, indexTable: String,
-      checkpointDir: String): Unit = {
+      checkpointDir: String, autoCompactMaxFiles: Int = 0): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         dedupIngestBatchIndexed(batch.toDF(), path, idCol, shingles,
-          threshold, cfg, indexTable)
+          threshold, cfg, indexTable, autoCompactMaxFiles)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -430,7 +441,8 @@ object Streams {
   def dedupIngestBatchIndexed(
       batch: DataFrame, path: String, idCol: String,
       shingles: org.apache.spark.sql.Column, threshold: Double,
-      cfg: graft.operators.Dedup.LshConfig, indexTable: String): Unit = {
+      cfg: graft.operators.Dedup.LshConfig, indexTable: String,
+      autoCompactMaxFiles: Int = 0): Unit = {
     import org.apache.spark.sql.functions.col
     val spark = batch.sparkSession
     val inBatch = batch.dropDuplicates(idCol)
@@ -439,7 +451,7 @@ object Streams {
     val canonical = graft.operators.Dedup.keepCorpus(
       inBatch, idCol, selfPairs)
     val fresh =
-      if (!new java.io.File(path).exists()) canonical
+      if (!sinkExists(spark, path)) canonical
       else graft.operators.Pipeline.idempotentNewRows(
         canonical, spark.read.parquet(path).select(col(idCol)), Seq(idCol))
     // indexed-but-not-sunk = accepted by a crashed attempt (the index
@@ -461,6 +473,17 @@ object Streams {
     graft.operators.Dedup.appendToMinHashIndex(
       novel, idCol, shingles, indexTable, cfg)
     novel.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+    // auto-compaction rides INSIDE the ingest loop, after the batch's
+    // commit pair: each delta-append leaves one file generation per
+    // touched bucket, and without a policy a long-running door accretes
+    // files without bound (round-12 verdict). Placement matters for the
+    // crash contract: both appends have landed, so a crash during the
+    // compaction is exactly compactBucketed's self-healing window (a
+    // complete copy always exists; the replayed batch dies at the sink
+    // anti-join and the next maybeCompact finishes the swap). IO-only —
+    // probes before/after are bit-identical (StreamingSpec pins it).
+    graft.operators.Dedup.maybeCompactMinHashIndex(
+      spark, indexTable, autoCompactMaxFiles)
     ()
   }
 
@@ -481,11 +504,13 @@ object Streams {
   def streamSemanticIngestIndexed(
       stream: DataFrame, path: String, idCol: String, vecCol: String,
       threshold: Double, indexTable: String, checkpointDir: String,
-      nassign: Int = 2, bandBits: Int = 8, numBands: Int = 16): Unit = {
+      nassign: Int = 2, bandBits: Int = 8, numBands: Int = 16,
+      autoCompactMaxFiles: Int = 0): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         semanticIngestBatchIndexed(batch.toDF(), path, idCol, vecCol,
-          threshold, indexTable, nassign, bandBits, numBands)
+          threshold, indexTable, nassign, bandBits, numBands,
+          autoCompactMaxFiles)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -507,7 +532,8 @@ object Streams {
   def semanticIngestBatchIndexed(
       batch: DataFrame, path: String, idCol: String, vecCol: String,
       threshold: Double, indexTable: String, nassign: Int = 2,
-      bandBits: Int = 8, numBands: Int = 16): Unit = {
+      bandBits: Int = 8, numBands: Int = 16,
+      autoCompactMaxFiles: Int = 0): Unit = {
     import org.apache.spark.sql.functions.col
     val spark = batch.sparkSession
     val inBatch = batch.dropDuplicates(idCol)
@@ -516,7 +542,7 @@ object Streams {
     val canonical = graft.operators.Dedup.keepCorpus(
       inBatch, idCol, selfPairs)
     val fresh =
-      if (!new java.io.File(path).exists()) canonical
+      if (!sinkExists(spark, path)) canonical
       else graft.operators.Pipeline.idempotentNewRows(
         canonical, spark.read.parquet(path).select(col(idCol)), Seq(idCol))
     val indexedIds = spark.table(s"${indexTable}_docs")
@@ -533,6 +559,10 @@ object Streams {
     graft.operators.Dedup.appendToSemanticIvfIndex(
       novel, idCol, vecCol, indexTable, nassign)
     novel.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+    // same in-loop compaction policy (and crash placement) as
+    // dedupIngestBatchIndexed — see the note there
+    graft.operators.Dedup.maybeCompactSemanticIvfIndex(
+      spark, indexTable, autoCompactMaxFiles)
     ()
   }
 
@@ -559,7 +589,7 @@ object Streams {
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.toDF()
-        if (!new java.io.File(path).exists())
+        if (!sinkExists(b.sparkSession, path))
           graft.operators.Pipeline.latestByKey(b, keys, seqCol)
             .write.parquet(path)
         else
@@ -604,9 +634,8 @@ object Streams {
           inBatch, idCol, vecCol, threshold, bandBits, numBands)
         val canonical = graft.operators.Dedup.keepCorpus(
           inBatch, idCol, selfPairs)
-        val sinkExists = new java.io.File(path).exists()
         val novel =
-          if (!sinkExists) canonical
+          if (!sinkExists(spark, path)) canonical
           else {
             val corpus = spark.read.parquet(path)
             val fresh = graft.operators.Pipeline.idempotentNewRows(

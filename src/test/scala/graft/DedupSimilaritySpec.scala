@@ -1109,4 +1109,82 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(reranked.exceptAll(exact).isEmpty && exact.exceptAll(reranked).isEmpty,
       "rerank of a covering shortlist must equal the exact top-k")
   }
+
+  test("ivfProbeDepth / ivfPairRecallFloorPpm: the declared scale curves") {
+    // the audited scale points from RECALL.json (ncells 8/29/282/844)
+    assert(Similarity.ivfProbeDepth(8) == 2)
+    assert(Similarity.ivfProbeDepth(29) == 2)
+    assert(Similarity.ivfProbeDepth(282) == 3)
+    assert(Similarity.ivfProbeDepth(844) == 4)
+    assert(Similarity.ivfProbeDepth(1 << 16) == 8, "cap at 8")
+    assert(Similarity.ivfProbeDepth(8, nassign = 5) == 5,
+      "probe depth never below the index's assignment multiplicity")
+    // floor is monotone non-increasing in n and hits the declared bands
+    assert(Similarity.ivfPairRecallFloorPpm(500) == 450000L)
+    assert(Similarity.ivfPairRecallFloorPpm(2000) == 250000L)
+    assert(Similarity.ivfPairRecallFloorPpm(20000) == 100000L)
+    assert(Similarity.ivfPairRecallFloorPpm(60000) == 60000L)
+    val pts = Seq(1L, 1000L, 1001L, 4000L, 4001L, 30000L, 30001L, 1000000L)
+      .map(Similarity.ivfPairRecallFloorPpm)
+    assert(pts == pts.sorted.reverse, s"floor must fall with n, got $pts")
+  }
+
+  test("asymmetric index probe: deeper nprobe yields a superset at equal corpus cost") {
+    import graft.operators.Dedup
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val ncells = Similarity.ivfCellCount(corpus.count())
+    val anchors = corpus.orderBy("vec_id").limit(ncells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val table = "t_deep_probe_spec"
+    Seq("_cells", "_docs", "_centroids", "_meta").foreach(s =>
+      graft.sources.Sinks.dropTableAndLocation(spark, table + s))
+    Dedup.writeSemanticIvfIndex(corpus, "vec_id", "embedding", anchors, table)
+    def pairs(np: Int) = Dedup.semanticNearDupsIvfAgainstIndex(batch,
+        "vec_id", "embedding", 0.3, table, nprobe = np)
+      .select("id_new", "id_corpus").collect().map(_.toSeq).toSet
+    val sym = pairs(0)          // nprobe=0 → symmetric (depth = nassign)
+    val deep = pairs(math.min(8, ncells))
+    assert(sym.subsetOf(deep),
+      "a deeper query-side probe must never lose a symmetric-probe pair")
+    // at nprobe = ncells the probe is exhaustive over cells: it must find
+    // every pair whose corpus endpoint the index assigned ANY cell — i.e.
+    // all exact pairs (the corpus side at nassign=2 covers each vector)
+    val exact = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        col("vec_id") % 10 === 0, 0.3)
+      .filter(col("id_1") % 10 === 0 =!= (col("id_2") % 10 === 0))
+      .count()
+    val exhaustive = pairs(math.min(64, ncells))
+    assert(exhaustive.size >= sym.size && deep.size >= sym.size)
+    assert(exact >= exhaustive.size,
+      "probe pairs are exact-verified, so they can never exceed truth")
+    Seq("_cells", "_docs", "_centroids", "_meta").foreach(s =>
+      graft.sources.Sinks.dropTableAndLocation(spark, table + s))
+  }
+
+  test("semanticIvfRecallAudit: counts match a direct replay; verdict is the integer cross-multiply") {
+    import graft.operators.Dedup
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val n = emb.count()
+    val ncells = Similarity.ivfCellCount(n)
+    val anchors = emb.filter(col("vec_id") < ncells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val row = Dedup.semanticIvfRecallAudit(emb, "vec_id", "embedding",
+      threshold = 0.4, cells = anchors).collect().head
+    val m = math.max(1L, n / 2000L)
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("probe_modulus") == m)
+    assert(row.getAs[Long]("recall_floor_ppm") ==
+      Similarity.ivfPairRecallFloorPpm(n))
+    val truth = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      col("vec_id") % m === 0, 0.4).count()
+    val found = Dedup.semanticNearDupsIvf(emb, "vec_id", "embedding", 0.4,
+        anchors, nassign = 2)
+      .filter(col("id_1") % m === 0 || col("id_2") % m === 0).count()
+    assert(row.getAs[Long]("truth_pairs") == truth)
+    assert(row.getAs[Long]("found_pairs") == found)
+    assert(row.getAs[Boolean]("recall_ok") ==
+      (found * 1000000L >= Similarity.ivfPairRecallFloorPpm(n) * truth))
+  }
 }

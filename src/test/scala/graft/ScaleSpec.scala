@@ -822,6 +822,77 @@ class ScaleSpec extends AnyFunSuite {
       s"chosen/rejected must come from max/min(struct), not windows:\n$ppPlan")
   }
 
+  test("persisted-index probe: per-batch shuffle volume does not scale with the corpus") {
+    // The O(batch) gate for the door's steady-state cost claim (round-13,
+    // verdict #6): the SAME batch probed through a ~9×-larger index must
+    // shuffle ~the same number of records — the corpus side reads its
+    // bucketed tables exchange-free, so only batch-derived rows may enter
+    // an exchange. If a code change reintroduces a corpus-sized scan into
+    // the micro-batch's shuffle path (lost bucket alignment, a demoted
+    // broadcast, re-signaturing the corpus), the large-index leg blows
+    // past the small-index leg and this fails. Records are measured at
+    // the task level (shuffle WRITE records across all stages of the
+    // probe's jobs), not inferred from the plan — a metric gate, not a
+    // shape gate.
+    import graft.operators.Dedup
+    import graft.functions.{ShingleFunctions, TextFunctions}
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def sh = ShingleFunctions.wordShingleHashes(
+      TextFunctions.tokens(col("text")), 3)
+    val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+    val batch = docs.filter(col("doc_id") % 20 === 0)
+    val smallCorpus = docs.filter(col("doc_id") % 20 === 1)    // ~5 %
+    val largeCorpus = docs.filter(col("doc_id") % 20 =!= 0)    // ~95 %
+    val (tS, tL) = ("graft_mh_obatch_s", "graft_mh_obatch_l")
+    def cleanup(): Unit = for (t <- Seq(tS, tL);
+                               s <- Seq("_docs", "_bands", "_meta"))
+      Sinks.dropTableAndLocation(spark, t + s)
+    cleanup()
+    Dedup.writeMinHashIndex(smallCorpus, "doc_id", sh, cfg, tS, numBuckets = 4)
+    Dedup.writeMinHashIndex(largeCorpus, "doc_id", sh, cfg, tL, numBuckets = 4)
+    val recs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) { recs.addAndGet(m.shuffleWriteMetrics.recordsWritten); () }
+      }
+    }
+    def shuffleRecordsDuring(body: => Unit): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        recs.set(0)
+        body
+        // the listener bus is async: poll until the counter stabilizes
+        var last = -1L
+        var spins = 0
+        while (recs.get() != last && spins < 50) {
+          last = recs.get(); Thread.sleep(100); spins += 1
+        }
+        last
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val rS = shuffleRecordsDuring {
+      Dedup.minHashNearDupsAgainstIndex(batch, "doc_id", sh, 0.5, tS, cfg)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val rL = shuffleRecordsDuring {
+      Dedup.minHashNearDupsAgainstIndex(batch, "doc_id", sh, 0.5, tL, cfg)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // corpus-sized leakage would add ~corpus×bands records (≈15 000 here)
+    // to the large leg; batch-derived work is identical on both. Allow
+    // 2× + slack for candidate-count growth (more bucket-mates in the
+    // larger index is legitimate batch-side fan-out, bounded by
+    // batch×bucket-mates — the corpus's own rows still never shuffle).
+    val corpusBandRows = spark.table(s"${tL}_bands").count()
+    assert(rL < math.max(2 * rS, rS + corpusBandRows / 4),
+      s"probe shuffled $rL records against the large index vs $rS against " +
+        s"the small one (corpus band rows: $corpusBandRows) — a " +
+        "corpus-sized scan entered the micro-batch's shuffle path")
+    cleanup()
+  }
+
   test("centroidShift and labelOutliers never self-join the corpus") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     for (df <- Seq(

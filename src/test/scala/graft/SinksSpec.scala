@@ -464,4 +464,31 @@ class SinksSpec extends AnyFunSuite {
       (1L, 1L, 4L, 31000L, en(Seq(-31000, 7, 8, 9)), 1L,
         32767L * 256 / 31000)))
   }
+
+  test("appendBucketed never creates: refuses a missing table, finishes a dangling compaction swap first") {
+    def cleanup(): Unit = Seq("t_ab_guard", "t_ab_guard_cstg")
+      .foreach(Sinks.dropTableAndLocation(spark, _))
+    cleanup()
+    val rows = (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v")
+    // 1) append to a table that has never existed → refuse (the old
+    //    SaveMode.Append default would silently CREATE it holding only
+    //    the delta — the corpus-loss trap the round-12 advice named)
+    val e = intercept[IllegalArgumentException] {
+      Sinks.appendBucketed(rows, "t_ab_guard", Seq("k"), 4)
+    }
+    assert(e.getMessage.contains("appends never create"))
+    // 2) dangling compaction window: original dropped, complete staging
+    //    copy present — an append must FINISH the swap, then append, so
+    //    the corpus rows survive and the delta lands on top
+    Sinks.writeBucketed(rows, "t_ab_guard_cstg", Seq("k"), 4)
+    assert(!spark.catalog.tableExists("t_ab_guard"))
+    val delta = Seq((100L, "d")).toDF("k", "v")
+    Sinks.appendBucketed(delta, "t_ab_guard", Seq("k"), 4)
+    assert(spark.catalog.tableExists("t_ab_guard") &&
+      !spark.catalog.tableExists("t_ab_guard_cstg"),
+      "recovery must rename the staging copy into place")
+    assert(spark.table("t_ab_guard").count() == 21,
+      "recovered table must hold corpus + delta, never delta alone")
+    cleanup()
+  }
 }

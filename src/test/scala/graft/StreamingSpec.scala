@@ -796,4 +796,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(post == Set((99L, 22L)),
       s"post-rebuild probe must recover exactly the drifted near-dup, got $post")
   }
+
+  test("indexed door auto-compaction: policy fires inside the ingest loop, sink and index content identical, file debt bounded") {
+    import graft.functions.{ShingleFunctions, TextFunctions}
+    import graft.operators.Dedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-door-autocpt")
+    val docs = Tables.documents(spark, TestSpark.sf)
+    def sh = ShingleFunctions.wordShingleHashes(
+      TextFunctions.tokens(col("text")), 3)
+    val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+    val batches = (0 to 3).map(m => docs.filter(col("doc_id") % 4 === m))
+    def cleanup(t: String): Unit =
+      Seq("_docs", "_bands", "_meta", "_docs_cstg", "_bands_cstg")
+        .foreach(s => graft.sources.Sinks.dropTableAndLocation(spark, t + s))
+    // twin A: the door with no compaction policy — accretes one file
+    // generation per touched bucket per batch, the unbounded-debt shape
+    val tA = "t_door_nocpt_spec"; val sA = s"$tmp/a"
+    cleanup(tA)
+    Dedup.writeMinHashIndex(docs.limit(0), "doc_id", sh, cfg, tA,
+      numBuckets = 4)
+    batches.foreach(b => graft.streaming.Streams.dedupIngestBatchIndexed(
+      b, sA, "doc_id", sh, 0.5, cfg, tA))
+    // twin B: identical batch sequence, auto-compaction at 6 data files —
+    // crossed after the second batch, so the policy provably fires mid-run
+    val tB = "t_door_autocpt_spec"; val sB = s"$tmp/b"
+    cleanup(tB)
+    Dedup.writeMinHashIndex(docs.limit(0), "doc_id", sh, cfg, tB,
+      numBuckets = 4)
+    batches.foreach(b => graft.streaming.Streams.dedupIngestBatchIndexed(
+      b, sB, "doc_id", sh, 0.5, cfg, tB, autoCompactMaxFiles = 6))
+    // compaction is IO-only: the doors land the identical corpus and the
+    // identical index CONTENT
+    val idsA = spark.read.parquet(sA).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    val idsB = spark.read.parquet(sB).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(idsA == idsB, "auto-compaction changed the door's sink")
+    assert(spark.table(s"${tB}_docs").select("id").as[Long].collect().sorted
+      .toSeq == idsB, "compacted index _docs must still mirror the sink")
+    // probes through both indexes are bit-identical
+    val probeBatch = docs.filter(col("doc_id") % 10 === 0)
+    val pA = Dedup.minHashNearDupsAgainstIndex(probeBatch, "doc_id", sh,
+      0.5, tA, cfg).collect().map(_.toSeq).toSet
+    val pB = Dedup.minHashNearDupsAgainstIndex(probeBatch, "doc_id", sh,
+      0.5, tB, cfg).collect().map(_.toSeq).toSet
+    assert(pA == pB, "probe diverged across the auto-compacted index")
+    // and the policy actually fired: B's file debt is bounded at one
+    // compacted generation plus at most one trailing append, strictly
+    // below A's accreted generations
+    val filesA = graft.sources.Sinks.tableDataFileCount(spark, s"${tA}_bands")
+    val filesB = graft.sources.Sinks.tableDataFileCount(spark, s"${tB}_bands")
+    assert(filesB < filesA,
+      s"auto-compaction never fired: _bands has $filesB files vs the " +
+        s"no-policy twin's $filesA")
+    assert(filesB <= 8,
+      s"auto-compacted _bands should hold ≤ 2 generations over 4 buckets, " +
+        s"got $filesB files")
+    cleanup(tA); cleanup(tB)
+  }
 }
