@@ -398,6 +398,24 @@ object Dedup {
     graft.sources.Sinks.compactBucketed(spark, s"${table}_cells", Seq("cell"), nb)
   }
 
+  /** Heal every sub-table of a persisted index whose compaction crashed
+    * in [[graft.sources.Sinks.compactBucketed]]'s drop→RENAME window
+    * (name dangling, complete copy at `&lt;sub&gt;_cstg`). The append path
+    * self-heals via `appendBucketed`'s entry — but a door batch PROBES
+    * before it appends, and `spark.table` on a dangling name throws
+    * before any self-healing code runs, halting the ingest loop on a
+    * one-rename-from-healthy state (the round-13 advice's liveness
+    * window). Called at door-batch entry, probe entry, and compaction-
+    * policy entry; suffixes that were never compacted simply have no
+    * staging copy and are skipped. Bounded: two catalog lookups per
+    * suffix, a metadata rename at most once per crash.
+    */
+  def healIndexTables(spark: SparkSession, table: String): Unit =
+    Seq("_docs", "_bands", "_cells", "_centroids", "_meta").foreach { s =>
+      graft.sources.Sinks.healDanglingCompaction(spark, table + s)
+      ()
+    }
+
   /** Compaction POLICY for a persisted MinHash index under a standing
     * ingest loop: compact exactly when the `_bands` table's data-file
     * count (the append-side table with the highest file churn — one
@@ -415,6 +433,7 @@ object Dedup {
     */
   def maybeCompactMinHashIndex(spark: SparkSession, table: String,
                                maxDataFiles: Int): Boolean = {
+    healIndexTables(spark, table)
     val due = maxDataFiles > 0 &&
       graft.sources.Sinks.tableDataFileCount(spark, s"${table}_bands") >
         maxDataFiles
@@ -427,6 +446,7 @@ object Dedup {
     * compaction ran; `maxDataFiles <= 0` disables. */
   def maybeCompactSemanticIvfIndex(spark: SparkSession, table: String,
                                    maxDataFiles: Int): Boolean = {
+    healIndexTables(spark, table)
     val due = maxDataFiles > 0 &&
       graft.sources.Sinks.tableDataFileCount(spark, s"${table}_cells") >
         maxDataFiles
@@ -449,6 +469,7 @@ object Dedup {
       threshold: Double, table: String,
       cfg: LshConfig = LshConfig()): DataFrame = {
     val spark = newBatch.sparkSession
+    healIndexTables(spark, table)
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1, s"index $table has no meta row")
     val (mh, mr, ms) = (meta.head.getAs[Int]("num_hashes"),
@@ -1237,18 +1258,31 @@ object Dedup {
     * `nprobe`), re-cluster, or route the corpus through multi-probe LSH
     * ([[semanticNearDups]] probeDepth ≥ 1) — the operator docs' standing
     * escalation path.
+    *
+    * `groupProbe` passes straight through to [[semanticNearDupsIvf]], so
+    * the audited route is THE SHIPPED ROUTE at every scale: the declared
+    * gates hand it the same `if (ncells > 512) 8 else 0` policy the
+    * production `dedup_semantic_ivf` query uses — past 512 cells the
+    * audit measures the two-level posture (with its IMI boundary loss),
+    * not the flat route the deployment no longer runs. At the oracle
+    * gate's scale (ncells = 8) the policy resolves to flat, so the SQL
+    * replay is unchanged. `floorPpm` overrides the declared floor —
+    * the clustered τ=0.8 gate passes
+    * [[Similarity.ivfClusteredPairRecallFloorPpm]]; `None` keeps the
+    * low-τ survival bound [[Similarity.ivfPairRecallFloorPpm]].
     */
   def semanticIvfRecallAudit(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      cells: DataFrame, nassign: Int = 2): DataFrame = {
+      cells: DataFrame, nassign: Int = 2, groupProbe: Int = 0,
+      floorPpm: Option[Long] = None): DataFrame = {
     val n = emb.count()
     val m = math.max(1L, n / 2000L)
-    val floor = Similarity.ivfPairRecallFloorPpm(n)
+    val floor = floorPpm.getOrElse(Similarity.ivfPairRecallFloorPpm(n))
     val truth = embeddingNearDups(emb, idCol, vecCol,
         col(idCol) % m === 0, threshold)
       .agg(count(lit(1)).as("truth_pairs"))
     val found = semanticNearDupsIvf(emb, idCol, vecCol, threshold,
-        cells, nassign)
+        cells, nassign, groupProbe = groupProbe)
       .filter(col("id_1") % m === 0 || col("id_2") % m === 0)
       .agg(count(lit(1)).as("found_pairs"))
     truth.crossJoin(found)
@@ -1257,6 +1291,48 @@ object Dedup {
         lit(floor).as("recall_floor_ppm"),
         (col("found_pairs") * lit(1000000L) >=
           lit(floor) * col("truth_pairs")).as("recall_ok"))
+  }
+
+  /** Deterministic CLUSTERED view of an embedding corpus — the gate
+    * fixture for the IVF family's OPERATING-regime recall contract
+    * (`dedup_semantic_ivf_recall08`). The driver fixture is near-uniform
+    * (zero pairs at τ=0.8 — a recall gate over it would certify against
+    * an empty truth set), so the clustered regime is DERIVED from it
+    * with arithmetic both engines replay bit-exactly:
+    *
+    *   member_i = center_(i mod k) + 0.2 · v_i,   k = max(1, n / occupancy)
+    *
+    * with `center_c` = the fixture vector of id `c` (so centers exist
+    * for ids < k) and `v_i` the member's own fixture vector as the noise
+    * direction. Near-orthogonal same-norm fixture vectors make
+    * in-cluster cosine ≈ 1/(1+0.2²) ≈ 0.96 and cross-cluster ≈ 0, so
+    * τ=0.8 truth is exactly the in-cluster pair set — the SemDeDup
+    * regime (tight clusters, in-cluster dedup), same construction as
+    * RecallBench's `clusteredEmb` but from FIXTURE vectors instead of a
+    * splitmix PRNG, because IEEE `a + 0.2·b` on float→double casts
+    * replays in SQL (`list_transform(list_zip(...))`) while a 64-bit
+    * mixer does not. On id-strided scale-up fixtures (ScaleGen) residue
+    * classes whose center id does not exist drop their members via the
+    * inner join — deterministic, replayed identically by the oracle; the
+    * audit's `n` is the view's own count. All arithmetic is
+    * double-on-double after one explicit cast, zero shuffle beyond the
+    * center equi-join (k ≤ n/occupancy rows — broadcast-ranged).
+    */
+  def clusteredEmbeddingView(
+      emb: DataFrame, idCol: String, vecCol: String,
+      occupancy: Long = 20L): DataFrame = {
+    require(occupancy >= 2L, s"occupancy=$occupancy must be >= 2")
+    val n = emb.count()
+    val k = math.max(1L, n / occupancy)
+    val centers = emb.filter(col(idCol) < k)
+      .select(col(idCol).as("__cid"),
+        col(vecCol).cast("array<double>").as("__cv"))
+    emb.select(col(idCol), (col(idCol) % k).as("__cid"),
+        col(vecCol).cast("array<double>").as("__sv"))
+      .join(broadcast(centers), Seq("__cid"))
+      .select(col(idCol),
+        zip_with(col("__cv"), col("__sv"),
+          (a, b) => a + lit(0.2) * b).as(vecCol))
   }
 
   /** Persist the reusable SEMANTIC-IVF index for a standing corpus — the
@@ -1402,6 +1478,7 @@ object Dedup {
         "= nassign; candidate volume scales linearly with it)")
     val depth = if (nprobe == 0) nassign else nprobe
     val spark = newBatch.sparkSession
+    healIndexTables(spark, table)
     val (flat, dim) = collectCentroids(spark.table(s"${table}_centroids"))
     val cCells = spark.table(s"${table}_cells")
     val cDocs = spark.table(s"${table}_docs")

@@ -473,24 +473,55 @@ object Similarity {
   }
 
   /** Scale-indexed pair-recall floor (ppm) for the seeded flat-IVF dedup
-    * family (`dedup_semantic_ivf*`) on a WEAKLY-CLUSTERED corpus — the
-    * declared contract the round-13 recall gate asserts, sized from the
+    * family (`dedup_semantic_ivf*`) on a WEAKLY-CLUSTERED corpus at LOW
+    * τ — the SURVIVAL bound half of the recall contract, sized from the
     * round-12/13 RECALL.json measurements at τ=0.4 on the synthetic
     * fixture (found/truth: ~0.43 at n=2 000, ~0.16 at n=20 000, ~0.10 at
     * n=60 000) with ~⅓ margin below each measured point. The floor FALLS
     * with n by design: the fixture's true-pair density grows
     * quadratically (truth 920 → 97 349 → 888 770 while n grows 10×/30×)
     * and a constant-occupancy Voronoi partition mathematically cannot
-    * track it — on CLUSTERED corpora (the SemDeDup operating regime,
-    * RECALL_CLUSTERED.json) the same operator holds 0.77–1.0 and this
-    * floor is far exceeded. Piecewise-constant so the DuckDB oracle
-    * replays it as a CASE expression — no float crosses the gate.
+    * track it.
+    *
+    * This bound is τ-SPECIFIC, and low τ is not where the operator
+    * lives: clustering helps exactly as far as true pairs are
+    * in-cluster. At the SemDeDup operating threshold (τ=0.8, in-cluster
+    * pairs by construction) the same route measures 0.948–0.9998 at
+    * n = 20 000 / 60 000 (RECALL_CLUSTERED.json `ivf_*@0.8` legs) —
+    * that regime carries its own declared floor,
+    * [[ivfClusteredPairRecallFloorPpm]], gated by
+    * `dedup_semantic_ivf_recall08`. But even CLUSTERED truth erodes when
+    * τ drops below the in-cluster band: RECALL.json's clustered legs
+    * read 0.190 at τ=0.4 and 0.518 at τ=0.5 at n = 60 000 (`ivf_km@0.4`
+    * / `ivf_km@0.5`) — cross-cluster true pairs are invisible to
+    * cell-local candidates no matter how clean the clustering. So: this
+    * floor certifies survival at τ=0.4; quality is certified at τ=0.8 by
+    * the clustered gate; between them, escalate to multi-probe LSH
+    * ([[Dedup.semanticNearDups]] probeDepth ≥ 1 — 0.73–0.97 there).
+    * Piecewise-constant so the DuckDB oracle replays it as a CASE
+    * expression — no float crosses the gate.
     */
   def ivfPairRecallFloorPpm(n: Long): Long =
     if (n <= 1000L) 450000L
     else if (n <= 4000L) 250000L
     else if (n <= 30000L) 100000L
     else 60000L
+
+  /** Pair-recall floor (ppm) for the IVF dedup family in its OPERATING
+    * regime — clustered truth at the SemDeDup threshold (Abbas et al.
+    * 2023 dedup inside k-means cells at in-cluster cosine ≈ 0.8+): the
+    * quality half of the recall contract, beside
+    * [[ivfPairRecallFloorPpm]]'s low-τ survival half. Constant 0.95 at
+    * every scale, NOT falling with n: when true pairs are in-cluster,
+    * a coherently-routed tight cluster keeps its pairs cell-local as
+    * the partition refines, so recall has no structural reason to
+    * erode. Measured: 0.948–0.9998 at n = 20 000 / 60 000 on the
+    * clustered RecallBench corpora (RECALL_CLUSTERED.json `ivf_*@0.8`),
+    * 0.984–0.9995 on the derived clustered gate fixture at
+    * n = 500 / 2 000 ([[Dedup.clusteredEmbeddingView]]). Declared and
+    * oracle-replayed by `dedup_semantic_ivf_recall08`.
+    */
+  def ivfClusteredPairRecallFloorPpm: Long = 950000L
 
   /** Deterministic ±1 projection signs from the md5 convention
     * (`('0x' || substr(md5('seed|i|j'), 1, 15))::BIGINT % 2`) — the ONE

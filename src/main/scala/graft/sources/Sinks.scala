@@ -192,6 +192,32 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Finish a [[compactBucketed]] swap that crashed between its DROP and
+    * its RENAME: the table name dangles while the complete compacted copy
+    * sits at `&lt;table&gt;_cstg`. [[compactBucketed]] and [[appendBucketed]]
+    * already self-heal this window at their own entry — but a PROBE that
+    * reads the table first (`spark.table(...)` inside a streaming door's
+    * batch body) would throw TABLE_NOT_FOUND before ever reaching them,
+    * wedging a long-running ingest on a state that is one metadata rename
+    * from healthy (content was never at risk; LIVENESS was). Callers that
+    * read index tables before appending (door batch entry, the
+    * `*AgainstIndex` probes, the `maybeCompact*` policies) call this
+    * first. A missing name with NO staging copy is left alone — that is
+    * a genuinely absent table and the caller's own error path owns it.
+    * Returns true iff a dangling swap was finished.
+    */
+  def healDanglingCompaction(spark: SparkSession, table: String): Boolean = {
+    val stg = table + "_cstg"
+    val dangling = !spark.catalog.tableExists(table) &&
+      spark.catalog.tableExists(stg)
+    if (dangling) {
+      spark.sql(s"ALTER TABLE `${stg.replace("`", "``")}` RENAME TO " +
+        s"`${table.replace("`", "``")}`")
+      ()
+    }
+    dangling
+  }
+
   /** Compact a bucketed table back to ONE file per bucket, ZERO-shuffle.
     * Every [[appendBucketed]] leaves one more file per touched bucket
     * (Spark writes bucket files per task), so a long append history
@@ -278,8 +304,15 @@ object Sinks {
     require(rows.length <= maxMessages,
       s"writeOutbox: more than $maxMessages messages — a notification " +
         "frame is parameter-sized by contract; aggregate before notifying")
-    val dir = new java.io.File(outboxDir)
-    dir.mkdirs()
+    // outbox lives wherever its path says — resolved through the path's
+    // own Hadoop FileSystem (the streaming doors' discipline), never
+    // java.io.File: an object-store outbox drained by a remote MTA is
+    // the deployment shape, and this is a parameter-sized metadata+write
+    // loop either way
+    val dirPath = new org.apache.hadoop.fs.Path(outboxDir)
+    val fs = dirPath.getFileSystem(
+      messages.sparkSession.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
     rows.toSeq.map { r =>
       val (to, subject, body) = (r.getString(0), r.getString(1), r.getString(2))
       require(to != null && subject != null && body != null,
@@ -294,9 +327,11 @@ object Sinks {
         s"\r\n$body\r\n"
       val id = java.security.MessageDigest.getInstance("MD5")
         .digest(msg.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val f = new java.io.File(dir, s"$id.eml")
-      java.nio.file.Files.write(f.toPath, msg.getBytes("UTF-8"))
-      f.getAbsolutePath
+      val f = new org.apache.hadoop.fs.Path(dirPath, s"$id.eml")
+      // idempotent per message id: same content ⇒ same name ⇒ overwrite
+      val out = fs.create(f, true)
+      try out.write(msg.getBytes("UTF-8")) finally out.close()
+      org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(f).toString
     }
   }
 

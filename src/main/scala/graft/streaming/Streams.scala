@@ -445,6 +445,12 @@ object Streams {
       autoCompactMaxFiles: Int = 0): Unit = {
     import org.apache.spark.sql.functions.col
     val spark = batch.sparkSession
+    // liveness, not content: a crash inside the PREVIOUS batch's
+    // auto-compaction (drop→RENAME window) leaves an index name dangling
+    // with the complete copy at _cstg; this batch reads the index tables
+    // BEFORE its own append/compact self-heal paths would run, so finish
+    // any interrupted swap first or spark.table below wedges the door
+    graft.operators.Dedup.healIndexTables(spark, indexTable)
     val inBatch = batch.dropDuplicates(idCol)
     val selfPairs = graft.operators.Dedup.minHashNearDups(
       inBatch, idCol, shingles, threshold, cfg)
@@ -479,9 +485,11 @@ object Streams {
     // files without bound (round-12 verdict). Placement matters for the
     // crash contract: both appends have landed, so a crash during the
     // compaction is exactly compactBucketed's self-healing window (a
-    // complete copy always exists; the replayed batch dies at the sink
-    // anti-join and the next maybeCompact finishes the swap). IO-only —
-    // probes before/after are bit-identical (StreamingSpec pins it).
+    // complete copy always exists; the replayed batch's ENTRY heal —
+    // healIndexTables at the top of this body — finishes the swap before
+    // the probe reads the index, and the batch then dies at the sink
+    // anti-join). IO-only — probes before/after are bit-identical
+    // (StreamingSpec pins it).
     graft.operators.Dedup.maybeCompactMinHashIndex(
       spark, indexTable, autoCompactMaxFiles)
     ()
@@ -536,6 +544,8 @@ object Streams {
       autoCompactMaxFiles: Int = 0): Unit = {
     import org.apache.spark.sql.functions.col
     val spark = batch.sparkSession
+    // same liveness heal as dedupIngestBatchIndexed — see the note there
+    graft.operators.Dedup.healIndexTables(spark, indexTable)
     val inBatch = batch.dropDuplicates(idCol)
     val selfPairs = graft.operators.Dedup.semanticNearDups(
       inBatch, idCol, vecCol, threshold, bandBits, numBands)

@@ -8,6 +8,57 @@ import graft.operators.{Dedup, Similarity}
 
 class DedupSimilaritySpec extends AnyFunSuite {
 
+  test("clusteredEmbeddingView: τ=0.8 truth is exactly the in-cluster pair set, and the recall08 audit holds its floor") {
+    // the operating-regime gate's fixture derivation: member_i =
+    // center_(i mod k) + 0.2·v_i over the near-uniform driver fixture
+    // must produce a corpus whose τ=0.8 pairs are PRECISELY the
+    // same-residue (in-cluster) pairs — that identity is what makes the
+    // constant 0.95 floor a statement about cluster-local routing and
+    // not about an arbitrary threshold on an arbitrary corpus.
+    val spark0 = TestSpark.spark
+    val emb = Tables.embeddings(spark0, TestSpark.sf)
+    val n = emb.count()
+    val k = math.max(1L, n / 20L)
+    val view = Dedup.clusteredEmbeddingView(emb, "vec_id", "embedding")
+    val rows = view.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    assert(rows.length == n, "gate fixture ids are contiguous — no member drops")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    var inClusterBelow = 0; var crossAbove = 0; var inCluster = 0
+    for (i <- rows.indices; j <- (i + 1) until rows.length) {
+      val same = rows(i)._1 % k == rows(j)._1 % k
+      val c = cos(rows(i)._2, rows(j)._2)
+      if (same) { inCluster += 1; if (c < 0.8) inClusterBelow += 1 }
+      else if (c >= 0.8) crossAbove += 1
+    }
+    assert(inCluster == (n / k) * (n / k - 1) / 2 * k,
+      s"expected $k full clusters of ${n / k}")
+    assert(inClusterBelow == 0,
+      s"$inClusterBelow in-cluster pairs fell below τ=0.8 — the 0.2 noise " +
+        "scale no longer keeps clusters inside the operating band")
+    assert(crossAbove == 0,
+      s"$crossAbove cross-cluster pairs crossed τ=0.8 — truth is no longer " +
+        "the in-cluster pair set")
+    // and the full declared-gate computation holds its constant floor
+    val ncells = Similarity.ivfCellCount(n)
+    val anchors = view.filter(col("vec_id") < ncells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val row = Dedup.semanticIvfRecallAudit(view, "vec_id", "embedding",
+      threshold = 0.8, cells = anchors, nassign = 2,
+      floorPpm = Some(Similarity.ivfClusteredPairRecallFloorPpm))
+      .collect().head
+    assert(row.getAs[Boolean]("recall_ok"),
+      s"clustered-regime gate failed at spec scale: $row")
+    assert(row.getAs[Long]("truth_pairs") == inCluster,
+      "stratum modulus is 1 at this n — audit truth must equal the full " +
+        "in-cluster pair count")
+  }
+
   test("editDistancePairs: within-block exact distances, big blocks dropped") {
     val spark0 = TestSpark.spark
     import spark0.implicits._

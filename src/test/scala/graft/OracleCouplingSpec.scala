@@ -82,6 +82,45 @@ class OracleCouplingSpec extends AnyFunSuite {
         "4-group/stride-4 quantizer — move the oracle literals with it")
   }
 
+  test("recall-gate coupling: the oracles' SQL derivations track the Scala policies") {
+    assume(new java.io.File(s"$gateDir/embeddings.parquet").exists())
+    val spark = TestSpark.spark
+    val n = Tables.embeddings(spark, gateDir).count()
+    // both recall gates' oracles DERIVE the seeded cell count in SQL as
+    // least(65536, greatest(8, (n+63)//64)) — the exact integer form of
+    // Similarity.ivfCellCount's default policy; pin the equivalence over
+    // the scales the gates can ever replay at, so a policy change in
+    // either place fails HERE with a name, not as a hash mismatch
+    for (cnt <- Seq(1L, 450L, n, 512L, 513L, 2000L, 20000L, 65536L * 64 + 1)) {
+      val sqlForm = math.min(65536L, math.max(8L, (cnt + 63) / 64))
+      assert(Similarity.ivfCellCount(cnt).toLong == sqlForm,
+        s"ivfCellCount($cnt) = ${Similarity.ivfCellCount(cnt)} but the " +
+          s"recall oracles' SQL derivation yields $sqlForm — move both")
+    }
+    // the oracles replay FLAT routing; the queries route flat only while
+    // ncells ≤ 512 (the production two-level knee). The gate fixture must
+    // sit well below it — past the knee the hash diverges loudly, but
+    // this pin names the cause first.
+    assert(Similarity.ivfCellCount(n) <= 512,
+      s"gate count $n crossed the 512-cell two-level knee — the recall " +
+        "oracles' flat replay no longer matches the shipped routing")
+    // recall08: the oracle's k = n//20 must equal clusteredEmbeddingView's
+    // default occupancy, its floor literal the declared constant, and the
+    // derived view at the gate must keep EVERY residue class centered
+    // (k ≤ max fixture id + 1 — contiguous ids at the gate)
+    assert(math.max(1L, n / 20L) == 25L,
+      s"gate count $n no longer derives k=25 clusters — the recall08 " +
+        "oracle comment and the measured gate point (truth 4750) move")
+    assert(Similarity.ivfClusteredPairRecallFloorPpm == 950000L,
+      "clustered floor moved — the recall08 oracle's 950000 literal " +
+        "must move with it")
+    val view = graft.operators.Dedup.clusteredEmbeddingView(
+      Tables.embeddings(spark, gateDir), "vec_id", "embedding")
+    assert(view.count() == n,
+      "gate fixture ids are no longer contiguous from 0 — the clustered " +
+        "view dropped members and the recall08 gate point moved")
+  }
+
   test("oracle builders refuse to build past the knee (gateLshGeometry)") {
     // the builder-side guard must throw, not silently emit mismatched
     // plane literals, when the assumed count crosses the knee

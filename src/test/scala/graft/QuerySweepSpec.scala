@@ -104,11 +104,13 @@ class QuerySweepSpec extends AnyFunSuite {
     *    (`sim_lsh*`, `sim_ivf*`) is the scale path for unbounded probes;
     *  - `dedup_embcos`: probe side bounded by the literal `vec_id < 100`
     *    cut (and `embeddingNearDups` enforces maxProbeRows);
-    *  - `dedup_semantic_ivf_recall`: the gate's exact-truth leg is
-    *    `embeddingNearDups` over the `id % max(1, n/2000) = 0` stratum —
-    *    ≤ ~3000 probe rows BY THE MODULUS POLICY at every n (and the
-    *    maxProbeRows guard enforces it), so the audit costs O(n)
-    *    cosines, never the n² brute force;
+    *  - `dedup_semantic_ivf_recall` / `dedup_semantic_ivf_recall08`: the
+    *    gates' exact-truth leg is `embeddingNearDups` over the
+    *    `id % max(1, n/2000) = 0` stratum — ≤ ~3000 probe rows BY THE
+    *    MODULUS POLICY at every n (and the maxProbeRows guard enforces
+    *    it), so each audit costs O(n) cosines, never the n² brute force
+    *    (the 08 gate's clustered view adds only a broadcast-ranged
+    *    center equi-join on top);
     *  - `q_mad_outliers`: both crossed frames are rank-selected medians —
     *    a filter on `rank == (n+1) DIV 2` keeps exactly one row, which
     *    the structural rule cannot see through a join;
@@ -124,7 +126,8 @@ class QuerySweepSpec extends AnyFunSuite {
     "dedup_sweep",
     "sim_topk", "q_knn_classify", "q_hard_negatives", "q_rrf_fusion",
     "q_confusion", "q_rand_index", "dedup_embcos", "q_mad_outliers",
-    "q_qdigest_quantiles", "dedup_semantic_ivf_recall")
+    "q_qdigest_quantiles", "dedup_semantic_ivf_recall",
+    "dedup_semantic_ivf_recall08")
 
   private def scaleHostileShapes(df: org.apache.spark.sql.DataFrame,
                                  allowBoundedCross: Boolean): Seq[String] = {

@@ -274,6 +274,60 @@ class RobustnessSpec extends AnyFunSuite {
       s"mutual matches crossing true clusters: ${got.length - sameCluster}/${got.length}")
   }
 
+  test("two-level routing recall floor: groupProbe=8 loses at most 2% of the flat route's pairs in the operating regime") {
+    // the round-13 verdict's standing risk: the production dedup_semantic_ivf
+    // routes TWO-LEVEL past 512 cells, and the measured IMI boundary loss
+    // (ivf_km2l legs: −0.011 at τ=0.4, −0.022 at τ=0.5 vs flat at sf3) had
+    // no gate — a future change to groupProbe / group sizing could widen it
+    // silently. This pins the mechanism at spec scale: a clustered corpus
+    // large enough that groupProbe=8 genuinely truncates (100 learned
+    // cells → 10 k-means groups > 8 probed), flat vs two-level found pairs
+    // on identical truth, at the τ=0.8 operating threshold AND the τ=0.5
+    // band below it.
+    val n = 3200
+    val nClusters = 160
+    // round-robin ids over clusters (RecallBench's convention) so nothing
+    // is accidentally id-prefix-aligned
+    val emb: Seq[(Long, Seq[Float])] =
+      (0 until n).map { i =>
+        val k = i % nClusters
+        val r = i / nClusters
+        val vvec = (0 until dim).map { d =>
+          val c = 2.0 * unit(70L, k, d) - 1.0
+          (c + 0.15 * (2.0 * unit(71L, k, r, d) - 1.0)).toFloat
+        }
+        (i.toLong, vvec)
+      }
+    val df = emb.toDF("vec_id", "embedding").localCheckpoint(true)
+    val anchors = Similarity.kmeansCentroids(df, "embedding",
+      nlist = 100, iters = 2, sampleSize = 4096)
+    for ((tau, minLossless) <- Seq((0.8, 0.98), (0.5, 0.97))) {
+      val truth = exactCosPairs(emb, tau)
+      assert(truth.size >= 1000,
+        s"tau=$tau: generator must yield >=1000 true pairs, got ${truth.size}")
+      val flat = Dedup.semanticNearDupsIvf(df, "vec_id", "embedding", tau,
+          cells = anchors, nassign = 2)
+        .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+      val twoLevel = Dedup.semanticNearDupsIvf(df, "vec_id", "embedding", tau,
+          cells = anchors, nassign = 2, groupProbe = 8)
+        .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+      // both are exact-verified, so every found pair is true
+      assert(flat.subsetOf(truth) && twoLevel.subsetOf(truth),
+        s"tau=$tau: verified outputs must be subsets of ground truth")
+      val rFlat = recallOf(flat, truth)
+      val rTwo = recallOf(twoLevel, truth)
+      assert(rTwo >= rFlat - (1.0 - minLossless),
+        f"tau=$tau: two-level recall $rTwo%.4f fell more than " +
+          f"${1.0 - minLossless}%.2f below flat's $rFlat%.4f — the IMI " +
+          "boundary loss widened past the declared price")
+      // and in the operating regime the SHIPPED posture itself must hold
+      // the clustered-gate floor, not merely track flat
+      if (tau == 0.8) assert(rTwo >= 0.95,
+        f"tau=0.8: two-level recall $rTwo%.4f below the 0.95 clustered " +
+          "contract (ivfClusteredPairRecallFloorPpm)")
+    }
+  }
+
   test("lshGeometry: gate-invariant below the knee, occupancy-tracking above") {
     // below the occupancy knee the base geometry comes back EXACTLY — the
     // sf0.01 oracle gate must see the very configuration its plane

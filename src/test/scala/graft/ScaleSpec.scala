@@ -850,33 +850,71 @@ class ScaleSpec extends AnyFunSuite {
     cleanup()
     Dedup.writeMinHashIndex(smallCorpus, "doc_id", sh, cfg, tS, numBuckets = 4)
     Dedup.writeMinHashIndex(largeCorpus, "doc_id", sh, cfg, tL, numBuckets = 4)
-    val recs = new java.util.concurrent.atomic.AtomicLong(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) { recs.addAndGet(m.shuffleWriteMetrics.recordsWritten); () }
-      }
-    }
-    def shuffleRecordsDuring(body: => Unit): Long = {
-      spark.sparkContext.addSparkListener(listener)
-      try {
-        recs.set(0)
-        body
-        // the listener bus is async: poll until the counter stabilizes
-        var last = -1L
-        var spins = 0
-        while (recs.get() != last && spins < 50) {
-          last = recs.get(); Thread.sleep(100); spins += 1
+    // Measurement isolation (round-13 advice): attribute task metrics by
+    // JOB GROUP, not by wall-clock window — a lagging listener-bus event
+    // from a prior test (or a parallel suite on the same SparkContext)
+    // must not leak records into this gate, and "counter stopped moving"
+    // is not "bus drained" on a slow bus. Stages are mapped to the probe's
+    // group at onJobStart; the drain barrier is a MARKER job in its own
+    // group — the bus delivers events to a listener in order, so once the
+    // marker's job-end reaches THIS listener, every earlier task-end from
+    // the probe has too.
+    def shuffleRecordsDuring(label: String)(body: => Unit): Long = {
+      val sc = spark.sparkContext
+      val group = s"graft-obatch-$label"
+      val markerGroup = s"$group-drain"
+      val recs = new java.util.concurrent.atomic.AtomicLong(0)
+      val groupStages = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[Int]()
+      val markerJobs = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[Int]()
+      @volatile var drained = false
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val g = Option(js.properties)
+            .map(_.getProperty("spark.jobGroup.id")).orNull
+          if (g == group) { js.stageIds.foreach(id => groupStages.add(id)); () }
+          else if (g == markerGroup) { markerJobs.add(js.jobId); () }
         }
-        last
-      } finally spark.sparkContext.removeSparkListener(listener)
+        // stage RETRIES get fresh ids the job-start event never saw;
+        // stage-submitted events carry the group too, so map them as well
+        override def onStageSubmitted(
+            ss: org.apache.spark.scheduler.SparkListenerStageSubmitted)
+            : Unit = {
+          val g = Option(ss.properties)
+            .map(_.getProperty("spark.jobGroup.id")).orNull
+          if (g == group) { groupStages.add(ss.stageInfo.stageId); () }
+        }
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          if (markerJobs.contains(je.jobId)) drained = true
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null && groupStages.contains(te.stageId)) {
+            recs.addAndGet(m.shuffleWriteMetrics.recordsWritten); ()
+          }
+        }
+      }
+      sc.addSparkListener(listener)
+      try {
+        sc.setJobGroup(group, "O(batch) shuffle metric probe")
+        try body finally sc.clearJobGroup()
+        sc.setJobGroup(markerGroup, "listener-bus drain marker")
+        try { spark.range(1).count(); () } finally sc.clearJobGroup()
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (!drained && System.nanoTime() < deadline) Thread.sleep(20)
+        assert(drained, "listener bus failed to deliver the drain marker " +
+          "within 60s — metric attribution would be incomplete")
+        recs.get()
+      } finally sc.removeSparkListener(listener)
     }
-    val rS = shuffleRecordsDuring {
+    val rS = shuffleRecordsDuring("small") {
       Dedup.minHashNearDupsAgainstIndex(batch, "doc_id", sh, 0.5, tS, cfg)
         .write.format("noop").mode("overwrite").save()
     }
-    val rL = shuffleRecordsDuring {
+    val rL = shuffleRecordsDuring("large") {
       Dedup.minHashNearDupsAgainstIndex(batch, "doc_id", sh, 0.5, tL, cfg)
         .write.format("noop").mode("overwrite").save()
     }

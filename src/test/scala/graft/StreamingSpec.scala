@@ -855,4 +855,154 @@ class StreamingSpec extends AnyFunSuite {
         s"got $filesB files")
     cleanup(tA); cleanup(tB)
   }
+
+  test("door auto-compaction soak: 20 batches at threshold 6 — file debt plateaus, every probe bit-identical to the no-policy twin") {
+    // the round-13 twin-run proved ONE firing over 4 batches; this soak
+    // proves the STEADY STATE: over 20 batches the policy fires on a
+    // cadence and the file count never exceeds threshold + one batch's
+    // churn (numBuckets new files), i.e. debt is bounded by policy, not
+    // by run length — the property that makes a door safe to leave
+    // running. Probes are checked after EVERY batch against a no-policy
+    // twin, so any compaction that changed content fails at the batch
+    // that broke it, not at the end.
+    import graft.functions.{ShingleFunctions, TextFunctions}
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft-door-soak")
+    val docs = Tables.documents(spark, TestSpark.sf)
+    def sh = ShingleFunctions.wordShingleHashes(
+      TextFunctions.tokens(col("text")), 3)
+    val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+    val numBuckets = 4
+    val maxFiles = 6
+    val batches = (0 to 19).map(m => docs.filter(col("doc_id") % 20 === m))
+    val probeBatch = docs.filter(col("doc_id") % 10 === 0)
+    def cleanup(t: String): Unit =
+      Seq("_docs", "_bands", "_meta", "_docs_cstg", "_bands_cstg")
+        .foreach(s => graft.sources.Sinks.dropTableAndLocation(spark, t + s))
+    val (tN, sN) = ("t_door_soak_nopol", s"$tmp/n")
+    val (tP, sP) = ("t_door_soak_pol", s"$tmp/p")
+    Seq(tN, tP).foreach { t => cleanup(t)
+      Dedup.writeMinHashIndex(docs.limit(0), "doc_id", sh, cfg, t,
+        numBuckets = numBuckets) }
+    var fires = 0
+    var maxSeen = 0
+    import spark.implicits._
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.Streams.dedupIngestBatchIndexed(
+        b, sN, "doc_id", sh, 0.5, cfg, tN)
+      val before = graft.sources.Sinks.tableDataFileCount(spark, s"${tP}_bands")
+      val docsBefore = spark.table(s"${tP}_docs").count()
+      graft.streaming.Streams.dedupIngestBatchIndexed(
+        b, sP, "doc_id", sh, 0.5, cfg, tP, autoCompactMaxFiles = maxFiles)
+      val after = graft.sources.Sinks.tableDataFileCount(spark, s"${tP}_bands")
+      val novel = spark.table(s"${tP}_docs").count() - docsBefore
+      // a compaction inside the door lands the file count back AT the
+      // compacted baseline, so "appended novel rows yet the count did not
+      // grow" is the firing signature (an append alone strictly grows it)
+      if (novel > 0 && after <= before) fires += 1
+      maxSeen = math.max(maxSeen, after)
+      // plateau bound at every step: one compacted generation (numBuckets
+      // files) + at most (maxFiles - numBuckets) appended generations + the
+      // batch that tripped the policy — never run-length-dependent
+      assert(after <= maxFiles + numBuckets,
+        s"batch $i: _bands holds $after files > bound ${maxFiles + numBuckets}" +
+          " — the policy is not holding the plateau")
+      val pN = Dedup.minHashNearDupsAgainstIndex(probeBatch, "doc_id", sh,
+        0.5, tN, cfg).collect().map(_.toSeq).toSet
+      val pP = Dedup.minHashNearDupsAgainstIndex(probeBatch, "doc_id", sh,
+        0.5, tP, cfg).collect().map(_.toSeq).toSet
+      assert(pN == pP, s"batch $i: probe diverged across auto-compaction")
+    }
+    assert(fires >= 3,
+      s"soak expected a steady compaction cadence over 20 batches, got " +
+        s"$fires firings (maxSeen=$maxSeen)")
+    import spark.implicits._
+    val idsN = spark.read.parquet(sN).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    val idsP = spark.read.parquet(sP).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(idsN == idsP, "soak: sinks diverged")
+    info(s"soak cadence: $fires compactions / 20 batches, max _bands " +
+      s"files $maxSeen (bound ${maxFiles + numBuckets})")
+    cleanup(tN); cleanup(tP)
+  }
+
+  test("dangling compaction swap heals at door entry: a simulated drop→RENAME crash no longer wedges the next batch") {
+    // the round-13 advice's liveness window: compactBucketed crashes
+    // between dropTableAndLocation(table) and the RENAME — the complete
+    // copy sits at <table>_cstg, but the NEXT door batch reads
+    // spark.table(index_docs) before any self-healing code used to run.
+    // Simulate the exact crash state for _docs (the door's FIRST index
+    // read), then drive a real batch through the door: it must heal,
+    // complete, and land the same sink/index as an uncrashed twin.
+    import graft.functions.{ShingleFunctions, TextFunctions}
+    import graft.operators.Dedup
+    import graft.sources.Sinks
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-door-heal")
+    val docs = Tables.documents(spark, TestSpark.sf)
+    def sh = ShingleFunctions.wordShingleHashes(
+      TextFunctions.tokens(col("text")), 3)
+    val cfg = Dedup.LshConfig(numHashes = 64, bandRows = 2)
+    def cleanup(t: String): Unit =
+      Seq("_docs", "_bands", "_meta", "_docs_cstg", "_bands_cstg")
+        .foreach(s => Sinks.dropTableAndLocation(spark, t + s))
+    val b1 = docs.filter(col("doc_id") % 4 === 0)
+    val b2 = docs.filter(col("doc_id") % 4 === 1)
+    // twin: uninterrupted two-batch run
+    val (tT, sT) = ("t_heal_twin", s"$tmp/t")
+    cleanup(tT)
+    Dedup.writeMinHashIndex(docs.limit(0), "doc_id", sh, cfg, tT, numBuckets = 4)
+    Seq(b1, b2).foreach(b => graft.streaming.Streams.dedupIngestBatchIndexed(
+      b, sT, "doc_id", sh, 0.5, cfg, tT))
+    // crashed run: batch 1, then the exact compactBucketed crash state on
+    // _docs (staging holds the complete compacted copy; name + location
+    // dropped), then batch 2 through the door
+    val (tC, sC) = ("t_heal_crash", s"$tmp/c")
+    cleanup(tC)
+    Dedup.writeMinHashIndex(docs.limit(0), "doc_id", sh, cfg, tC, numBuckets = 4)
+    graft.streaming.Streams.dedupIngestBatchIndexed(
+      b1, sC, "doc_id", sh, 0.5, cfg, tC)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s2.table(s"${tC}_docs").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(4, "id").sortBy("id").format("parquet")
+      .saveAsTable(s"${tC}_docs_cstg")
+    Sinks.dropTableAndLocation(spark, s"${tC}_docs")
+    assert(!spark.catalog.tableExists(s"${tC}_docs") &&
+      spark.catalog.tableExists(s"${tC}_docs_cstg"),
+      "crash-state setup failed")
+    // the door batch must heal at entry instead of throwing TABLE_NOT_FOUND
+    graft.streaming.Streams.dedupIngestBatchIndexed(
+      b2, sC, "doc_id", sh, 0.5, cfg, tC)
+    assert(spark.catalog.tableExists(s"${tC}_docs") &&
+      !spark.catalog.tableExists(s"${tC}_docs_cstg"),
+      "door entry did not finish the dangling swap")
+    val idsT = spark.read.parquet(sT).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    val idsC = spark.read.parquet(sC).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(idsT == idsC, "healed run's sink diverged from the twin")
+    assert(spark.table(s"${tC}_docs").select("id").as[Long].collect().sorted
+      .toSeq == spark.table(s"${tT}_docs").select("id").as[Long].collect()
+      .sorted.toSeq, "healed run's index diverged from the twin")
+    // probe-entry heal covers the non-door callers too: re-create the
+    // crash state and probe directly
+    s2.table(s"${tC}_bands").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(4, "band", "bandHash").sortBy("band", "bandHash")
+      .format("parquet").saveAsTable(s"${tC}_bands_cstg")
+    Sinks.dropTableAndLocation(spark, s"${tC}_bands")
+    val probeBatch = docs.filter(col("doc_id") % 10 === 0)
+    val pC = Dedup.minHashNearDupsAgainstIndex(probeBatch, "doc_id", sh,
+      0.5, tC, cfg).collect().map(_.toSeq).toSet
+    val pT = Dedup.minHashNearDupsAgainstIndex(probeBatch, "doc_id", sh,
+      0.5, tT, cfg).collect().map(_.toSeq).toSet
+    assert(pC == pT, "probe through the healed index diverged")
+    // intact tables are left alone
+    assert(!Sinks.healDanglingCompaction(spark, s"${tC}_docs"),
+      "heal must be a no-op on an intact table")
+    cleanup(tT); cleanup(tC)
+  }
 }
