@@ -456,7 +456,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val json =
       s"""{"estimator":"min","dirs":$dirsJson,"n_queries":${names.size},"errors":$errJson,"error_detail":$errDetail,"ratio_denominator_floor_sec":0.05,"tide_sentinel_dir":${sentinelDir.map(jstr).getOrElse("null")},"tide_quiet_sec":${fmt(quiet)},"tide_points":$tideJson,"queries":{${rows.mkString(",")}}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
+    // SPARK_GRAFT_SCALING_OUT redirects a targeted audit (e.g. the
+    // sf10 lifecycle subset) to its own artifact — the round-14 sf10 run
+    // silently clobbered the full-surface SCALING.json because this path
+    // was fixed
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // console line ranks by the LAST step's ratio — the largest data step
     // is where super-linearity shows first
@@ -467,7 +472,7 @@ object Bench {
     }
     val worst = names.filter(lastRatio(_) >= 0).sortBy(n => -lastRatio(n))
       .take(8).map(n => s""""$n":${fmt(lastRatio(n))}""")
-    println(s"""{"metric":"scaling","n_queries":${names.size},"detail":"SCALING.json","errors":$errJson,"worst_last_step_ratios":{${worst.mkString(",")}}}""")
+    println(s"""{"metric":"scaling","n_queries":${names.size},"detail":${jstr(outFile)},"errors":$errJson,"worst_last_step_ratios":{${worst.mkString(",")}}}""")
     spark.stop()
   }
 }

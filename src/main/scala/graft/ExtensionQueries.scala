@@ -33,8 +33,11 @@ object ExtensionQueries {
     val anchors = corpus.orderBy("vec_id").limit(ncells)
       .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
     val table = "graft_sem_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    // the signature carries the routing POSTURE the build ran under
+    // (ivfGroupProbePolicy) — index content and probe routing must never
+    // mix postures, so a policy change invalidates the cached build
     graft.sources.Sinks.ensureBuiltOnce(s, table,
-      s"ivf:$ncells:nassign2|" +
+      s"ivf:$ncells:nassign2:gp${Similarity.ivfGroupProbePolicy(ncells)}|" +
         graft.sources.Sinks.contentSignature(
           corpus.select(col("vec_id"), col("embedding"))),
       expectedSuffixes = Seq("_cells", "_docs", "_centroids", "_meta")) {
@@ -439,7 +442,7 @@ object ExtensionQueries {
       // at the sf3 point, growing as √n), trading the standard IMI
       // boundary loss measured in RECALL.json's ivf_km2l leg. The sf0.01
       // gate (ncells=8) stays flat, so the oracle replay is unchanged.
-      val groupProbe = if (ncells > 512) 8 else 0
+      val groupProbe = Similarity.ivfGroupProbePolicy(ncells)
       Dedup.semanticNearDupsIvf(emb, "vec_id", "embedding",
           threshold = 0.4, cells = anchors, nassign = 2,
           groupProbe = groupProbe)
@@ -471,7 +474,7 @@ object ExtensionQueries {
         .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
       Dedup.semanticIvfRecallAudit(emb, "vec_id", "embedding",
         threshold = 0.4, cells = anchors, nassign = 2,
-        groupProbe = if (ncells > 512) 8 else 0)
+        groupProbe = Similarity.ivfGroupProbePolicy(ncells))
     }),
 
     // ---- Dedup: OPERATING-regime recall gate for the IVF dedup family ----
@@ -501,7 +504,7 @@ object ExtensionQueries {
         .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
       Dedup.semanticIvfRecallAudit(view, "vec_id", "embedding",
         threshold = 0.8, cells = anchors, nassign = 2,
-        groupProbe = if (ncells > 512) 8 else 0,
+        groupProbe = Similarity.ivfGroupProbePolicy(ncells),
         floorPpm = Some(Similarity.ivfClusteredPairRecallFloorPpm))
     }),
 
@@ -620,7 +623,7 @@ object ExtensionQueries {
         .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
       val table = "graft_sem_merge_" + d.replaceAll("[^A-Za-z0-9]", "_")
       graft.sources.Sinks.ensureBuiltOnce(s, table,
-        s"ivf:$ncells:nassign2|" +
+        s"ivf:$ncells:nassign2:gp${Similarity.ivfGroupProbePolicy(ncells)}|" +
           graft.sources.Sinks.contentSignature(
             corpus.select(col("vec_id"), col("embedding"))),
         expectedSuffixes = Seq("_cells", "_docs", "_centroids", "_meta")) {

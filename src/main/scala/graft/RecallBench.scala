@@ -53,7 +53,44 @@ import graft.operators.{Dedup, Similarity}
 object RecallBench {
 
   private case class Leg(name: String, geometry: String, found: Long,
-                         truth: Long, secs: Double, predicted: Double)
+                         truth: Long, secs: Double, predicted: Double,
+                         tideRef: Double = -1.0)
+
+  /** Ambient-load trace for the recall legs' `secs` fields — the same
+    * fixed-sentinel discipline as Bench/scalingMain (round-13 verdict #4:
+    * the deep-probe cost claims rode raw wall-seconds on a shared box).
+    * The sentinel is q1_agg at the FIXED sf0.1 dir — it must not scale
+    * with the measured corpus, or load normalization and data scaling
+    * would be conflated. One sample (min of 2 reps) lands immediately
+    * before every timed leg, so each leg's `tide_ref_sec` is its nearest
+    * load reading and `secs_tide = secs / tide_ref_sec ×
+    * tide_quietest_sec` re-expresses the leg at the run's quietest
+    * observed moment.
+    */
+  private final class TideTrace(spark: SparkSession) {
+    private val fn = SparkEntry.queries.get("q1_agg")
+    private val dir = "/root/testdata/sf0.1"
+    private val samples = scala.collection.mutable.ListBuffer[Double]()
+    def sample(): Double = fn.map { f =>
+      try {
+        val ts = (0 until 2).map { _ =>
+          val t0 = System.nanoTime()
+          f(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val m = ts.min
+        samples += m
+        m
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
+    }.getOrElse(-1.0)
+    def quietest: Double = {
+      val ok = samples.filter(_ > 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+  }
+
+  private def tideAdj(secs: Double, tideRef: Double, quietest: Double): Double =
+    if (tideRef > 0 && quietest > 0) secs / tideRef * quietest else -1.0
 
   private def fmt(v: Double): String = BigDecimal(v)
     .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
@@ -65,11 +102,12 @@ object RecallBench {
   }
 
   /** All legs over one embeddings frame at the given thresholds; returns
-    * the JSON section body for this corpus.
+    * the JSON section body for this corpus as a closure over the run's
+    * quietest sentinel reading (known only after every section has run).
     */
   private def measureSection(label: String,
       emb0: org.apache.spark.sql.DataFrame,
-      taus: Seq[Double]): String = {
+      taus: Seq[Double], tide: TideTrace): Double => String = {
     val emb = emb0.localCheckpoint(true)
     val n = emb.count()
     // one brute-force pass counts truth at every tau: the id_1 < id_2
@@ -77,6 +115,7 @@ object RecallBench {
     // cosines are evaluated
     val e1 = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
     val e2 = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val truthTide = tide.sample()
     val (truthRow, truthSecs) = timed {
       val sums = taus.map(t =>
         sum(when(col("c") >= t, 1L).otherwise(0L)).as(s"t$t"))
@@ -91,11 +130,13 @@ object RecallBench {
     val legs = taus.flatMap { tau =>
       val truth = truthAt(tau)
       val (bits, bands) = Similarity.lshGeometry(n, tau, 6, 16)
+      val lshTide = tide.sample()
       val (lshFound, lshSecs) = timed {
         Dedup.semanticNearDups(emb, "vec_id", "embedding", tau,
           bandBits = bits, numBands = bands).count()
       }
       val (mpBits, mpBands) = Similarity.lshGeometry(n, tau, 8, 16)
+      val mpTide = tide.sample()
       val (mpFound, mpSecs) = timed {
         Dedup.semanticNearDups(emb, "vec_id", "embedding", tau,
           bandBits = mpBits, numBands = mpBands, probeDepth = 1).count()
@@ -104,6 +145,7 @@ object RecallBench {
       // flip sets by summed margin — 7 probe rows per (vec, band) vs the
       // single-flip leg's 9; the round-10 question is whether recall
       // holds while the candidate volume (and seconds) drop
+      val qdTide = tide.sample()
       val (qdFound, qdSecs) = timed {
         Dedup.semanticNearDups(emb, "vec_id", "embedding", tau,
           bandBits = mpBits, numBands = mpBands, probeDepth = 2,
@@ -114,24 +156,26 @@ object RecallBench {
       // with the leg so the artifact carries measurement AND floor
       val floorPpm = Similarity.ivfPairRecallFloorPpm(n)
       def ivfLeg(name: String, anchors: org.apache.spark.sql.DataFrame) = {
+        val t = tide.sample()
         val (found, secs) = timed {
           Dedup.semanticNearDupsIvf(emb, "vec_id", "embedding", tau,
             cells = anchors, nassign = 2).count()
         }
         Leg(s"$name@$tau", s"ncells=$ncells,nassign=2,floor_ppm=$floorPpm",
-          found, truth, secs, -1.0)
+          found, truth, secs, -1.0, t)
       }
       // the declared dedup_semantic_ivf posture past 512 cells (round-13:
       // two-level routing, groupProbe=8) — measures the IMI boundary loss
       // the routing-cost fix trades, on the same truth as the flat legs
       def ivf2lLeg(anchors: org.apache.spark.sql.DataFrame) = {
+        val t = tide.sample()
         val (found, secs) = timed {
           Dedup.semanticNearDupsIvf(emb, "vec_id", "embedding", tau,
             cells = anchors, nassign = 2, groupProbe = 8).count()
         }
         Leg(s"ivf_km2l@$tau",
           s"ncells=$ncells,nassign=2,groupProbe=8,floor_ppm=$floorPpm",
-          found, truth, secs, -1.0)
+          found, truth, secs, -1.0, t)
       }
       val firstAnchors = emb.filter(col("vec_id") < ncells)
         .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
@@ -149,30 +193,35 @@ object RecallBench {
           col("centroid").cast("array<float>").as("centroid"))
       Seq(
         Leg(s"lsh@$tau", s"bits=$bits,bands=$bands", lshFound, truth,
-          lshSecs, Similarity.lshExpectedRecall(bits, bands, tau)),
+          lshSecs, Similarity.lshExpectedRecall(bits, bands, tau), lshTide),
         Leg(s"lshmp@$tau", s"bits=$mpBits,bands=$mpBands,probe=1",
           mpFound, truth, mpSecs,
           // probe upper bound: full single-flip set (truncation at
           // maxProbeBits makes the real value sit between this and
           // the exact-bucket form)
-          Similarity.lshExpectedRecall(mpBits, mpBands, tau)),
+          Similarity.lshExpectedRecall(mpBits, mpBands, tau), mpTide),
         Leg(s"lshmp_qd@$tau",
           s"bits=$mpBits,bands=$mpBands,probe=2,nprobes=6",
           qdFound, truth, qdSecs,
-          Similarity.lshExpectedRecall(mpBits, mpBands, tau)),
+          Similarity.lshExpectedRecall(mpBits, mpBands, tau), qdTide),
         ivfLeg("ivf_first", firstAnchors),
         ivfLeg("ivf_spread", spreadAnchors),
         ivfLeg("ivf_km", kmAnchors)) ++
         (if (ncells > 512) Seq(ivf2lLeg(kmAnchors)) else Nil)
     }
-    val legJson = legs.map { l =>
-      val ppm =
-        if (l.truth == 0L) -1L else l.found * 1000000L / l.truth
-      s""""${l.name}":{"geometry":"${l.geometry}","found":${l.found},"truth":${l.truth},"recall_ppm":$ppm,"secs":${fmt(l.secs)},"predicted_recall_at_tau":${fmt(l.predicted)}}"""
-    }.mkString(",")
-    val truthJson = taus
-      .map(t => s""""$t":${truthAt(t)}""").mkString("{", ",", "}")
-    s""""$label":{"n":$n,"truth_pairs":$truthJson,"truth_secs":${fmt(truthSecs)},"legs":{$legJson}}"""
+    (quietest: Double) => {
+      val legJson = legs.map(legToJson(_, quietest)).mkString(",")
+      val truthJson = taus
+        .map(t => s""""$t":${truthAt(t)}""").mkString("{", ",", "}")
+      s""""$label":{"n":$n,"truth_pairs":$truthJson,"truth_secs":${fmt(truthSecs)},"truth_secs_tide":${fmt(tideAdj(truthSecs, truthTide, quietest))},"legs":{$legJson}}"""
+    }
+  }
+
+  /** One leg's JSON, with both raw wall seconds and the tide-adjusted
+    * form (−1 when the sentinel failed or never ran). */
+  private def legToJson(l: Leg, quietest: Double): String = {
+    val ppm = if (l.truth == 0L) -1L else l.found * 1000000L / l.truth
+    s""""${l.name}":{"geometry":"${l.geometry}","found":${l.found},"truth":${l.truth},"recall_ppm":$ppm,"secs":${fmt(l.secs)},"tide_ref_sec":${fmt(l.tideRef)},"secs_tide":${fmt(tideAdj(l.secs, l.tideRef, quietest))},"predicted_recall_at_tau":${fmt(l.predicted)}}"""
   }
 
   /** Recall legs for the PERSISTED-index probe paths — the steady-state
@@ -195,7 +244,8 @@ object RecallBench {
     * recall = found / truth needs only counts.
     */
   private def probeSection(spark: SparkSession, label: String, dir: String,
-                           semTaus: Seq[Double]): String = {
+                           semTaus: Seq[Double], tide: TideTrace)
+      : Double => String = {
     import graft.functions.{ShingleFunctions, TextFunctions}
     val safe = label.replaceAll("[^A-Za-z0-9]", "_")
 
@@ -203,6 +253,7 @@ object RecallBench {
     val corpusE = emb.filter(col("vec_id") % 10 =!= 0)
     val batchE = emb.filter(col("vec_id") % 10 === 0)
     val nC = corpusE.count()
+    val tTide = tide.sample()
     val (tRow, tSecs) = timed {
       val sums = semTaus.map(t =>
         sum(when(col("c") >= t, 1L).otherwise(0L)).as(s"t$t"))
@@ -227,10 +278,12 @@ object RecallBench {
       // the recall-vs-cost dial measured against the symmetric leg
       val np = Similarity.ivfProbeDepth(ncells)
       val legs = semTaus.flatMap { tau =>
+        val pTide = tide.sample()
         val (found, secs) = timed {
           Dedup.semanticNearDupsIvfAgainstIndex(batchE, "vec_id",
             "embedding", tau, table).count()
         }
+        val dTide = tide.sample()
         val (dFound, dSecs) = timed {
           Dedup.semanticNearDupsIvfAgainstIndex(batchE, "vec_id",
             "embedding", tau, table, nprobe = np).count()
@@ -239,11 +292,11 @@ object RecallBench {
           Leg(s"probe_sem_$name@$tau",
             s"ncells=$ncells,nassign=2,floor_ppm=$floorPpm," +
               s"build_secs=${fmt(buildSecs)}",
-            found, truthAt(tau), secs, -1.0),
+            found, truthAt(tau), secs, -1.0, pTide),
           Leg(s"probe_sem_${name}_deep@$tau",
             s"ncells=$ncells,nassign=2,nprobe=$np,floor_ppm=$floorPpm," +
               s"build_secs=${fmt(buildSecs)}",
-            dFound, truthAt(tau), dSecs, -1.0))
+            dFound, truthAt(tau), dSecs, -1.0, dTide))
       }
       Seq("_cells", "_docs", "_centroids", "_meta").foreach(s =>
         graft.sources.Sinks.dropTableAndLocation(spark, table + s))
@@ -268,6 +321,7 @@ object RecallBench {
       TextFunctions.tokens(col("text")), 3)
     val corpusD = docs.filter(col("doc_id") % 10 =!= 0)
     val batchD = docs.filter(col("doc_id") % 10 === 0)
+    val mhTruthTide = tide.sample()
     val (mhTruth, mhTruthSecs) = timed {
       Dedup.prefixJaccardPairs(docs, "doc_id", sh, p = 1, q = 2,
           maxDocFreq = Long.MaxValue)
@@ -279,6 +333,7 @@ object RecallBench {
     val (_, mhBuildSecs) = timed {
       Dedup.writeMinHashIndex(corpusD, "doc_id", sh, cfg, mhTable)
     }
+    val mhTide = tide.sample()
     val (mhFound, mhSecs) = timed {
       Dedup.minHashNearDupsAgainstIndex(batchD, "doc_id", sh,
         threshold = 0.5, mhTable, cfg).count()
@@ -291,7 +346,7 @@ object RecallBench {
       // candidate-recall lower bound for a pair AT the threshold:
       // 1 - (1 - t^r)^bands
       1.0 - math.pow(1.0 - math.pow(0.5, cfg.bandRows),
-        (cfg.numHashes / cfg.bandRows).toDouble))
+        (cfg.numHashes / cfg.bandRows).toDouble), mhTide)
 
     // merged-index leg: the SAME corpus reaches the index 80 % via build,
     // 20 % via delta-append (the dedup_incremental_merge shape), probed by
@@ -307,6 +362,7 @@ object RecallBench {
       Dedup.appendToMinHashIndex(corpusD.filter(col("doc_id") % 10 === 7),
         "doc_id", sh, mhmTable, cfg)
     }
+    val mhmTide = tide.sample()
     val (mhmFound, mhmSecs) = timed {
       Dedup.minHashNearDupsAgainstIndex(batchD, "doc_id", sh,
         threshold = 0.5, mhmTable, cfg).count()
@@ -320,15 +376,15 @@ object RecallBench {
       s"hashes=64,bandRows=2,built90_appended10,build_secs=${fmt(mhmBuildSecs)}",
       mhmFound, mhTruth, mhmSecs,
       1.0 - math.pow(1.0 - math.pow(0.5, cfg.bandRows),
-        (cfg.numHashes / cfg.bandRows).toDouble))
+        (cfg.numHashes / cfg.bandRows).toDouble), mhmTide)
 
-    val legJson = (semResults :+ mhLeg :+ mhMergedLeg).map { l =>
-      val ppm = if (l.truth == 0L) -1L else l.found * 1000000L / l.truth
-      s""""${l.name}":{"geometry":"${l.geometry}","found":${l.found},"truth":${l.truth},"recall_ppm":$ppm,"secs":${fmt(l.secs)},"predicted_recall_at_tau":${fmt(l.predicted)}}"""
-    }.mkString(",")
-    val truthJson = semTaus
-      .map(t => s""""$t":${truthAt(t)}""").mkString("{", ",", "}")
-    s""""probe_$label":{"n_corpus":$nC,"cross_truth_pairs":$truthJson,"cross_truth_secs":${fmt(tSecs)},"mh_truth_pairs":$mhTruth,"mh_truth_secs":${fmt(mhTruthSecs)},"legs":{$legJson}}"""
+    (quietest: Double) => {
+      val legJson = (semResults :+ mhLeg :+ mhMergedLeg)
+        .map(legToJson(_, quietest)).mkString(",")
+      val truthJson = semTaus
+        .map(t => s""""$t":${truthAt(t)}""").mkString("{", ",", "}")
+      s""""probe_$label":{"n_corpus":$nC,"cross_truth_pairs":$truthJson,"cross_truth_secs":${fmt(tSecs)},"cross_truth_secs_tide":${fmt(tideAdj(tSecs, tTide, quietest))},"mh_truth_pairs":$mhTruth,"mh_truth_secs":${fmt(mhTruthSecs)},"mh_truth_secs_tide":${fmt(tideAdj(mhTruthSecs, mhTruthTide, quietest))},"legs":{$legJson}}"""
+    }
   }
 
   // -- deterministic clustered corpus (the SemDeDup regime: tight clusters,
@@ -374,6 +430,7 @@ object RecallBench {
         GraftSession.envShufflePartitions.orElse(Some(cpus.toInt)))
     spark.sparkContext.setLogLevel("WARN")
 
+    val tide = new TideTrace(spark)
     val (taus, outFile, sections) =
       if (clustered) {
         // the SemDeDup operating regime: clustered corpus, high tau (all
@@ -385,7 +442,8 @@ object RecallBench {
         }
         val ts = Seq(0.5, 0.8)
         (ts, "RECALL_CLUSTERED.json", sizes.map(nn =>
-          measureSection(s"clustered_n$nn", clusteredEmb(spark, nn), ts)))
+          measureSection(s"clustered_n$nn", clusteredEmb(spark, nn), ts,
+            tide)))
       } else {
         val dirs =
           if (args.nonEmpty) args.toSeq
@@ -404,12 +462,18 @@ object RecallBench {
         val clusteredNs = live.map(d =>
           Tables.embeddings(spark, d).count().toInt)
         (ts, "RECALL.json",
-          live.map(d => measureSection(d, Tables.embeddings(spark, d), ts))
-            ++ live.map(d => probeSection(spark, d, d, ts))
+          live.map(d =>
+            measureSection(d, Tables.embeddings(spark, d), ts, tide))
+            ++ live.map(d => probeSection(spark, d, d, ts, tide))
             ++ clusteredNs.map(nn =>
-              measureSection(s"clustered_n$nn", clusteredEmb(spark, nn), ts)))
+              measureSection(s"clustered_n$nn", clusteredEmb(spark, nn),
+                ts, tide)))
       }
-    val json = s"""{"metric":"recall_at_n","taus":[${taus.mkString(",")}],"dirs":{${sections.mkString(",")}}}"""
+    // render with the run-global quietest sentinel reading — every leg's
+    // secs_tide is its cost at the box's quietest observed moment, the
+    // same semantics as Bench's total_tide_adjusted
+    val quietest = tide.quietest
+    val json = s"""{"metric":"recall_at_n","taus":[${taus.mkString(",")}],"tide_ref_query":"q1_agg","tide_ref_dir":"/root/testdata/sf0.1","tide_quietest_sec":${fmt(quietest)},"dirs":{${sections.map(_(quietest)).mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

@@ -130,14 +130,24 @@ object ScaleGen {
     stage.listFiles().foreach(_.delete()); stage.delete(); ()
   }
 
+  /** `only` restricts generation to the named tables (plus the fixed dims
+    * when listed) — a decade-scale lifecycle audit needs only
+    * documents+embeddings, and replicating lineitem ×100 to get them
+    * would waste most of the wall-clock and disk. Default: everything.
+    * NOTE: scale-up must always start from a DRIVER fixture dir — ids in
+    * a ScaleGen output already span k·Stride offsets, so replicating a
+    * replica would collide key ranges (the duplicate-id audit in
+    * scalingMain catches it, but don't).
+    */
   def generate(spark: SparkSession, srcDir: String, outDir: String,
-               replicas: Int): Unit = {
+               replicas: Int, only: Set[String] = Set.empty): Unit = {
     require(replicas >= 1 && replicas <= Int.MaxValue / 2 &&
       replicas.toLong * Stride > 0, s"bad replicas=$replicas")
+    def wanted(t: String) = only.isEmpty || only(t)
     new java.io.File(outDir).mkdirs()
-    for (t <- Seq("region", "nation")) // fixed dims, single copy
+    for (t <- Seq("region", "nation") if wanted(t)) // fixed dims, one copy
       writeAsFile(spark.read.parquet(s"$srcDir/$t.parquet"), outDir, t)
-    for ((t, rules) <- tableRules.toSeq.sortBy(_._1)) {
+    for ((t, rules) <- tableRules.toSeq.sortBy(_._1) if wanted(t)) {
       val src = spark.read.parquet(s"$srcDir/$t.parquet")
       val out = (0 until replicas).map(k => replica(src, k, rules))
         .reduce(_ unionByName _)
@@ -146,15 +156,17 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleGen <srcDir> <outDir> [replicas]")
+    require(args.length >= 2,
+      "usage: ScaleGen <srcDir> <outDir> [replicas] [table ...]")
     val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    val only = args.drop(3).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
     val spark = GraftSession.create(appName = "graft-scalegen",
       master = s"local[$cpus]", shufflePartitions =
         GraftSession.envShufflePartitions.orElse(Some(cpus.toInt)))
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, args(0), args(1), replicas)
+    generate(spark, args(0), args(1), replicas, only)
     spark.stop()
   }
 }

@@ -1095,53 +1095,8 @@ object Dedup {
     // data-sized collect
     val (flat, dim) = collectCentroids(cells)
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // top-nassign cell INDICES per vector as a pure map (index order = cell
-    // id order because `sorted` is id-ordered; ties break low-index =
-    // low-id — exactly the SQL replay's ORDER BY score DESC, cell ASC).
-    // groupProbe > 0 switches to the TWO-LEVEL router: ⌈√ncells⌉ driver-
-    // clustered groups, top-groupProbe groups probed per vector — per-row
-    // cost falls from ncells to ~(1 + groupProbe)·√ncells cosines, the
-    // hierarchical shape the flat router's cost note prescribes past
-    // ~10⁴ cells. groupProbe ≥ ngroups is bit-identical to flat
-    // (exhaustive probe; pinned in SketchSpec); smaller values trade the
-    // standard IMI recall loss (top cell inside an unprobed group).
-    val route =
-      if (groupProbe <= 0)
-        VectorFunctions.ivfRouteCells(col("v"), flat, dim, nassign)
-      else {
-        val ncells = flat.length / dim
-        // level-1 quantizer: explicit SEEDED group table (fully SQL-
-        // replayable — assignment is a deterministic cosine argmax over
-        // two parameter tables) when supplied, else the driver k-means
-        // (production default; float iteration, replay via the
-        // exhaustive-probe ≡ flat reduction instead)
-        val (groups, groupOf) = groupCells match {
-          case Some(gdf) =>
-            val (gflat, gdim) = collectCentroids(gdf)
-            require(gdim == dim,
-              s"group centroid dim $gdim != cell centroid dim $dim")
-            (gflat, Similarity.assignToGroups(flat, dim, gflat))
-          case None =>
-            val ngroups =
-              math.max(1, math.ceil(math.sqrt(ncells.toDouble)).toInt)
-            Similarity.groupCentroidsDriver(flat, dim, ngroups)
-        }
-        val ngroups = groups.length / dim
-        val order = (0 until ncells).sortBy(i => (groupOf(i), i)).toArray
-        val sizes = new Array[Int](ngroups)
-        groupOf.foreach(gp => sizes(gp) += 1)
-        val starts = new Array[Int](ngroups + 1)
-        var g = 0
-        while (g < ngroups) { starts(g + 1) = starts(g) + sizes(g); g += 1 }
-        val regrouped = new Array[Double](flat.length)
-        var p = 0
-        while (p < ncells) {
-          System.arraycopy(flat, order(p) * dim, regrouped, p * dim, dim)
-          p += 1
-        }
-        VectorFunctions.ivfRouteCellsTwoLevel(col("v"), groups, regrouped,
-          order, starts, dim, groupProbe, nassign)
-      }
+    val route = routeCellsExpr(col("v"), flat, dim, nassign, groupProbe,
+      groupCells)
     val assigned = base.select(col("id"), explode(route).as("cell"))
     val oversized = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("cellSize"))
@@ -1352,10 +1307,15 @@ object Dedup {
     *    class of bug is structurally impossible, one step stronger than
     *    the minhash index's meta-check refusal).
     *
-    * Routing uses the same [[graft.functions.IvfRouteCells]] embedded-
-    * matrix map as [[semanticNearDupsIvf]] (zero shuffle), with the same
-    * id-sorted tie discipline, so a seeded-anchor index is fully
-    * SQL-replayable.
+    * Routing uses the same embedded-matrix map as [[semanticNearDupsIvf]]
+    * (zero shuffle), with the same id-sorted tie discipline and the same
+    * scale-adaptive posture ([[Similarity.ivfGroupProbePolicy]]: flat to
+    * 512 cells — where a seeded-anchor index is fully SQL-replayable and
+    * the sf0.01 gate lives — two-level past it, where flat build routing
+    * over a constant-occupancy partition would be the lifecycle's Θ(n²)
+    * term). Build, append, probe and drift derive the identical router
+    * from this stored centroid table, so index content and probe routing
+    * can never run different postures.
     */
   def writeSemanticIvfIndex(
       corpus: DataFrame, idCol: String, vecCol: String, cells: DataFrame,
@@ -1374,8 +1334,15 @@ object Dedup {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     graft.sources.Sinks.writeBucketed(
       base.select(col("id"), col("v")), s"${table}_docs", Seq("id"), numBuckets)
+    // Scale-adaptive posture (Similarity.ivfGroupProbePolicy): the build
+    // routes the WHOLE corpus, so flat routing here is the Θ(n·ncells) =
+    // Θ(n²) term the sf10 lifecycle audit caught (corpus ~180k × 2 813
+    // cells × 64 dims ≈ 26 GFLOP per build). Every later stage (append,
+    // probe, drift) derives the SAME router from this index's stored
+    // centroid table, so assignments and probes can never disagree.
     val assigned = spark.table(s"${table}_docs").select(
-      explode(VectorFunctions.ivfRouteCells(col("v"), flat, dim, nassign))
+      explode(routeCellsExpr(col("v"), flat, dim, nassign,
+        Similarity.ivfGroupProbePolicy(flat.length / dim)))
         .as("cell"),
       col("id"))
     graft.sources.Sinks.writeBucketed(
@@ -1435,7 +1402,8 @@ object Dedup {
       .join(spark.table(s"${table}_docs").select("id"), Seq("id"), "left_anti")
       .localCheckpoint(true) // one delta pass feeds BOTH table appends
     val assigned = fresh.select(
-      explode(VectorFunctions.ivfRouteCells(col("v"), flat, dim, nassign))
+      explode(routeCellsExpr(col("v"), flat, dim, nassign,
+        Similarity.ivfGroupProbePolicy(flat.length / dim)))
         .as("cell"),
       col("id"))
     // derived table first, `_docs` last — see the crash contract above
@@ -1484,7 +1452,8 @@ object Dedup {
     val cDocs = spark.table(s"${table}_docs")
     val nBase = newBatch.select(col(idCol).as("id"), col(vecCol).as("v"))
     val nAssigned = nBase.select(col("id"),
-      explode(VectorFunctions.ivfRouteCells(col("v"), flat, dim, depth))
+      explode(routeCellsExpr(col("v"), flat, dim, depth,
+        Similarity.ivfGroupProbePolicy(flat.length / dim)))
         .as("cell"))
     val oversized = cCells.groupBy(col("cell"))
       .agg(count(lit(1)).as("cellSize"))
@@ -1557,10 +1526,22 @@ object Dedup {
     // label-space bridge: fresh centroid g → its nearest index centroid
     val matched = Similarity.assignToGroups(fflat, dim, iflat)
     val base = newBatch.select(col(vecCol).as("v"))
+    // the audit's two routing maps inherit the PRODUCTION posture
+    // (two-level past 512 cells): flat top-1 costs ncells cosines per
+    // row, and with a corpus-proportional batch (rows ∝ n) and
+    // constant-occupancy cells (ncells ∝ n) the audit itself was the
+    // Θ(n²) term the round-13 scaling audit flagged (4.53× on the 3×
+    // sf1→sf3 step — SCALING_sf3.json's worst ratio). Two-level top-1 is
+    // the IMI approximation of the argmax (exact whenever the best cell's
+    // group is probed); the SHIFT statistic compares both quantizers
+    // under the same router, and the gate scale (ncells ≤ 512,
+    // OracleCouplingSpec) stays exactly flat, so the oracle replay is
+    // unchanged.
+    val gp = Similarity.ivfGroupProbePolicy(ncells)
     val routed = base.select(
-        get(VectorFunctions.ivfRouteCells(col("v"), iflat, dim, 1), lit(0))
+        get(routeCellsExpr(col("v"), iflat, dim, 1, gp), lit(0))
           .as("idx_cell"),
-        get(VectorFunctions.ivfRouteCells(col("v"), fflat, dim, 1), lit(0))
+        get(routeCellsExpr(col("v"), fflat, dim, 1, gp), lit(0))
           .as("fresh_cell"))
       .filter(col("idx_cell").isNotNull && col("fresh_cell").isNotNull)
       .select(col("idx_cell"),
@@ -1575,6 +1556,59 @@ object Dedup {
         (col("n_shifted") * lit(1000000L) >
           lit(shiftFloorPpm) * col("n_routed")).as("recluster_recommended"))
   }
+
+  /** Routing expression over an embedded centroid matrix — ONE definition
+    * shared by the in-plan route ([[semanticNearDupsIvf]]) and the drift
+    * audit ([[semanticIvfIndexDrift]]), so every caller carries the same
+    * cost shape. Top-nassign cell INDICES per vector as a pure map (index
+    * order = cell id order because `collectCentroids` sorts by id; ties
+    * break low-index = low-id — exactly the SQL replay's ORDER BY score
+    * DESC, cell ASC). `groupProbe > 0` switches to the TWO-LEVEL router:
+    * ⌈√ncells⌉ driver-clustered groups, top-groupProbe groups probed per
+    * vector — per-row cost falls from ncells to ~(1 + groupProbe)·√ncells
+    * cosines, the hierarchical shape the flat router's cost note
+    * prescribes past ~10⁴ cells. groupProbe ≥ ngroups is bit-identical to
+    * flat (exhaustive probe; pinned in SketchSpec); smaller values trade
+    * the standard IMI recall loss (top cell inside an unprobed group).
+    * The level-1 quantizer is an explicit SEEDED group table (fully
+    * SQL-replayable — assignment is a deterministic cosine argmax over
+    * two parameter tables) when supplied, else the driver k-means
+    * (production default; float iteration, replay via the
+    * exhaustive-probe ≡ flat reduction instead).
+    */
+  private def routeCellsExpr(v: Column, flat: Array[Double], dim: Int,
+      nassign: Int, groupProbe: Int,
+      groupCells: Option[DataFrame] = None): Column =
+    if (groupProbe <= 0) VectorFunctions.ivfRouteCells(v, flat, dim, nassign)
+    else {
+      val ncells = flat.length / dim
+      val (groups, groupOf) = groupCells match {
+        case Some(gdf) =>
+          val (gflat, gdim) = collectCentroids(gdf)
+          require(gdim == dim,
+            s"group centroid dim $gdim != cell centroid dim $dim")
+          (gflat, Similarity.assignToGroups(flat, dim, gflat))
+        case None =>
+          val ngroups =
+            math.max(1, math.ceil(math.sqrt(ncells.toDouble)).toInt)
+          Similarity.groupCentroidsDriver(flat, dim, ngroups)
+      }
+      val ngroups = groups.length / dim
+      val order = (0 until ncells).sortBy(i => (groupOf(i), i)).toArray
+      val sizes = new Array[Int](ngroups)
+      groupOf.foreach(gp => sizes(gp) += 1)
+      val starts = new Array[Int](ngroups + 1)
+      var g = 0
+      while (g < ngroups) { starts(g + 1) = starts(g) + sizes(g); g += 1 }
+      val regrouped = new Array[Double](flat.length)
+      var p = 0
+      while (p < ncells) {
+        System.arraycopy(flat, order(p) * dim, regrouped, p * dim, dim)
+        p += 1
+      }
+      VectorFunctions.ivfRouteCellsTwoLevel(v, groups, regrouped,
+        order, starts, dim, groupProbe, nassign)
+    }
 
   /** Collect a parameter-sized (cell, centroid) table into the flattened
     * id-sorted matrix the routing expressions embed — shared by the

@@ -445,6 +445,28 @@ object Similarity {
     math.min(maxCells.toLong, math.max(minCells.toLong, needed)).toInt
   }
 
+  /** The ONE routing-posture rule every semantic-IVF surface derives its
+    * two-level switch from: flat routing up to 512 cells, two-level
+    * (groupProbe = 8 of the ⌈√ncells⌉ coarse groups) past it. Flat
+    * routing costs O(ncells) cosines per routed row, and with
+    * constant-occupancy cells (ncells ∝ n) any stage that routes a
+    * corpus-proportional row set — the in-plan route, the index BUILD,
+    * a corpus-proportional delta-append or probe batch — turns Θ(n²);
+    * two-level drops the per-row cost to ~(1 + 8)·√ncells, i.e. ~9·√n
+    * FLOPs, for the measured IMI boundary loss (RECALL.json ivf_km2l:
+    * ≤ 2.2 pp vs flat at the audited scales, gated by RobustnessSpec).
+    * 512 is the break-even-ish point: (1+8)·√512 ≈ 204 < 512, and below
+    * it the exhaustive map is both cheaper and bit-replayable in SQL —
+    * the sf0.01 oracle gate (ncells = 8) always resolves to flat, so
+    * every DuckDB replay of routing stays exact. Centralized so BUILD,
+    * APPEND, PROBE, drift audit and the declared queries can never
+    * disagree: all derive the same groups from the same id-sorted
+    * centroid matrix ([[groupCentroidsDriver]] is deterministic), and a
+    * posture mismatch between index content and probe routing would
+    * silently cost recall.
+    */
+  def ivfGroupProbePolicy(ncells: Int): Int = if (ncells > 512) 8 else 0
+
   /** Adaptive QUERY-side probe depth for the asymmetric persisted-index
     * probe ([[Dedup.semanticNearDupsIvfAgainstIndex]]'s `nprobe`): the
     * corpus stays indexed at `nassign` cells per vector (storage cost,

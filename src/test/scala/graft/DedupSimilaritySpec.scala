@@ -1238,4 +1238,76 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("recall_ok") ==
       (found * 1000000L >= Similarity.ivfPairRecallFloorPpm(n) * truth))
   }
+
+  test("index lifecycle posture: past 512 cells build+probe route two-level and equal the in-plan route") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // the policy's boundary is the contract every surface derives from
+    assert(Similarity.ivfGroupProbePolicy(512) == 0)
+    assert(Similarity.ivfGroupProbePolicy(513) == 8)
+    // 2 000 vectors in 50 tight clusters, 600 anchor cells (> 512 → the
+    // two-level posture), deterministic construction. The invariant under
+    // test: the PERSISTED index (built by writeSemanticIvfIndex, probed by
+    // semanticNearDupsIvfAgainstIndex) and the IN-PLAN route
+    // (semanticNearDupsIvf at the same policy) must produce identical
+    // cross pairs — i.e. build-time assignment and probe-time routing
+    // carry the same posture end-to-end. A posture mismatch (flat build ×
+    // two-level probe or vice versa) would silently shrink the candidate
+    // intersection and fail this equality.
+    def v(i: Int): Array[Float] = Array.tabulate(16) { j =>
+      (if (j == i % 50 % 16) 10.0f else 0.0f) +
+        0.01f * (((i * 31 + j * 17) % 13) - 6)
+    }
+    val emb = (0 until 2000).map(i => (i.toLong, v(i)))
+      .toDF("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val anchors = emb.filter(col("vec_id") < 600)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val table = "t_posture_spec"
+    Seq("_cells", "_docs", "_centroids", "_meta").foreach(s =>
+      graft.sources.Sinks.dropTableAndLocation(spark, table + s))
+    Dedup.writeSemanticIvfIndex(corpus, "vec_id", "embedding", anchors,
+      table, numBuckets = 4)
+    try {
+      val idx = Dedup.semanticNearDupsIvfAgainstIndex(batch, "vec_id",
+          "embedding", threshold = 0.8, table)
+        .select("id_new", "id_corpus")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val inPlan = Dedup.semanticNearDupsIvf(emb, "vec_id", "embedding",
+          threshold = 0.8, cells = anchors, nassign = 2,
+          groupProbe = Similarity.ivfGroupProbePolicy(600))
+        .filter((col("id_1") % 10 === 0) =!= (col("id_2") % 10 === 0))
+        .select(
+          when(col("id_1") % 10 === 0, col("id_1")).otherwise(col("id_2"))
+            .as("id_new"),
+          when(col("id_1") % 10 === 0, col("id_2")).otherwise(col("id_1"))
+            .as("id_corpus"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(idx.nonEmpty, "fixture must produce cross pairs at 0.8")
+      assert(idx == inPlan, s"two-level index probe diverged from the " +
+        s"in-plan two-level route (only-idx=${(idx -- inPlan).size}, " +
+        s"only-plan=${(inPlan -- idx).size})")
+      // delta-append under the same posture: append ≡ rebuild still holds
+      val half = "t_posture_half_spec"
+      Seq("_cells", "_docs", "_centroids", "_meta").foreach(s =>
+        graft.sources.Sinks.dropTableAndLocation(spark, half + s))
+      Dedup.writeSemanticIvfIndex(corpus.filter(col("vec_id") % 10 =!= 7),
+        "vec_id", "embedding", anchors, half, numBuckets = 4)
+      Dedup.appendToSemanticIvfIndex(corpus.filter(col("vec_id") % 10 === 7),
+        "vec_id", "embedding", half)
+      val merged = spark.table(s"${half}_cells")
+        .select(col("cell").cast("long"), col("id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rebuilt = spark.table(s"${table}_cells")
+        .select(col("cell").cast("long"), col("id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(merged == rebuilt,
+        "two-level append assignments diverge from the two-level rebuild")
+      Seq("_cells", "_docs", "_centroids", "_meta").foreach(s =>
+        graft.sources.Sinks.dropTableAndLocation(spark, half + s))
+    } finally
+      Seq("_cells", "_docs", "_centroids", "_meta").foreach(s =>
+        graft.sources.Sinks.dropTableAndLocation(spark, table + s))
+  }
 }
