@@ -1523,8 +1523,12 @@ object Dedup {
       fresh.select(col("cell").cast("long").as("cell"), col("centroid")))
     require(fdim == dim,
       s"batch embedding dim $fdim != index centroid dim $dim")
-    // label-space bridge: fresh centroid g → its nearest index centroid
-    val matched = Similarity.assignToGroups(fflat, dim, iflat)
+    // label-space bridge: fresh centroid g → its nearest index centroid.
+    // Two-level past 512 cells (the same policy as every routed map):
+    // the flat bridge is O(ncells²·dim) driver time — the drift audit's
+    // last n² term once the routed maps went two-level (round 14).
+    val matched = Similarity.assignToCellsTwoLevel(fflat, dim, iflat,
+      Similarity.ivfGroupProbePolicy(ncells))
     val base = newBatch.select(col(vecCol).as("v"))
     // the audit's two routing maps inherit the PRODUCTION posture
     // (two-level past 512 cells): flat top-1 costs ncells cosines per
@@ -1576,6 +1580,34 @@ object Dedup {
     * (production default; float iteration, replay via the
     * exhaustive-probe ≡ flat reduction instead).
     */
+  /** Memoized [[Similarity.groupCentroidsDriver]] for the two-level
+    * router's production (k-means) branch. The grouping is a pure
+    * deterministic function of the centroid matrix, and a steady-state
+    * door probes the SAME persisted index every micro-batch — without
+    * the memo each probe re-pays iters·ncells·√ncells·dim driver FLOPs
+    * (irrelevant at the sf10 audit point, ~5.4 GFLOP ≈ seconds per
+    * batch at the 2¹⁶ cell cap). Keyed by (dim, ngroups, full content):
+    * hash for the bucket, `Arrays.equals` on hit — a collision can
+    * therefore never return the wrong grouping. Bounded at 8 entries
+    * (a JVM probes a handful of indexes), cleared wholesale when full;
+    * values are immutable arrays shared read-only with the routing
+    * expressions, which embed copies into the plan.
+    */
+  private val driverGroupsMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (Int, Int, Int), (Array[Double], Array[Double], Array[Int])]()
+  private def cachedDriverGroups(flat: Array[Double], dim: Int,
+      ngroups: Int): (Array[Double], Array[Int]) = {
+    val key = (dim, ngroups, java.util.Arrays.hashCode(flat))
+    val hit = driverGroupsMemo.get(key)
+    if (hit != null && java.util.Arrays.equals(hit._1, flat))
+      return (hit._2, hit._3)
+    val computed = Similarity.groupCentroidsDriver(flat, dim, ngroups)
+    if (driverGroupsMemo.size >= 8) driverGroupsMemo.clear()
+    driverGroupsMemo.put(key, (flat.clone(), computed._1, computed._2))
+    computed
+  }
+
   private def routeCellsExpr(v: Column, flat: Array[Double], dim: Int,
       nassign: Int, groupProbe: Int,
       groupCells: Option[DataFrame] = None): Column =
@@ -1591,7 +1623,7 @@ object Dedup {
         case None =>
           val ngroups =
             math.max(1, math.ceil(math.sqrt(ncells.toDouble)).toInt)
-          Similarity.groupCentroidsDriver(flat, dim, ngroups)
+          cachedDriverGroups(flat, dim, ngroups)
       }
       val ngroups = groups.length / dim
       val order = (0 until ncells).sortBy(i => (groupOf(i), i)).toArray

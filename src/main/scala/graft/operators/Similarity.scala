@@ -417,6 +417,78 @@ object Similarity {
     assign
   }
 
+  /** Driver-side nearest-CELL assignment with the two-level posture:
+    * [[assignToGroups]] over two ncells-sized matrices is O(ncells²·dim)
+    * on the driver, and that was the one n² term left in the drift
+    * audit's label bridge after round 14 moved every ROUTED map to the
+    * policy — subdominant at the sf10 audit point (3 125² ≈ 10M cosines)
+    * but 4.3G cosines at the 2¹⁶ cell cap, minutes of single-threaded
+    * driver time a 100 TB deployment cannot pay per ingest batch. With
+    * `groupProbe > 0` each point scores the ⌈√ncells⌉ driver-clustered
+    * groups, keeps the top `groupProbe` (score DESC, group index ASC —
+    * the routed maps' exact tie discipline), and argmaxes only over
+    * those groups' member cells: O(ncells^1.5·dim) total, ~16M cosines
+    * at the cap. `groupProbe <= 0` (the policy below 512 cells) is the
+    * exact flat argmax, so gate-scale replays are bit-identical; the
+    * groups come from the same deterministic [[groupCentroidsDriver]]
+    * the routing expressions embed, so the bridge approximates the
+    * argmax exactly where routing does (IMI boundary cases).
+    */
+  def assignToCellsTwoLevel(points: Array[Double], dim: Int,
+                            cells: Array[Double],
+                            groupProbe: Int): Array[Int] = {
+    if (groupProbe <= 0) return assignToGroups(points, dim, cells)
+    val ncells = cells.length / dim
+    val npts = points.length / dim
+    val ngroups = math.max(1, math.ceil(math.sqrt(ncells.toDouble)).toInt)
+    val (groups, groupOf) = groupCentroidsDriver(cells, dim, ngroups)
+    val g = groups.length / dim
+    val members = Array.fill(g)(new scala.collection.mutable.ArrayBuffer[Int]())
+    var c0 = 0
+    while (c0 < ncells) { members(groupOf(c0)) += c0; c0 += 1 }
+    def cos(aOff: Int, a: Array[Double], bOff: Int, b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < dim) {
+        val x = a(aOff + j); val y = b(bOff + j)
+        dot += x * y; na += x * x; nb += y * y; j += 1
+      }
+      if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probe = math.min(groupProbe, g)
+    val assign = new Array[Int](npts)
+    var p = 0
+    while (p < npts) {
+      // top-probe groups by score DESC, index ASC (stable sort on a
+      // strict-> selection reproduces the routed maps' discipline)
+      val gScores = Array.tabulate(g)(k => (cos(p * dim, points, k * dim,
+        groups), k))
+      val top = gScores.sortBy { case (s, k) => (-s, k) }.take(probe)
+      var best = -1; var bestS = Double.NegativeInfinity
+      top.foreach { case (_, k) =>
+        members(k).foreach { c =>
+          val s = cos(p * dim, points, c * dim, cells)
+          if (s > bestS || (s == bestS && (best < 0 || c < best))) {
+            bestS = s; best = c
+          }
+        }
+      }
+      // a probed group is never empty in practice (k-means keeps its
+      // seed), but guard: fall back to the exact argmax for this point
+      if (best < 0) {
+        var k = 0
+        while (k < ncells) {
+          val s = cos(p * dim, points, k * dim, cells)
+          if (s > bestS) { bestS = s; best = k }
+          k += 1
+        }
+      }
+      assign(p) = best
+      p += 1
+    }
+    assign
+  }
+
   /** Corpus-adaptive IVF cell count for cell-local dedup
     * ([[Dedup.semanticNearDupsIvf]]): `⌈n / targetCellSize⌉` clamped to
     * [minCells, maxCells], so expected cell occupancy — and with it the

@@ -1310,4 +1310,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
       Seq("_cells", "_docs", "_centroids", "_meta").foreach(s =>
         graft.sources.Sinks.dropTableAndLocation(spark, table + s))
   }
+
+  test("assignToCellsTwoLevel: exhaustive probe equals the flat argmax; structured points survive probe=8") {
+    // 600 cells in 50 tight clusters (dim 16), 200 query points from the
+    // same construction — the drift bridge's shape at the two-level scale
+    def v(i: Int): Array[Double] = Array.tabulate(16) { j =>
+      (if (j == i % 50 % 16) 10.0 else 0.0) +
+        0.01 * (((i * 31 + j * 17) % 13) - 6)
+    }
+    val cells = Array.tabulate(600)(v).flatten
+    val pts = Array.tabulate(200)(i => v(i + 600)).flatten
+    val flat = Similarity.assignToGroups(pts, 16, cells)
+    // groupProbe <= 0 is the literal flat path
+    assert(Similarity.assignToCellsTwoLevel(pts, 16, cells, 0).sameElements(flat))
+    // probing every group IS the exhaustive argmax (tie discipline and
+    // all) — the same reduction SketchSpec pins for the routed maps
+    val ngroups = math.ceil(math.sqrt(600.0)).toInt
+    assert(Similarity.assignToCellsTwoLevel(pts, 16, cells, ngroups)
+      .sameElements(flat),
+      "exhaustive two-level bridge must equal the flat argmax")
+    // the production probe depth: on cluster-structured points the best
+    // cell's group is essentially always probed (IMI misses need a point
+    // whose top group hides its best cell — a boundary event)
+    val p8 = Similarity.assignToCellsTwoLevel(pts, 16, cells, 8)
+    val agree = p8.zip(flat).count { case (a, b) => a == b }
+    assert(agree >= 190,
+      s"two-level bridge at probe=8 agreed on only $agree/200 points")
+  }
 }
