@@ -68,9 +68,13 @@ object Bench {
             dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
+    val selected = selectQueries(args)
     val warmDir = "/root/testdata/sf0.001"
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      // warm only the queries this invocation will time: identical for the
+      // driver's no-arg run, and subset-mode dev iteration stops paying a
+      // full-surface warmup for a two-query comparison
+      selected.foreach { case (_, fn) =>
         try run(fn, warmDir) catch { case _: Exception => () }
       }
     }
@@ -82,7 +86,6 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val extraReps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "2").toInt
-    val selected = selectQueries(args)
     // ambient-tide reference: time ONE fixed sentinel query before the
     // sweep with the same min-of-reps estimator. Round-over-round deltas
     // ride a ±5-7% machine tide (r7→r8 measured +6.6% wholesale with no

@@ -121,15 +121,17 @@ object EventQueries {
     // becomes parquet/Kafka; the stateful-aggregation plan is identical.
     "w_stream_tumbling" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      val counts = graft.streaming.Streams.tumblingCounts(
-        graft.streaming.Streams.eventsStream(s, d))
-      val q = counts.writeStream
-        .format("memory")
-        .queryName("w_stream_tumbling_sink")
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.Streams.withStateSizedShuffle(s) {
+        val counts = graft.streaming.Streams.tumblingCounts(
+          graft.streaming.Streams.eventsStream(s, d))
+        val q = counts.writeStream
+          .format("memory")
+          .queryName("w_stream_tumbling_sink")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("w_stream_tumbling_sink")
         .orderBy("bucket_start", "event_type")
     }),
@@ -143,15 +145,17 @@ object EventQueries {
     // window end is exclusive), session_end = last event + gap.
     "w_stream_sessions" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      val sess = graft.streaming.Streams.sessionAggregate(
-        graft.streaming.Streams.eventsStream(s, d))
-      val q = sess.writeStream
-        .format("memory")
-        .queryName("w_stream_sessions_sink")
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.Streams.withStateSizedShuffle(s) {
+        val sess = graft.streaming.Streams.sessionAggregate(
+          graft.streaming.Streams.eventsStream(s, d))
+        val q = sess.writeStream
+          .format("memory")
+          .queryName("w_stream_sessions_sink")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("w_stream_sessions_sink")
         .orderBy("user_id", "session_start")
     }),
@@ -169,25 +173,27 @@ object EventQueries {
     // live deployments tighten it to the real late-arrival bound.
     "w_stream_interval_join" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      def ev = graft.streaming.Streams.eventsStream(s, d)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"),
-          col("ts").as("click_ts"))
-      val buys = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("buy_id"),
-          col("ts").as("buy_ts"))
-      val joined = graft.streaming.Streams.intervalJoin(
-          clicks, buys, Seq("user_id"), "click_ts", "buy_ts",
-          within = "1 hour", watermark = "30 days")
-        .select(col("l.user_id").as("user_id"), col("click_id"),
-          col("buy_id"), col("click_ts"), col("buy_ts"))
-      val q = joined.writeStream
-        .format("memory")
-        .queryName("w_stream_interval_join_sink")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.Streams.withStateSizedShuffle(s) {
+        def ev = graft.streaming.Streams.eventsStream(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("buy_id"),
+            col("ts").as("buy_ts"))
+        val joined = graft.streaming.Streams.intervalJoin(
+            clicks, buys, Seq("user_id"), "click_ts", "buy_ts",
+            within = "1 hour", watermark = "30 days")
+          .select(col("l.user_id").as("user_id"), col("click_id"),
+            col("buy_id"), col("click_ts"), col("buy_ts"))
+        val q = joined.writeStream
+          .format("memory")
+          .queryName("w_stream_interval_join_sink")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("w_stream_interval_join_sink")
         .orderBy("click_id", "buy_id")
     }),
@@ -242,25 +248,34 @@ object EventQueries {
       val base = graft.streaming.Streams.freshScratch("topk", d)
       val src = new java.io.File(base, "src"); src.mkdirs()
       val ev = Tables.events(s, d)
-      Seq((1, 10), (11, 20), (21, 31)).zipWithIndex.foreach {
-        case ((lo, hi), i) =>
-          val part = s"$base/slice$i"
-          ev.filter(dayofmonth(col("ts")).between(lo, hi))
-            .coalesce(1).write.mode("overwrite").parquet(part)
-          val f = new java.io.File(part).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          java.nio.file.Files.move(f.toPath,
-            new java.io.File(src, s"events_$i.parquet").toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // all three time slices in ONE partitioned write (single scan +
+      // shuffle-by-slice) instead of three scan+coalesce(1)+write jobs —
+      // row order within a slice file changes, which the stream is
+      // insensitive to (the leaderboard fold is order-independent within
+      // a micro-batch; each slice is still exactly one file = one batch)
+      val slices = s"$base/slices"
+      ev.withColumn("__slice",
+          when(dayofmonth(col("ts")) <= 10, 0)
+            .when(dayofmonth(col("ts")) <= 20, 1).otherwise(2))
+        .repartition(col("__slice"))
+        .write.mode("overwrite").partitionBy("__slice").parquet(slices)
+      (0 until 3).foreach { i =>
+        val dirF = new java.io.File(slices, s"__slice=$i")
+        val f = dirF.listFiles().filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(src, s"events_$i.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
-      val topk = graft.streaming.Streams.topKPerKey(
-        graft.streaming.Streams.eventsStream(s, src.getAbsolutePath,
-          maxFilesPerTrigger = 1),
-        k = 5, ttlMinutes = 1000000)
-      val q = topk.toDF().writeStream
-        .format("memory").queryName("w_stream_topk_sink")
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      graft.streaming.Streams.withStateSizedShuffle(s) {
+        val topk = graft.streaming.Streams.topKPerKey(
+          graft.streaming.Streams.eventsStream(s, src.getAbsolutePath,
+            maxFilesPerTrigger = 1),
+          k = 5, ttlMinutes = 1000000)
+        val q = topk.toDF().writeStream
+          .format("memory").queryName("w_stream_topk_sink")
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val w = Window.partitionBy(col("key"))
         .orderBy(col("top_vals").desc, col("top_ids").asc)
       s.table("w_stream_topk_sink")

@@ -62,11 +62,23 @@ object GraftSession {
     // largest shuffle, advisoryPartitionSizeInBytes doing the sizing.
     val initialParts = envPositiveInt("SPARK_GRAFT_INITIAL_PARTITIONS")
       .getOrElse(parts)
+    // Let the planner pick SHUFFLED HASH JOIN when its size conditions are
+    // met instead of always preferring sort-merge (guide §3.1/§9): the
+    // build side must fit numPartitions × autoBroadcastJoinThreshold and
+    // be ≥3× smaller than the probe side, so the OOM guardrails stay, and
+    // AQE re-plans from observed sizes. Measured on the declared bench
+    // (sf0.1, 22-query subset): 78.6 → 69.5 s raw — the sort on both
+    // sides of every mid-size equi-join was pure overhead. At cluster
+    // scale the same preference is the standard recommendation; sort-merge
+    // still wins automatically wherever the size conditions fail.
+    // SPARK_GRAFT_PREFER_SMJ=1 restores the default for A/B comparison.
+    val preferSmj = sys.env.get("SPARK_GRAFT_PREFER_SMJ").contains("1")
     val s = SparkSession.builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.join.preferSortMergeJoin", preferSmj.toString)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         initialParts.toString)
       .config("spark.sql.session.timeZone", "UTC")

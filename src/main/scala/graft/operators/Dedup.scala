@@ -99,8 +99,10 @@ object Dedup {
 
     // Skew guard: drop degenerate buckets (boilerplate shingles) before the
     // self-join. A partial-agg groupBy + broadcast anti-join of the (rare)
-    // oversized keys — not a window count, which would shuffle AND sort the
-    // full banded set.
+    // oversized keys — deliberately NOT a window count: the guard's whole
+    // point is that corpus-scale hot buckets never cross an exchange, and
+    // a window would co-locate each hot bucket on one task before the
+    // filter could drop it (the §2.5 straggler this guard exists to kill).
     val oversized = banded
       .groupBy(col("band"), col("bandHash"))
       .agg(count(lit(1)).as("bucketSize"))
@@ -712,15 +714,18 @@ object Dedup {
                          maxDocFreq: Long = 10000L,
                          keepSizes: Boolean = false): DataFrame = {
     require(p >= 1 && q >= p, s"threshold $p/$q must be in (0, 1]")
-    val tf = df.select(col(idCol).as("id"),
+    // boilerplate cut AND frequency attach in ONE window pass: count(*)
+    // over (partition by t) attaches each token's document frequency
+    // without the former groupBy(t) + join-back pair — one exchange of
+    // the posting frame instead of two, and no tf pre-checkpoint (guide
+    // §2.4: two operations keyed the same way share one exchange).
+    // Materialize the cut posting list once — it feeds the ranking plus
+    // both sides of the verification join.
+    val kept = df.select(col(idCol).as("id"),
         explode(array_distinct(tokens)).as("t"))
-      .localCheckpoint(true)
-    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("dfq"))
-    // boilerplate cut AND frequency attach in ONE inner join (the rank
-    // window needs dfq anyway); materialize the cut posting list once —
-    // it feeds the ranking plus both sides of the verification join, and
-    // without the checkpoint each consumer re-runs the tf ⋈ dfreq shuffle
-    val kept = tf.join(dfreq.filter(col("dfq") <= maxDocFreq), Seq("t"))
+      .withColumn("dfq", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("t"))))
+      .filter(col("dfq") <= maxDocFreq)
       .localCheckpoint(true)
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("dfq"), col("t"))
@@ -1943,11 +1948,13 @@ object Dedup {
     * class's minimum (doc, pos) struct — injective per class, a pure
     * function of the corpus); round k+1 relabels by the pair
     * (label[p], label[p + 2^k]). Because only EQUALITY is ever consulted
-    * (never order), the labels need no global sort — each round is one
-    * hash aggregation + one equi-join on O(N) rows, ⌈log₂ minLen⌉ rounds
-    * total. Positions whose current window is corpus-unique are pruned
-    * every round (a window containing a unique sub-window is itself
-    * unique), so real-corpus volume collapses after the first rounds.
+    * (never order), the labels need no global sort — and since equality
+    * of 2^k-windows is just equality of the 2^k-char substrings, the
+    * whole doubling ladder collapses: ONE relabel keyed on the
+    * tgt = 2^⌈log₂⌈minLen/2⌉⌉-char substring (a single window-function
+    * exchange over O(N) rows) replaces the per-power rounds, which early
+    * on pruned almost nothing anyway. Positions whose window is
+    * corpus-unique die as singleton classes.
     * The final window of exactly `minLen` is the standard composite of
     * two overlapping 2^k-windows (s ≥ minLen/2):
     * [p, p+s) ∪ [p+minLen−s, p+minLen).
@@ -2013,40 +2020,44 @@ object Dedup {
         .distinct()
       allDocs.join(admitted, Seq("id"), "left_semi")
     }
-    // one row per code point; labels live as (id, pos, lab) frames
-    val chars = docs.select(col("id"),
-      posexplode(split(col("t"), "")).as(Seq("pos", "c")))
-
     // Equality-preserving injective relabel + uniqueness pruning: each
     // (k1, k2) class gets min(struct(id, pos)) of its members as label;
     // singleton classes are dropped (their windows can never be part of a
-    // duplicated longer window). One partial-agg shuffle + one equi-join.
+    // duplicated longer window). ONE shuffle: both the class label and the
+    // class size come from window functions over the same (k1, k2)
+    // partitioning, so the former agg+join-back pair (two exchanges of the
+    // full position frame per round) collapses into a single exchange.
     def relabel(keyed: DataFrame): DataFrame = {
-      val reps = keyed.groupBy(col("k1"), col("k2"))
-        .agg(min(struct(col("id"), col("pos"))).as("lab"),
-          count(lit(1)).as("__n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k1"), col("k2"))
+      keyed
+        .withColumn("lab", min(struct(col("id"), col("pos"))).over(w))
+        .withColumn("__n", count(lit(1)).over(w))
         .filter(col("__n") >= 2)
-        .select(col("k1"), col("k2"), col("lab"))
-      keyed.join(reps, Seq("k1", "k2"))
         .select(col("id"), col("pos"), col("lab"))
     }
 
     // target window half-size: smallest power of two ≥ ⌈minLen/2⌉
     var tgt = 1
     while (tgt < (minLen + 1) / 2) tgt *= 2
-    var s = 1
-    var lab = relabel(chars.select(col("id"), col("pos"),
-        col("c").as("k1"), lit(0L).as("k2")))
-      .localCheckpoint(true) // feeds self-join both sides next round
-    while (s < tgt) {
-      val partner = lab.select(col("id"), (col("pos") - s).as("pos"),
-        col("lab").as("k2p"))
-      lab = relabel(lab.join(partner, Seq("id", "pos"))
-          .select(col("id"), col("pos"), col("lab").as("k1"),
-            col("k2p").as("k2")))
-        .localCheckpoint(true)
-      s *= 2
-    }
+    val s = tgt
+    // Initial classes DIRECTLY on tgt-length windows: two positions share
+    // a 2^k-window label iff their tgt-char substrings are equal, so the
+    // progressive doubling's first log₂(tgt) rounds (each an O(N)-row
+    // shuffle — and the EARLY rounds prune almost nothing, since short
+    // windows are rarely corpus-unique) collapse into one relabel keyed on
+    // the substring itself. Provably the same classes and labels: a
+    // position whose tgt-window occurs ≥ 2 has every sub-window occurring
+    // ≥ 2, so it survives every skipped round; a position any skipped
+    // round would have pruned has a corpus-unique tgt-window and dies here
+    // as a singleton class. (Guide §2.4: remove whole passes, not
+    // per-pass cost.)
+    val lab = relabel(docs.select(col("id"), posexplode(
+          transform(sequence(lit(0), col("len") - tgt),
+            i => col("t").substr(i + lit(1), lit(tgt))))
+          .as(Seq("pos", "k1")))
+        .withColumn("k2", lit(0L)))
+      .localCheckpoint(true) // feeds the composite join both sides
     // composite at exactly minLen (s ≥ minLen − s, so the two windows tile)
     val partner = lab.select(col("id"),
       (col("pos") - (minLen - s)).as("pos"), col("lab").as("k2p"))

@@ -472,7 +472,15 @@ object Graph {
     require(k >= 1, s"k=$k must be >= 1")
     require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of [1, 64]")
     var und = edges.select(col("a"), col("b")).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // Early exit at the FIXPOINT (same discipline as canonicalAssignments):
+    // peeling is idempotent once no node falls below k, so stopping when a
+    // round removes no edge is result-identical to running all `rounds` —
+    // the count probe reads the just-checkpointed blocks, costing one tiny
+    // job against the 3-4 jobs a dead round would schedule.
+    var prev = und.count()
+    var it = 0
+    var stable = false
+    while (it < rounds && !stable) {
       val deg = und.select(col("a").as("v"))
         .unionByName(und.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -482,6 +490,10 @@ object Graph {
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
         .localCheckpoint(true)
+      val cur = und.count()
+      stable = cur == prev
+      prev = cur
+      it += 1
     }
     und.select(col("a").as("v"))
       .unionByName(und.select(col("b").as("v")))

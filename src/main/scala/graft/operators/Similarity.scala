@@ -950,19 +950,27 @@ object Similarity {
       .limit(math.max(sampleSize, nlist))
       .localCheckpoint(true)
 
-    // Initial centroids: the nlist hash-smallest sample rows. Rank comes
-    // from zipWithIndex over the hash-sorted bounded sample — no global
-    // Window.orderBy (whose single-partition WindowExec is the warning
-    // shape this module's own scaladoc tells users to avoid).
+    // Initial centroids: the nlist hash-smallest sample rows. The sample
+    // is parameter-bounded (≤ max(sampleSize, nlist) rows), so rank it on
+    // the DRIVER with one collect instead of the former
+    // rdd.sortBy.zipWithIndex.collect chain — that path scheduled three
+    // jobs (range-partitioner sample, zipWithIndex count, collect) plus a
+    // row-format conversion per k-means call, for a sort of ≤ 4096 rows.
+    // Tie order among equal hash keys is irrelevant either way: r =
+    // xxhash64(v), so tied rows carry identical vectors and the seed
+    // VALUES are unchanged. No global Window.orderBy here either.
     val spark = corpus.sparkSession
     val seedRows = sample
       .select(col("r"), col("v").cast("array<double>").as("centroid"))
-      .rdd
+      .collect()
       .sortBy(_.getLong(0))
-      .zipWithIndex()
-      .collect { case (row, idx) if idx < nlist =>
-        org.apache.spark.sql.Row(idx.toInt, row.get(1)) }
-    var cents = spark.createDataFrame(seedRows,
+      .take(nlist)
+      .zipWithIndex
+      .map { case (row, idx) => org.apache.spark.sql.Row(idx, row.get(1)) }
+      .toSeq
+    var cents = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(seedRows).asJava),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("cell",
             org.apache.spark.sql.types.IntegerType, nullable = false),

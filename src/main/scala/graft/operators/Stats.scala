@@ -1002,14 +1002,16 @@ object Stats {
         roots.map(_.getLong(1)).mkString(","))
     val n = if (roots.isEmpty) 0L else roots(0).getLong(2)
     val t = math.max(1L, (BigInt(epsPpm) * n / 1000000).toLong)
-    val ch = nd.filter(col("lev") < maxBits).alias("c")
-    val pr = nd.alias("p")
-    val emitted = ch.join(pr,
-        col("p.lev") === col("c.lev") + 1 &&
-          col("p.node") === expr("shiftright(c.node, 1)"))
-      .filter(col("p.cn") > t && (col("c.cn") <= t || col("c.lev") === 0))
-      .select(col("c.lev").as("lev"), col("c.node").as("node"),
-        col("c.cn").as("cn"))
+    // The parent's count is the SUM of its (≤ 2) children's counts — the
+    // node counts are exact dyadic sums — so "parent > T" attaches with
+    // one sibling-group window (partition by (lev, node >> 1), groups of
+    // ≤ 2 rows) instead of the former parent⋈child self-join: one
+    // exchange of the node frame rather than two, no join (guide §2.4).
+    val emitted = nd.filter(col("lev") < maxBits)
+      .withColumn("__pcn", sum(col("cn")).over(
+        Window.partitionBy(col("lev"), expr("shiftright(node, 1)"))))
+      .filter(col("__pcn") > t && (col("cn") <= t || col("lev") === 0))
+      .select(col("lev"), col("node"), col("cn"))
     val digest = emitted
       .unionByName(nd.filter(col("lev") === maxBits && col("cn") <= t))
       .select(col("lev"), col("cn").as("cnt"),

@@ -75,6 +75,33 @@ object Streams {
     root.getAbsolutePath
   }
 
+  /** Run `body` (build + start + drain a STATEFUL streaming query) with
+    * the session's shuffle partitions — and therefore the query's
+    * state-store instance count — sized for state volume rather than
+    * batch core count, restoring the previous setting afterwards. Every
+    * state partition pays per-micro-batch delta+commit file IO in the
+    * checkpoint (a stream-stream join keeps FOUR stores per partition),
+    * so a core-count-sized setting multiplies small-file churn for a
+    * few thousand keys of state; deployments size this knob to
+    * keys×bytes, not cores. SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS
+    * overrides (production sizing); the local default is
+    * min(8, session setting). Results are partitioning-independent —
+    * the same keyed state, grouped differently.
+    */
+  def withStateSizedShuffle[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val n = sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+      .map { v =>
+        require(v.matches("[0-9]{1,9}") && v.toInt > 0,
+          s"SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS must be a positive int: '$v'")
+        v.toInt
+      }
+      .getOrElse(math.min(8, prev.toInt))
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Sink-existence probe through the PATH's Hadoop filesystem — the
     * door batch bodies ask "has this sink ever been written?" before the
     * first anti-join, and that question must be answered by whatever
