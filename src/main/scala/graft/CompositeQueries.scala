@@ -292,16 +292,21 @@ object CompositeQueries {
         .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))))
         .filter(col("n_tokens").between(20, 1000))
       // 2. exact dedup: keep the minimum id per identical text
+      // checkpointed: three consumers (the LSH pair mining, keepCorpus's
+      // survivor join, and through `kept` the decontamination legs) would
+      // otherwise each re-run the scan + tokenize + exact-dup window
       val exactKeep = quality
         .withColumn("__rk", row_number().over(
           Window.partitionBy(col("text")).orderBy(col("doc_id"))))
         .filter(col("__rk") === 1).drop("__rk")
+        .localCheckpoint(true)
       // 3. near-dup canonical keep (word-3-gram MinHash, closure minima)
       def sh3 = ShingleFunctions.wordShingleHashes(
         TextFunctions.tokens(col("text")), 3)
       val pairs = Dedup.minHashNearDups(exactKeep, "doc_id", sh3,
         threshold = 0.5, Dedup.LshConfig(numHashes = 64, bandRows = 2))
       val kept = Dedup.keepCorpus(exactKeep, "doc_id", pairs)
+        .localCheckpoint(true)
       // 4. benchmark decontamination (any shared word-5-gram)
       def sh5 = ShingleFunctions.wordShingleHashes(
         TextFunctions.tokens(col("text")), 5)
@@ -335,19 +340,26 @@ object CompositeQueries {
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
         .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))))
       val quality = corpus.filter(col("n_tokens").between(20, 1000))
+      // ranked / kept / contIds are each consumed by 2-4 audit legs:
+      // checkpoint the stage frames once instead of re-running the scan +
+      // tokenize + window per consumer (the branch-re-execution trap —
+      // Catalyst does not share subtrees across branches of one plan)
       val ranked = quality.withColumn("__rk", row_number().over(
-        Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+          Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+        .localCheckpoint(true)
       val exactKeep = ranked.filter(col("__rk") === 1).drop("__rk")
       def sh3 = ShingleFunctions.wordShingleHashes(
         TextFunctions.tokens(col("text")), 3)
       val pairs = Dedup.minHashNearDups(exactKeep, "doc_id", sh3,
         threshold = 0.5, Dedup.LshConfig(numHashes = 64, bandRows = 2))
       val kept = Dedup.keepCorpus(exactKeep, "doc_id", pairs)
+        .localCheckpoint(true)
       def sh5 = ShingleFunctions.wordShingleHashes(
         TextFunctions.tokens(col("text")), 5)
       val contIds = Dedup.decontaminate(kept, "doc_id", sh5, bench, sh5)
         .filter(col("contaminated") =!= 0)
         .select(col("id").as("doc_id"))
+        .localCheckpoint(true)
 
       def tagged(f: DataFrame, reason: String) =
         f.select(col("doc_id"), col("source"), lit(reason).as("reason"))

@@ -2358,11 +2358,17 @@ object ExtensionQueries {
     "q_modularity" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
       // materialize the (small) min-support graph once: label propagation
-      // and every metric branch read the checkpoint, not the self-join
-      val und = li.alias("x").join(li.alias("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      // and every metric branch read the checkpoint. The co-purchase pair
+      // stream is generated MAP-SIDE from per-order sorted part arrays
+      // (one groupBy exchange) instead of the former lineitem self-join —
+      // same multiset of a<b pairs (multiplicity = cnt_a×cnt_b per order,
+      // equal-part pairs excluded by the strict filter), one exchange of
+      // the lineitem projection instead of two join sides (guide §2.4)
+      val und = graft.operators.Associations.pairStream(
+          li.groupBy(col("l_orderkey"))
+            .agg(sort_array(collect_list(col("l_partkey"))).as("items")))
+        .filter(col("i1") < col("i2"))
+        .groupBy(col("i1").as("a"), col("i2").as("b"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select(col("a"), col("b"))

@@ -19,17 +19,21 @@ object Associations {
     * (`conf12_ppm = pair_cnt·10⁶ DIV cnt_1`).
     *
     * Plan shape: one distinct (partial-agg) pass builds the
-    * (basket, item) posting frame, checkpointed once because it feeds
-    * three consumers (both sides of the pair join and the support
-    * aggregate). The pair join is an equi-join on the basket id — at
-    * scale the shuffle key — and its output volume is
-    * Σ_b |b|·(|b|−1)/2, which is why oversized baskets are dropped WHOLE
-    * before the join (partial-agg count + broadcast anti-join, the same
-    * skew guard as the dedup joins): one degenerate basket of 10⁶ items
-    * would otherwise emit 5·10¹¹ pairs. Confidences of surviving pairs
-    * are unaffected — supports count all baskets an item appears in,
-    * including dropped ones, so the guard only removes pairs, never
-    * skews scores.
+    * (basket, item) posting frame (checkpointed — it feeds the support
+    * aggregate AND the basket build), then ONE groupBy(basket) folds
+    * each basket into a sorted item array and the pair stream is
+    * generated MAP-SIDE from the arrays (posexplode of the array, then
+    * explode of each element's suffix slice) straight into the
+    * partial-aggregating pair count — no basket self-join, so the
+    * posting frame crosses one exchange instead of feeding both sides
+    * of a join (guide §2.4). Pair volume is still Σ_b |b|·(|b|−1)/2,
+    * which is why oversized baskets are dropped WHOLE — here a
+    * `size(items) &gt; maxBasket` filter on the folded arrays (same set
+    * as the former count + anti-join guard, one shuffle cheaper): one
+    * degenerate basket of 10⁶ items would otherwise emit 5·10¹¹ pairs.
+    * Confidences of surviving pairs are unaffected — supports count all
+    * baskets an item appears in, including dropped ones, so the guard
+    * only removes pairs, never skews scores.
     */
   def coOccurrencePairs(df: DataFrame, basketCol: Column, itemCol: Column,
                         maxBasket: Long = 10000L): DataFrame = {
@@ -38,12 +42,10 @@ object Associations {
       .distinct()
       .localCheckpoint(true)
     val sup = t.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
-    val big = t.groupBy(col("b")).agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > maxBasket).select(col("b"))
-    val kept = t.join(broadcast(big), Seq("b"), "left_anti")
-    kept.alias("a").join(kept.alias("c"),
-        col("a.b") === col("c.b") && col("a.i") < col("c.i"))
-      .select(col("a.i").as("i1"), col("c.i").as("i2"))
+    val baskets = t.groupBy(col("b"))
+      .agg(sort_array(collect_list(col("i"))).as("items"))
+      .filter(size(col("items")).cast("long") <= maxBasket)
+    pairStream(baskets)
       .groupBy(col("i1"), col("i2"))
       .agg(count(lit(1)).as("pair_cnt"))
       .join(sup.select(col("i").as("i1"), col("cnt").as("cnt_1")), Seq("i1"))
@@ -51,6 +53,28 @@ object Associations {
       .select(col("i1"), col("i2"), col("pair_cnt"), col("cnt_1"), col("cnt_2"),
         expr("pair_cnt * 1000000L DIV cnt_1").as("conf12_ppm"),
         expr("pair_cnt * 1000000L DIV cnt_2").as("conf21_ppm"))
+  }
+
+  /** Map-side ordered-pair generation from per-basket sorted item
+    * arrays: posexplode each array (emitting i1 with its 0-based index),
+    * then explode the strictly-later slice as i2 — every (i1 &lt; i2 in
+    * array order) pair, streamed row by row with O(|basket|) peak memory
+    * (never the O(|basket|²) a flattened pair array would buffer). On a
+    * DISTINCT per-basket item set, array order equals value order, so
+    * the stream is exactly the former self-join's `a.i &lt; c.i` output —
+    * without shuffling the posting frame into both sides of a join.
+    * Output columns: every `baskets` column except `items`, plus
+    * (i1, i2).
+    */
+  private[graft] def pairStream(baskets: DataFrame): DataFrame = {
+    val passthrough = baskets.columns.filterNot(_ == "items").map(col).toSeq
+    baskets
+      .select(passthrough :+ col("items") :+
+        posexplode(col("items")).as(Seq("__ix", "i1")): _*)
+      .select(passthrough :+ col("i1") :+
+        explode(slice(col("items"), col("__ix") + lit(2),
+          greatest(size(col("items")) - col("__ix") - 1, lit(0))))
+          .as("i2"): _*)
   }
 
   /** Frequent item triples (Apriori level 3, Agrawal &amp; Srikant VLDB
@@ -66,6 +90,15 @@ object Associations {
     * (≤ one row per frequent pair), broadcast to every prune site; the
     * only data-sized shuffles are the basket equi-joins. Oversized
     * baskets are dropped whole, as in [[coOccurrencePairs]].
+    *
+    * Pair generation deliberately stays a basket SELF-JOIN here, unlike
+    * [[coOccurrencePairs]]'s array stream: triple baskets are typically
+    * LARGE (a document's distinct-token set), and the r14 optimization
+    * round measured the array fold + per-position slice generation 40%
+    * SLOWER than the join at that basket size (the array row carries
+    * O(|basket|) state per generated pair; the join enumerates pairs
+    * from hash buckets with no per-pair allocation). Small-basket
+    * callers keep the array stream.
     *
     * Output: (i1, i2, i3, triple_cnt), support ≥ `minSupport`.
     */

@@ -65,22 +65,30 @@ object Bpe {
     require(nMerges >= 1 && nMerges <= 64,
       s"nMerges=$nMerges out of [1, 64] (each merge adds a plan round)")
     val wWin = Window.partitionBy("w").orderBy("p")
+    val runWin = wWin.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
 
     val wf = df.select(explode(split(textCol, " ")).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    // the per-round frame carries each symbol's SUCCESSOR (`nxt`): pair
+    // counting then needs no window at all (a straight partial-agg over
+    // the checkpointed frame — the former per-round lead() cost a full
+    // exchange+sort of the symbol frame just to rediscover adjacency the
+    // merge step had in hand when it renumbered), and the merge step's
+    // match test is a plain column comparison
     var syms = wf
       .select(col("w"), col("f"),
         explode(sequence(lit(1), length(col("w")) + 1)).as("p"))
       .withColumn("sym",
         when(col("p") <= length(col("w")),
           col("w").substr(col("p"), lit(1))).otherwise(lit(EndMark)))
+      .withColumn("nxt", lead(col("sym"), 1).over(wWin))
       .localCheckpoint(true)
 
     var merges: DataFrame = null
     for (k <- 1 to nMerges) {
       val winner = syms
-        .withColumn("nxt", lead(col("sym"), 1).over(wWin))
         .filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("left_sym"), col("nxt").as("right_sym"))
         .agg(sum(col("f")).as("pair_cnt"))
@@ -90,26 +98,36 @@ object Bpe {
       val ranked = winner.withColumn("merge_rank", lit(k))
       merges = if (merges == null) ranked else merges.unionByName(ranked)
 
-      val islandWin = Window.partitionBy(col("w"), col("g")).orderBy(col("p"))
+      // run-parity without the former (w, g) island window (which cost a
+      // second full exchange per round): within wWin, an island of
+      // consecutive matches starts where `mt && !lag(mt)`; a running max
+      // of the start positions gives each match its island's start, and
+      // row_number-within-island = p − start + 1 is odd iff (p − start)
+      // is even — same greedy keep-set, every window function on the ONE
+      // (w, p) partitioning+ordering the round already pays for
       syms = syms
         .crossJoin(broadcast(winner.select(
           col("left_sym").as("__ml"), col("right_sym").as("__mr"))))
         .withColumn("mt",
           coalesce(col("sym") === col("__ml") &&
-            lead(col("sym"), 1).over(wWin) === col("__mr"), lit(false)))
-        .withColumn("cum", sum(col("mt").cast("long")).over(wWin))
-        .withColumn("g", when(col("mt"), col("p") - col("cum")))
-        .withColumn("mg", col("mt") && row_number().over(islandWin) % 2 === 1)
+            col("nxt") === col("__mr"), lit(false)))
+        .withColumn("st",
+          col("mt") && !coalesce(lag(col("mt"), 1).over(wWin), lit(false)))
+        .withColumn("start",
+          max(when(col("st"), col("p"))).over(runWin))
+        .withColumn("mg", col("mt") && (col("p") - col("start")) % 2 === 0)
         .withColumn("del", lag(col("mg"), 1, false).over(wWin))
         .filter(!col("del"))
         .withColumn("sym2", when(col("mg"),
           concat(col("__ml"), col("__mr"))).otherwise(col("sym")))
         .select(col("w"), col("f"),
           row_number().over(wWin).as("p"), col("sym2").as("sym"))
+        .withColumn("nxt", lead(col("sym"), 1).over(wWin))
         .localCheckpoint(true)
     }
     (merges.select(col("merge_rank"), col("left_sym"), col("right_sym"),
-      col("pair_cnt")), syms)
+      col("pair_cnt")),
+      syms.select(col("w"), col("f"), col("p"), col("sym")))
   }
 
   /** The identical training loop as DuckDB SQL: one CTE block per round,
