@@ -116,7 +116,19 @@ object Associations {
       .filter(col("cnt") >= minSupport).select(col("i"))
     val kept = dropped.join(broadcast(l1), Seq("i"), "left_semi")
       .localCheckpoint(true)
-    val pocc = kept.alias("a").join(kept.alias("c"),
+    // Pair enumeration is COMPUTE-dense — the joins emit far more rows
+    // than the bytes they read — and AQE coalesces shuffles by BYTES, so
+    // the planner-inserted exchanges under both basket joins collapse the
+    // heaviest CPU stages of the query onto one task (measured r15:
+    // every stage ran single-task, 7.2 s wall). An EXPLICIT repartition
+    // at the session's shuffle parallelism is exempt from coalescing and
+    // co-partitions both join sides (one shared exchange per frame);
+    // the setting itself stays scale-adaptive — it is the same knob that
+    // sizes every other exchange (guide §1.2 "per-task work" feeding
+    // back into the distributed shape, §2.5).
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val keptJ = kept.repartition(nPart, col("b"))
+    val pocc = keptJ.alias("a").join(keptJ.alias("c"),
         col("a.b") === col("c.b") && col("a.i") < col("c.i"))
       .select(col("a.b").as("b"), col("a.i").as("i1"), col("c.i").as("i2"))
       .localCheckpoint(true)
@@ -124,8 +136,23 @@ object Associations {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minSupport).select(col("i1"), col("i2"))
       .localCheckpoint(true)
-    pocc.join(broadcast(l2), Seq("i1", "i2"), "left_semi").alias("p")
-      .join(kept.alias("e"),
+    // Downward-closure prunes BEFORE the extension join, not only after
+    // (r15, guide §3.2 — shrink the join's inputs, not its output): a
+    // valid triple's i3 exceeds both partners, so (i1,i3) and (i2,i3)
+    // are frequent pairs with i3 SECOND — the extension side needs only
+    // items in π₂(L2); symmetrically p.i2 must pair frequently with some
+    // larger third item, i.e. appear in π₁(L2). Both prunes are
+    // broadcast semi-joins on aggregates already in hand (map-side, no
+    // new shuffle), and both are necessary conditions of the final two
+    // semi-joins — result-identical by construction.
+    val extendable = l2.select(col("i2").as("i")).distinct()
+    val keptExt = kept.join(broadcast(extendable), Seq("i"), "left_semi")
+      .repartition(nPart, col("b"))
+    pocc.join(broadcast(l2), Seq("i1", "i2"), "left_semi")
+      .join(broadcast(l2.select(col("i1").as("i2")).distinct()),
+        Seq("i2"), "left_semi")
+      .repartition(nPart, col("b")).alias("p")
+      .join(keptExt.alias("e"),
         col("p.b") === col("e.b") && col("e.i") > col("p.i2"))
       .select(col("p.i1").as("i1"), col("p.i2").as("i2"),
         col("e.i").as("i3"))

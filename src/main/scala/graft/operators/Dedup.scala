@@ -561,19 +561,33 @@ object Dedup {
     // label changes the assignment equals the true transitive closure.
     // maxIters is a safety bound only (hit means a pathological chain —
     // the partial result is still a valid refinement).
+    //
+    // Convergence detection rides the SAME job that materializes the
+    // round (r15): each id's one self row is flagged through the min
+    // aggregation, so "did any label change" is a Dataset.observe count
+    // on the round's own output instead of the former next⋈previous
+    // join — one scheduled job per round, not two. At the gate scale the
+    // doors run at, the per-job constant was half the closure's cost.
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("label"))
+        .select(col("src").as("id"), col("label"), lit(0).as("__self"))
+      val merged = labels
+        .select(col("id"), col("label"), lit(1).as("__self"))
+        .union(neighborLabels)
+        .groupBy("id")
+        .agg(min("label").as("label"),
+          // every id has exactly one self row (ids never leave the frame),
+          // so this recovers the round's INCOMING label per id
+          min(when(col("__self") === 1, col("label"))).as("__prev"))
+      val obs = org.apache.spark.sql.Observation()
       val next = persistStep(
-        labels.union(neighborLabels)
-          .groupBy("id").agg(min("label").as("label")))
-      converged = next.alias("n")
-        .join(labels.alias("p"), col("n.id") === col("p.id"))
-        .filter(col("n.label") =!= col("p.label"))
-        .isEmpty
+        merged.observe(obs,
+            count(when(col("label") < col("__prev"), lit(1))).as("changed"))
+          .select(col("id"), col("label")))
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next
       i += 1
     }
@@ -714,18 +728,20 @@ object Dedup {
                          maxDocFreq: Long = 10000L,
                          keepSizes: Boolean = false): DataFrame = {
     require(p >= 1 && q >= p, s"threshold $p/$q must be in (0, 1]")
-    // boilerplate cut AND frequency attach in ONE window pass: count(*)
-    // over (partition by t) attaches each token's document frequency
-    // without the former groupBy(t) + join-back pair — one exchange of
-    // the posting frame instead of two, and no tf pre-checkpoint (guide
-    // §2.4: two operations keyed the same way share one exchange).
-    // Materialize the cut posting list once — it feeds the ranking plus
-    // both sides of the verification join.
-    val kept = df.select(col(idCol).as("id"),
+    val tf = df.select(col(idCol).as("id"),
         explode(array_distinct(tokens)).as("t"))
-      .withColumn("dfq", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("t"))))
-      .filter(col("dfq") <= maxDocFreq)
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("dfq"))
+    // boilerplate cut AND frequency attach via partial-agg + broadcast
+    // join-back: dfreq is vocabulary-sized (map-side-combined before its
+    // exchange), so the planner broadcasts it and the posting frame never
+    // shuffles by token. Round 14 tried fusing this into one
+    // count().over(partitionBy(t)) window — measurably SLOWER on both
+    // boxes and the §2.5 co-location anti-pattern: the window shuffles
+    // the FULL posting frame by the Zipf-hot token key and parks every
+    // posting of a stopword-frequency token on one task, where this
+    // shape's partial agg combines map-side. Reverted (r15).
+    val kept = tf.join(dfreq.filter(col("dfq") <= maxDocFreq), Seq("t"))
       .localCheckpoint(true)
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("dfq"), col("t"))
@@ -738,7 +754,17 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(wSize))
       .filter(col("pos") <= col("n") - expr(s"(n * $p + $q - 1) DIV $q") + 1)
       .localCheckpoint(true)
-    val cand = prefix.alias("a").join(prefix.alias("b"),
+    // Candidate enumeration is compute-dense (pairs out ≫ prefix bytes
+    // in) and the checkpoint above erases partitioning metadata, so AQE's
+    // byte-based coalescing funnels the enumeration through one or two
+    // tasks (measured r15). An explicit repartition at the session's
+    // shuffle parallelism is exempt from coalescing; keyed on the join's
+    // own token key so a shuffled join at cluster scale reuses it, and
+    // rare-first prefixes keep the t-key unskewed (guide §1.2/§2.5).
+    val nPart = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val prefixJ = prefix.repartition(nPart, col("t"))
+    val cand = prefixJ.alias("a").join(prefixJ.alias("b"),
         col("a.t") === col("b.t") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
         col("a.n").as("n_1"), col("b.n").as("n_2"),
@@ -758,6 +784,10 @@ object Dedup {
         lit(p.toLong) * (col("n_1") + col("n_2") - col("ub")))
       .select(col("id_1"), col("id_2"), col("n_1"), col("n_2"))
       .distinct()
+      // verification expands each candidate by id_1's full token list —
+      // the same compute-density argument as the candidate join, so the
+      // probe side gets the same explicit spread before the expansion
+      .repartition(nPart, col("id_1"))
     val inter = cand
       .join(kept.select(col("id").as("id_1"), col("t")), Seq("id_1"))
       .join(kept.select(col("id").as("id_2"), col("t")), Seq("id_2", "t"))
@@ -867,8 +897,17 @@ object Dedup {
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // shared counts are symmetric: join each pair ONCE (id < id) and emit
     // both directions afterwards — halves the self-join output and the
-    // count aggregation input
-    val undirected = kept.alias("a").join(kept.alias("b"),
+    // count aggregation input.
+    // Explicit spread before the enumeration (r15): the upstream
+    // checkpoint leaves a handful of scan-shaped partitions and the pair
+    // join is compute-dense, so without this the enumeration runs on 1-3
+    // tasks regardless of core count; keyed on the join's token key
+    // (df-cut keeps it unskewed), sized by the session's own shuffle
+    // parallelism — scale-adaptive, not a local[32] constant.
+    val nPart = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val keptJ = kept.repartition(nPart, col("t"))
+    val undirected = keptJ.alias("a").join(keptJ.alias("b"),
         col("a.t") === col("b.t") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_1"), col("b.id").as("id_2"))
       .agg(count(lit(1)).as("n_shared"))
@@ -1994,9 +2033,22 @@ object Dedup {
     */
   def suffixDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                            minLen: Int,
-                           winnowPrefilter: Boolean = true): DataFrame = {
+                           winnowPrefilter: Boolean = true,
+                           hotClassSize: Long = 0L): DataFrame = {
     require(minLen >= 2 && minLen <= (1 << 20),
       s"minLen=$minLen out of [2, 2^20]")
+    // Hot-class guard threshold for `relabel` (0 = off): classes larger
+    // than this are labeled via partial-agg + broadcast instead of the
+    // window, so corpus-wide boilerplate never co-locates on one task
+    // (§2.5). Off by default at bench scale (the split pays 2 extra
+    // passes over the position stream — pure overhead when no class is
+    // hot); a 100 TB deployment sets SPARK_GRAFT_SUFFIX_HOT_CLASS to
+    // ~100× the mean class size. DedupSimilaritySpec pins guard-on ≡
+    // guard-off on a boilerplate-heavy fixture.
+    val hotT: Long =
+      if (hotClassSize > 0L) hotClassSize
+      else sys.env.get("SPARK_GRAFT_SUFFIX_HOT_CLASS")
+        .map(v => java.lang.Long.parseLong(v)).getOrElse(0L)
     val allDocs = df
       .select(col(idCol).as("id"), col(textCol).as("t"),
         length(col(textCol)).as("len"))
@@ -2030,11 +2082,38 @@ object Dedup {
     def relabel(keyed: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("k1"), col("k2"))
-      keyed
+      def windowed(part: DataFrame): DataFrame = part
         .withColumn("lab", min(struct(col("id"), col("pos"))).over(w))
         .withColumn("__n", count(lit(1)).over(w))
         .filter(col("__n") >= 2)
         .select(col("id"), col("pos"), col("lab"))
+      if (hotT <= 0L) windowed(keyed)
+      else {
+        // §2.5 straggler guard: the window co-locates every member of a
+        // class on one task, so a corpus-wide boilerplate window (the
+        // exact content a dedup operator meets most) becomes one giant
+        // task. Split on a NARROW hash key: classes above hotT go
+        // through a partial-agg (few distinct keys — combines map-side
+        // to one row per partition) whose tiny result broadcasts back;
+        // everything else keeps the single-exchange window. A hash
+        // collision only routes a cold class through the exact agg path
+        // — same labels either way.
+        val h = keyed.withColumn("__h", xxhash64(col("k1"), col("k2")))
+        val hotKeys = h.groupBy(col("__h"))
+          .agg(count(lit(1)).as("__hn")).filter(col("__hn") > hotT)
+          .select(col("__h"))
+        val hot = h.join(broadcast(hotKeys), Seq("__h"), "left_semi")
+        val cold = h.join(broadcast(hotKeys), Seq("__h"), "left_anti")
+          .drop("__h")
+        val hotLabs = hot.groupBy(col("k1"), col("k2"))
+          .agg(min(struct(col("id"), col("pos"))).as("lab"),
+            count(lit(1)).as("__n"))
+          .filter(col("__n") >= 2)
+          .select(col("k1"), col("k2"), col("lab"))
+        val hotLab = hot.join(broadcast(hotLabs), Seq("k1", "k2"))
+          .select(col("id"), col("pos"), col("lab"))
+        windowed(cold).unionByName(hotLab)
+      }
     }
 
     // target window half-size: smallest power of two ≥ ⌈minLen/2⌉
@@ -2052,10 +2131,18 @@ object Dedup {
     // round would have pruned has a corpus-unique tgt-window and dies here
     // as a singleton class. (Guide §2.4: remove whole passes, not
     // per-pass cost.)
-    val lab = relabel(docs.select(col("id"), posexplode(
-          transform(sequence(lit(0), col("len") - tgt),
-            i => col("t").substr(i + lit(1), lit(tgt))))
-          .as(Seq("pos", "k1")))
+    //
+    // The window substring is cut AFTER the position explode: exploding
+    // the integer sequence and slicing per generated row keeps per-row
+    // peak memory at O(len) (the position array) where the former
+    // transform(sequence, substr) materialized the ~len × tgt-char window
+    // ARRAY as one value before posexplode — an amplification ∝ tgt that
+    // a long-document corpus cannot afford (§5). Same rows, same k1.
+    val lab = relabel(docs
+        .select(col("id"), col("t"),
+          explode(sequence(lit(0), col("len") - tgt)).as("pos"))
+        .select(col("id"), col("pos"),
+          col("t").substr(col("pos") + lit(1), lit(tgt)).as("k1"))
         .withColumn("k2", lit(0L)))
       .localCheckpoint(true) // feeds the composite join both sides
     // composite at exactly minLen (s ≥ minLen − s, so the two windows tile)

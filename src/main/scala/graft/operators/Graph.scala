@@ -471,13 +471,20 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of [1, 64]")
-    var und = edges.select(col("a"), col("b")).localCheckpoint(true)
     // Early exit at the FIXPOINT (same discipline as canonicalAssignments):
     // peeling is idempotent once no node falls below k, so stopping when a
-    // round removes no edge is result-identical to running all `rounds` —
-    // the count probe reads the just-checkpointed blocks, costing one tiny
-    // job against the 3-4 jobs a dead round would schedule.
-    var prev = und.count()
+    // round removes no edge is result-identical to running all `rounds`.
+    // The row-count probe rides the eager checkpoint's OWN materializing
+    // job via Dataset.observe — round 14 scheduled a separate count() job
+    // per round, and at bench scale the per-job constant made the early
+    // exit a net loss on graphs whose fixpoint never arrives early
+    // (measured on both boxes); observed counts cost zero extra jobs.
+    def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+      (out, obs.get("n").asInstanceOf[Long])
+    }
+    var (und, prev) = checkpointCounted(edges.select(col("a"), col("b")))
     var it = 0
     var stable = false
     while (it < rounds && !stable) {
@@ -485,12 +492,11 @@ object Graph {
         .unionByName(und.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("v"))
-      und = und
+      val (next, cur) = checkpointCounted(und
         .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-        .localCheckpoint(true)
-      val cur = und.count()
+        .select(col("a"), col("b")))
+      und = next
       stable = cur == prev
       prev = cur
       it += 1

@@ -1005,8 +1005,13 @@ object Stats {
     // The parent's count is the SUM of its (≤ 2) children's counts — the
     // node counts are exact dyadic sums — so "parent > T" attaches with
     // one sibling-group window (partition by (lev, node >> 1), groups of
-    // ≤ 2 rows) instead of the former parent⋈child self-join: one
-    // exchange of the node frame rather than two, no join (guide §2.4).
+    // ≤ 2 rows — no skew exposure) instead of the former parent⋈child
+    // self-join: one exchange of the node frame rather than two, no join
+    // (guide §2.4). r15 clean A/B at 5 reps on a quiet box: window
+    // 4.435 s raw / tide 1.08 vs self-join 4.596 s raw / tide 1.169 —
+    // a tie within tide noise; the window stays for the plan win
+    // (plans/r15/qdigest_emit_fragment_*.txt dumps the pre-checkpoint
+    // fragment both ways).
     val emitted = nd.filter(col("lev") < maxBits)
       .withColumn("__pcn", sum(col("cn")).over(
         Window.partitionBy(col("lev"), expr("shiftright(node, 1)"))))

@@ -805,16 +805,20 @@ object TextAnalysis {
   def tokenRarity(df: DataFrame, terms: Column, idCol: String,
                   rareDf: Long = 2L): DataFrame = {
     require(rareDf >= 1L, s"rareDf=$rareDf must be >= 1")
-    // each term's document frequency attaches in ONE window pass over the
-    // posting frame (count over partition-by-token) instead of the former
-    // checkpoint + groupBy(token) + join-back-on-token trio — the join
-    // back shuffled the full posting frame by token anyway, so the window
-    // has the identical skew exposure with one exchange and zero extra
-    // passes (guide §2.4)
-    val stats = df.select(col(idCol).as("id"),
+    // consumed twice (df table + per-doc stats join) — materialize the
+    // sparse (id, term) table once instead of running the explode twice;
+    // it is the corpus's distinct-term representation, the artifact an
+    // index build persists anyway. The df attach is a partial-agg +
+    // broadcast join-back (dfs is vocabulary-sized): round 14's fused
+    // count().over(partitionBy(token)) window was measurably slower on
+    // both boxes — it shuffles the full posting frame by the Zipf-hot
+    // token key (a §2.5 straggler at corpus scale) where this shape
+    // combines map-side and broadcasts the tiny df table. Reverted (r15).
+    val pairs = df.select(col(idCol).as("id"),
         explode(array_distinct(terms)).as("token"))
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
+      .localCheckpoint(true)
+    val dfs = pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = pairs.join(dfs, Seq("token"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_terms"),
         min(col("df")).as("min_term_df"),

@@ -23,13 +23,28 @@ object Streams {
     * the batch path, see graft.Tables.withEventTime). The footer read is
     * a bounded driver-side metadata operation, not a data scan.
     */
+  /** Schema of the first file matching `glob` under `dir`, via a
+    * SINGLE-FILE batch read. Passing the directory + glob instead makes
+    * parquet schema inference go through the distributed footer-merge
+    * path — a ~0.5 s Spark job per stream build that reads exactly one
+    * footer (measured r15); resolving the file driver-side keeps the
+    * whole probe a bounded metadata operation, as the scaladocs below
+    * always claimed. Files under one logical table share a schema by
+    * fixture contract (the batch readers assume the same).
+    */
+  private def firstFileSchema(spark: SparkSession, dir: String,
+                              glob: String): StructType = {
+    val pat = new org.apache.hadoop.fs.Path(dir, glob)
+    val fs = pat.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hits = fs.globStatus(pat)
+    require(hits != null && hits.nonEmpty, s"no files match $pat")
+    spark.read.parquet(hits.head.getPath.toString).schema
+  }
+
   def eventsStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame = {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read
-      .option("pathGlobFilter", "events*.parquet")
-      .parquet(dir)
-      .schema
+    val schema = firstFileSchema(spark, dir, "events*.parquet")
     graft.Tables.withEventTime(
       spark.readStream
         .schema(schema)
@@ -44,10 +59,7 @@ object Streams {
     */
   def documentsStream(spark: SparkSession, dir: String,
                       maxFilesPerTrigger: Int = 10): DataFrame = {
-    val schema = spark.read
-      .option("pathGlobFilter", "documents*.parquet")
-      .parquet(dir)
-      .schema
+    val schema = firstFileSchema(spark, dir, "documents*.parquet")
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -395,8 +407,14 @@ object Streams {
       if (!sinkExists(spark, path)) canonical
       else {
         val corpus = spark.read.parquet(path)
+        // fresh is consumed THREE times (probe signatures, exact-verify
+        // base, final anti-join) and Catalyst shares no subtrees across
+        // consumers — without the checkpoint each one re-reads the sink
+        // and re-runs the in-batch dedup (r15; §5 localCheckpoint as the
+        // cheap lineage cut)
         val fresh = graft.operators.Pipeline.idempotentNewRows(
           canonical, corpus.select(col(idCol)), Seq(idCol))
+          .localCheckpoint(true)
         val nearDups = graft.operators.Dedup.minHashNearDupsAgainst(
             corpus, fresh, idCol, shingles, shingles, threshold, cfg)
           .select(org.apache.spark.sql.functions.col("id_new").as(idCol))
@@ -483,10 +501,15 @@ object Streams {
       inBatch, idCol, shingles, threshold, cfg)
     val canonical = graft.operators.Dedup.keepCorpus(
       inBatch, idCol, selfPairs)
+    // fresh fans out into four consumers (already/toProbe split, probe
+    // signatures, final anti-join) — checkpoint once so each does not
+    // re-run the in-batch dedup + sink read (r15, same as the non-indexed
+    // door)
     val fresh =
-      if (!sinkExists(spark, path)) canonical
-      else graft.operators.Pipeline.idempotentNewRows(
-        canonical, spark.read.parquet(path).select(col(idCol)), Seq(idCol))
+      (if (!sinkExists(spark, path)) canonical
+       else graft.operators.Pipeline.idempotentNewRows(
+         canonical, spark.read.parquet(path).select(col(idCol)), Seq(idCol)))
+        .localCheckpoint(true)
     // indexed-but-not-sunk = accepted by a crashed attempt (the index
     // append is the acceptance record): finish their sink append verbatim
     val indexedIds = spark.table(s"${indexTable}_docs")
@@ -578,10 +601,12 @@ object Streams {
       inBatch, idCol, vecCol, threshold, bandBits, numBands)
     val canonical = graft.operators.Dedup.keepCorpus(
       inBatch, idCol, selfPairs)
+    // same fan-out checkpoint as dedupIngestBatchIndexed (r15)
     val fresh =
-      if (!sinkExists(spark, path)) canonical
-      else graft.operators.Pipeline.idempotentNewRows(
-        canonical, spark.read.parquet(path).select(col(idCol)), Seq(idCol))
+      (if (!sinkExists(spark, path)) canonical
+       else graft.operators.Pipeline.idempotentNewRows(
+         canonical, spark.read.parquet(path).select(col(idCol)), Seq(idCol)))
+        .localCheckpoint(true)
     val indexedIds = spark.table(s"${indexTable}_docs")
       .select(col("id").as(idCol))
     val already = fresh.join(indexedIds, Seq(idCol), "left_semi")

@@ -898,6 +898,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"every doc's duplicated span is [9, 70) (last code char + boilerplate): ${spans.take(3).toSeq}")
   }
 
+  test("suffix hot-class guard is result-identical on a boilerplate-heavy corpus") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // the previous fixture's worst case on purpose: 250 docs share a
+    // 60-char boilerplate, so every duplicated window's equality class has
+    // ~250 members. hotClassSize=3 routes ALL of them through the
+    // partial-agg + broadcast leg (and hash-collision routing of cold
+    // classes is harmless by construction) — output must be bit-identical
+    // to the single-window shape the bench runs.
+    val boiler = "the quick brown fox jumps over the lazy dog again and again."
+    def code(i: Int) = ("" + ('a' + i / 26).toChar + ('a' + i % 26).toChar) * 5
+    val docs = (0 until 250)
+      .map(i => (i.toLong, code(i) + boiler))
+      .toDF("doc_id", "text")
+    val guarded = graft.operators.Dedup.suffixDuplicateSpans(
+        docs, "doc_id", "text", minLen = 40, hotClassSize = 3L)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val plain = graft.operators.Dedup.suffixDuplicateSpans(
+        docs, "doc_id", "text", minLen = 40)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(guarded == plain,
+      s"hot-class guard changed the result (only-guarded=${guarded -- plain}, " +
+        s"only-plain=${plain -- guarded})")
+    assert(guarded.size == 250, s"expected a span per doc, got ${guarded.size}")
+  }
+
   test("suffix winnow-prefilter is candidate-complete: identical spans, incl. internal-only repeats") {
     val spark0 = TestSpark.spark
     import spark0.implicits._

@@ -22,11 +22,39 @@ class PlanDigestSpec extends AnyFunSuite {
   private val file = Paths.get("PLAN_DIGESTS.json")
   private val entryRe = """"([A-Za-z0-9_]+)":"([^"]*)"""".r
 
-  private def computeAll(): Seq[(String, String)] =
+  /** Digests must be computed under PINNED confs, not whatever the shared
+    * session happens to hold: any suite that calls `GraftSession.create`
+    * in this JVM leaks `preferSortMergeJoin=false` plus a HOST-CORE-COUNT
+    * shuffle.partitions into the session via getOrCreate, and shuffled-
+    * hash-join eligibility scales with partition count — so without the
+    * pin, digests depended on suite order and machine size (the committed
+    * file stopped reproducing on a different box in round 14). The pinned
+    * values are exactly TestSpark's session defaults, i.e. what a fresh
+    * `sbt "testOnly graft.PlanDigestSpec"` regeneration run uses.
+    */
+  private val pinned = Seq(
+    "spark.sql.shuffle.partitions" -> "4",
+    "spark.sql.join.preferSortMergeJoin" -> "true",
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "4",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> (10L * 1024 * 1024).toString)
+
+  private def withPinnedConfs[T](body: => T): T = {
+    val saved = pinned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def computeAll(): Seq[(String, String)] = withPinnedConfs {
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> (try Plans.digest(fn(spark, TestSpark.sf))
       catch { case e: Exception => s"PLANNING FAILED: ${e.getMessage}" })
     }
+  }
 
   test("every query's plan digest matches the committed PLAN_DIGESTS.json") {
     val got = computeAll()
@@ -61,19 +89,21 @@ class PlanDigestSpec extends AnyFunSuite {
   }
 
   test("negative control: a broadcast-threshold change trips the digest") {
-    val key = "spark.sql.autoBroadcastJoinThreshold"
-    val orig = spark.conf.get(key)
-    val before = Plans.digest(
-      SparkEntry.queries("j1_join_filter")(spark, TestSpark.sf))
-    assert(before.contains("BroadcastHashJoinExec"),
-      s"control query must broadcast at defaults: $before")
-    try {
-      spark.conf.set(key, "-1")
-      val after = Plans.digest(
+    withPinnedConfs {
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val orig = spark.conf.get(key)
+      val before = Plans.digest(
         SparkEntry.queries("j1_join_filter")(spark, TestSpark.sf))
-      assert(after != before,
-        "digest failed to register a forced broadcast demotion — the gate is vacuous")
-      assert(!after.contains("BroadcastHashJoinExec"))
-    } finally spark.conf.set(key, orig)
+      assert(before.contains("BroadcastHashJoinExec"),
+        s"control query must broadcast at defaults: $before")
+      try {
+        spark.conf.set(key, "-1")
+        val after = Plans.digest(
+          SparkEntry.queries("j1_join_filter")(spark, TestSpark.sf))
+        assert(after != before,
+          "digest failed to register a forced broadcast demotion — the gate is vacuous")
+        assert(!after.contains("BroadcastHashJoinExec"))
+      } finally spark.conf.set(key, orig)
+    }
   }
 }

@@ -63,12 +63,29 @@ class ScaleSpec extends AnyFunSuite {
 
   test("GraftSession.create registers SQL functions on a pre-existing session") {
     // the shared test session was built WITHOUT GraftExtensions;
-    // create() must still make the functions callable via live registration
-    val s = GraftSession.create(master = "local[4]")
-    assert(s eq spark) // getOrCreate returned the existing session
-    val n = s.sql("SELECT size(minhash_signature(array('a','b'), 8)) k")
-      .head().getInt(0)
-    assert(n == 8)
+    // create() must still make the functions callable via live registration.
+    // getOrCreate applies create()'s configs (preferSortMergeJoin,
+    // cores-sized shuffle.partitions, …) to the SHARED session as runtime
+    // confs — snapshot and restore them, or every later suite in this JVM
+    // (PlanDigestSpec's digests most of all) silently runs under
+    // host-core-count-dependent settings (round-14 driver failure).
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.join.preferSortMergeJoin",
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.legacy.parquet.nanosAsLong",
+      "spark.sql.session.timeZone")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      val s = GraftSession.create(master = "local[4]")
+      assert(s eq spark) // getOrCreate returned the existing session
+      val n = s.sql("SELECT size(minhash_signature(array('a','b'), 8)) k")
+        .head().getInt(0)
+      assert(n == 8)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("key skew profile surfaces the heaviest keys") {
