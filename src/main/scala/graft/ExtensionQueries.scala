@@ -77,7 +77,11 @@ object ExtensionQueries {
     // brute-force oracle can't drop a borderline pair; the char-8 baseline
     // jaccard ≈ 0.04 keeps candidates ≈ 0.2% of all pairs.
     "dedup_ngram" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // char-8 shingles × 96 minhashes is the heaviest per-doc hash pass
+      // of the surface and the single-row-group scan cannot split —
+      // spread before the signature map (see graft.operators.Spread)
+      val docs = graft.operators.Spread
+        .byKey(Tables.documents(s, d), col("doc_id"))
       Dedup.minHashNearDups(docs, "doc_id",
         ShingleFunctions.charShingleHashes(col("text"), 8),
         threshold = 0.6,
@@ -348,7 +352,10 @@ object ExtensionQueries {
     // — together the two radii also pin the chunking arithmetic (3 vs 4
     // chunks over the 60-bit signature). -----------------------------------
     "dedup_simhash" -> ((s, d) => {
-      val sigs = Tables.documents(s, d)
+      // same per-token md5 whale + unsplittable scan as dedup_simhash_md5
+      // — spread before the signature map (see graft.operators.Spread)
+      val sigs = graft.operators.Spread
+        .byKey(Tables.documents(s, d), col("doc_id"))
         .withColumn("hs", expr(
           "transform(split(text, ' '), t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
         .select(col("doc_id").as("id"),
@@ -362,7 +369,11 @@ object ExtensionQueries {
     // this variant is fully oracle-checked (the DuckDB side brute-forces
     // all pairs; complete recall of the chunk join makes the sets equal) --
     "dedup_simhash_md5" -> ((s, d) => {
-      val sigs = Tables.documents(s, d)
+      // per-token md5 is the query's CPU whale and the single-row-group
+      // scan cannot split — spread before the signature map (see
+      // graft.operators.Spread)
+      val sigs = graft.operators.Spread
+        .byKey(Tables.documents(s, d), col("doc_id"))
         .withColumn("hs", expr(
           "transform(split(text, ' '), t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
         .select(col("doc_id").as("id"),

@@ -78,6 +78,11 @@ object Dedup {
       df: DataFrame, idCol: String, shingles: Column,
       threshold: Double, cfg: LshConfig = LshConfig()): DataFrame = {
     val bands = cfg.numHashes / cfg.bandRows
+    // NO unconditional spread here (r15, measured): heavy-hash callers
+    // (char-8 × 96 hashes) spread at the QUERY (see dedup_ngram), but the
+    // streaming doors call this per micro-batch where an extra exchange
+    // job costs more than the parallelism buys, and word-shingle callers
+    // are not compute-bound (dedup_minhash read 0.83× with the spread).
     val base = df
       .select(col(idCol).as("id"), shingles.as("sh"))
       .filter(size(col("sh")) > 0)
@@ -319,10 +324,10 @@ object Dedup {
     */
   def appendToMinHashIndex(
       delta: DataFrame, idCol: String, shingles: Column,
-      table: String, cfg: LshConfig = LshConfig()): Unit = {
+      table: String, cfg: LshConfig = LshConfig(),
+      preReadMeta: Option[org.apache.spark.sql.Row] = None): Unit = {
     val spark = delta.sparkSession
-    val meta = indexMeta(spark, table, Seq("num_hashes", "band_rows", "seed",
-      "num_buckets"))
+    val meta = preReadMeta.getOrElse(minHashIndexMeta(spark, table))
     val (mh, mr, ms) = (meta.getAs[Int]("num_hashes"),
       meta.getAs[Int]("band_rows"), meta.getAs[Long]("seed"))
     require(mh == cfg.numHashes && mr == cfg.bandRows && ms == cfg.seed,
@@ -357,6 +362,14 @@ object Dedup {
     * writer (e.g. pre-`num_buckets` format) would otherwise surface as an
     * opaque field-resolution error deep inside the append/compact path.
     */
+  /** The full MinHash-index meta row, for callers that probe AND append
+    * in one batch body and should pay the 1-row read once (r15).
+    */
+  private[graft] def minHashIndexMeta(spark: SparkSession,
+                                      table: String): org.apache.spark.sql.Row =
+    indexMeta(spark, table,
+      Seq("num_hashes", "band_rows", "seed", "num_buckets"))
+
   private def indexMeta(spark: SparkSession, table: String,
                         required: Seq[String]): org.apache.spark.sql.Row = {
     val df = spark.table(s"${table}_meta")
@@ -469,13 +482,15 @@ object Dedup {
   def minHashNearDupsAgainstIndex(
       newBatch: DataFrame, idCol: String, newShingles: Column,
       threshold: Double, table: String,
-      cfg: LshConfig = LshConfig()): DataFrame = {
+      cfg: LshConfig = LshConfig(),
+      preReadMeta: Option[org.apache.spark.sql.Row] = None): DataFrame = {
     val spark = newBatch.sparkSession
     healIndexTables(spark, table)
-    val meta = spark.table(s"${table}_meta").collect()
-    require(meta.length == 1, s"index $table has no meta row")
-    val (mh, mr, ms) = (meta.head.getAs[Int]("num_hashes"),
-      meta.head.getAs[Int]("band_rows"), meta.head.getAs[Long]("seed"))
+    // the 1-row _meta read is a scheduled job; a door batch that probes
+    // AND appends in one body reads it once and passes it down (r15)
+    val meta = preReadMeta.getOrElse(minHashIndexMeta(spark, table))
+    val (mh, mr, ms) = (meta.getAs[Int]("num_hashes"),
+      meta.getAs[Int]("band_rows"), meta.getAs[Long]("seed"))
     require(mh == cfg.numHashes && mr == cfg.bandRows && ms == cfg.seed,
       s"index $table was built with (numHashes=$mh, bandRows=$mr, seed=$ms)" +
         s" but the probe requested (${cfg.numHashes}, ${cfg.bandRows}, " +
@@ -1819,7 +1834,10 @@ object Dedup {
                           k: Int, minOcc: Long = 2L): DataFrame = {
     require(k >= 2, s"k=$k must be >= 2")
     require(minOcc >= 2L, s"minOcc=$minOcc must be >= 2")
-    val words = docs.select(col(idCol).as("id"),
+    // one md5 per k-token window makes the window build the operator's
+    // CPU whale — spread the docs first (see Spread; the input is always
+    // corpus-shaped here, unlike the door-batch MinHash path)
+    val words = Spread.byKey(docs, col(idCol)).select(col(idCol).as("id"),
       split(textCol, " ").as("w"))
     // (id, pos, gh): one row per k-token window, pos 0-based token index;
     // slice is 1-based. Docs shorter than k emit no windows but stay in

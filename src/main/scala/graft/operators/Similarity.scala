@@ -1192,6 +1192,9 @@ object Similarity {
       while (j < dsub) { book(i * dsub + j) = cent(j); j += 1 }
       norms(i) = r.getDouble(3)
     }
+    // no spread here (r15, measured): at m=8/ksub=16 the encode is light
+    // relative to an exchange + AQE stage job, and the sim_* queries are
+    // job-count-bound (sim_pq read 0.82× with a spread inserted)
     corpus
       .select(col(idCol).as("id"),
         VectorFunctions.pqEncodeCodes(col(vecCol), book, norms, m, ksub, dsub)

@@ -728,8 +728,12 @@ object TextAnalysis {
     */
   def invertedIndex(df: DataFrame, terms: Column, idCol: String,
                     maxPostingDf: Long = 10000L): DataFrame = {
+    // the posting frame feeds TWO corpus-wide aggregations (df table,
+    // posting lists) — materialize the explode once (r15); this is the
+    // same two-consumer checkpoint every other posting operator carries
     val pairs = df.select(col(idCol).as("id"),
-      explode(array_distinct(terms)).as("token"))
+        explode(array_distinct(terms)).as("token"))
+      .localCheckpoint(true)
     // dfs is referenced twice (hot set + final join) — materialize the
     // vocabulary-sized frame once or Catalyst re-runs the corpus explode +
     // count aggregation for each reference (verified in the plan: three

@@ -516,8 +516,10 @@ object Streams {
       .select(col("id").as(idCol))
     val already = fresh.join(indexedIds, Seq(idCol), "left_semi")
     val toProbe = fresh.join(indexedIds, Seq(idCol), "left_anti")
+    // one _meta read serves both the probe and the append below (r15)
+    val meta = Some(graft.operators.Dedup.minHashIndexMeta(spark, indexTable))
     val nearDups = graft.operators.Dedup.minHashNearDupsAgainstIndex(
-        toProbe, idCol, shingles, threshold, indexTable, cfg)
+        toProbe, idCol, shingles, threshold, indexTable, cfg, meta)
       .select(col("id_new").as(idCol))
       .distinct()
     // pin the accepted set BEFORE the index mutates: the probe plan reads
@@ -527,7 +529,7 @@ object Streams {
       .unionByName(already)
       .localCheckpoint(true)
     graft.operators.Dedup.appendToMinHashIndex(
-      novel, idCol, shingles, indexTable, cfg)
+      novel, idCol, shingles, indexTable, cfg, meta)
     novel.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
     // auto-compaction rides INSIDE the ingest loop, after the batch's
     // commit pair: each delta-append leaves one file generation per
